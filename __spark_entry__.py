@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship inverted-index query on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` provides the
+DuckDB-equivalent ANSI SQL for each (same column names + types, values
+rounded identically on both sides so the order-insensitive value-hash
+comparison is exact).
+
+All heavy lifting lives in ``mapreduceindex_spark/``; this module only
+wires loaders to operators and generates the oracle SQL (programmatically
+where the SQL embeds the same literal constants as the Spark plans —
+MinHash coefficients, LSH hyperplanes).
 """
 
 from __future__ import annotations
@@ -13,26 +19,655 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduceindex_spark.operators import dedup as D
+from mapreduceindex_spark.operators import events as E
+from mapreduceindex_spark.operators import multimodal as M
+from mapreduceindex_spark.operators import relational as R
+from mapreduceindex_spark.operators import similarity as S
+from mapreduceindex_spark.operators import text_analysis as TA
+from mapreduceindex_spark.operators.inverted_index import (
+    inverted_index_flat,
+)
+from mapreduceindex_spark.streaming import pipelines as STREAM
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from mapreduceindex_spark.session import load_table
+
+    return load_table(spark, sf_dir, name)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return inverted_index_flat(docs)
 
+
+# --------------------------------------------------------------------------
+# queries(): name -> (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # flagship + text pipeline (SURVEY §2 O1–O11)
+        "inverted_index": lambda s, d: inverted_index_flat(_t(s, d, "documents")),
+        "inverted_index_salted": lambda s, d: inverted_index_flat(
+            _t(s, d, "documents"), salt_buckets=8
+        ),
+        "word_counts": lambda s, d: TA.word_counts(_t(s, d, "documents")),
+        # text analysis (EXT3)
+        "doc_stats": lambda s, d: TA.doc_stats(_t(s, d, "documents")),
+        "token_counts_bpe": lambda s, d: TA.token_counts_bpe(_t(s, d, "documents")),
+        "language_id": lambda s, d: TA.language_id(_t(s, d, "documents")),
+        "quality_score": lambda s, d: TA.quality_score(_t(s, d, "documents")),
+        "doc_fingerprint": lambda s, d: TA.doc_fingerprint(_t(s, d, "documents")),
+        "tf_idf": lambda s, d: TA.tf_idf(_t(s, d, "documents")),
+        # dedup (EXT1)
+        "exact_dedup": lambda s, d: D.exact_dedup(_t(s, d, "documents")),
+        "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
+            _t(s, d, "documents"), n=3, threshold=0.5
+        ),
+        "minhash_signatures": lambda s, d: D.minhash_signatures(
+            _t(s, d, "documents"), n=3, num_hashes=16
+        ),
+        "minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
+            _t(s, d, "documents"), n=3, num_hashes=16, bands=4, threshold=0.5
+        ),
+        "simhash": lambda s, d: D.simhash64(_t(s, d, "documents"), n_bits=24),
+        # similarity search (EXT2)
+        "cosine_topk": lambda s, d: S.cosine_topk(
+            _t(s, d, "embeddings"), n_queries=10, k=5
+        ),
+        "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(
+            _t(s, d, "embeddings"), n_queries=10, k=5, n_planes=8, dim=64
+        ),
+        "embedding_near_dups": lambda s, d: S.embedding_near_dups(
+            _t(s, d, "embeddings"), threshold=0.95
+        ),
+        # relational surface (EXT4)
+        "q1_pricing_summary": lambda s, d: R.pricing_summary(_t(s, d, "lineitem")),
+        "q3_shipping_priority": lambda s, d: R.shipping_priority(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q5_region_revenue": lambda s, d: R.region_revenue(
+            _t(s, d, "region"),
+            _t(s, d, "nation"),
+            _t(s, d, "customer"),
+            _t(s, d, "supplier"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+        ),
+        "brand_revenue": lambda s, d: R.brand_revenue(
+            _t(s, d, "part"), _t(s, d, "lineitem")
+        ),
+        "top_orders_per_customer": lambda s, d: R.top_orders_per_customer(
+            _t(s, d, "orders"), k=3
+        ),
+        "revenue_rollup": lambda s, d: R.revenue_rollup(_t(s, d, "lineitem")),
+        "customers_without_orders": lambda s, d: R.customers_without_orders(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "late_shipment_priority": lambda s, d: R.late_shipment_priority(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "nation_segment_stats": lambda s, d: R.nation_segment_stats(
+            _t(s, d, "customer"), _t(s, d, "nation")
+        ),
+        "order_counts_pivot": lambda s, d: R.order_counts_pivot(_t(s, d, "orders")),
+        "big_spenders_minus_mid": lambda s, d: R.big_spenders_minus_mid(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        # event-time operators
+        "events_tumbling": lambda s, d: E.tumbling_counts(_t(s, d, "events")),
+        "events_sliding": lambda s, d: E.sliding_counts(_t(s, d, "events")),
+        "sessionize": lambda s, d: E.sessionize(_t(s, d, "events")),
+        "events_json_stats": lambda s, d: E.json_payload_stats(_t(s, d, "events")),
+        "user_activity_pivot": lambda s, d: E.user_activity_pivot(
+            _t(s, d, "events")
+        ),
+        "purchasers_without_errors": lambda s, d: E.purchasers_without_errors(
+            _t(s, d, "events")
+        ),
+        # structured streaming forms
+        "streaming_tumbling": lambda s, d: STREAM.streaming_tumbling_counts(s, d),
+        "streaming_sessions": lambda s, d: STREAM.streaming_session_counts(s, d),
+        # multimodal plumbing
+        "media_metadata_stats": lambda s, d: M.media_metadata_stats(
+            _t(s, d, "documents")
+        ),
+        "media_features": lambda s, d: M.extract_media_features(
+            M.attach_binary_payload(_t(s, d, "documents"))
+        ),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle_sql(): DuckDB-runnable ANSI SQL, same column names/values
+# --------------------------------------------------------------------------
+
+#: normalized non-empty word list of a text expression (reference O3–O5)
+_WORDS = (
+    r"list_filter(list_transform(string_split_regex({t}, '\s+'), "
+    r"t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))), w -> len(w) > 0)"
+)
+
+
+def _words_sql(t: str = "text") -> str:
+    return _WORDS.format(t=t)
+
+
+def _shingles_sql(ws: str, n: int = 3) -> str:
+    """DuckDB equivalent of functions.text.shingles (word n-grams)."""
+    return (
+        f"CASE WHEN len({ws}) <= {n} THEN [array_to_string({ws}, ' ')] "
+        f"ELSE list_transform(range(1, len({ws}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({ws}, i, i + {n - 1}), ' ')) END"
+    )
+
+
+def _hash60_sql(x: str) -> str:
+    """Portable 60-bit hash — mirrors functions.text.stable_hash64."""
+    return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.word
+  FROM documents, unnest({_words_sql()}) AS u(word)
+)
+SELECT word,
+       count(DISTINCT doc_id)::BIGINT AS df,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids
+FROM toks GROUP BY word
+"""
+
+_JACCARD_BASE = f"""
+WITH ws AS (
+  SELECT doc_id, {_words_sql()} AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, u.shingle
+  FROM ws, unnest({_shingles_sql('w', 3)}) AS u(shingle)
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+def _minhash_sig_cte(num_hashes: int = 16) -> str:
+    from mapreduceindex_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _affine_coeffs,
+    )
+
+    cols = ", ".join(
+        f"min(((({a}::HUGEINT) * h + {b}) % {MINHASH_PRIME})::BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(_affine_coeffs(num_hashes))
+    )
+    return f"""
+WITH ws AS (
+  SELECT doc_id, {_words_sql()} AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, u.shingle
+  FROM ws, unnest({_shingles_sql('w', 3)}) AS u(shingle)
+), hashed AS (
+  SELECT doc_id, {_hash60_sql('shingle')} AS h FROM sh
+), sig AS (
+  SELECT doc_id, {cols} FROM hashed GROUP BY doc_id
+)
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    band_exprs = ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join([str(bi)] + [f"mh_{bi * rows + r}::VARCHAR" for r in range(rows)])
+        + f")) AS band_{bi}"
+        for bi in range(bands)
+    )
+    band_list = ", ".join(f"band_{bi}" for bi in range(bands))
+    return (
+        _minhash_sig_cte(num_hashes)
+        + f""",
+banded AS (
+  SELECT doc_id, {band_exprs} FROM sig
+), stacked AS (
+  SELECT doc_id, u.bucket FROM banded, unnest([{band_list}]) AS u(bucket)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM stacked x JOIN stacked y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.5
+"""
+    )
+
+
+def _simhash_sql(n_bits: int = 24) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+WITH ws AS (
+  SELECT doc_id, {_words_sql()} AS w FROM documents
+), dw AS (
+  SELECT DISTINCT doc_id, u.word FROM ws, unnest(w) AS u(word)
+), hashed AS (
+  SELECT doc_id, {_hash60_sql('word')} AS h FROM dw
+)
+SELECT doc_id, ({bit_terms})::BIGINT AS simhash
+FROM hashed GROUP BY doc_id
+"""
+
+
+_COSINE = (
+    "round(list_dot_product(q.emb::DOUBLE[], c.emb::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.emb::DOUBLE[], q.emb::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.emb::DOUBLE[], c.emb::DOUBLE[]))), 6)"
+)
+
+
+def _ann_lsh_sql(n_queries: int, k: int, n_planes: int, dim: int) -> str:
+    from mapreduceindex_spark.operators.similarity import hyperplane_literals
+
+    planes = hyperplane_literals(n_planes, dim)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(c) for c in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({terms})::BIGINT AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS emb, bucket
+  FROM bucketed WHERE vec_id < {n_queries}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS emb, bucket FROM bucketed
+), scored AS (
+  SELECT q.query_id, c.neighbor_id, {_COSINE} AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket AND c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = ", ".join(f"'{w}'" for w in TA.EN_STOPWORDS)
+    ws = _words_sql()
+    return {
+        "inverted_index": _INVERTED_INDEX_SQL,
+        "inverted_index_salted": _INVERTED_INDEX_SQL,
+        "word_counts": f"""
+            WITH toks AS (
+              SELECT u.word FROM documents, unnest({ws}) AS u(word)
+            )
+            SELECT word, count(*)::BIGINT AS n_occurrences
+            FROM toks GROUP BY word
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+              len(list_filter(string_split_regex(text, '\\s+'),
+                  t -> len(t) > 0))::BIGINT AS n_tokens,
+              len({ws})::BIGINT AS n_words,
+              len(list_distinct({ws}))::BIGINT AS n_distinct_words,
+              round(CASE WHEN len({ws}) > 0 THEN
+                list_sum(list_transform({ws}, w -> len(w)))::DOUBLE / len({ws})
+              END, 4) AS avg_word_len,
+              round(CASE WHEN len({ws}) > 0 THEN
+                len(list_distinct({ws}))::DOUBLE / len({ws})
+              END, 4) AS distinct_ratio
+            FROM documents
+        """,
+        "token_counts_bpe": r"""
+            SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe_tokens,
+              len(list_distinct(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')))::BIGINT AS n_distinct_bpe
+            FROM documents
+        """,
+        "language_id": f"""
+            WITH base AS (
+              SELECT doc_id, lang, {ws} AS w FROM documents
+            ), r AS (
+              SELECT doc_id, lang,
+                CASE WHEN len(w) > 0 THEN
+                  len(list_filter(w, x -> x IN ({stop})))::DOUBLE / len(w)
+                ELSE 0.0 END AS ratio
+              FROM base
+            )
+            SELECT doc_id, lang, round(ratio, 4) AS en_ratio,
+                   CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang
+            FROM r
+        """,
+        "quality_score": f"""
+            WITH base AS (
+              SELECT doc_id, text, {ws} AS w FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                CASE WHEN len(text) > 0 THEN
+                  len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / len(text)
+                ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN len(w) > 0 THEN
+                  len(list_distinct(w))::DOUBLE / len(w) ELSE 0.0 END AS distinct_ratio,
+                CASE WHEN len(w) > 0 THEN
+                  list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+                ELSE 0.0 END AS mean_len,
+                len(w) AS n
+              FROM base
+            )
+            SELECT doc_id, round(alpha_ratio, 4) AS alpha_ratio,
+                   round(distinct_ratio, 4) AS distinct_ratio,
+                   round(alpha_ratio * 0.3 + distinct_ratio * 0.3
+                         + least(n / 100.0, 1.0) * 0.2
+                         + least(mean_len / 8.0, 1.0) * 0.2, 4) AS quality
+            FROM feats
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({ws})), ' '))
+                     AS fingerprint
+            FROM documents
+        """,
+        "tf_idf": f"""
+            WITH toks AS (
+              SELECT doc_id, u.word FROM documents, unnest({ws}) AS u(word)
+            ), tf AS (
+              SELECT doc_id, word, count(*)::BIGINT AS tf
+              FROM toks GROUP BY doc_id, word
+            ), df AS (
+              SELECT word, count(DISTINCT doc_id)::BIGINT AS df
+              FROM toks GROUP BY word
+            ), total AS (
+              SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents
+            )
+            SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                   round(tf.tf * ln(total.n_docs::DOUBLE / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (word) CROSS JOIN total
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   count(*)::BIGINT AS n_copies,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_pairs": _JACCARD_BASE
+        + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5",
+        "minhash_signatures": _minhash_sig_cte(16) + "SELECT * FROM sig",
+        "minhash_lsh_pairs": _minhash_lsh_sql(16, 4),
+        "simhash": _simhash_sql(24),
+        "cosine_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS emb
+              FROM embeddings WHERE vec_id < 10
+            ), c AS (
+              SELECT vec_id AS neighbor_id, embedding AS emb FROM embeddings
+            ), scored AS (
+              SELECT q.query_id, c.neighbor_id, {_COSINE} AS cosine
+              FROM c CROSS JOIN q
+              WHERE c.neighbor_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "ann_lsh_topk": _ann_lsh_sql(10, 5, 8, 64),
+        "embedding_near_dups": f"""
+            WITH q AS (
+              SELECT vec_id AS vec_a, embedding AS emb FROM embeddings
+            ), c AS (
+              SELECT vec_id AS vec_b, embedding AS emb FROM embeddings
+            ), scored AS (
+              SELECT q.vec_a, c.vec_b,
+                     round(list_dot_product(q.emb::DOUBLE[], c.emb::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.emb::DOUBLE[], q.emb::DOUBLE[])) *
+                        sqrt(list_dot_product(c.emb::DOUBLE[], c.emb::DOUBLE[]))), 6)
+                       AS cosine
+              FROM q JOIN c ON q.vec_a < c.vec_b
+            )
+            SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.95
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                AS sum_charge,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc,
+              count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15'
+              AND l_shipdate > TIMESTAMP '1996-03-15'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rn
+            FROM orders
+            QUALIFY rn <= 3
+        """,
+        "revenue_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "nation_segment_stats": """
+            SELECT n_name, c_mktsegment,
+                   round(avg(c_acctbal), 4) AS avg_acctbal,
+                   round(min(c_acctbal), 2) AS min_acctbal,
+                   round(max(c_acctbal), 2) AS max_acctbal,
+                   count(*)::BIGINT AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, c_mktsegment
+        """,
+        "order_counts_pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "big_spenders_minus_mid": """
+            SELECT c_custkey
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            WHERE o_totalprice > 300000
+            EXCEPT
+            SELECT c_custkey
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            WHERE o_totalprice < 50000
+        """,
+        "events_tumbling": """
+            SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            WITH expanded AS (
+              SELECT u.window_start, value FROM events,
+              unnest([CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT),
+                      CAST(FLOOR(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+                AS u(window_start)
+            )
+            SELECT window_start, count(*)::BIGINT AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM expanded GROUP BY 1
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sids AS (
+              SELECT user_id, ts,
+                CAST(sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+                   CAST(FLOOR(epoch(max(ts))) AS BIGINT)
+                     - CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec
+            FROM sids GROUP BY user_id, session_id
+        """,
+        "events_json_stats": """
+            SELECT event_type,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+                   round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+                   round(sum(value), 4) AS sum_value,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "user_activity_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+                     AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "purchasers_without_errors": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "streaming_tumbling": """
+            SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "streaming_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sids AS (
+              SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+                   CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS session_start,
+                   count(*)::BIGINT AS n_events,
+                   CAST(FLOOR(epoch(max(ts))) AS BIGINT)
+                     - CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec
+            FROM sids GROUP BY user_id, sid
+        """,
+        "media_metadata_stats": """
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+                   min(octet_length(encode(text)))::BIGINT AS min_bytes,
+                   max(octet_length(encode(text)))::BIGINT AS max_bytes
+            FROM documents GROUP BY source
+        """,
+        "media_features": """
+            SELECT doc_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   lower(hex(encode(substr(text, 1, 4)))) AS magic,
+                   substr(md5(text), 1, 8) AS checksum_prefix,
+                   (16 + octet_length(encode(text)) % 1024)::BIGINT AS fake_width,
+                   (16 + (octet_length(encode(text)) // 7) % 1024)::BIGINT
+                     AS fake_height
+            FROM documents
+        """,
+    }

@@ -1,0 +1,149 @@
+"""Event-time operators over the ``events`` table.
+
+Tumbling/sliding window aggregation, sessionization, JSON payload
+extraction, and per-user activity pivots — the batch forms. The streaming
+forms of the same aggregations live in ``streaming/pipelines.py`` and
+share these column expressions, so batch and streaming results are
+definitionally consistent.
+
+Window starts are emitted as **epoch seconds (BIGINT)** rather than
+timestamps: engine-portable, timezone-proof, and exactly what
+``F.window`` computes internally (epoch-aligned buckets).
+
+Scale notes: all aggregations shuffle once on their (bucket, key) group;
+sessionization shuffles once on user_id and sorts within partitions — the
+standard lag/cumsum plan whose state is bounded per user, and which maps
+1:1 onto ``session_window`` in streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_counts(events: DataFrame, width_sec: int = 600) -> DataFrame:
+    """Tumbling event-time windows: per (window, event_type) count + sum.
+
+    Uses ``F.window`` (the Catalyst TimeWindow operator, same bucketing the
+    streaming engine uses) and projects the start as epoch seconds.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", f"{width_sec} seconds").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width_sec: int = 600, slide_sec: int = 300
+) -> DataFrame:
+    """Sliding windows (width 10 min, slide 5 min): each event lands in
+    width/slide buckets; ``F.window`` handles the replication."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{width_sec} seconds", f"{slide_sec} seconds").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Gap-based sessionization: per-user sessions split at >30-min silences.
+
+    lag → gap flag → running sum = session index: one shuffle on user_id,
+    per-user sorted state. Mirrors ``F.session_window`` semantics
+    (used by the streaming variant) for gap-delimited sessions.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts", 1).over(by_user))
+            > gap_sec,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    with_sid = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def json_payload_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction from the ``props`` payload + aggregation.
+
+    ``get_json_object`` is a codegen'd JVM expression (no Python); the
+    extracted ``k`` is aggregated per event type.
+    """
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_activity_pivot(events: DataFrame) -> DataFrame:
+    """Per-user event-type counts pivoted to columns (conditional agg)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in types
+    ]
+    return (
+        events.groupBy("user_id")
+        .agg(*aggs, F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("user_id")
+    )
+
+
+def purchasers_without_errors(events: DataFrame) -> DataFrame:
+    """Set op: users who purchased EXCEPT users who errored."""
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    errs = events.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.subtract(errs).orderBy("user_id")

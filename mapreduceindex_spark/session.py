@@ -1,0 +1,101 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[N]`` in one JVM; the configuration is chosen so
+the *same* logical plans run unchanged on a 1000-executor cluster:
+
+- AQE on (runtime partition coalescing, skew-join splitting) — the primary
+  defense against shuffle skew at 100 TB.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  AQE's ``advisoryPartitionSizeInBytes`` takes over, so the static number is
+  only the pre-AQE upper bound.
+- Arrow enabled for every pandas/Python boundary crossing.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mapreduceindex_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*`` (all local cores).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+    else:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Fixture `events` carries TIMESTAMP(NANOS) parquet columns, which
+        # Spark rejects by default; read them as long nanos and normalize
+        # in load_table (truncate to micros — same as DuckDB/Arrow).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one fixture table, normalizing nano-precision timestamps.
+
+    With ``nanosAsLong`` on, TIMESTAMP(NANOS) parquet columns surface as
+    BIGINT nanos; convert to micro-precision timestamps by truncation
+    (integer ``div`` — never float division, which loses precision above
+    2^53 ns). Other tables pass through untouched, keeping full predicate
+    pushdown on their native timestamp columns.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the fixture star schema from ``sf_dir`` (TESTDATA.md layout).
+
+    Parquet scans get column pruning + predicate pushdown from Catalyst for
+    free; callers select only what they need.
+    """
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

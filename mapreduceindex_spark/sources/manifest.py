@@ -1,0 +1,70 @@
+"""Reference-format corpus source (SURVEY.md §2 O1–O2).
+
+The reference consumes a manifest file — first line = file count, then one
+path per line (``src/utils.c:3-18``) — and assigns each document a **1-based
+file ID by manifest position** (``src/mapper.c:35``). The ID is positional,
+NOT derived from the filename, and must be deterministic: we therefore
+parse the manifest driver-side (it is tiny — a list of paths) and attach
+IDs before Spark ever sees the data. ``monotonically_increasing_id`` would
+be partition-placement-dependent and is deliberately avoided.
+
+Scale note: the manifest itself is metadata (one line per file), so
+driver-side parsing is correct even at 100 TB of *content*; the heavy read
+is the distributed text scan below. Each (doc_id, path) pair becomes one
+task-parallel ``wholetext`` read — Spark's scheduler load-balances files
+across executors exactly like the reference's mutex-cursor work queue
+(``mapper.c:20-31``), but cluster-wide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("path", T.StringType(), False),
+    ]
+)
+
+
+def read_manifest(manifest_path: str) -> list[tuple[int, str]]:
+    """Parse ``count\\npath...`` into [(1-based doc_id, absolute path)]."""
+    base = os.path.dirname(os.path.abspath(manifest_path))
+    with open(manifest_path, encoding="ascii") as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    count = int(lines[0])
+    paths = lines[1 : 1 + count]
+    return [
+        (i + 1, p if os.path.isabs(p) else os.path.join(base, p))
+        for i, p in enumerate(paths)
+    ]
+
+
+def corpus_from_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Documents table ``(doc_id BIGINT, text STRING)`` from a reference manifest.
+
+    Uses the ``text`` source with ``wholetext`` so each file is one row; the
+    deterministic doc_id comes from a broadcast-joined manifest-order map on
+    the file path (tiny dim — Catalyst broadcasts it automatically).
+    """
+    entries = read_manifest(manifest_path)
+    id_map = spark.createDataFrame(entries, DOC_SCHEMA)
+    raw = (
+        spark.read.option("wholetext", "true")
+        .text([p for _, p in entries])
+        .select(
+            F.input_file_name().alias("_file"),
+            F.col("value").alias("text"),
+        )
+    )
+    # input_file_name returns a file:// URI; join on the path suffix-normalized
+    # to an absolute filesystem path.
+    raw = raw.withColumn(
+        "path", F.regexp_replace("_file", "^file:(//)?", "")
+    ).drop("_file")
+    return F.broadcast(id_map).join(raw, "path", "inner").select("doc_id", "text")

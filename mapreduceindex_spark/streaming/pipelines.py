@@ -1,0 +1,111 @@
+"""Structured Streaming forms of the event-time operators.
+
+Same column expressions as ``operators/events.py`` — the batch and
+streaming paths share semantics by construction. The file-source +
+memory-sink harness below runs a finite parquet directory through the
+streaming engine synchronously (``processAllAvailable``), which is the
+standard way to correctness-test streaming plans; in production the
+source line changes to Kafka and the sink to a real table, nothing else
+moves.
+
+Watermarks: the batch fixtures are bounded, so results equal the batch
+aggregation exactly; with a real unbounded source the same watermark
+bounds state eviction.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.
+
+    Nano-precision timestamps surface as BIGINT under ``nanosAsLong``;
+    normalize to micro timestamps exactly like the batch loader so batch
+    and streaming results stay comparable.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source takes a directory; glob-filter to the events
+    # table within the fixture dir.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def _run_to_table(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a finite streaming aggregation to completion into a memory
+    sink; return the materialized result as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession, sf_dir: str, width_sec: int = 600
+) -> DataFrame:
+    """Streaming tumbling-window counts — semantically identical to
+    ``operators.events.tumbling_counts`` (the oracle is the same SQL)."""
+    events = _stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{width_sec} seconds").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("_sum_value"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.unix_timestamp("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("_sum_value", 4).alias("sum_value"),
+    ).orderBy("window_start", "event_type")
+
+
+def streaming_session_counts(
+    spark: SparkSession, sf_dir: str, gap_sec: int = 1800
+) -> DataFrame:
+    """Gap-based session windows via the native ``session_window`` operator.
+
+    Returns per (user_id, session) event counts + duration. Session
+    identity is positional (rank of session start per user) so the result
+    is comparable with the batch lag/cumsum sessionizer.
+    """
+    events = _stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", f"{gap_sec} seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("_last"))
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("w.start").alias("session_start"),
+        "n_events",
+        (F.unix_timestamp("_last") - F.unix_timestamp("w.start")).alias(
+            "duration_sec"
+        ),
+    ).orderBy("user_id", "session_start")
