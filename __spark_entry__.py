@@ -462,14 +462,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-              round(sum(l_quantity), 2) AS sum_qty,
-              round(sum(l_extendedprice), 2) AS sum_base_price,
-              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+              round(sum(CAST(l_quantity AS DECIMAL(15,2))), 2)::DOUBLE AS sum_qty,
+              round(sum(CAST(l_extendedprice AS DECIMAL(15,2))), 2)::DOUBLE AS sum_base_price,
+              round(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS sum_disc_price,
+              round(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2)::DOUBLE
                 AS sum_charge,
-              round(avg(l_quantity), 4) AS avg_qty,
-              round(avg(l_extendedprice), 4) AS avg_price,
-              round(avg(l_discount), 4) AS avg_disc,
+              CAST(CASE WHEN (sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) * 100) >= 0 THEN ((sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) * 100)*2 + count(*)) // (count(*)*2) ELSE -(((-(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) * 100))*2 + count(*)) // (count(*)*2)) END AS DOUBLE) / 10000.0 AS avg_qty,
+              CAST(CASE WHEN (sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 100) >= 0 THEN ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 100)*2 + count(*)) // (count(*)*2) ELSE -(((-(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 100))*2 + count(*)) // (count(*)*2)) END AS DOUBLE) / 10000.0 AS avg_price,
+              CAST(CASE WHEN (sum(CAST(round(l_discount * 100, 0) AS BIGINT)) * 100) >= 0 THEN ((sum(CAST(round(l_discount * 100, 0) AS BIGINT)) * 100)*2 + count(*)) // (count(*)*2) ELSE -(((-(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) * 100))*2 + count(*)) // (count(*)*2)) END AS DOUBLE) / 10000.0 AS avg_disc,
               count(*)::BIGINT AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -477,7 +477,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT o_orderkey, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -490,7 +490,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_region_revenue": """
             SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS revenue,
                    count(*)::BIGINT AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -503,8 +503,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "brand_revenue": """
             SELECT p_brand,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS revenue,
+                   round(sum(CAST(l_quantity AS DECIMAL(15,2))), 2)::DOUBLE AS sum_qty,
                    count(*)::BIGINT AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
@@ -519,7 +519,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_rollup": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE AS revenue,
                    count(*)::BIGINT AS n_items
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -541,7 +541,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_segment_stats": """
             SELECT n_name, c_mktsegment,
-                   round(avg(c_acctbal), 4) AS avg_acctbal,
+                   CAST(CASE WHEN (sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 100) >= 0 THEN ((sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 100)*2 + count(*)) // (count(*)*2) ELSE -(((-(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 100))*2 + count(*)) // (count(*)*2)) END AS DOUBLE) / 10000.0 AS avg_acctbal,
                    round(min(c_acctbal), 2) AS min_acctbal,
                    round(max(c_acctbal), 2) AS max_acctbal,
                    count(*)::BIGINT AS n_customers
@@ -568,7 +568,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
                    event_type,
                    count(*)::BIGINT AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   round(sum(CAST(value AS DECIMAL(15,2))), 4)::DOUBLE AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_sliding": """
@@ -579,7 +579,7 @@ def oracle_sql() -> dict[str, str]:
                 AS u(window_start)
             )
             SELECT window_start, count(*)::BIGINT AS n_events,
-                   round(avg(value), 4) AS avg_value
+                   CAST(CASE WHEN (sum(CAST(round(value * 100, 0) AS BIGINT)) * 100) >= 0 THEN ((sum(CAST(round(value * 100, 0) AS BIGINT)) * 100)*2 + count(*)) // (count(*)*2) ELSE -(((-(sum(CAST(round(value * 100, 0) AS BIGINT)) * 100))*2 + count(*)) // (count(*)*2)) END AS DOUBLE) / 10000.0 AS avg_value
             FROM expanded GROUP BY 1
         """,
         "sessionize": """
@@ -605,7 +605,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
                    round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
-                   round(sum(value), 4) AS sum_value,
+                   round(sum(CAST(value AS DECIMAL(15,2))), 4)::DOUBLE AS sum_value,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY event_type
         """,
@@ -617,7 +617,7 @@ def oracle_sql() -> dict[str, str]:
                      AS n_purchase,
                    count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
                    count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
-                   round(sum(value), 4) AS sum_value
+                   round(sum(CAST(value AS DECIMAL(15,2))), 4)::DOUBLE AS sum_value
             FROM events GROUP BY user_id
         """,
         "purchasers_without_errors": """
@@ -629,7 +629,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
                    event_type,
                    count(*)::BIGINT AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   round(sum(CAST(value AS DECIMAL(15,2))), 4)::DOUBLE AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "streaming_sessions": """

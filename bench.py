@@ -1,0 +1,82 @@
+"""Engine benchmark — runs the declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology (BASELINE.md): steady-state query wall time with the
+Spark session amortized — the JVM+Python startup (~10 s) exceeds the
+reference's entire runtime, so each query is timed as the wall time of a
+``noop``-sink write (full compute + exchange, no driver collect). A
+``ref_corpus_index`` entry additionally reproduces the reference's own
+workload (355-file corpus → inverted index → 26 letter files) for a
+like-for-like number against BASELINE.md's 12.06 s (M=1,R=1) / 1.35 s
+(M=4,R=4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _time_noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from mapreduceindex_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        _time_noop(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # Reference-workload anchor: full pipeline on the reference's large
+    # fixture, including the 26-letter-file write (what BASELINE.md times).
+    ref_manifest = "/root/reference/checker/test.txt"
+    if os.path.exists(ref_manifest):
+        from mapreduceindex_spark.operators.inverted_index import inverted_index
+        from mapreduceindex_spark.sinks.letter_sink import write_letter_files
+        from mapreduceindex_spark.sources.manifest import corpus_from_manifest
+
+        out = tempfile.mkdtemp(prefix="bench_letters_")
+        t0 = time.time()
+        write_letter_files(
+            inverted_index(corpus_from_manifest(spark, ref_manifest)), out
+        )
+        timings["ref_corpus_index"] = round(time.time() - t0, 3)
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,31 +1,29 @@
 """Deduplication operators for LLM-corpus pipelines (SURVEY.md EXT1).
 
 Exact (hash-group), n-gram Jaccard, MinHash+LSH banding, and SimHash —
-each expressed as pure Catalyst dataflow so the same plan scales from the
-500-doc fixture to a 100 TB corpus:
+each expressed as Catalyst dataflow shaped for 100 TB:
 
 - **exact_dedup**: md5(text) groupBy — one shuffle on a 128-bit key,
   uniform by construction (no skew).
 - **ngram_jaccard_pairs**: exact pairwise Jaccard via the inverted
-  shingle index: explode distinct shingles → self-join on shingle →
-  count intersections. The shingle join is the scale bottleneck, so hot
-  shingles (appearing in > ``max_shingle_df`` docs) are dropped before the
-  self-join — the standard frequency-cap trick that bounds the quadratic
-  blowup while only ignoring shingles that carry no discriminative signal.
-- **minhash_lsh_pairs**: the sub-quadratic scale path. K hash functions
-  over a deterministic 60-bit shingle hash → per-doc signature → B bands
-  → candidates join only within equal (band, band-hash) buckets →
-  verified with exact Jaccard. All arithmetic (md5-derived hash, affine
-  (a·h+b) mod p) is engine-portable, so the DuckDB oracle reproduces it
-  bit-for-bit.
-- **simhash64**: 60-bit sign-aggregated fingerprint; near-dups are pairs
-  within a small Hamming distance, found by joining on 4 16-bit-ish chunk
-  keys (any pair at distance ≤3 shares ≥1 identical chunk — pigeonhole).
+  shingle index. Shingles are joined as **60-bit hashes, not strings** —
+  the shuffle moves 8-byte keys instead of ~30-byte text. Hot shingles
+  (df > ``max_shingle_df``) are dropped before the self-join — the
+  frequency-cap trick that bounds the O(Σ df²) blowup while only
+  ignoring shingles with no discriminative signal.
+- **minhash_lsh_pairs**: the sub-quadratic scale path. K affine hashes
+  over the shingle hash → per-doc signature → B bands → candidates join
+  only within equal (band, band-hash) buckets → verified with exact
+  Jaccard **computed only for candidate pairs** via ``array_intersect``
+  of per-doc shingle-hash sets (never the full quadratic join).
+- **simhash64**: sign-aggregated fingerprint via explode + one hash
+  aggregate with per-bit conditional sums (codegen'd; the equivalent
+  array-fold form runs interpreted and ~5× slower, measured).
 
-The deterministic md5-based hash (``stable_hash64``) is deliberately used
-instead of ``xxhash64`` so every stage is cross-checkable against an
-independent SQL engine; swap in ``F.xxhash64`` for ~2× cheaper hashing
-when auditability is not required.
+The deterministic md5-based hash (``stable_hash64``) is used instead of
+``xxhash64`` so every stage is reproducible in any SQL engine (the
+DuckDB oracle recomputes it bit-for-bit); swap in ``F.xxhash64`` for
+cheaper hashing when cross-engine auditability is not required.
 """
 
 from __future__ import annotations
@@ -37,6 +35,7 @@ from mapreduceindex_spark.functions.text import shingles, stable_hash64
 
 #: Mersenne prime 2^61 - 1: modulus for the affine MinHash permutations.
 MINHASH_PRIME = (1 << 61) - 1
+
 
 def _affine_coeffs(k: int) -> list[tuple[int, int]]:
     """First k (a, b) pairs from a fixed linear-congruential stream.
@@ -73,11 +72,18 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the shared front end of the
-    Jaccard / MinHash paths."""
+    """Distinct (doc_id, shingle) string pairs (for inspection/tests)."""
     return documents.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("shingle"),
+    )
+
+
+def _shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, sh) pairs with the 60-bit portable shingle hash —
+    the shared, shuffle-cheap front end of the Jaccard/MinHash paths."""
+    return doc_shingles(documents, n).select(
+        "doc_id", stable_hash64("shingle").alias("sh")
     )
 
 
@@ -89,18 +95,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity ≥ threshold, via self-join
     on the inverted shingle index. Output: (doc_a, doc_b, jaccard), a < b."""
-    sh = doc_shingles(documents, n)
+    sh = _shingle_hashes(documents, n)
     # Frequency cap: a shingle present in >max_shingle_df docs contributes
     # O(df²) candidate pairs but no discrimination — drop before the join.
-    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf")).filter(
-        F.col("sdf") <= max_shingle_df
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .filter(F.col("sdf") <= max_shingle_df)
     )
-    sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    sh = sh.join(rare.select("sh"), "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -130,15 +138,13 @@ def minhash_signatures(
     """Per-document MinHash signature as ``num_hashes`` columns ``mh_i``.
 
     h_i(doc) = min over shingles of ((a_i · H(shingle) + b_i) mod P), with
-    H the portable 60-bit md5 hash. One aggregation, no joins.
+    H the portable 60-bit md5 hash. One aggregation, no joins. The affine
+    product overflows int64, so it is computed in decimal(38,0) —
+    bit-identical to the oracle's HUGEINT arithmetic (verified).
     """
-    sh = doc_shingles(documents, n).select(
-        "doc_id", stable_hash64("shingle").alias("h")
-    )
+    sh = _shingle_hashes(documents, n).withColumnRenamed("sh", "h")
     aggs = []
     for i, (a, b) in enumerate(_affine_coeffs(num_hashes)):
-        # (a*h + b) mod P in 128-bit-safe pieces: h < 2^60, a < 2^61 →
-        # products overflow int64, so compute in decimal(38,0) then mod.
         v = (
             (F.col("h").cast("decimal(38,0)") * F.lit(a) + F.lit(b))
             % F.lit(MINHASH_PRIME)
@@ -156,10 +162,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
-    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
-    docs sharing any band value become candidates (joined within band
-    buckets only — the sub-quadratic step); candidates are then verified
-    with exact Jaccard so output quality equals ``ngram_jaccard_pairs``.
+    Signature split into ``bands`` bands; docs sharing any band value
+    become candidates (joined within band buckets only — the
+    sub-quadratic step). Candidates are verified with exact Jaccard via
+    ``array_intersect`` of the two docs' shingle-hash sets, so the
+    quadratic all-pairs join never happens — per-candidate cost is
+    O(|shingles|), and output quality equals ``ngram_jaccard_pairs``
+    restricted to recalled pairs.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, n, num_hashes)
@@ -192,48 +201,60 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(documents, n, threshold=0.0)
+    shsets = _shingle_hashes(documents, n).groupBy("doc_id").agg(
+        F.collect_set("sh").alias("hs")
+    )
+    sa = shsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    sb = shsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
     return (
-        cand.join(exact, ["doc_a", "doc_b"])
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter.cast("double")
+                / (F.size("ha") + F.size("hb") - inter),
+                6,
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 
 
 def simhash64(documents: DataFrame, n_bits: int = 24) -> DataFrame:
-    """SimHash fingerprint: per-bit majority vote over word hashes.
+    """SimHash fingerprint: per-bit majority vote over distinct word hashes.
 
-    For each bit j of the portable hash, sum (+1 if set else −1) over the
-    doc's distinct words; bit j of the fingerprint = (sum > 0). Expressed
-    as nested higher-order aggregates over the word array — single pass,
-    no explode, no shuffle at all (a pure projection).
+    Explode → hash → one aggregate with ``n_bits`` conditional sums
+    (whole-stage codegen'd); bit j of the fingerprint = (Σ ±1 votes > 0).
     """
-    from mapreduceindex_spark.functions.text import words
-
-    ws = F.array_distinct(words(F.col("text")))
-    hashes = F.transform(ws, lambda w: stable_hash64(w))
-    # One fold per bit (bit index is a plan-time constant — shiftright
-    # requires it); 24 folds over the same array collapse into one
-    # codegen'd projection stage.
-    def _vote_fn(j: int):
-        # NB: closure, not a default arg — pyspark derives the HOF lambda's
-        # arity from the Python signature, so `lambda acc, h, j=j` would be
-        # (mis)read as a 3-argument lambda.
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    terms = []
-    for j in range(n_bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(j))
-        terms.append(
-            F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+    words = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
         )
-    fingerprint = terms[0]
-    for t in terms[1:]:
-        fingerprint = fingerprint + t
-    return documents.select("doc_id", fingerprint.alias("simhash")).orderBy(
-        "doc_id"
+        .select(
+            "doc_id",
+            F.lower(F.regexp_replace("tok", "[^a-zA-Z]", "")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .dropDuplicates(["doc_id", "word"])
+        .select("doc_id", stable_hash64("word").alias("h"))
     )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(n_bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for j in range(n_bits):
+        term = F.when(
+            F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("doc_id", fingerprint.alias("simhash")).orderBy("doc_id")

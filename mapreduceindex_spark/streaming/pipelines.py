@@ -46,19 +46,31 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_table(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Drive a finite streaming aggregation to completion into a memory
-    sink; return the materialized result as a batch DataFrame."""
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    sink; return the materialized result as a batch DataFrame.
+
+    Streaming state is partitioned by ``spark.sql.shuffle.partitions`` at
+    query start; a fixture-scale stream with a handful of keys pays per-
+    state-store overhead, so the partition count is pinned low for the
+    run and restored afterwards (a real deployment sizes it to key
+    cardinality once — it is frozen into the checkpoint).
+    """
     spark = agg.sparkSession
+    name = "s" + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -73,7 +85,9 @@ def streaming_tumbling_counts(
         .groupBy(F.window("ts", f"{width_sec} seconds").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("_sum_value"),
+            # exact decimal sum — deterministic across trigger/partition
+            # splits, unlike a float sum (same rationale as the batch form)
+            F.sum(F.col("value").cast("decimal(15,2)")).alias("_sum_value"),
         )
     )
     out = _run_to_table(agg, "complete")
@@ -81,7 +95,7 @@ def streaming_tumbling_counts(
         F.unix_timestamp("w.start").alias("window_start"),
         "event_type",
         "n_events",
-        F.round("_sum_value", 4).alias("sum_value"),
+        F.round("_sum_value", 4).cast("double").alias("sum_value"),
     ).orderBy("window_start", "event_type")
 
 
