@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": lambda s, d: S.embedding_near_dups(
             _t(s, d, "embeddings"), threshold=0.95
         ),
+        "ivf_topk": lambda s, d: S.ivf_topk(
+            _t(s, d, "embeddings"), n_queries=10, k=5, n_centroids=16, n_probe=4
+        ),
         # relational surface (EXT4)
         "q1_pricing_summary": lambda s, d: R.pricing_summary(_t(s, d, "lineitem")),
         "q3_shipping_priority": lambda s, d: R.shipping_priority(
@@ -131,11 +134,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming forms
         "streaming_tumbling": lambda s, d: STREAM.streaming_tumbling_counts(s, d),
         "streaming_sessions": lambda s, d: STREAM.streaming_session_counts(s, d),
+        "streaming_first_seen": lambda s, d: STREAM.streaming_first_seen_pairs(
+            s, d
+        ),
         # multimodal plumbing
         "media_metadata_stats": lambda s, d: M.media_metadata_stats(
             _t(s, d, "documents")
         ),
         "media_features": lambda s, d: M.extract_media_features(
+            M.attach_binary_payload(_t(s, d, "documents"))
+        ),
+        "media_resize": lambda s, d: M.resize_media(
+            M.attach_binary_payload(_t(s, d, "documents"))
+        ),
+        "media_frame_sample": lambda s, d: M.frame_sample(
             M.attach_binary_payload(_t(s, d, "documents"))
         ),
     }
@@ -322,6 +334,47 @@ QUALIFY rank <= {k}
 """
 
 
+def _ivf_sql(n_queries: int, k: int, n_centroids: int, n_probe: int) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+            f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+            f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+        )
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb
+  FROM embeddings WHERE vec_id < {n_centroids}
+), cellrank AS (
+  SELECT e.vec_id, cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos("e.embedding", "cent_emb")} DESC, cent_id ASC)
+           AS crank
+  FROM embeddings e CROSS JOIN cent
+), members AS (
+  SELECT c.vec_id AS member_id, c.cent_id, e.embedding AS c_emb
+  FROM cellrank c JOIN embeddings e ON e.vec_id = c.vec_id
+  WHERE c.crank = 1
+), probes AS (
+  SELECT vec_id AS query_id, cent_id FROM cellrank
+  WHERE vec_id < {n_queries} AND crank <= {n_probe}
+), scored AS (
+  SELECT p.query_id, m.member_id AS neighbor_id,
+         {cos("q.embedding", "m.c_emb")} AS cosine
+  FROM members m
+  JOIN probes p ON m.cent_id = p.cent_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE m.member_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{w}'" for w in TA.EN_STOPWORDS)
     ws = _words_sql()
@@ -445,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "ann_lsh_topk": _ann_lsh_sql(10, 5, 8, 64),
+        "ivf_topk": _ivf_sql(10, 5, 16, 4),
         "embedding_near_dups": f"""
             WITH q AS (
               SELECT vec_id AS vec_a, embedding AS emb FROM embeddings
@@ -651,6 +705,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(epoch(max(ts))) AS BIGINT)
                      - CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec
             FROM sids GROUP BY user_id, sid
+        """,
+        "streaming_first_seen": """
+            SELECT user_id, event_type,
+                   CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS first_ts
+            FROM events GROUP BY user_id, event_type
+        """,
+        "media_resize": """
+            WITH m AS (
+              SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+            ), dims AS (
+              SELECT doc_id,
+                     (16 + n % 1024)::BIGINT AS orig_w,
+                     (16 + (n // 7) % 1024)::BIGINT AS orig_h
+              FROM m
+            )
+            SELECT doc_id, orig_w, orig_h,
+                   32::BIGINT AS new_w, 32::BIGINT AS new_h,
+                   round(32.0 / orig_w, 6) AS scale_x,
+                   round(32.0 / orig_h, 6) AS scale_y
+            FROM dims
+        """,
+        "media_frame_sample": """
+            WITH m AS (
+              SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+            )
+            SELECT doc_id, u.i AS frame_idx,
+                   (u.i * 1000)::BIGINT AS frame_offset,
+                   least(1000, n - u.i * 1000)::BIGINT AS frame_len
+            FROM m, unnest(range(0, CAST(ceil(n / 1000.0) AS BIGINT))) AS u(i)
         """,
         "media_metadata_stats": """
             SELECT source,

@@ -86,6 +86,76 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=MEDIA_FEATURE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize plumbing: per-payload scale factors from decoded dimensions.
+
+    The decode is the deterministic stub; the real resize kernel (PIL
+    ``Image.resize`` over the bytes) slots into the same ``mapInPandas``
+    batch loop. Only fixed-width numeric features leave the stage — the
+    resized bytes would stay columnar in the scan stage exactly like the
+    input payload.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_media(p, fake=True) for p in pdf["payload"]]
+            w = pd.Series([d["width"] for d in dims], dtype="int64")
+            h = pd.Series([d["height"] for d in dims], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_w": w,
+                    "orig_h": h,
+                    "new_w": target_w,
+                    "new_h": target_h,
+                    "scale_x": (target_w / w).round(6),
+                    "scale_y": (target_h / h).round(6),
+                }
+            )
+
+    return media.mapInPandas(
+        _resize,
+        schema=(
+            "doc_id bigint, orig_w bigint, orig_h bigint, "
+            "new_w bigint, new_h bigint, scale_x double, scale_y double"
+        ),
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame offset.
+
+    Stands in for video frame extraction (pyav keyframe walk): frames are
+    modeled as fixed-stride byte offsets, one output row each — the same
+    explode-shaped fan-out a real sampler produces. Per-frame decode
+    attaches in the batch loop; only (doc_id, frame_idx, offset, length)
+    flow onward.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for i, off in enumerate(range(0, n, every_n)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_len"].append(min(every_n, n - off))
+            # explicit dtypes so an all-empty batch still matches the schema
+            yield pd.DataFrame(rows).astype("int64")
+
+    return media.mapInPandas(
+        _frames,
+        schema=(
+            "doc_id bigint, frame_idx bigint, frame_offset bigint, "
+            "frame_len bigint"
+        ),
+    )
+
+
 def media_metadata_stats(documents: DataFrame) -> DataFrame:
     """Pure-SQL metadata pass over the binary column (no Python at all):
     byte length + hex magic prefix, aggregated by source bucket.

@@ -99,6 +99,47 @@ def streaming_tumbling_counts(
     ).orderBy("window_start", "event_type")
 
 
+def streaming_first_seen_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user first-seen dedup of event types.
+
+    Emits each (user_id, event_type) pair exactly once — on the first
+    micro-batch where it arrives, stamped with the earliest event time in
+    that batch. The per-user state is the set of already-emitted types, so
+    re-arrivals in later batches are suppressed; this is the canonical
+    "streaming exact-dedup" building block whose state grows with key
+    cardinality, not stream length. On a bounded in-order source (the
+    fixture: one file, one batch) the emitted timestamp equals the global
+    per-pair minimum, which is what the batch oracle checks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _stream_events(spark, sf_dir).select("user_id", "event_type", "ts")
+
+    def _first_seen(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            for et, ts in pdf.groupby("event_type")["ts"].min().items():
+                if et not in seen:
+                    seen.add(et)
+                    rows.append((key[0], et, int(pd.Timestamp(ts).value // 1_000_000_000)))
+        state.update((sorted(seen),))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "event_type", "first_ts"])
+
+    dedup = events.groupBy("user_id").applyInPandasWithState(
+        _first_seen,
+        outputStructType="user_id bigint, event_type string, first_ts bigint",
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(dedup, "append")
+    return out.orderBy("user_id", "event_type")
+
+
 def streaming_session_counts(
     spark: SparkSession, sf_dir: str, gap_sec: int = 1800
 ) -> DataFrame:
