@@ -221,8 +221,11 @@ def _minhash_sig_cte(num_hashes: int = 16) -> str:
         _affine_coeffs,
     )
 
+    # P = 2^31−1 keeps (h mod P)·a + b inside BIGINT — plain int64 math on
+    # both engines (mirrors operators.dedup._signatures_from_hashes).
     cols = ", ".join(
-        f"min(((({a}::HUGEINT) * h + {b}) % {MINHASH_PRIME})::BIGINT) AS mh_{i}"
+        f"min((((h % {MINHASH_PRIME}) * {a} + {b}) % {MINHASH_PRIME})::BIGINT)"
+        f" AS mh_{i}"
         for i, (a, b) in enumerate(_affine_coeffs(num_hashes))
     )
     return f"""

@@ -58,8 +58,13 @@ def main() -> None:
 
         out = tempfile.mkdtemp(prefix="bench_letters_")
         t0 = time.time()
+        # ordered=False: the letter sink sorts within letter partitions
+        # itself, so the flagship's global range-sort stage is dead weight.
         write_letter_files(
-            inverted_index(corpus_from_manifest(spark, ref_manifest)), out
+            inverted_index(
+                corpus_from_manifest(spark, ref_manifest), ordered=False
+            ),
+            out,
         )
         timings["ref_corpus_index"] = round(time.time() - t0, 3)
         shutil.rmtree(out, ignore_errors=True)

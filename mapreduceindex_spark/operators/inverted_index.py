@@ -67,12 +67,16 @@ def inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt_buckets: int = 0,
+    ordered: bool = True,
 ) -> DataFrame:
     """Full inverted index: ``(word, df, doc_ids sorted ascending)``.
 
     Returns columns ``word STRING, df BIGINT, doc_ids ARRAY<BIGINT>``
     ordered (df DESC, word ASC) — the reference's global output order
-    (``reducer.c:107-108``).
+    (``reducer.c:107-108``). Pass ``ordered=False`` when composing with a
+    sink that imposes its own order (e.g. the per-letter sink re-sorts
+    within letter partitions): it skips the global range exchange + sort,
+    one full stage at scale.
     """
     pairs = doc_words(documents, text_col, id_col)
     if salt_buckets > 0:
@@ -90,14 +94,14 @@ def inverted_index(
         grouped = pairs.groupBy("word").agg(
             F.sort_array(F.collect_set("doc_id")).alias("doc_ids")
         )
-    return (
-        grouped.select(
-            "word",
-            F.size("doc_ids").cast("long").alias("df"),
-            "doc_ids",
-        )
-        .orderBy(F.col("df").desc(), F.col("word").asc())
+    out = grouped.select(
+        "word",
+        F.size("doc_ids").cast("long").alias("df"),
+        "doc_ids",
     )
+    if ordered:
+        out = out.orderBy(F.col("df").desc(), F.col("word").asc())
+    return out
 
 
 def inverted_index_flat(
