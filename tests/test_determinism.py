@@ -1,0 +1,51 @@
+"""Determinism under varying parallelism (SURVEY.md §5 strategy #3).
+
+The reference checker reruns the binary at 9 (M,R) configs and diffs every
+run against golden output; the Spark analog is identical results at
+different ``spark.sql.shuffle.partitions``. Queries with float aggregates
+are included deliberately — exact decimal/integer aggregation is what
+makes them partition-count-independent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+QUERIES = entrymod.queries()
+
+#: A representative slice: flagship, skew-salted variant, float-bearing
+#: aggregations, window ranking, LSH (hash-heavy), streaming.
+NAMES = [
+    "inverted_index",
+    "inverted_index_salted",
+    "q1_pricing_summary",
+    "events_sliding",
+    "top_orders_per_customer",
+    "minhash_lsh_pairs",
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_same_result_across_shuffle_partitions(name, spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = _rows(QUERIES[name](spark, SF_SMALL))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        high = _rows(QUERIES[name](spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert low == high
+
+
+def test_flagship_rerun_identical(spark):
+    a = _rows(QUERIES["inverted_index"](spark, SF_SMALL))
+    b = _rows(QUERIES["inverted_index"](spark, SF_SMALL))
+    assert a == b

@@ -1,0 +1,83 @@
+"""Edge-case robustness: empty inputs, degenerate documents, salt parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduceindex_spark.operators import dedup as D
+from mapreduceindex_spark.operators import text_analysis as TA
+from mapreduceindex_spark.operators.inverted_index import (
+    inverted_index,
+    inverted_index_flat,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_empty_input_flagship(spark):
+    docs = _docs(spark, [(1, "hello world")]).filter("doc_id < 0")
+    assert inverted_index(docs).count() == 0
+
+
+def test_punctuation_only_docs_vanish(spark):
+    # Every token normalizes to '' → doc contributes nothing (O4+O5).
+    docs = _docs(spark, [(1, "123 !!! ..."), (2, "real words")])
+    idx = {r["word"] for r in inverted_index(docs).collect()}
+    assert idx == {"real", "words"}
+
+
+def test_single_word_duplicated(spark):
+    docs = _docs(spark, [(1, "a a a a")])
+    rows = inverted_index(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["word"] == "a"
+    assert rows[0]["df"] == 1
+    assert list(rows[0]["doc_ids"]) == [1]
+
+
+def test_salted_equals_unsalted(spark):
+    docs = _docs(
+        spark,
+        [(i, f"common word{i % 3} word{i % 5}") for i in range(1, 31)],
+    )
+    plain = sorted(
+        tuple(r) for r in inverted_index_flat(docs).collect()
+    )
+    salted = sorted(
+        tuple(r) for r in inverted_index_flat(docs, salt_buckets=4).collect()
+    )
+    assert plain == salted
+
+
+def test_jaccard_identical_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five six"),
+            (3, "totally different content here now ok"),
+        ],
+    )
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [
+        (1, 2, 1.0)
+    ]
+
+
+def test_short_doc_single_shingle(spark):
+    # Docs with ≤ n words produce exactly one all-words shingle.
+    docs = _docs(spark, [(1, "just two"), (2, "a b c")])
+    got = {
+        (r["doc_id"], r["shingle"])
+        for r in D.doc_shingles(docs, n=3).collect()
+    }
+    assert got == {(1, "just two"), (2, "a b c")}
+
+
+def test_tf_idf_single_doc_is_zero(spark):
+    # idf = ln(1/1) = 0 for every word when the corpus is one doc.
+    docs = _docs(spark, [(1, "alpha beta alpha")])
+    rows = TA.tf_idf(docs).collect()
+    assert rows and all(r["tfidf"] == 0.0 for r in rows)
