@@ -47,6 +47,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         _time_noop(df)
         timings[name] = round(time.time() - t0, 3)
+        # steady-state isolation: drop caches persisted inside query builders
+        # so a query's timing never pays a predecessor's memory footprint
+        spark.catalog.clearCache()
 
     # Reference-workload anchor: full pipeline on the reference's large
     # fixture, including the 26-letter-file write (what BASELINE.md times).

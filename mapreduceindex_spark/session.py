@@ -46,7 +46,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] puts driver + all executor threads in one JVM: size the
+        # heap for 32 concurrent tasks (the 128 GiB box affords it; override
+        # with SPARK_DRIVER_MEM when co-tenanted)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Fixture `events` carries TIMESTAMP(NANOS) parquet columns, which
