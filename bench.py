@@ -39,7 +39,22 @@ def main() -> None:
     from mapreduceindex_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # JVM/JIT warm-up with the hot code paths (parquet scan, explode,
+    # regexp, hash agg) at the smallest SF, so the first timed query
+    # measures steady state, not compiler start-up.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        from mapreduceindex_spark.operators.inverted_index import (
+            inverted_index_flat,
+        )
+        from mapreduceindex_spark.session import load_table
+
+        inverted_index_flat(
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+        ).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+    except Exception:
+        pass  # warm-up is best-effort; timings just run colder
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
