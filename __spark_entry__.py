@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduceindex_spark.operators import corpus as C
 from mapreduceindex_spark.operators import dedup as D
 from mapreduceindex_spark.operators import events as E
 from mapreduceindex_spark.operators import multimodal as M
@@ -74,6 +75,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), n=3, num_hashes=16, bands=4, threshold=0.5
         ),
         "simhash": lambda s, d: D.simhash64(_t(s, d, "documents"), n_bits=24),
+        "near_dup_clusters": lambda s, d: D.near_dup_clusters(
+            _t(s, d, "documents"), n=3, threshold=0.5
+        ),
+        # corpus management
+        "split_by_hash": lambda s, d: C.split_by_hash(_t(s, d, "documents")),
+        "scrub_pii": lambda s, d: C.scrub_pii(_t(s, d, "documents")),
+        "bigram_counts": lambda s, d: C.ngram_counts(
+            _t(s, d, "documents"), n=2, top_k=100
+        ),
         # similarity search (EXT2)
         "cosine_topk": lambda s, d: S.cosine_topk(
             _t(s, d, "embeddings"), n_queries=10, k=5
@@ -481,6 +491,67 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_BASE
         + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5",
         "minhash_signatures": _minhash_sig_cte(16) + "SELECT * FROM sig",
+        "near_dup_clusters": _JACCARD_BASE.replace(
+            "WITH ws AS", "WITH RECURSIVE ws AS", 1
+        )
+        + """,
+pairs AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
+""",
+        "split_by_hash": """
+            WITH b AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(text), 1, 15))::BIGINT % 100)
+                       AS bucket
+              FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "scrub_pii": """
+            SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                AS n_email,
+              len(regexp_extract_all(text, 'https?://[^\\s]+'))::BIGINT
+                AS n_url,
+              len(regexp_extract_all(text,
+                  '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]'))::BIGINT AS n_phone,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  'https?://[^\\s]+', '<URL>', 'g'),
+                  '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g')
+                AS scrubbed_text
+            FROM documents
+        """,
+        "bigram_counts": f"""
+            WITH ws AS (
+              SELECT {_words_sql()} AS w FROM documents
+            ), grams AS (
+              SELECT u.g FROM ws,
+              unnest(list_transform(range(1, len(w) - 2 + 2),
+                  i -> array_to_string(list_slice(w, i, i + 1), ' ')))
+                AS u(g)
+            )
+            SELECT g AS ngram, count(*)::BIGINT AS n_occurrences
+            FROM grams GROUP BY g
+            ORDER BY n_occurrences DESC, ngram ASC
+            LIMIT 100
+        """,
         "minhash_lsh_pairs": _minhash_lsh_sql(16, 4),
         "simhash": _simhash_sql(24),
         "cosine_topk": f"""

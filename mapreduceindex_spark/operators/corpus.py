@@ -1,0 +1,96 @@
+"""Corpus-management operators for training-data pipelines.
+
+Deterministic content-hash splits, PII scrubbing, and corpus n-gram
+statistics — the bookkeeping layer between raw documents and training
+shards. Everything is pure Catalyst expressions (codegen'd, no Python)
+with engine-portable arithmetic so each operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceindex_spark.functions.text import stable_hash64, words
+
+#: Shared (Java regex ∩ RE2) PII patterns — identical text on both engines.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def split_by_hash(
+    documents: DataFrame,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by content hash.
+
+    Bucket = portable 60-bit hash of the text mod 100 — stable across
+    runs, clusters, and engines, and *content*-keyed so byte-identical
+    duplicates always land in the same split (no train/test leakage from
+    exact dupes). Output: (doc_id, bucket, split).
+    """
+    bucket = (stable_hash64("text") % 100).alias("bucket")
+    return documents.select("doc_id", bucket).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + valid_pct, "valid")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def scrub_pii(documents: DataFrame) -> DataFrame:
+    """Redact emails/URLs/phone-shaped substrings; count each redaction.
+
+    One projection — patterns applied in declaration order (order matters:
+    URL scrubbing would otherwise eat email hosts). Counts come from
+    ``regexp_count`` on the *original* text so they are auditable
+    independently of the rewrite.
+    """
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return documents.select(
+        "doc_id", *counts, scrubbed.alias("scrubbed_text")
+    ).orderBy("doc_id")
+
+
+def ngram_counts(
+    documents: DataFrame, n: int = 2, top_k: int = 100
+) -> DataFrame:
+    """Corpus-wide n-gram occurrence counts, deterministic top-k.
+
+    Strict n-grams (docs shorter than ``n`` words contribute none), every
+    occurrence counted — the vocabulary/statistics pass of a data
+    pipeline. posexplode + lead keeps the whole plan codegen'd (see
+    ``dedup.doc_shingles`` for the measured HOF comparison); one hash
+    aggregate, (count DESC, ngram ASC) tie-break before the limit.
+    """
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    return (
+        toks.select(
+            "nw", "pos", F.concat_ws(" ", *parts).alias("ngram")
+        )
+        .filter(F.col("pos") <= F.col("nw") - n)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(top_k)
+    )

@@ -276,6 +276,69 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate pairs into clusters: (doc_id, cluster_rep).
+
+    The step that turns pairwise similarity into a dedup *decision*: every
+    document maps to the minimum doc_id reachable through the jaccard ≥
+    threshold graph (its connected component's representative); keeping
+    rows where ``doc_id = cluster_rep`` yields the deduplicated corpus.
+
+    Iterative min-label propagation: each round joins current labels
+    across edges and keeps the minimum seen; converges in ≤ graph-diameter
+    rounds (early-stops via one count per round). Near-dup components are
+    shallow in practice (dup clusters, not chains), so rounds stay single
+    digits; at extreme scale the same loop upgrades to the large-star/
+    small-star contraction, which only changes the join pattern inside the
+    loop. Driver involvement is one scalar count per round — no data ever
+    leaves the cluster.
+    """
+    pairs = ngram_jaccard_pairs(documents, n, threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "label")
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_rep")
+    ).orderBy("doc_id")
+
+
 def simhash64(documents: DataFrame, n_bits: int = 24) -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over distinct word hashes.
 
