@@ -63,8 +63,10 @@ def main() -> None:
         _time_noop(df)
         timings[name] = round(time.time() - t0, 3)
         # steady-state isolation: drop caches persisted inside query builders
-        # so a query's timing never pays a predecessor's memory footprint
+        # and nudge the collector, so a query's timing never pays a
+        # predecessor's memory footprint or inherited GC debt
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     # Reference-workload anchor: full pipeline on the reference's large
     # fixture, including the 26-letter-file write (what BASELINE.md times).

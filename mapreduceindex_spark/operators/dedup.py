@@ -304,9 +304,16 @@ def near_dup_clusters(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = documents.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Iterate only over the connected subgraph: docs appearing in ≥1 pair.
+    # Even at 100 TB the duplicate-pair graph is a small fraction of the
+    # corpus, so every propagation round touches |pairs|-scale data, never
+    # corpus-scale; singletons join back once at the end as their own rep.
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.doc_a == labels.doc_id)
@@ -334,9 +341,15 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        "doc_id", F.col("label").alias("cluster_rep")
-    ).orderBy("doc_id")
+    return (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_rep"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def simhash64(documents: DataFrame, n_bits: int = 24) -> DataFrame:
