@@ -1,4 +1,6 @@
-"""Corpus-management operators for training-data pipelines.
+"""Corpus-management operators for training-data pipelines
+(SURVEY.md §2 north-star extensions EXT1/EXT3 adjacency; no reference
+file:line — the C reference has no corpus-management surface).
 
 Deterministic content-hash splits, PII scrubbing, and corpus n-gram
 statistics — the bookkeeping layer between raw documents and training

@@ -1,4 +1,7 @@
-"""Event-time operators over the ``events`` table.
+"""Event-time operators over the ``events`` table (SURVEY.md §2 EXT4:
+the reference has no streaming constructs — noted in §2 "Operators the
+reference does NOT have" — so this surface exists for the driver's
+``events`` fixture and the north-star contract, not for parity).
 
 Tumbling/sliding window aggregation, sessionization, JSON payload
 extraction, and per-user activity pivots — the batch forms. The streaming

@@ -1,4 +1,6 @@
-"""Multimodal (binary) column plumbing for media-bearing corpora.
+"""Multimodal (binary) column plumbing for media-bearing corpora
+(SURVEY.md §2 north-star extension; no reference file:line — the C
+reference is text-only).
 
 Design: image/audio/video payloads are opaque ``binary`` columns with
 typed metadata alongside. The Spark-side machinery — schema, Arrow batch
