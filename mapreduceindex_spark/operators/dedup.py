@@ -281,6 +281,7 @@ def near_dup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     max_iter: int = 20,
+    driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """Resolve near-duplicate pairs into clusters: (doc_id, cluster_rep).
 
@@ -289,18 +290,57 @@ def near_dup_clusters(
     threshold graph (its connected component's representative); keeping
     rows where ``doc_id = cluster_rep`` yields the deduplicated corpus.
 
-    Iterative min-label propagation: each round joins current labels
-    across edges and keeps the minimum seen; converges in ≤ graph-diameter
-    rounds (early-stops via one count per round). Near-dup components are
-    shallow in practice (dup clusters, not chains), so rounds stay single
-    digits; at extreme scale the same loop upgrades to the large-star/
-    small-star contraction, which only changes the join pattern inside the
-    loop. Driver involvement is one scalar count per round — no data ever
-    leaves the cluster.
+    Two execution tiers on the same semantics:
+
+    - **small graph** (≤ ``driver_max_edges`` pairs — the common case:
+      the duplicate-pair graph is a sliver of the corpus even at 100 TB):
+      collect the edge list, union-find on the driver, broadcast the
+      (doc_id → min-id-of-component) map back. One job + one broadcast
+      join beats N iterative shuffle rounds by an order of magnitude.
+    - **large graph**: distributed min-label propagation — each round
+      joins current labels across edges and keeps the minimum; converges
+      in ≤ graph-diameter rounds with one scalar count per round on the
+      driver. At extreme diameters the loop upgrades to large-star/
+      small-star contraction (same loop shape, different join pattern).
     """
-    pairs = ngram_jaccard_pairs(documents, n, threshold).select(
-        "doc_a", "doc_b"
+    pairs = (
+        ngram_jaccard_pairs(documents, n, threshold)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if pairs.count() <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in pairs.collect():
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        rep: dict[int, int] = {}
+        for x in parent:
+            r = find(x)
+            rep[r] = min(rep.get(r, x), x)
+        mapping = [(x, rep[find(x)]) for x in parent]
+        spark = documents.sparkSession
+        if mapping:
+            lut = spark.createDataFrame(mapping, ["doc_id", "rep"])
+            return (
+                documents.select("doc_id")
+                .join(F.broadcast(lut), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("rep", F.col("doc_id")).alias("cluster_rep"),
+                )
+                .orderBy("doc_id")
+            )
+        return documents.select(
+            "doc_id", F.col("doc_id").alias("cluster_rep")
+        ).orderBy("doc_id")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist(StorageLevel.MEMORY_AND_DISK)

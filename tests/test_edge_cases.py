@@ -76,6 +76,27 @@ def test_short_doc_single_shingle(spark):
     assert got == {(1, "just two"), (2, "a b c")}
 
 
+def test_cluster_tiers_agree(spark):
+    # The driver union-find tier and the distributed label-propagation
+    # tier must produce identical components.
+    dup = "the same exact sentence repeated for duplication purposes here"
+    docs = _docs(
+        spark,
+        [(1, dup), (2, dup), (3, dup + " extra"), (4, "unrelated text entirely about nothing")],
+    )
+    small = sorted(
+        tuple(r) for r in D.near_dup_clusters(docs, n=3, threshold=0.5).collect()
+    )
+    large = sorted(
+        tuple(r)
+        for r in D.near_dup_clusters(
+            docs, n=3, threshold=0.5, driver_max_edges=0
+        ).collect()
+    )
+    assert small == large
+    assert small[0] == (1, 1) and small[1] == (2, 1)
+
+
 def test_tf_idf_single_doc_is_zero(spark):
     # idf = ln(1/1) = 0 for every word when the corpus is one doc.
     docs = _docs(spark, [(1, "alpha beta alpha")])
