@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchasers_without_errors": lambda s, d: E.purchasers_without_errors(
             _t(s, d, "events")
         ),
+        "asof_prior_purchase": lambda s, d: E.asof_prior_purchase(
+            _t(s, d, "events")
+        ),
         # structured streaming forms
         "streaming_tumbling": lambda s, d: STREAM.streaming_tumbling_counts(s, d),
         "streaming_sessions": lambda s, d: STREAM.streaming_session_counts(s, d),
@@ -752,6 +755,26 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
             SELECT user_id FROM events WHERE event_type = 'purchase'
             EXCEPT
             SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "asof_prior_purchase": """
+            WITH w AS (
+              SELECT user_id, event_id, event_type, ts,
+                     last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_purchase_ts
+              FROM events
+            )
+            SELECT user_id, event_id, event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+                   CAST(FLOOR(epoch(prior_purchase_ts)) AS BIGINT)
+                     AS purchase_ts_sec,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(prior_purchase_ts)) AS BIGINT)
+                     AS lag_sec
+            FROM w
+            WHERE event_type <> 'purchase' AND prior_purchase_ts IS NOT NULL
         """,
         "streaming_tumbling": """
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,

@@ -171,6 +171,48 @@ def user_activity_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_prior_purchase(events: DataFrame) -> DataFrame:
+    """As-of join: each event paired with the latest prior purchase.
+
+    The canonical time-series operator Spark lacks natively. For the
+    self-table case it collapses to one window pass — a running
+    ``last_value`` of purchase timestamps over the per-user event order —
+    which is the optimal plan: one shuffle on user_id, no join at all.
+    (The two-table general case buckets both sides by time range and
+    merges per bucket via ``applyInPandas``; the fixture's single events
+    table makes the window form exact.) Output: one row per non-purchase
+    event with the purchase it trails, plus the lag in seconds.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    with_prior = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(purchase_ts, ignorenulls=True)
+        .over(by_user.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prior_purchase_ts"),
+    )
+    return (
+        with_prior.filter(
+            (F.col("event_type") != "purchase")
+            & F.col("prior_purchase_ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_sec"),
+            F.unix_timestamp("prior_purchase_ts").alias("purchase_ts_sec"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("prior_purchase_ts")
+            ).alias("lag_sec"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def purchasers_without_errors(events: DataFrame) -> DataFrame:
     """Set op: users who purchased EXCEPT users who errored."""
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
