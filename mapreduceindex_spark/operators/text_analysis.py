@@ -213,15 +213,24 @@ def word_counts(documents: DataFrame) -> DataFrame:
 def tf_idf(documents: DataFrame) -> DataFrame:
     """TF-IDF per (doc, word): tf = in-doc count, idf = ln(N / df).
 
-    Two aggregations sharing the exploded pair stream; df comes from a
-    broadcast-joined per-word dim (vocabulary ≪ corpus at scale).
-    Natural log, smoothing-free — matches the oracle formula exactly.
+    One scan: df is derived from tf's output (tf rows are distinct
+    (doc, word) pairs, so df = per-word row count of tf — no second
+    explode of the corpus; tf is persisted because it feeds both the join
+    and the df aggregation and Spark has no cross-branch reuse). df is
+    broadcast (vocabulary ≪ corpus at scale). Natural log, smoothing-free
+    — matches the oracle formula exactly.
     """
+    from pyspark.storagelevel import StorageLevel
+
     pairs = _tokens(documents).filter(F.length("word") > 0).select(
         "doc_id", "word"
     )
-    tf = pairs.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = pairs.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        pairs.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     total = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "word")
