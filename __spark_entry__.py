@@ -130,6 +130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_spenders_minus_mid": lambda s, d: R.big_spenders_minus_mid(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
+        "q17_small_qty_revenue": lambda s, d: R.small_quantity_revenue(
+            _t(s, d, "part"), _t(s, d, "lineitem")
+        ),
+        "q18_big_order_customers": lambda s, d: R.big_order_customers(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
         # event-time operators
         "events_tumbling": lambda s, d: E.tumbling_counts(_t(s, d, "events")),
         "events_sliding": lambda s, d: E.sliding_counts(_t(s, d, "events")),
@@ -694,6 +700,31 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
             SELECT c_custkey
             FROM customer JOIN orders ON c_custkey = o_custkey
             WHERE o_totalprice < 50000
+        """,
+        "q17_small_qty_revenue": """
+            SELECT p_brand,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(15,2))), 2)::DOUBLE
+                     AS small_qty_revenue,
+                   count(1) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_quantity < (
+                SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = lineitem.l_partkey)
+            GROUP BY p_brand
+        """,
+        "q18_big_order_customers": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(15,2))) AS qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING qty > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   qty::DOUBLE AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "events_tumbling": """
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,

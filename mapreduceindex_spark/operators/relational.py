@@ -268,6 +268,68 @@ def order_counts_pivot(orders: DataFrame) -> DataFrame:
     )
 
 
+def small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (avg qty per part).
+
+    Declared through the engine's SQL surface so Catalyst's subquery
+    machinery (RewriteCorrelatedScalarSubquery → aggregate + join) is
+    exercised as such; the optimized plan is the same partial-agg +
+    broadcast join a hand-rewrite would produce. Revenue of lineitems
+    ordering below 20% of their part's average quantity — the "small
+    order" revenue probe.
+    """
+    spark = part.sparkSession
+    part.createOrReplaceTempView("_q17_part")
+    lineitem.createOrReplaceTempView("_q17_lineitem")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))), 2)
+                    AS DOUBLE) AS small_qty_revenue,
+               count(1) AS n_items
+        FROM _q17_lineitem JOIN _q17_part ON l_partkey = p_partkey
+        WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM _q17_lineitem l2
+            WHERE l2.l_partkey = _q17_lineitem.l_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+def big_order_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: int = 250
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-gated aggregation joined back to dims.
+
+    Orders whose total lineitem quantity exceeds ``min_qty`` — the HAVING
+    filter runs on the aggregate before the join-back, so only qualifying
+    orderkeys (a sliver) reach the customer join; Catalyst broadcasts the
+    surviving set.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > min_qty)
+        .select(
+            F.col("l_orderkey").alias("_ok"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("_ok"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def big_spenders_minus_mid(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Set operation: customers with any order > 300k EXCEPT those with any
     order < 50k (EXCEPT is a distinct-set op in both engines)."""
