@@ -130,6 +130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_spenders_minus_mid": lambda s, d: R.big_spenders_minus_mid(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
+        "monthly_revenue_trend": lambda s, d: R.monthly_revenue_trend(
+            _t(s, d, "orders")
+        ),
+        "revenue_cube": lambda s, d: R.revenue_cube(_t(s, d, "lineitem")),
+        "quantity_median": lambda s, d: R.quantity_median(_t(s, d, "lineitem")),
         "q17_small_qty_revenue": lambda s, d: R.small_quantity_revenue(
             _t(s, d, "part"), _t(s, d, "lineitem")
         ),
@@ -700,6 +705,41 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
             SELECT c_custkey
             FROM customer JOIN orders ON c_custkey = o_custkey
             WHERE o_totalprice < 50000
+        """,
+        "monthly_revenue_trend": """
+            SELECT CAST(FLOOR(epoch(date_trunc('month', o_orderdate)))
+                     AS BIGINT) AS month_start,
+                   round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2)::DOUBLE
+                     AS revenue,
+                   count(*)::BIGINT AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "revenue_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                         * (CAST(1 AS DECIMAL(3,2))
+                            - CAST(l_discount AS DECIMAL(3,2)))), 2)::DOUBLE
+                     AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "quantity_median": """
+            WITH ranked AS (
+              SELECT l_returnflag, l_quantity,
+                     row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem
+            ), mid AS (
+              SELECT l_returnflag, l_quantity FROM ranked
+              WHERE (n % 2 = 1 AND rn = (n + 1) / 2)
+                 OR (n % 2 = 0 AND (rn = n / 2 OR rn = n / 2 + 1))
+            )
+            SELECT l_returnflag,
+                   sum(CAST(l_quantity AS BIGINT))::DOUBLE / count(*)
+                     AS median_qty
+            FROM mid GROUP BY l_returnflag
         """,
         "q17_small_qty_revenue": """
             SELECT p_brand,

@@ -330,6 +330,83 @@ def big_order_customers(
     )
 
 
+def monthly_revenue_trend(orders: DataFrame) -> DataFrame:
+    """Time-dimension aggregation: order revenue per calendar month.
+
+    ``date_trunc`` bucketing + one hash aggregate; the month key is
+    emitted as an epoch-seconds BIGINT (timezone-proof, engine-portable).
+    """
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    return (
+        orders.groupBy(F.unix_timestamp(month).alias("month_start"))
+        .agg(
+            F.round(F.sum(_dec2("o_totalprice")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("month_start")
+    )
+
+
+def revenue_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2^2 grouping combinations.
+
+    Distinct from ROLLUP (which emits only the hierarchy prefixes) —
+    exercises Catalyst's Expand-based grouping-sets machinery.
+    """
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def quantity_median(lineitem: DataFrame) -> DataFrame:
+    """Exact per-flag median of l_quantity, engine-portable by construction.
+
+    Built from first principles — row_number against count, average of the
+    middle one/two values — because native median/percentile interpolation
+    rules differ between engines; this formulation is pure integer/window
+    arithmetic and therefore bit-identical everywhere. One shuffle
+    (window by flag), one aggregate.
+    """
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    ranked = lineitem.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == (F.col("n") + 1) / 2)
+        | (F.col("rn") == F.col("n") / 2 + 1)
+        | (F.col("rn") == F.col("n") / 2)
+    ).filter(
+        # keep exactly the one (odd n) or two (even n) middle rows
+        ((F.col("n") % 2 == 1) & (F.col("rn") == (F.col("n") + 1) / 2))
+        | (
+            (F.col("n") % 2 == 0)
+            & ((F.col("rn") == F.col("n") / 2) | (F.col("rn") == F.col("n") / 2 + 1))
+        )
+    )
+    # quantities are integral: the 1-or-2-value mean is k or k.5, exactly
+    # representable in double on every engine — no decimal division needed
+    return (
+        mid.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("median_qty")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def big_spenders_minus_mid(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Set operation: customers with any order > 300k EXCEPT those with any
     order < 50k (EXCEPT is a distinct-set op in both engines)."""
