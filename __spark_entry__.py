@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_spenders_minus_mid": lambda s, d: R.big_spenders_minus_mid(
             _t(s, d, "customer"), _t(s, d, "orders")
         ),
+        "customer_order_profile": lambda s, d: R.customer_order_profile(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
         "monthly_revenue_trend": lambda s, d: R.monthly_revenue_trend(
             _t(s, d, "orders")
         ),
@@ -705,6 +708,17 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
             SELECT c_custkey
             FROM customer JOIN orders ON c_custkey = o_custkey
             WHERE o_totalprice < 50000
+        """,
+        "customer_order_profile": """
+            WITH per_cust AS (
+              SELECT o_custkey, count(*)::BIGINT AS n,
+                     sum(CAST(o_totalprice AS DECIMAL(15,2))) AS t
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_mktsegment,
+                   coalesce(n, 0)::BIGINT AS n_orders,
+                   round(coalesce(t, 0), 2)::DOUBLE AS total_spent
+            FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
         """,
         "monthly_revenue_trend": """
             SELECT CAST(FLOOR(epoch(date_trunc('month', o_orderdate)))

@@ -330,6 +330,34 @@ def big_order_customers(
     )
 
 
+def customer_order_profile(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left outer join + aggregate: every customer with order count/total,
+    zero-filled for the orderless (the outer-join complement of the anti
+    join in ``customers_without_orders``).
+
+    Aggregate-then-join: orders collapse to one row per custkey *before*
+    the join, so the outer join is dim-size × dim-size, never fact-width.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_dec2("o_totalprice")).alias("_t"),
+    )
+    return (
+        customer.join(
+            per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce("_t", F.lit(0)), 2)
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def monthly_revenue_trend(orders: DataFrame) -> DataFrame:
     """Time-dimension aggregation: order revenue per calendar month.
 

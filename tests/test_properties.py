@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the scalar tokenization core.
+
+The reference's checker is golden-based; these add the algebraic
+invariants a golden corpus can't probe: idempotence, engine-vs-Python
+agreement on arbitrary inputs, and set-theoretic bounds. Examples are
+bounded (short strings, small batches) so the shared Spark session keeps
+each property under a second.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from mapreduceindex_spark.functions.text import normalize_token, words
+
+#: Printable-ASCII-plus-whitespace text, the reference's input domain.
+TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=9, max_codepoint=126),
+    max_size=80,
+)
+
+SETTINGS = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _py_normalize(tok: str) -> str:
+    return re.sub("[^a-zA-Z]", "", tok).lower()
+
+
+def _py_words(text: str) -> list[str]:
+    # NB: split on the C/Java whitespace class [ \t\n\v\f\r], NOT Python's
+    # re \s — Python additionally treats \x1c-\x1f as whitespace, which
+    # neither Java regex nor the reference's fscanf/isspace do. (Found by
+    # hypothesis: 'A\x1fA' is ONE token to the engine and the C binary.)
+    return [
+        w
+        for w in (
+            _py_normalize(t) for t in re.split("[ \t\n\x0b\x0c\r]+", text)
+        )
+        if w
+    ]
+
+
+@given(batch=st.lists(TEXTS, min_size=1, max_size=8))
+@SETTINGS
+def test_words_matches_python_reference(spark, batch):
+    df = spark.createDataFrame([(t,) for t in batch], ["text"])
+    got = [r["w"] for r in df.select(words(F.col("text")).alias("w")).collect()]
+    assert got == [_py_words(t) for t in batch]
+
+
+@given(batch=st.lists(TEXTS, min_size=1, max_size=8))
+@SETTINGS
+def test_normalize_idempotent(spark, batch):
+    df = spark.createDataFrame([(t,) for t in batch], ["tok"])
+    once = [r[0] for r in df.select(normalize_token("tok")).collect()]
+    df2 = spark.createDataFrame([(t,) for t in once], ["tok"])
+    twice = [r[0] for r in df2.select(normalize_token("tok")).collect()]
+    assert once == twice
+
+
+@given(batch=st.lists(TEXTS.filter(lambda t: t.strip()), min_size=2, max_size=6))
+@SETTINGS
+def test_inverted_index_df_bounds(spark, batch):
+    from mapreduceindex_spark.operators.inverted_index import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(batch)], ["doc_id", "text"]
+    )
+    rows = inverted_index(docs).collect()
+    n_docs = len(batch)
+    vocab = set().union(*(set(_py_words(t)) for t in batch))
+    assert {r["word"] for r in rows} == vocab
+    for r in rows:
+        assert 1 <= r["df"] <= n_docs
+        assert r["df"] == len(r["doc_ids"]) == len(set(r["doc_ids"]))
+        assert all(1 <= d <= n_docs for d in r["doc_ids"])

@@ -57,6 +57,59 @@ def test_text_dir_source_deterministic_ids(spark):
     assert len({i for i, _ in a}) == 2
 
 
+def test_streaming_watermark_drops_late_rows(spark):
+    """Watermark semantics: an event older than (max_ts - delay) arriving
+    in a later batch is dropped from the windowed aggregation."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="wm_src_")
+    out_name = "wm_result"
+    base = 1_700_000_000
+    early = spark.createDataFrame(
+        [(base + 0,), (base + 3600,)], ["epoch"]
+    ).select(F.timestamp_seconds("epoch").alias("ts"))
+    late = spark.createDataFrame(
+        [(base + 1,)], ["epoch"]  # 1h older than max seen → beyond 10min wm
+    ).select(F.timestamp_seconds("epoch").alias("ts"))
+    early.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b0"))
+
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "*"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "60 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        late.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+        _time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["w"]["start"].timestamp(), r["n"])
+        for r in spark.table(out_name).collect()
+    }
+    # append mode emits only windows sealed by the watermark: the base+0
+    # window (aligned to the minute) closed when base+3600 advanced the
+    # watermark, and it must contain ONLY the on-time row — the base+1
+    # late arrival lands in the same sealed window and was dropped.
+    aligned = float(base - base % 60)
+    assert (aligned, 1) in got
+    assert all(n == 1 for _, n in got)
+
+
 def test_shard_sink_membership_stable(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(1, 101)], ["doc_id", "text"]
