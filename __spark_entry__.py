@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_first_seen": lambda s, d: STREAM.streaming_first_seen_pairs(
             s, d
         ),
+        "streaming_inverted_index": lambda s, d: (
+            STREAM.streaming_inverted_index(s, d)
+        ),
         # multimodal plumbing
         "media_metadata_stats": lambda s, d: M.media_metadata_stats(
             _t(s, d, "documents")
@@ -411,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "inverted_index": _INVERTED_INDEX_SQL,
         "inverted_index_salted": _INVERTED_INDEX_SQL,
+        "streaming_inverted_index": _INVERTED_INDEX_SQL,
         "word_counts": f"""
             WITH toks AS (
               SELECT u.word FROM documents, unnest({ws}) AS u(word)

@@ -99,6 +99,47 @@ def streaming_tumbling_counts(
     ).orderBy("window_start", "event_type")
 
 
+def streaming_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline as a stream: incremental inverted indexing.
+
+    The reference consumes files incrementally from a shared queue
+    (``mapper.c:20-31``) — this is that idea taken to its real conclusion:
+    documents arrive as a stream, and the word → sorted-postings index
+    maintains itself. Tokenize/normalize are the exact batch expressions;
+    the stateful step is a streaming ``collect_set`` per word (complete
+    mode). On the bounded fixture the result equals the batch flagship
+    bit-for-bit, so it shares the batch oracle SQL.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    pairs = (
+        stream.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+        )
+        .select(
+            "doc_id",
+            F.lower(F.regexp_replace("tok", "[^a-zA-Z]", "")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    agg = pairs.groupBy("word").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("_ids")
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        "word",
+        F.size("_ids").cast("long").alias("df"),
+        F.array_join(
+            F.transform(F.col("_ids"), lambda x: x.cast("string")), " "
+        ).alias("doc_ids"),
+    ).orderBy(F.col("df").desc(), F.col("word").asc())
+
+
 def streaming_first_seen_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user first-seen dedup of event types.
