@@ -1,0 +1,89 @@
+"""Physical-plan regression tests: the scale properties, asserted.
+
+Correctness tests prove the answers are right; these prove the PLANS stay
+right — column pruning and predicate pushdown reaching the parquet scan,
+dims broadcast (fact tables never shuffled for dim joins), partial
+aggregation before the flagship's single exchange. A refactor that breaks
+one of these keeps passing the oracle while regressing 100 TB behavior;
+this file is what catches it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from mapreduceindex_spark.operators import relational as R
+from mapreduceindex_spark.operators.inverted_index import inverted_index_flat
+from mapreduceindex_spark.session import load_table
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_scan_pruned_and_pushed(spark):
+    plan = _plan(R.pricing_summary(load_table(spark, SF_SMALL, "lineitem")))
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    # only the 7 needed columns reach the scan — not the full 11-col table
+    read_cols = set(re.findall(r"(l_\w+)", scan))
+    assert read_cols == {
+        "l_shipdate",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    }, scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or (
+        "LessThanOrEqual(l_shipdate" in plan
+    ), "shipdate filter did not push into the parquet scan"
+
+
+def test_q5_broadcasts_all_dims_single_fact_shuffle(spark):
+    tables = [
+        load_table(spark, SF_SMALL, t)
+        for t in ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+    ]
+    plan = _plan(R.region_revenue(*tables))
+    # the 4 hinted dims must broadcast; at fixture scale orders may too
+    n_broadcast = len(re.findall(r"\) BroadcastHashJoin", plan))
+    assert n_broadcast >= 4, plan
+    # at most one join may shuffle, and only the fact-fact one
+    non_broadcast = len(
+        re.findall(r"\) (?:SortMergeJoin|ShuffledHashJoin)", plan)
+    )
+    assert non_broadcast <= 1, plan
+
+
+def test_flagship_partial_aggregation_single_exchange_before_sort(spark):
+    plan = _plan(inverted_index_flat(load_table(spark, SF_SMALL, "documents")))
+    # map-side combine: a partial collect_set runs BEFORE the exchange
+    assert "partial_collect_set" in plan
+    first_exchange = plan.index("Exchange")
+    assert "partial_collect_set" in plan[first_exchange:], (
+        "partial aggregate should appear below (after, in formatted order) "
+        "the exchange node"
+    )
+    # one hash exchange for the groupBy + one range exchange for the
+    # presentation sort — nothing else
+    assert plan.count("+- Exchange") <= 2, plan
+
+
+def test_no_python_in_relational_hot_path(spark):
+    for q in [
+        R.pricing_summary(load_table(spark, SF_SMALL, "lineitem")),
+        R.brand_revenue(
+            load_table(spark, SF_SMALL, "part"),
+            load_table(spark, SF_SMALL, "lineitem"),
+        ),
+    ]:
+        plan = _plan(q)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{marker} found in relational plan"
