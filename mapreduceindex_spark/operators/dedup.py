@@ -131,6 +131,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 1000,
+    direct_join_max_df2: int = 50_000_000,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity ≥ threshold. Output:
     (doc_a, doc_b, jaccard), a < b.
@@ -172,7 +173,7 @@ def ngram_jaccard_pairs(
         .collect()[0][0]
         or 0
     )
-    if pressure <= 50_000_000:
+    if pressure <= direct_join_max_df2:
         # direct tier: count-based intersection — the groupBy-count of the
         # self-join rows beats collect_set + array_intersect while the
         # join output is modest (measured ~1.5× at sf0.1)

@@ -76,6 +76,28 @@ def test_short_doc_single_shingle(spark):
     assert got == {(1, "just two"), (2, "a b c")}
 
 
+def test_jaccard_tiers_agree(spark):
+    # The direct count-based tier and the prefix-filtered tier must
+    # produce identical (doc_a, doc_b, jaccard) sets.
+    docs = _docs(
+        spark,
+        [
+            (i, f"shared prefix words here plus unique tail {i % 4} {i % 7}")
+            for i in range(1, 25)
+        ],
+    )
+    direct = sorted(
+        tuple(r) for r in D.ngram_jaccard_pairs(docs, 3, 0.5).collect()
+    )
+    prefix = sorted(
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            docs, 3, 0.5, direct_join_max_df2=0
+        ).collect()
+    )
+    assert direct == prefix and len(direct) > 0
+
+
 def test_cluster_tiers_agree(spark):
     # The driver union-find tier and the distributed label-propagation
     # tier must produce identical components.
