@@ -229,6 +229,7 @@ WITH ws AS (
 ), sh AS (
   SELECT DISTINCT doc_id, u.shingle
   FROM ws, unnest({_shingles_sql('w', 3)}) AS u(shingle)
+  WHERE u.shingle <> ''
 ), sizes AS (
   SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
@@ -264,6 +265,7 @@ WITH ws AS (
 ), sh AS (
   SELECT DISTINCT doc_id, u.shingle
   FROM ws, unnest({_shingles_sql('w', 3)}) AS u(shingle)
+  WHERE u.shingle <> ''
 ), hashed AS (
   SELECT doc_id, {_hash60_sql('shingle')} AS h FROM sh
 ), sig AS (
@@ -325,8 +327,12 @@ WITH ws AS (
 ), hashed AS (
   SELECT doc_id, {_hash60_sql('word')} AS h FROM dw
 )
-SELECT doc_id, ({bit_terms})::BIGINT AS simhash
-FROM hashed GROUP BY doc_id
+, agg AS (
+  SELECT doc_id, ({bit_terms})::BIGINT AS simhash
+  FROM hashed GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 

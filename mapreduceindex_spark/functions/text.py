@@ -56,6 +56,29 @@ def words(text: Column | str) -> Column:
     )
 
 
+def token_rows(documents, text_col: str = "text", id_col: str = "doc_id", *extra_cols: str):
+    """One row per raw whitespace token: (doc_id, extra..., tok, word).
+
+    THE shared row-wise tokenization front end — the flagship index, text
+    analysis, simhash, and the streaming index all consume this, so the
+    reference semantics (split → normalize) live in exactly one place.
+    ``word`` may be empty (callers filter or count conditionally so
+    raw-token statistics stay available).
+    """
+    import pyspark.sql.functions as _F
+
+    return documents.select(
+        _F.col(id_col).alias("doc_id"),
+        *extra_cols,
+        _F.explode(_F.split(_F.col(text_col), WHITESPACE_RE)).alias("tok"),
+    ).select(
+        "doc_id",
+        *extra_cols,
+        "tok",
+        normalize_token("tok").alias("word"),
+    )
+
+
 def stable_hash64(col: Column | str, *, bits: int = 60) -> Column:
     """Deterministic, engine-independent 64-bit-ish hash of a string column.
 

@@ -83,14 +83,18 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) string pairs.
 
     Row-wise formulation: posexplode the word array, then build each
-    shingle from ``lead()`` neighbors over a per-doc window. Semantically
-    identical to sliding slices of the word array (``functions.text.
-    shingles``) — including the short-doc case: ``concat_ws`` skips the
-    NULL leads, so a doc with ≤ n words yields the single all-words
-    shingle. The array form runs interpreted (slice-inside-transform is
-    O(words²) per doc and outside codegen — ~10× slower, measured); this
-    plan is linear, whole-stage codegen'd, and its one exchange (window by
-    doc_id) replaces no-shuffle-but-quadratic-CPU with cheap-shuffle.
+    shingle from ``lead()`` neighbors over a per-doc window. Matches
+    sliding slices of the word array (``functions.text.shingles``) for
+    every document with ≥ 1 word — including the short-doc case:
+    ``concat_ws`` skips the NULL leads, so a doc with ≤ n words yields
+    the single all-words shingle. Documents with ZERO normalized words
+    yield no shingles (they cannot meaningfully near-dup; byte-identical
+    empties are ``exact_dedup``'s job) — the array form would give them
+    one empty-string shingle instead. The array form also runs
+    interpreted (slice-inside-transform is O(words²) per doc and outside
+    codegen — ~10× slower, measured); this plan is linear, whole-stage
+    codegen'd, and its one exchange (window by doc_id) replaces
+    no-shuffle-but-quadratic-CPU with cheap-shuffle.
     """
     from pyspark.sql.window import Window
 
@@ -295,10 +299,12 @@ def minhash_lsh_pairs(
     Signature split into ``bands`` bands; docs sharing any band value
     become candidates (joined within band buckets only — the
     sub-quadratic step). Candidates are verified with exact Jaccard via
-    ``array_intersect`` of the two docs' shingle-hash sets, so the
-    quadratic all-pairs join never happens — per-candidate cost is
-    O(|shingles|), and output quality equals ``ngram_jaccard_pairs``
-    restricted to recalled pairs.
+    ``array_intersect`` of the two docs' **uncapped** shingle-hash sets,
+    so the quadratic all-pairs join never happens — per-candidate cost is
+    O(|shingles|). Output equals exact uncapped Jaccard restricted to
+    recalled pairs (``ngram_jaccard_pairs`` additionally applies its
+    ``max_shingle_df`` cap, so on corpora with >cap-df shingles the two
+    can differ on those shingles' contribution).
     """
     rows_per_band = num_hashes // bands
     # One persisted copy of the hashed pairs feeds the signature build AND
@@ -460,6 +466,12 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters: label propagation did not converge in "
+            f"{max_iter} rounds (component diameter exceeds the budget); "
+            f"raise max_iter or switch to large-star/small-star contraction"
+        )
     return (
         documents.select("doc_id")
         .join(labels, "doc_id", "left")
@@ -476,15 +488,14 @@ def simhash64(documents: DataFrame, n_bits: int = 24) -> DataFrame:
 
     Explode → hash → one aggregate with ``n_bits`` conditional sums
     (whole-stage codegen'd); bit j of the fingerprint = (Σ ±1 votes > 0).
+    Total over the corpus: documents with no normalized words fingerprint
+    as 0 (left-join zero-fill), so corpus bookkeeping joins never lose
+    rows.
     """
-    words = (
-        documents.select(
-            "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
-        )
-        .select(
-            "doc_id",
-            F.lower(F.regexp_replace("tok", "[^a-zA-Z]", "")).alias("word"),
-        )
+    from mapreduceindex_spark.functions.text import token_rows
+
+    word_hashes = (
+        token_rows(documents)
         .filter(F.length("word") > 0)
         .dropDuplicates(["doc_id", "word"])
         .select("doc_id", stable_hash64("word").alias("h"))
@@ -497,11 +508,20 @@ def simhash64(documents: DataFrame, n_bits: int = 24) -> DataFrame:
         ).alias(f"_v{j}")
         for j in range(n_bits)
     ]
-    agg = words.groupBy("doc_id").agg(*votes)
+    agg = word_hashes.groupBy("doc_id").agg(*votes)
     fingerprint = None
     for j in range(n_bits):
         term = F.when(
             F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return agg.select("doc_id", fingerprint.alias("simhash")).orderBy("doc_id")
+    hashed = agg.select("doc_id", fingerprint.alias("simhash"))
+    return (
+        documents.select("doc_id")
+        .join(hashed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+        )
+        .orderBy("doc_id")
+    )

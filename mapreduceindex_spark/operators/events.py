@@ -26,30 +26,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _sum_value4() -> F.Column:
-    """Exact (order-independent) 4-dp sum of the 2-dp ``value`` column.
+from mapreduceindex_spark.functions.exact import avg4, sum_dec
 
-    Float summation is partition-order-dependent; the lossless decimal
-    cast makes the aggregate deterministic at any parallelism and
-    bit-equal to any other engine computing the same sum.
-    """
-    return F.round(F.sum(F.col("value").cast("decimal(15,2)")), 4).cast("double")
+
+def _sum_value4() -> F.Column:
+    """Exact order-independent 4-dp sum of ``value`` (functions.exact)."""
+    return sum_dec("value", 4)
 
 
 def _avg_value4() -> F.Column:
-    """Exact 4-dp average of ``value`` via pure BIGINT arithmetic.
-
-    Division (float or decimal) rounds half boundaries differently per
-    engine, so the mean is computed as cents-sum scaled to 1e-4 with
-    explicit round-half-away-from-zero integer division — bit-identical
-    in any engine evaluating the same formula.
-    """
-    s4 = "(sum(CAST(round(value * 100, 0) AS BIGINT)) * 100)"
-    n = "count(1)"
-    return F.expr(
-        f"CAST(CASE WHEN {s4} >= 0 THEN ({s4}*2 + {n}) DIV ({n}*2) "
-        f"ELSE -(((-{s4})*2 + {n}) DIV ({n}*2)) END AS DOUBLE) / 10000.0"
-    )
+    """Exact 4-dp BIGINT-cents average of ``value`` (functions.exact)."""
+    return avg4("value")
 
 
 def tumbling_counts(events: DataFrame, width_sec: int = 600) -> DataFrame:

@@ -48,15 +48,11 @@ def doc_words(
     the exchange, so shuffle volume is unique-words-per-partition — the
     same map-side combine the reference hand-rolls (``mapper.c:71-96``).
     """
+    from mapreduceindex_spark.functions.text import token_rows
+
     return (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
-        )
-        .select(
-            "doc_id",
-            F.lower(F.regexp_replace("tok", "[^a-zA-Z]", "")).alias("word"),
-        )
+        token_rows(documents, text_col, id_col)
+        .select("doc_id", "word")
         .filter(F.length("word") > 0)
         .dropDuplicates(["doc_id", "word"])
     )

@@ -33,32 +33,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _dec2(c: str) -> F.Column:
-    """Exact decimal image of a 2-dp money double."""
-    return F.col(c).cast("decimal(15,2)")
+from mapreduceindex_spark.functions.exact import avg4 as _avg4  # noqa: E402
+from mapreduceindex_spark.functions.exact import dec2 as _dec2  # noqa: E402
 
 
 def _revenue() -> F.Column:
     # decimal(15,2) × decimal(4,2) → decimal(20,4): exact, no float error.
     return _dec2("l_extendedprice") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
-    )
-
-
-def _avg4(c: str) -> F.Column:
-    """Order-independent 4-dp average of a 2-dp column, exact in integers.
-
-    Any float or decimal division lands on engine-specific rounding at
-    half boundaries (e.g. avg = x.69875), so the average is computed
-    entirely in BIGINT: sum of cents, scaled to 1e-4, divided with
-    explicit round-half-away-from-zero. Both the plan and the oracle SQL
-    share this formula, making the result bit-identical by construction.
-    """
-    s4 = f"(sum(CAST(round({c} * 100, 0) AS BIGINT)) * 100)"
-    n = "count(1)"
-    return F.expr(
-        f"CAST(CASE WHEN {s4} >= 0 THEN ({s4}*2 + {n}) DIV ({n}*2) "
-        f"ELSE -(((-{s4})*2 + {n}) DIV ({n}*2)) END AS DOUBLE) / 10000.0"
     )
 
 
@@ -409,12 +391,8 @@ def quantity_median(lineitem: DataFrame) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
     )
+    # keep exactly the one (odd n) or two (even n) middle rows
     mid = ranked.filter(
-        (F.col("rn") == (F.col("n") + 1) / 2)
-        | (F.col("rn") == F.col("n") / 2 + 1)
-        | (F.col("rn") == F.col("n") / 2)
-    ).filter(
-        # keep exactly the one (odd n) or two (even n) middle rows
         ((F.col("n") % 2 == 1) & (F.col("rn") == (F.col("n") + 1) / 2))
         | (
             (F.col("n") % 2 == 0)

@@ -28,21 +28,11 @@ BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
 def _tokens(documents: DataFrame, *extra_cols: str) -> DataFrame:
-    """(doc_id, extra..., tok, word) — one row per raw whitespace token.
+    """(doc_id, extra..., tok, word) — the shared row-wise tokenizer
+    (``functions.text.token_rows``); see there for semantics."""
+    from mapreduceindex_spark.functions.text import token_rows
 
-    ``word`` is the reference-normalized form (may be empty — callers
-    filter or count conditionally so raw-token stats stay available).
-    """
-    return documents.select(
-        "doc_id",
-        *extra_cols,
-        F.explode(F.split("text", r"\s+")).alias("tok"),
-    ).select(
-        "doc_id",
-        *extra_cols,
-        "tok",
-        F.lower(F.regexp_replace("tok", "[^a-zA-Z]", "")).alias("word"),
-    )
+    return token_rows(documents, "text", "doc_id", *extra_cols)
 
 
 def doc_stats(documents: DataFrame) -> DataFrame:
@@ -89,11 +79,22 @@ def token_counts_bpe(documents: DataFrame) -> DataFrame:
             F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)
         ).alias("tok"),
     )
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bpe_tokens"),
+        F.countDistinct("tok").alias("n_distinct_bpe"),
+    )
+    # total over the corpus: tokenless docs report zeros, not absence
     return (
-        toks.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bpe_tokens"),
-            F.countDistinct("tok").alias("n_distinct_bpe"),
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+            F.coalesce("n_distinct_bpe", F.lit(0)).cast("long").alias(
+                "n_distinct_bpe"
+            ),
         )
         .orderBy("doc_id")
     )

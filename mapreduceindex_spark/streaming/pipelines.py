@@ -117,14 +117,11 @@ def streaming_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    from mapreduceindex_spark.functions.text import token_rows
+
     pairs = (
-        stream.select(
-            "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
-        )
-        .select(
-            "doc_id",
-            F.lower(F.regexp_replace("tok", "[^a-zA-Z]", "")).alias("word"),
-        )
+        token_rows(stream)
+        .select("doc_id", "word")
         .filter(F.length("word") > 0)
     )
     agg = pairs.groupBy("word").agg(
@@ -160,12 +157,20 @@ def streaming_first_seen_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _first_seen(key, pdfs, state: GroupState):
         seen = set(state.get[0]) if state.exists else set()
-        rows = []
+        # Accumulate mins across ALL Arrow chunks of the micro-batch before
+        # emitting: a group larger than maxRecordsPerBatch arrives as
+        # several chunks in scan order, and the true batch minimum may sit
+        # in a later chunk.
+        mins: dict = {}
         for pdf in pdfs:
             for et, ts in pdf.groupby("event_type")["ts"].min().items():
-                if et not in seen:
-                    seen.add(et)
-                    rows.append((key[0], et, int(pd.Timestamp(ts).value // 1_000_000_000)))
+                if et not in seen and (et not in mins or ts < mins[et]):
+                    mins[et] = ts
+        rows = [
+            (key[0], et, int(pd.Timestamp(ts).value // 1_000_000_000))
+            for et, ts in mins.items()
+        ]
+        seen.update(mins)
         state.update((sorted(seen),))
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "event_type", "first_ts"])
