@@ -26,6 +26,7 @@ from mapreduceindex_spark.operators import multimodal as M
 from mapreduceindex_spark.operators import relational as R
 from mapreduceindex_spark.operators import similarity as S
 from mapreduceindex_spark.operators import text_analysis as TA
+from mapreduceindex_spark.operators import inverted_index as II
 from mapreduceindex_spark.operators.inverted_index import (
     inverted_index_flat,
 )
@@ -56,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), salt_buckets=8
         ),
         "word_counts": lambda s, d: TA.word_counts(_t(s, d, "documents")),
+        "search_any": lambda s, d: II.search_docs(
+            _t(s, d, "documents"), ["vector", "hash", "join"], mode="any"
+        ),
+        "search_all": lambda s, d: II.search_docs(
+            _t(s, d, "documents"), ["vector", "hash", "join"], mode="all"
+        ),
         # text analysis (EXT3)
         "doc_stats": lambda s, d: TA.doc_stats(_t(s, d, "documents")),
         "token_counts_bpe": lambda s, d: TA.token_counts_bpe(_t(s, d, "documents")),
@@ -427,6 +434,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT word, count(*)::BIGINT AS n_occurrences
             FROM toks GROUP BY word
+        """,
+        "search_any": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, u.word
+              FROM documents, unnest({ws}) AS u(word)
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matched
+            FROM toks WHERE word IN ('vector', 'hash', 'join')
+            GROUP BY doc_id
+        """,
+        "search_all": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, u.word
+              FROM documents, unnest({ws}) AS u(word)
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matched
+            FROM toks WHERE word IN ('vector', 'hash', 'join')
+            GROUP BY doc_id
+            HAVING count(*) = 3
         """,
         "doc_stats": f"""
             SELECT doc_id,

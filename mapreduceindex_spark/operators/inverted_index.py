@@ -121,6 +121,75 @@ def inverted_index_flat(
     )
 
 
+def search_docs(
+    documents: DataFrame,
+    terms: list[str],
+    mode: str = "any",
+) -> DataFrame:
+    """Term search over the corpus — the lookup the inverted index exists
+    to serve. Returns (doc_id, n_matched) for docs containing ``any`` or
+    ``all`` of the normalized terms, ranked (n_matched DESC, doc_id ASC).
+
+    Plan: the distinct (word, doc) pair stream is semi-restricted to the
+    query terms *before* any aggregation — the scan's pushed ``word IN``
+    filter is the scale-side equivalent of a posting-list lookup: only
+    matching postings ever leave the scan stage. One small aggregate on
+    doc_id follows.
+    """
+    norm = [t for t in (normalize_token_py(x) for x in terms) if t]
+    pairs = doc_words(documents).filter(F.col("word").isin(norm))
+    hits = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    if mode == "all":
+        hits = hits.filter(F.col("n_matched") == len(set(norm)))
+    return hits.orderBy(F.col("n_matched").desc(), F.col("doc_id").asc())
+
+
+def normalize_token_py(tok: str) -> str:
+    """Driver-side mirror of ``functions.text.normalize_token`` for query
+    terms (reference ``mapper.c:56-64``)."""
+    import re
+
+    return re.sub("[^a-zA-Z]", "", tok).lower()
+
+
+def merge_index(
+    existing: DataFrame, new_documents: DataFrame, ordered: bool = True
+) -> DataFrame:
+    """Incrementally fold a new document batch into an existing index.
+
+    ``array_union`` merges each word's postings with the new batch's —
+    the whole merge shuffles only (old index ∪ new batch pairs), never
+    the already-indexed corpus text. This is the reference's incremental
+    file consumption (``mapper.c:20-31``) taken to its scale conclusion:
+    index maintenance cost tracks the DELTA, not the corpus.
+    Invariant (tested): merge(index(A), B) ≡ index(A ∪ B).
+    """
+    delta = inverted_index(new_documents, ordered=False)
+    merged = (
+        existing.select("word", "doc_ids")
+        .join(delta.select("word", F.col("doc_ids").alias("_new")), "word", "full")
+        .select(
+            "word",
+            F.sort_array(
+                F.array_union(
+                    F.coalesce("doc_ids", F.array().cast("array<bigint>")),
+                    F.coalesce("_new", F.array().cast("array<bigint>")),
+                )
+            ).alias("doc_ids"),
+        )
+        .select(
+            "word",
+            F.size("doc_ids").cast("long").alias("df"),
+            "doc_ids",
+        )
+    )
+    if ordered:
+        merged = merged.orderBy(F.col("df").desc(), F.col("word").asc())
+    return merged
+
+
 def letter_of(word: Column | str) -> Column:
     """First letter of a word — the reference's reducer partition key
     (``reducer.c:31-40``: ``(letter - 'a') % R``)."""

@@ -76,6 +76,40 @@ def test_short_doc_single_shingle(spark):
     assert got == {(1, "just two"), (2, "a b c")}
 
 
+def test_merge_index_equals_full_rebuild(spark):
+    from mapreduceindex_spark.operators.inverted_index import merge_index
+
+    a = _docs(spark, [(1, "alpha beta gamma"), (2, "beta delta")])
+    b = _docs(spark, [(3, "gamma epsilon"), (4, "alpha alpha zeta")])
+    merged = sorted(
+        (r["word"], r["df"], tuple(r["doc_ids"]))
+        for r in merge_index(inverted_index(a, ordered=False), b).collect()
+    )
+    full = sorted(
+        (r["word"], r["df"], tuple(r["doc_ids"]))
+        for r in inverted_index(a.union(b)).collect()
+    )
+    assert merged == full
+
+
+def test_search_docs_modes(spark):
+    from mapreduceindex_spark.operators.inverted_index import search_docs
+
+    docs = _docs(
+        spark,
+        [(1, "cat dog"), (2, "cat bird"), (3, "dog dog fish"), (4, "moose")],
+    )
+    any_hits = {
+        (r["doc_id"], r["n_matched"])
+        for r in search_docs(docs, ["Cat!", "dog"], mode="any").collect()
+    }
+    assert any_hits == {(1, 2), (2, 1), (3, 1)}
+    all_hits = {
+        r["doc_id"] for r in search_docs(docs, ["cat", "dog"], mode="all").collect()
+    }
+    assert all_hits == {1}
+
+
 def test_jaccard_tiers_agree(spark):
     # The direct count-based tier and the prefix-filtered tier must
     # produce identical (doc_a, doc_b, jaccard) sets.
