@@ -180,6 +180,16 @@ def ngram_jaccard_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    stats = groups.agg(
+        F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
+    ).collect()[0]
+    if stats["_g"] == stats["_d"]:
+        # duplicate-free corpus: collapse/expansion would be identity —
+        # run the core directly
+        groups.unpersist()
+        return _jaccard_rep_pairs(
+            documents, n, threshold, max_shingle_df, direct_join_max_df2
+        ).orderBy("doc_a", "doc_b")
     rep_docs = documents.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )
