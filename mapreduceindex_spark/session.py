@@ -62,6 +62,24 @@ def get_spark(
     return spark
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime SQL confs the engine's reads depend on.
+
+    The engine must work on *any* caller-provided SparkSession (a driver
+    harness, a notebook, a cluster job), not only the one ``get_spark()``
+    builds. Both confs below are runtime SQL confs, so setting them here —
+    immediately before the read that needs them — is safe and idempotent:
+
+    - ``nanosAsLong``: the fixture ``events`` table carries
+      TIMESTAMP(NANOS) parquet columns, which Spark rejects by default.
+    - ``timeZone=UTC``: every ``unix_timestamp``/``date_trunc`` result
+      must match the (timezone-naive) DuckDB oracle regardless of the
+      host's local zone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 TABLES = (
     "region",
     "nation",
@@ -87,6 +105,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

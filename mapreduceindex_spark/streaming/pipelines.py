@@ -28,6 +28,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize to micro timestamps exactly like the batch loader so batch
     and streaming results stay comparable.
     """
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source takes a directory; glob-filter to the events
     # table within the fixture dir.
@@ -110,6 +113,9 @@ def streaming_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode). On the bounded fixture the result equals the batch flagship
     bit-for-bit, so it shares the batch oracle SQL.
     """
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
         spark.readStream.schema(schema)
