@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -56,17 +57,29 @@ def main() -> None:
     except Exception:
         pass  # warm-up is best-effort; timings just run colder
 
-    timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    # Per-query median of N runs: single-run wall times on this box vary
+    # ±30%, which would swamp round-over-round deltas; the median of 3 is
+    # stable enough to compare against BASELINE.md and prior rounds.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    def _run_once(fn) -> float:
         t0 = time.time()
         df = fn(spark, sf_dir)
         _time_noop(df)
-        timings[name] = round(time.time() - t0, 3)
+        dt = time.time() - t0
         # steady-state isolation: drop caches persisted inside query builders
-        # and nudge the collector, so a query's timing never pays a
-        # predecessor's memory footprint or inherited GC debt
+        # and nudge the collector, so a run never pays a predecessor's
+        # memory footprint, inherited GC debt, or a warm persisted cache
         spark.catalog.clearCache()
         spark._jvm.System.gc()
+        return dt
+
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name, fn in entrymod.queries().items():
+        runs = [_run_once(fn) for _ in range(n_runs)]
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # Reference-workload anchor: full pipeline on the reference's large
     # fixture, including the 26-letter-file write (what BASELINE.md times).
@@ -76,18 +89,27 @@ def main() -> None:
         from mapreduceindex_spark.sinks.letter_sink import write_letter_files
         from mapreduceindex_spark.sources.manifest import corpus_from_manifest
 
-        out = tempfile.mkdtemp(prefix="bench_letters_")
-        t0 = time.time()
-        # ordered=False: the letter sink sorts within letter partitions
-        # itself, so the flagship's global range-sort stage is dead weight.
-        write_letter_files(
-            inverted_index(
-                corpus_from_manifest(spark, ref_manifest), ordered=False
-            ),
-            out,
-        )
-        timings["ref_corpus_index"] = round(time.time() - t0, 3)
-        shutil.rmtree(out, ignore_errors=True)
+        def _ref_once() -> float:
+            out = tempfile.mkdtemp(prefix="bench_letters_")
+            t0 = time.time()
+            # ordered=False: the letter sink sorts within letter partitions
+            # itself, so the flagship's global range-sort stage is dead
+            # weight.
+            write_letter_files(
+                inverted_index(
+                    corpus_from_manifest(spark, ref_manifest), ordered=False
+                ),
+                out,
+            )
+            dt = time.time() - t0
+            shutil.rmtree(out, ignore_errors=True)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            return dt
+
+        runs = [_ref_once() for _ in range(n_runs)]
+        timings["ref_corpus_index"] = round(statistics.median(runs), 3)
+        spread["ref_corpus_index"] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -97,6 +119,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": n_runs,
+                "spread": spread,
                 "sf": sf,
             }
         )

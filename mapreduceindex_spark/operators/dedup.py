@@ -302,15 +302,48 @@ def _jaccard_rep_pairs(
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
         + 1
     )
-    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "sh")
-    cand = (
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select(
+        "doc_id", "sh", "rk", "n_sh"
+    )
+    # Candidate aggregation carries the PPJoin filters' inputs: since both
+    # prefixes rank tokens by the SAME global (df, hash) order, the
+    # globally-first common token attains min(rk) on BOTH sides at once,
+    # so per-pair min(rk_a), min(rk_b) are that token's positions.
+    raw = (
         prefix.alias("x")
         .join(prefix.alias("y"), "sh")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
+        .groupBy(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(
+            F.min("x.rk").alias("_ra"),
+            F.min("y.rk").alias("_rb"),
+            F.min("x.n_sh").alias("_na"),
+            F.min("y.n_sh").alias("_nb"),
+        )
+    )
+    # Length filter: J ≥ t ⟹ |∩| ≥ t·|∪| with |∩| ≤ min, |∪| ≥ max
+    # ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|).
+    # Positional filter (PPJoin): every common token sits at-or-after the
+    # first match (_ra, _rb), so overlap ≤ 1 + min(n_a − _ra, n_b − _rb);
+    # J ≥ t needs overlap ≥ ceil(t·(n_a+n_b)/(1+t)). The 1e-9 slack only
+    # ever ADMITS borderline candidates (float error can't drop a true
+    # pair); exact verification below settles them.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("_na") + F.col("_nb"))
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb")
+    )
+    cand = (
+        raw.filter(
+            F.least("_na", "_nb")
+            >= F.lit(threshold) * F.greatest("_na", "_nb") - F.lit(1e-9)
+        )
+        .filter(ubound >= alpha)
+        .select("doc_a", "doc_b")
     )
     shsets = ranked.groupBy("doc_id").agg(F.collect_set("sh").alias("hs"))
     sa = shsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
@@ -440,6 +473,8 @@ def near_dup_clusters(
     threshold: float = 0.5,
     max_iter: int = 20,
     driver_max_edges: int = 5_000_000,
+    candidates: str = "auto",
+    lsh_min_docs: int = 100_000,
 ) -> DataFrame:
     """Resolve near-duplicate pairs into clusters: (doc_id, cluster_rep).
 
@@ -447,6 +482,17 @@ def near_dup_clusters(
     document maps to the minimum doc_id reachable through the jaccard ≥
     threshold graph (its connected component's representative); keeping
     rows where ``doc_id = cluster_rep`` yields the deduplicated corpus.
+
+    ``candidates`` selects the pair source feeding the clustering:
+
+    - ``"exact"``: ``ngram_jaccard_pairs`` — every qualifying edge, the
+      oracle tier.
+    - ``"lsh"``: ``minhash_lsh_pairs`` — banded-LSH candidates verified
+      with exact Jaccard. Sub-quadratic: the 100 TB default, where the
+      exact pairwise join (even prefix-filtered) is the bottleneck and a
+      banding miss only splits a cluster, never invents one.
+    - ``"auto"`` (default): ``exact`` below ``lsh_min_docs`` documents
+      (small corpora get the recall-1.0 graph for free), ``lsh`` above.
 
     Two execution tiers on the same semantics:
 
@@ -461,11 +507,63 @@ def near_dup_clusters(
       driver. At extreme diameters the loop upgrades to large-star/
       small-star contraction (same loop shape, different join pattern).
     """
-    pairs = (
-        ngram_jaccard_pairs(documents, n, threshold)
-        .select("doc_a", "doc_b")
+    if candidates == "auto":
+        candidates = (
+            "lsh" if documents.count() > lsh_min_docs else "exact"
+        )
+    if candidates not in ("exact", "lsh"):
+        raise ValueError(f"near_dup_clusters: unknown candidates {candidates!r}")
+
+    # Clustering needs CONNECTIVITY, not every edge: byte-identical clone
+    # groups (jaccard 1.0 ≥ any threshold) can feed the union-find linear
+    # STAR edges (member—rep) instead of the quadratic all-pairs expansion
+    # the pairwise operators must emit. Same components, |members| − 1
+    # edges per group instead of |members|·(|members|−1)/2 — at a 10×
+    # clone factor that is 9 edges vs 45 per group, and the pair source
+    # itself runs on the collapsed (unique-content) corpus.
+    groups = (
+        documents.select("doc_id", F.md5("text").alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_set("doc_id").alias("members"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    gstats = groups.agg(
+        F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
+    ).collect()[0]
+    if gstats["_g"] == gstats["_d"] or threshold > 1.0:
+        groups.unpersist()
+        rep_docs = documents
+        star = None
+    else:
+        rep_docs = documents.join(
+            groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+        )
+        # zero-shingle groups (e.g. byte-identical empty docs) never pair
+        # in the brute-force join, so they must not star-connect either
+        shingled = _shingle_hashes(rep_docs, n).select("doc_id").distinct()
+        star = (
+            groups.join(
+                shingled.withColumnRenamed("doc_id", "rep"), "rep", "left_semi"
+            )
+            .filter(F.size("members") > 1)
+            .select("rep", F.explode("members").alias("doc_a"))
+            .filter(F.col("doc_a") != F.col("rep"))
+            .select("doc_a", F.col("rep").alias("doc_b"))
+        )
+    if candidates == "exact":
+        pair_df = _jaccard_rep_pairs(
+            rep_docs, n, threshold, max_shingle_df=1000,
+            direct_join_max_df2=50_000_000,
+        )
+    else:
+        pair_df = minhash_lsh_pairs(rep_docs, n, threshold=threshold)
+    pair_df = pair_df.select("doc_a", "doc_b")
+    if star is not None:
+        pair_df = pair_df.union(star)
+    pairs = pair_df.persist(StorageLevel.MEMORY_AND_DISK)
     if pairs.count() <= driver_max_edges:
         parent: dict[int, int] = {}
 

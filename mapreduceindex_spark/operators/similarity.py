@@ -168,20 +168,45 @@ def ann_lsh_topk(
 
 
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.95, n_blocks: int = 16
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a < b).
 
-    Block-nested-loop with BLAS: vectors are assigned to ``n_blocks``
-    blocks by ``vec_id % n_blocks``; each vector is replicated to every
-    (block_i ≤ block_j) pair it participates in, and ``applyInPandas``
-    computes the block-pair gram matrix with one numpy matmul. Replication
-    factor is ~n_blocks (bounded, tunable), per-task memory is
-    (N/n_blocks)² scores, and the scoring itself runs at BLAS speed
-    instead of per-pair expression evaluation (~50× measured at the
-    fixture). At 100 TB an LSH pre-bucket (see ``ann_lsh_topk``) replaces
-    the all-block-pairs fan-out; the per-bucket kernel is identical.
+    Two tiers sharing the exact-cosine verification step (so neither tier
+    can emit a false positive):
+
+    - ``method="lsh"`` (default — the 100 TB path): **banded sign-bit LSH
+      candidates**. Each vector gets ``n_planes`` hyperplane sign bits,
+      split into ``bands`` bands of ``r = n_planes // bands`` bits; two
+      vectors are candidates iff they agree on ALL bits of at least one
+      band (the same band-any-match structure as ``minhash_lsh_pairs``).
+      Candidates join within equal (band, band-bits) buckets only — no
+      all-pairs step anywhere; data replication is exactly ``bands``×.
+      Recall for a pair at angle θ is ``1 − (1 − (1 − θ/π)^r)^b``: at the
+      0.95-cosine boundary (θ≈18.2°, defaults r=8, b=8) that is ≈ 0.99,
+      rising to ≈ 0.9999 at 0.99 cosine, while an uncorrelated pair
+      (θ≈90°) collides with probability ≈ 0.03 — a ~30× candidate-set
+      reduction that *grows* with corpus sparsity. The dial: more bands →
+      recall, longer bands → pruning.
+    - ``method="exact"``: block-nested-loop with BLAS — vectors assigned
+      to ``n_blocks`` blocks by ``vec_id % n_blocks``, every (block_i ≤
+      block_j) pair scored by one numpy matmul in ``applyInPandas``.
+      O(N²/B) comparisons regardless of similarity structure: the
+      recall-1.0 verifier/oracle tier, correct at any scale but a
+      scale-killer past ~10⁷ vectors.
     """
+    if method == "lsh":
+        return _embedding_near_dups_lsh(
+            embeddings, threshold, n_planes, bands, dim
+        )
+    if method != "exact":
+        raise ValueError(f"embedding_near_dups: unknown method {method!r}")
     import numpy as np
     import pandas as pd
 
@@ -245,6 +270,62 @@ def embedding_near_dups(
         _block_pairs, schema="vec_a long, vec_b long, cosine double"
     )
     return out.orderBy("vec_a", "vec_b")
+
+
+def _embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int,
+    bands: int,
+    dim: int,
+) -> DataFrame:
+    """Banded sign-LSH candidate generation + exact-cosine verification.
+
+    The sign bits are computed JVM-side (codegen'd ``zip_with`` folds over
+    literal plane arrays — fixed 64-element arrays, no Python boundary);
+    each vector explodes to one row per band, the self-join runs on the
+    band-bucket key only, and surviving candidate pairs are verified with
+    the exact cosine expression. Output ≡ the exact tier restricted to
+    recalled candidates; see ``embedding_near_dups`` for the recall math.
+    """
+    r = n_planes // bands
+    planes = _hyperplanes(n_planes, dim)
+    band_buckets = [
+        (
+            _bucket_expr("embedding", planes[bi * r : (bi + 1) * r])
+            + F.lit(bi << r).cast("long")
+        )
+        for bi in range(bands)
+    ]
+    stacked = embeddings.select(
+        "vec_id", F.explode(F.array(*band_buckets)).alias("bucket")
+    )
+    cand = (
+        stacked.alias("x")
+        .join(stacked.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity("_ea", "_eb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 def ivf_topk(

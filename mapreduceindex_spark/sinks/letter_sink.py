@@ -51,18 +51,41 @@ def format_lines(index: DataFrame) -> DataFrame:
     )
 
 
-def write_letter_files(index: DataFrame, out_dir: str) -> None:
-    """Materialize ``out_dir/{a..z}.txt`` from an inverted-index DataFrame.
+def write_letter_files(
+    index: DataFrame, out_dir: str, materialize: str = "txt"
+) -> None:
+    """Materialize the per-letter index from an inverted-index DataFrame.
 
-    One Spark job: partition by letter (hash, 26 buckets ≈ one task per
-    letter), sort within partitions by the reference's global order, write
-    as ``partitionBy("letter")`` text. Driver then moves each letter's
-    part-files (already internally ordered; ≤1 per letter here) into the
-    flat ``<letter>.txt`` layout and touches empties.
+    - ``materialize="txt"`` (the reference contract): ``out_dir/{a..z}.txt``.
+      One Spark job: partition by letter (hash, 26 buckets ≈ one task per
+      letter), sort within partitions by the reference's global order,
+      write as ``partitionBy("letter")`` text. Driver then moves each
+      letter's part-files (already internally ordered; ≤1 per letter here)
+      into the flat ``<letter>.txt`` layout and touches empties.
+    - ``materialize="parquet"`` (cluster mode): letter-partitioned parquet
+      at ``out_dir/letter=<x>/`` carrying ``(df, word, line)``, no
+      driver-side concatenation — the 100 TB form, where a single flat
+      text file per letter is itself the bottleneck. The reference order
+      is data, not file layout: readers reconstruct it with
+      ``ORDER BY df DESC, word`` (parquet part-file order is not a
+      contract), and partition pruning serves per-letter queries.
     """
+    lines = format_lines(index)
+    if materialize == "parquet":
+        (
+            lines.repartition(26, "letter")
+            .sortWithinPartitions(
+                "letter", F.col("df").desc(), F.col("word").asc()
+            )
+            .write.mode("overwrite")
+            .partitionBy("letter")
+            .parquet(out_dir)
+        )
+        return
+    if materialize != "txt":
+        raise ValueError(f"write_letter_files: unknown materialize {materialize!r}")
     os.makedirs(out_dir, exist_ok=True)
     staged = os.path.join(out_dir, "_staged")
-    lines = format_lines(index)
     (
         lines.repartition(26, "letter")
         .sortWithinPartitions(

@@ -158,3 +158,50 @@ def test_tf_idf_single_doc_is_zero(spark):
     docs = _docs(spark, [(1, "alpha beta alpha")])
     rows = TA.tf_idf(docs).collect()
     assert rows and all(r["tfidf"] == 0.0 for r in rows)
+
+
+def test_cluster_candidate_tiers_agree(spark):
+    # exact-jaccard candidates vs minhash-LSH candidates: identical
+    # clusters when the near-dup structure is clear (exact clones always
+    # collide in every band; distinct contents share no shingles).
+    dup = "one sentence cloned many times for the clustering stress here"
+    other = "a completely different document about some other topic now"
+    docs = _docs(
+        spark,
+        [(i, dup) for i in range(1, 8)]
+        + [(i, other) for i in range(8, 12)]
+        + [(12, "unique single text standing alone quietly")],
+    )
+    exact = sorted(
+        tuple(r)
+        for r in D.near_dup_clusters(
+            docs, n=3, threshold=0.5, candidates="exact"
+        ).collect()
+    )
+    lsh = sorted(
+        tuple(r)
+        for r in D.near_dup_clusters(
+            docs, n=3, threshold=0.5, candidates="lsh"
+        ).collect()
+    )
+    assert exact == lsh
+    assert exact[0] == (1, 1) and exact[6] == (7, 1)
+    assert exact[7] == (8, 8) and exact[10] == (11, 8)
+    assert exact[11] == (12, 12)
+
+
+def test_cluster_star_edges_match_full_expansion(spark):
+    # the clone star-edge shortcut must give the same components as the
+    # quadratic all-pairs expansion (which ngram_jaccard_pairs emits)
+    dup = "the same exact sentence repeated for duplication purposes here"
+    docs = _docs(
+        spark,
+        [(i, dup) for i in range(1, 6)]
+        + [(6, dup + " with a small tail"), (7, "nothing in common at all")]
+        + [(8, ""), (9, "")],  # byte-identical empties must NOT cluster
+    )
+    got = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in D.near_dup_clusters(docs, n=3, threshold=0.5).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 7)} | {(7, 7), (8, 8), (9, 9)}

@@ -127,3 +127,38 @@ def test_shard_sink_membership_stable(spark):
     m1 = {r["doc_id"]: r["shard"] for r in spark.read.parquet(out).collect()}
     m2 = {r["doc_id"]: r["shard"] for r in spark.read.parquet(out2).collect()}
     assert m1 == m2
+
+
+def test_letter_sink_parquet_mode_matches_txt(spark):
+    """Cluster-mode parquet output must carry exactly the txt contract's
+    content: same lines per letter, order reconstructible by (df desc,
+    word asc)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_spark.operators.inverted_index import inverted_index
+    from mapreduceindex_spark.sinks.letter_sink import write_letter_files
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana zebra"),
+            (2, "apple cherry"),
+            (3, "banana apple dates"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = inverted_index(docs)
+    txt_dir = tempfile.mkdtemp(prefix="letters_txt_")
+    pq_dir = tempfile.mkdtemp(prefix="letters_pq_")
+    write_letter_files(idx, txt_dir)
+    write_letter_files(idx, pq_dir, materialize="parquet")
+    back = spark.read.parquet(pq_dir)
+    for ch in "abcdz":
+        with open(os.path.join(txt_dir, f"{ch}.txt")) as fh:
+            want = [ln.rstrip("\n") for ln in fh if ln.strip()]
+        got = [
+            r["line"]
+            for r in back.filter(F.col("letter") == ch)
+            .orderBy(F.col("df").desc(), F.col("word").asc())
+            .collect()
+        ]
+        assert got == want, ch
