@@ -151,6 +151,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_big_order_customers": lambda s, d: R.big_order_customers(
             _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
+        "q6_forecast_revenue": lambda s, d: R.forecast_revenue(
+            _t(s, d, "lineitem")
+        ),
+        "q7_volume_shipping": lambda s, d: R.volume_shipping(
+            _t(s, d, "supplier"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "orders"),
+            _t(s, d, "customer"),
+            _t(s, d, "nation"),
+        ),
+        "q8_market_share": lambda s, d: R.market_share(
+            _t(s, d, "region"),
+            _t(s, d, "nation"),
+            _t(s, d, "customer"),
+            _t(s, d, "supplier"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "part"),
+        ),
+        "q9_product_profit": lambda s, d: R.product_profit(
+            _t(s, d, "nation"),
+            _t(s, d, "supplier"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "part"),
+        ),
+        "q10_returned_items": lambda s, d: R.returned_items(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "nation"),
+        ),
+        "q13_order_count_distribution": lambda s, d: R.order_count_distribution(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "q14_promo_revenue": lambda s, d: R.promo_revenue(
+            _t(s, d, "part"), _t(s, d, "lineitem")
+        ),
+        "q15_top_supplier": lambda s, d: R.top_supplier(
+            _t(s, d, "supplier"), _t(s, d, "lineitem")
+        ),
+        "q19_disjunctive_revenue": lambda s, d: R.disjunctive_revenue(
+            _t(s, d, "part"), _t(s, d, "lineitem")
+        ),
+        "q22_idle_customers": lambda s, d: R.idle_customers(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation")
+        ),
+        "customer_running_revenue": lambda s, d: R.customer_running_revenue(
+            _t(s, d, "orders")
+        ),
         # event-time operators
         "events_tumbling": lambda s, d: E.tumbling_counts(_t(s, d, "events")),
         "events_sliding": lambda s, d: E.sliding_counts(_t(s, d, "events")),
@@ -217,6 +267,23 @@ def _shingles_sql(ws: str, n: int = 3) -> str:
 def _hash60_sql(x: str) -> str:
     """Portable 60-bit hash — mirrors functions.text.stable_hash64."""
     return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+#: exact discounted-revenue expression — the SQL twin of relational._revenue
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(15,2)) "
+    "* (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+def _avg4_sql(c: str) -> str:
+    """Integer-cents 4-dp average — the SQL twin of functions.exact.avg4."""
+    s4 = f"(sum(CAST(round({c} * 100, 0) AS BIGINT)) * 100)"
+    n = "count(*)"
+    return (
+        f"CAST(CASE WHEN {s4} >= 0 THEN ({s4}*2 + {n}) // ({n}*2) "
+        f"ELSE -(((-{s4})*2 + {n}) // ({n}*2)) END AS DOUBLE) / 10000.0"
+    )
 
 
 _INVERTED_INDEX_SQL = f"""
@@ -815,6 +882,145 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
             FROM orders
             JOIN big ON o_orderkey = l_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                             * CAST(l_discount AS DECIMAL(3,2))), 2)::DOUBLE
+                     AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+                   round(sum({_REV}), 2)::DOUBLE AS volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+              AND n2.n_name IN ('NATION_3', 'NATION_7')
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": f"""
+            SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+                   round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                  THEN {_REV}
+                                  ELSE CAST(0 AS DECIMAL(20,4)) END)::DOUBLE
+                         / sum({_REV})::DOUBLE, 6) AS mkt_share,
+                   round(sum({_REV}), 2)::DOUBLE AS total_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+            GROUP BY 1
+        """,
+        "q9_product_profit": f"""
+            SELECT n_name AS nation,
+                   EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+                   round(sum({_REV}), 2)::DOUBLE AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, n_name,
+                   round(sum({_REV}), 2)::DOUBLE AS revenue,
+                   round(max(c_acctbal), 2) AS c_acctbal
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q13_order_count_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q14_promo_revenue": f"""
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN {_REV}
+                                          ELSE CAST(0 AS DECIMAL(20,4)) END)::DOUBLE
+                         / sum({_REV})::DOUBLE, 6) AS promo_pct,
+                   round(sum({_REV}), 2)::DOUBLE AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum({_REV}), 2)::DOUBLE AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT round(sum({_REV}), 2)::DOUBLE AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q22_idle_customers": f"""
+            WITH avg_bal AS (
+              SELECT {_avg4_sql('c_acctbal')} AS a
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT n_name,
+                   count(*)::BIGINT AS n_custs,
+                   round(sum(CAST(c_acctbal AS DECIMAL(15,2))), 2)::DOUBLE
+                     AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (SELECT a FROM avg_bal)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY n_name
+        """,
+        "customer_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   epoch(o_orderdate)::BIGINT AS order_ts,
+                   round(sum(CAST(o_totalprice AS DECIMAL(15,2)))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate ASC, o_orderkey ASC
+                               ROWS UNBOUNDED PRECEDING), 2)::DOUBLE
+                     AS running_revenue
+            FROM orders
         """,
         "events_tumbling": """
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,

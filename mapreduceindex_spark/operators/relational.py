@@ -421,3 +421,369 @@ def big_spenders_minus_mid(customer: DataFrame, orders: DataFrame) -> DataFrame:
     low = joined.filter(F.col("o_totalprice") < 50000).select("c_custkey")
     # subtract == SQL EXCEPT (distinct set semantics), matching the oracle.
     return high.subtract(low).orderBy("c_custkey")
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single-row aggregate.
+
+    Every predicate (shipdate range, discount band, quantity cap) pushes
+    into the parquet scan — the whole query is one scan fragment plus a
+    two-value partial agg; at 100 TB it is I/O-bound by construction and
+    the range predicates prune row groups via parquet min/max stats.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec2("l_extendedprice") * F.col("l_discount").cast("decimal(3,2)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume per shipment year.
+
+    Both nation filters apply to the broadcast dims BEFORE the fact join,
+    so the fact shuffle only carries rows whose supplier or customer sits
+    in one of the two nations; the (supp_nation ≠ cust_nation) pair
+    condition evaluates on the joined slice.
+    """
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nation_a, nation_b))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nation_a, nation_b))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    target_region: str = "EUROPE",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of a region's order revenue per year.
+
+    The share is a conditional-sum ratio inside one aggregate — no second
+    pass, no self-join. Sums run in exact decimal; only the final ratio is
+    floating (deterministic IEEE division of two exact values).
+    """
+    cust_region = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == target_region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("c_custkey").alias("_ck"))
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("_s_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("_sk"), "_s_nation")
+    rev = _revenue()
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == p_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("_ck"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("_sk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("_s_nation") == target_nation, rev).otherwise(
+                        F.lit(0).cast("decimal(20,4)")
+                    )
+                )
+                .cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_word: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in this schema, so profit = discounted
+    revenue): per (supplier nation, order year) profit on parts whose name
+    contains ``name_word``.
+
+    The LIKE filter shrinks part before broadcast; everything else is one
+    fact shuffle + broadcast dims.
+    """
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").contains(name_word))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+def returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-10-01",
+    date_hi: str = "1997-01-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns in a
+    quarter. Deterministic top-k via (revenue desc, custkey asc)."""
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count (including
+    the zero-order bucket via the outer join) — a groupBy of a groupBy,
+    both with map-side partial aggregation."""
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        customer.join(
+            per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .select(F.coalesce("_n", F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def promo_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-09-01",
+    date_hi: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue from PROMO parts.
+
+    Conditional-sum ratio in a single aggregate over the month's scan
+    slice (shipdate range pruned at the parquet level).
+    """
+    rev = _revenue()
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(20,4)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly revenue.
+
+    The max is a 1-row broadcast joined back against the per-supplier
+    aggregate — the standard "argmax without a window over everything"
+    formulation (no global sort, no driver collect).
+    """
+    rev_per_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("total_revenue"))
+    )
+    mx = rev_per_supp.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev_per_supp.join(
+            F.broadcast(mx), F.col("total_revenue") == F.col("_mx")
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across brand/size/quantity.
+
+    Catalyst factors the common l_partkey join and evaluates the
+    disjunction post-join; the quantity/size conjuncts are all
+    scan-pushable per branch. One row out.
+    """
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 40))
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def idle_customers(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who never ordered, per nation.
+
+    The positive-balance average is a 1-row broadcast (scalar subquery);
+    the "never ordered" test is a left-anti join. Balance sums stay in
+    exact decimal; the scalar average uses the shared integer-cents
+    formulation so the > comparison is engine-identical.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        _avg4("c_acctbal").alias("_avg")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(_dec2("c_acctbal")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def customer_running_revenue(orders: DataFrame) -> DataFrame:
+    """Analytic window: per-customer cumulative order revenue over time.
+
+    One hash partition on o_custkey + in-partition sort — the canonical
+    running-total plan; the frame sum stays in exact decimal so every
+    prefix is order-independent-exact.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_ts"),
+            F.round(F.sum(_dec2("o_totalprice")).over(w), 2)
+            .cast("double")
+            .alias("running_revenue"),
+        )
+        .orderBy("o_custkey", "order_ts", "o_orderkey")
+    )

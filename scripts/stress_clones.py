@@ -1,0 +1,73 @@
+"""Scale stress on a 10×-clone corpus (the adversarial shape for dedup:
+every shingle df inflated 10×, quadratic pair pressure inside clone
+groups). Builds 10 clones of each sf0.1 document (~50k docs) and times
+the near-dup pipeline tiers, printing one JSON line.
+
+Usage: python scripts/stress_clones.py [clone_factor]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from mapreduceindex_spark.operators import dedup as D
+from mapreduceindex_spark.session import get_spark, load_table
+
+
+def main():
+    clones = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="stress_clones")
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    n_base = docs.count()
+    cloned = (
+        docs.select(
+            "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(clones - 1))).alias("c")
+        )
+        .select(
+            (F.col("doc_id") + F.col("c") * F.lit(n_base * 10)).alias("doc_id"),
+            "text",
+        )
+    )
+    cloned.persist()
+    n = cloned.count()
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        cnt = out.count()
+        timings[name] = {"sec": round(time.time() - t0, 2), "rows": cnt}
+        spark.catalog.clearCache()
+        cloned.persist().count()
+        spark._jvm.System.gc()
+
+    timed(
+        "near_dup_clusters_exact",
+        lambda: D.near_dup_clusters(cloned, n=3, threshold=0.5, candidates="exact"),
+    )
+    timed(
+        "near_dup_clusters_lsh",
+        lambda: D.near_dup_clusters(cloned, n=3, threshold=0.5, candidates="lsh"),
+    )
+    timed(
+        "ngram_jaccard_pairs",
+        lambda: D.ngram_jaccard_pairs(cloned, n=3, threshold=0.5),
+    )
+    timed(
+        "minhash_lsh_pairs",
+        lambda: D.minhash_lsh_pairs(cloned, n=3, threshold=0.5),
+    )
+    print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
+
+
+if __name__ == "__main__":
+    main()
