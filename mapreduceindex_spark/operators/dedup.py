@@ -171,6 +171,32 @@ def ngram_jaccard_pairs(
     all-docs join (the shingle-df cap then counts *unique* contents,
     which is also the principled reading of "df").
     """
+    return _clone_collapsed_pairs(
+        documents,
+        n,
+        threshold,
+        lambda reps: _jaccard_rep_pairs(
+            reps, n, threshold, max_shingle_df, direct_join_max_df2
+        ),
+    )
+
+
+def _clone_collapsed_pairs(
+    documents: DataFrame,
+    n: int,
+    threshold: float,
+    core_fn,
+) -> DataFrame:
+    """Exact-dup pre-collapse shared by the pairwise similarity operators.
+
+    ``core_fn(rep_docs) → (doc_a, doc_b, jaccard)`` runs on one
+    representative per distinct content; byte-identical groups re-expand
+    as jaccard-1.0 intra pairs and fan out over cross-group pairs. Output
+    is identical to running the core on the full corpus for any core
+    whose verdict depends only on the shingle set: clone members carry
+    identical sets, hence identical jaccard, signatures, and LSH bands
+    (so for the banded core, a member pairs iff its rep pairs).
+    """
     groups = (
         documents.select("doc_id", F.md5("text").alias("_h"))
         .groupBy("_h")
@@ -187,18 +213,19 @@ def ngram_jaccard_pairs(
         # duplicate-free corpus: collapse/expansion would be identity —
         # run the core directly
         groups.unpersist()
-        return _jaccard_rep_pairs(
-            documents, n, threshold, max_shingle_df, direct_join_max_df2
-        ).orderBy("doc_a", "doc_b")
+        return core_fn(documents).orderBy("doc_a", "doc_b")
     rep_docs = documents.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )
-    core = _jaccard_rep_pairs(
-        rep_docs, n, threshold, max_shingle_df, direct_join_max_df2
-    )
+    core = core_fn(rep_docs)
     # shingle-bearing reps only: zero-word docs have no shingles, so the
-    # brute-force join emits no pairs for them — intra expansion must not
-    shingled = _shingle_hashes(rep_docs, n).select("doc_id").distinct()
+    # brute-force join emits no pairs for them — intra expansion must not.
+    # "has ≥1 shingle" ⟺ "has ≥1 normalized word" (the short-doc rule
+    # emits the all-words shingle), so test words directly: linear scan,
+    # no shingle window/shuffle re-run.
+    shingled = rep_docs.filter(F.size(words(F.col("text"))) > 0).select(
+        "doc_id"
+    )
     g = groups.join(
         shingled.withColumnRenamed("doc_id", "rep"), "rep", "left_semi"
     )
@@ -411,7 +438,32 @@ def minhash_lsh_pairs(
     recalled pairs (``ngram_jaccard_pairs`` additionally applies its
     ``max_shingle_df`` cap, so on corpora with >cap-df shingles the two
     can differ on those shingles' contribution).
+
+    Shares the exact-dup pre-collapse with ``ngram_jaccard_pairs``:
+    byte-identical clones have identical signatures, so they both blow up
+    the band buckets quadratically AND are provably recalled — collapsing
+    them first changes nothing in the output while removing the clone-
+    group hot buckets (measured 4× at a 10×-clone corpus).
     """
+    return _clone_collapsed_pairs(
+        documents,
+        n,
+        threshold,
+        lambda reps: _minhash_lsh_rep_pairs(
+            reps, n, num_hashes, bands, threshold
+        ),
+    )
+
+
+def _minhash_lsh_rep_pairs(
+    documents: DataFrame,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Banded-LSH candidate join + exact verification over an already
+    exact-deduped corpus — the core described in ``minhash_lsh_pairs``."""
     rows_per_band = num_hashes // bands
     # One persisted copy of the hashed pairs feeds the signature build AND
     # the verification sets — the md5+explode front end runs exactly once.
@@ -463,7 +515,6 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -543,7 +594,10 @@ def near_dup_clusters(
         )
         # zero-shingle groups (e.g. byte-identical empty docs) never pair
         # in the brute-force join, so they must not star-connect either
-        shingled = _shingle_hashes(rep_docs, n).select("doc_id").distinct()
+        # (≥1 shingle ⟺ ≥1 normalized word — linear test, no shingle pass)
+        shingled = rep_docs.filter(F.size(words(F.col("text"))) > 0).select(
+            "doc_id"
+        )
         star = (
             groups.join(
                 shingled.withColumnRenamed("doc_id", "rep"), "rep", "left_semi"

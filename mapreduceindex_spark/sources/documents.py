@@ -81,3 +81,19 @@ def documents_from_text_dir(
     )
     doc_id = F.conv(F.substring(F.md5("path"), 1, 15), 16, 10).cast("long")
     return raw.select(doc_id.alias("doc_id"), "text", "path")
+
+
+def documents_from_orc(
+    spark: SparkSession,
+    path: str,
+    id_field: str = "doc_id",
+    text_field: str = "text",
+) -> DataFrame:
+    """ORC corpus → documents. Spark's native ORC source keeps predicate
+    pushdown and column pruning (same Catalyst DataSource V2 path as
+    parquet), so ORC-resident corpora are first-class, not a conversion
+    detour."""
+    return spark.read.orc(path).select(
+        F.col(id_field).cast("long").alias("doc_id"),
+        F.col(text_field).alias("text"),
+    )

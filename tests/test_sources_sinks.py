@@ -162,3 +162,16 @@ def test_letter_sink_parquet_mode_matches_txt(spark):
             .collect()
         ]
         assert got == want, ch
+
+
+def test_orc_source_round_trip(spark):
+    from mapreduceindex_spark.sources.documents import documents_from_orc
+
+    d = tempfile.mkdtemp(prefix="src_orc_")
+    spark.createDataFrame(ROWS, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).orc(d)
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in documents_from_orc(spark, d).collect()
+    )
+    assert got == ROWS
