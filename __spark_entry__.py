@@ -91,6 +91,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": lambda s, d: C.ngram_counts(
             _t(s, d, "documents"), n=2, top_k=100
         ),
+        "deterministic_sample": lambda s, d: C.deterministic_sample(
+            _t(s, d, "documents"), pct=10
+        ),
+        "length_histogram": lambda s, d: TA.length_histogram(
+            _t(s, d, "documents")
+        ),
+        "top_words_per_source": lambda s, d: TA.top_words_per_source(
+            _t(s, d, "documents"), k=5
+        ),
         # similarity search (EXT2)
         "cosine_topk": lambda s, d: S.cosine_topk(
             _t(s, d, "embeddings"), n_queries=10, k=5
@@ -210,6 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "purchasers_without_errors": lambda s, d: E.purchasers_without_errors(
+            _t(s, d, "events")
+        ),
+        "events_range_join": lambda s, d: E.range_join_error_context(
             _t(s, d, "events")
         ),
         "asof_prior_purchase": lambda s, d: E.asof_prior_purchase(
@@ -628,6 +640,51 @@ pairs AS (
 )
 SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
 """,
+        "deterministic_sample": """
+            SELECT doc_id, text FROM documents
+            WHERE (('0x' || substr(md5(text), 1, 15))::BIGINT % 100) < 10
+        """,
+        "length_histogram": """
+            WITH b AS (
+              SELECT CASE WHEN length(text) <= 0 THEN -1
+                          ELSE length(bin(length(text)::BIGINT)) - 1
+                     END::BIGINT AS log2_bucket,
+                     length(text) AS n
+              FROM documents
+            )
+            SELECT log2_bucket, count(*)::BIGINT AS n_docs,
+                   min(n)::BIGINT AS min_chars, max(n)::BIGINT AS max_chars
+            FROM b GROUP BY log2_bucket
+        """,
+        "top_words_per_source": f"""
+            WITH toks AS (
+              SELECT source, u.word
+              FROM documents, unnest({ws}) AS u(word)
+            ), counts AS (
+              SELECT source, word, count(*)::BIGINT AS n
+              FROM toks GROUP BY source, word
+            )
+            SELECT source, word, n,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY n DESC, word ASC)::BIGINT AS rk
+            FROM counts
+            QUALIFY rk <= 5
+        """,
+        "events_range_join": """
+            WITH p AS (
+              SELECT user_id, event_id AS purchase_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_sec
+              FROM events WHERE event_type = 'purchase'
+            ), e AS (
+              SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e_sec
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT p.user_id, purchase_id, p_sec,
+                   count(e.e_sec)::BIGINT AS n_errors_nearby
+            FROM p LEFT JOIN e
+              ON e.user_id = p.user_id AND abs(e.e_sec - p.p_sec) <= 600
+            GROUP BY p.user_id, purchase_id, p_sec
+        """,
         "split_by_hash": """
             WITH b AS (
               SELECT doc_id,

@@ -96,3 +96,30 @@ def ngram_counts(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(top_k)
     )
+
+
+def deterministic_sample(
+    documents: DataFrame, pct: int = 10, by: str = "text"
+) -> DataFrame:
+    """Deterministic corpus sample: keep rows whose portable content hash
+    lands under ``pct`` of the 100-bucket space.
+
+    Unlike ``DataFrame.sample`` (seeded per-partition RNG — resample
+    changes with partitioning), hash sampling is a pure row function:
+    stable across runs, engines, partitionings, AND monotone in ``pct``
+    (a 10% sample is a subset of the 20% sample — the property that lets
+    a pipeline scale its subsample up without re-drawing). ``by="text"``
+    keys on content so exact duplicates sample together;
+    ``by="doc_id"`` keys on identity.
+    """
+    key = (
+        stable_hash64("text")
+        if by == "text"
+        else stable_hash64(F.col("doc_id").cast("string"))
+    )
+    return (
+        documents.select("doc_id", "text", (key % 100).alias("_b"))
+        .filter(F.col("_b") < pct)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )

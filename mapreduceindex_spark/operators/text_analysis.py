@@ -249,3 +249,58 @@ def tf_idf(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id", "word")
     )
+
+
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Corpus length distribution in power-of-two character buckets.
+
+    The standard first look at a crawl: bucket = floor(log2(len)) with
+    empty docs in bucket -1. Pure integer arithmetic (no float log —
+    ``bit_length`` via string length of the binary representation is
+    engine-portable and exact at bucket boundaries, where float log2 of
+    4096 can land on 11.999999…).
+    """
+    n = F.length("text")
+    # floor(log2(n)) for n ≥ 1 == bit_length(n) - 1; DuckDB's bit_length
+    # differs, so both engines use length(to-binary-string) - 1.
+    bucket = (
+        F.when(n <= 0, F.lit(-1))
+        .otherwise(F.length(F.conv(n.cast("string"), 10, 2)) - 1)
+        .cast("long")
+    )
+    return (
+        documents.select(bucket.alias("log2_bucket"), n.alias("_n"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_n").cast("long").alias("min_chars"),
+            F.max("_n").cast("long").alias("max_chars"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+def top_words_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Most frequent normalized words per source, deterministic top-k.
+
+    Two-level aggregation + window rank: (source, word) counts partial-
+    aggregate map-side, then one window per source ranks them — the
+    "what does each slice of the crawl look like" probe. Requires the
+    ``source`` metadata column.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        _tokens(documents, "source")
+        .filter(F.length("word") > 0)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("word").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .orderBy("source", "rk")
+    )

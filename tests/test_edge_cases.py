@@ -205,3 +205,46 @@ def test_cluster_star_edges_match_full_expansion(spark):
         for r in D.near_dup_clusters(docs, n=3, threshold=0.5).collect()
     }
     assert got == {(i, 1) for i in range(1, 7)} | {(7, 7), (8, 8), (9, 9)}
+
+
+def test_deterministic_sample_monotone_and_stable(spark):
+    from mapreduceindex_spark.operators.corpus import deterministic_sample
+
+    docs = _docs(spark, [(i, f"document number {i} body text") for i in range(200)])
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, 10).collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(docs, 20).collect()}
+    s10b = {r["doc_id"] for r in deterministic_sample(docs.repartition(7), 10).collect()}
+    assert s10 <= s20  # monotone: scaling the sample up never re-draws
+    assert s10 == s10b  # partitioning-independent
+    assert 0 < len(s10) < 200
+
+
+def test_range_join_counts_nearby_errors(spark):
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_spark.operators.events import range_join_error_context
+
+    base = 1_700_000_000
+    rows = [
+        # user 1: purchase with errors at -599s, +600s (both in), +601s (out)
+        (1, 1, base, "purchase"),
+        (2, 1, base - 599, "error"),
+        (3, 1, base + 600, "error"),
+        (4, 1, base + 601, "error"),
+        # user 2: purchase with no errors; user 1's errors must not leak
+        (5, 2, base, "purchase"),
+        # user 1: second purchase far away, near one error only
+        (6, 1, base + 10_000, "purchase"),
+        (7, 1, base + 10_300, "error"),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "user_id", "epoch", "event_type"]
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds("epoch").alias("ts"), "event_type",
+    )
+    got = {
+        (r["user_id"], r["purchase_id"]): r["n_errors_nearby"]
+        for r in range_join_error_context(events, window_sec=600).collect()
+    }
+    assert got == {(1, 1): 2, (2, 5): 0, (1, 6): 1}

@@ -76,9 +76,11 @@ def test_default_plan_has_no_allpairs_stage(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    # the exact tier's markers must be absent from the default plan:
-    # no Python block-pair kernel, no all-block-pairs fan-out, and no
-    # cartesian anything — candidates come from an equi-join on bucket
-    assert "FlatMapGroupsInPandas" not in plan
+    # the exact tier's scale-killer must be absent from the default plan:
+    # no cartesian/nested-loop stage and no all-block-pairs fan-out (the
+    # exact tier's sequence(0, n_blocks-1) explode) — work is grouped by
+    # the LSH bucket key instead
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "sequence(" not in plan
+    assert "hashpartitioning(bucket" in plan
