@@ -210,6 +210,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_revenue": lambda s, d: R.customer_running_revenue(
             _t(s, d, "orders")
         ),
+        "q2_min_cost_supplier": lambda s, d: R.min_cost_supplier(
+            _t(s, d, "region"),
+            _t(s, d, "nation"),
+            _t(s, d, "supplier"),
+            _t(s, d, "part"),
+            _t(s, d, "lineitem"),
+        ),
+        "q11_important_stock": lambda s, d: R.important_stock(
+            _t(s, d, "region"),
+            _t(s, d, "nation"),
+            _t(s, d, "supplier"),
+            _t(s, d, "lineitem"),
+        ),
+        "q12_delay_priority": lambda s, d: R.shipping_delay_priority(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q16_supplier_part_counts": lambda s, d: R.supplier_part_counts(
+            _t(s, d, "supplier"), _t(s, d, "part"), _t(s, d, "lineitem")
+        ),
+        "q20_promotable_suppliers": lambda s, d: R.promotable_suppliers(
+            _t(s, d, "supplier"), _t(s, d, "part"), _t(s, d, "lineitem")
+        ),
+        "q21_waiting_suppliers": lambda s, d: R.waiting_suppliers(
+            _t(s, d, "supplier"), _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
         # event-time operators
         "events_tumbling": lambda s, d: E.tumbling_counts(_t(s, d, "events")),
         "events_sliding": lambda s, d: E.sliding_counts(_t(s, d, "events")),
@@ -1078,6 +1103,89 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
                                ROWS UNBOUNDED PRECEDING), 2)::DOUBLE
                      AS running_revenue
             FROM orders
+        """,
+        "q2_min_cost_supplier": """
+            WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            cand AS (
+              SELECT p_partkey, p_name, s_suppkey, s_name,
+                     round(s_acctbal, 2) AS s_acctbal, n_name
+              FROM supply
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE p_type = 'STANDARD' AND p_size <= 10 AND r_name = 'EUROPE')
+            SELECT * FROM cand c
+            WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                               WHERE c2.p_partkey = c.p_partkey)
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC,
+                     p_partkey ASC, s_suppkey ASC
+            LIMIT 100
+        """,
+        "q11_important_stock": """
+            WITH val AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS v
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+              GROUP BY l_partkey)
+            SELECT l_partkey, round(v, 2)::DOUBLE AS value FROM val
+            WHERE v > (SELECT sum(v) * CAST(0.001 AS DECIMAL(4,3)) FROM val)
+        """,
+        "q12_delay_priority": """
+            SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 'SLOW' ELSE 'FAST' END AS delay_bucket,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "q16_supplier_part_counts": """
+            WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM supply JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+            GROUP BY 1, 2, 3
+        """,
+        "q20_promotable_suppliers": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE '%anvil%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(15,2))) > 50)
+        """,
+        "q21_waiting_suppliers": """
+            WITH lo AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F')
+            SELECT s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+            FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.late
+              AND EXISTS (SELECT 1 FROM lo l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lo l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.late)
+            GROUP BY s_name
         """,
         "events_tumbling": """
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,

@@ -764,6 +764,309 @@ def idle_customers(
     )
 
 
+def min_cost_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    target_region: str = "EUROPE",
+    part_type: str = "STANDARD",
+    max_size: int = 10,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp here, so the supply relation is the
+    distinct (partkey, suppkey) pairs observed in lineitem and "cost" is
+    the supplier's account balance): for each qualifying part, the
+    region's supplier(s) with the minimum balance.
+
+    The per-part min is an aggregate joined back (the argmin-without-
+    window pattern, as in ``top_supplier``) — no global sort. The supply
+    pair-extraction is the only fact-table shuffle; part and the
+    region-filtered supplier dim are broadcast.
+    """
+    supply = lineitem.select("l_partkey", "l_suppkey").distinct()
+    region_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == target_region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        supply.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_type") == part_type) & (F.col("p_size") <= max_size)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("s_acctbal").alias("_mn")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("s_acctbal") == F.col("_mn")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+            F.col("s_suppkey").asc(),
+        )
+        .limit(k)
+    )
+
+
+def important_stock(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    target_region: str = "EUROPE",
+    fraction: str = "0.001",
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value from one region's suppliers,
+    kept only where it exceeds ``fraction`` of the regional total.
+
+    Two aggregates over one shuffled slice: the per-part sum, and its
+    1-row grand total re-joined as a broadcast scalar (HAVING against a
+    scalar subquery). Threshold arithmetic stays in exact decimal on both
+    engines, so the > comparison admits no float-boundary drift.
+    """
+    region_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == target_region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("s_suppkey").alias("_sk"))
+    )
+    val = (
+        lineitem.join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("_sk"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec2("l_extendedprice")).alias("_v"))
+    )
+    threshold = val.agg(
+        (F.sum("_v") * F.lit(fraction).cast("decimal(4,3)")).alias("_thr")
+    )
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("_v") > F.col("_thr"))
+        .select(
+            "l_partkey", F.round("_v", 2).cast("double").alias("value")
+        )
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def shipping_delay_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    slow_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column, so the grouping key is a
+    computed shipping-delay bucket): high- vs low-priority line counts
+    per FAST/SLOW bucket for one ship year.
+
+    One fact-fact join (lineitem ⨝ orders on orderkey) and a 2-row
+    conditional aggregate; the shipdate range prunes the scan.
+    """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {slow_days} DAYS"),
+                F.lit("SLOW"),
+            )
+            .otherwise(F.lit("FAST"))
+            .alias("delay_bucket"),
+            F.when(high, 1).otherwise(0).alias("_hi"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("_hi").cast("long").alias("high_count"),
+            F.sum(F.lit(1) - F.col("_hi")).cast("long").alias("low_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def supplier_part_counts(
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    excluded_brand: str = "Brand#1",
+    excluded_type: str = "PROMO",
+    sizes: tuple = (1, 5, 10, 15, 20, 25, 30, 35),
+    min_acctbal: float = 1000.0,
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size),
+    excluding a blacklisted supplier set (NOT IN subquery; balance below
+    ``min_acctbal`` stands in for the reference's complaint filter).
+
+    The supply relation is the distinct lineitem (partkey, suppkey)
+    pairs; the blacklist is a broadcast anti join, and the final
+    count(DISTINCT suppkey) is Catalyst's two-phase distinct aggregate
+    (partial distinct map-side, exact count after one shuffle).
+    """
+    supply = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.filter(F.col("s_acctbal") < min_acctbal).select(
+        F.col("s_suppkey").alias("_bad")
+    )
+    return (
+        supply.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("_bad"), "left_anti"
+        )
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != excluded_brand)
+                    & (F.col("p_type") != excluded_type)
+                    & (F.col("p_size").isin(*sizes))
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def promotable_suppliers(
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    name_word: str = "anvil",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    min_qty: int = 50,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that moved more than ``min_qty`` units
+    of some ``name_word`` part in the year (nested-aggregate IN
+    subquery → semi join).
+
+    The inner aggregate groups by (suppkey, partkey) — its HAVING
+    survivor set is tiny, so the supplier probe is a broadcast semi
+    join; quantity sums run in exact decimal.
+    """
+    qualifying = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_name").contains(name_word))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec2("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > min_qty)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finished orders (EXISTS + NOT EXISTS, both correlated).
+
+    Instead of two correlated self-joins (three passes over lineitem),
+    the double-EXISTS is computed from ONE per-order aggregate:
+    n_suppliers ≥ 2 ⇔ "another supplier exists", n_late_suppliers = 1 ∧
+    this row late ⇔ "no OTHER supplier was late". One fact shuffle on
+    orderkey, then a key-preserving join back — the formulation that
+    survives 100 TB, where a triple self-join of lineitem would not.
+    """
+    lo = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "_n_late"
+        ),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    )
+
+
 def customer_running_revenue(orders: DataFrame) -> DataFrame:
     """Analytic window: per-customer cumulative order revenue over time.
 
