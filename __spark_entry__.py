@@ -25,6 +25,7 @@ from mapreduceindex_spark.operators import events as E
 from mapreduceindex_spark.operators import multimodal as M
 from mapreduceindex_spark.operators import relational as R
 from mapreduceindex_spark.operators import similarity as S
+from mapreduceindex_spark.operators import sketches as SK
 from mapreduceindex_spark.operators import text_analysis as TA
 from mapreduceindex_spark.operators import inverted_index as II
 from mapreduceindex_spark.operators.inverted_index import (
@@ -93,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "deterministic_sample": lambda s, d: C.deterministic_sample(
             _t(s, d, "documents"), pct=10
+        ),
+        "training_corpus": lambda s, d: C.training_corpus(
+            _t(s, d, "documents")
         ),
         "length_histogram": lambda s, d: TA.length_histogram(
             _t(s, d, "documents")
@@ -235,6 +239,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": lambda s, d: R.waiting_suppliers(
             _t(s, d, "supplier"), _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
+        # deterministic sketches + distributed exact quantiles
+        "kmv_distinct_tokens": lambda s, d: SK.kmv_distinct_tokens(
+            _t(s, d, "documents")
+        ),
+        "kmv_distinct_users": lambda s, d: SK.kmv_distinct_users(
+            _t(s, d, "events")
+        ),
+        "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
         "events_tumbling": lambda s, d: E.tumbling_counts(_t(s, d, "events")),
         "events_sliding": lambda s, d: E.sliding_counts(_t(s, d, "events")),
@@ -525,6 +537,16 @@ QUALIFY rank <= {k}
 """
 
 
+def _pii_total_sql() -> str:
+    """Sum of per-pattern PII match counts — twin of corpus.training_corpus
+    (patterns imported, not re-typed, so the two sides cannot drift)."""
+    from mapreduceindex_spark.operators.corpus import PII_PATTERNS
+
+    return " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{w}'" for w in TA.EN_STOPWORDS)
     ws = _words_sql()
@@ -739,6 +761,22 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
                   '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g')
                 AS scrubbed_text
             FROM documents
+        """,
+        "training_corpus": f"""
+            WITH keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ), base AS (
+              SELECT d.doc_id,
+                     len({ws})::BIGINT AS n_words,
+                     ({_pii_total_sql()})::BIGINT AS n_pii,
+                     ({_hash60_sql('text')} % 100) AS bucket
+              FROM documents d JOIN keep USING (doc_id))
+            SELECT doc_id,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   n_words, n_pii
+            FROM base WHERE n_words >= 5
         """,
         "bigram_counts": f"""
             WITH ws AS (
@@ -1186,6 +1224,55 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.late)
             GROUP BY s_name
+        """,
+        "kmv_distinct_tokens": f"""
+            WITH hashes AS (
+              SELECT DISTINCT
+                     (('0x' || substr(md5(t.word), 1, 15))::BIGINT) AS h
+              FROM documents, unnest({ws}) AS t(word)),
+            mins AS (SELECT h FROM hashes ORDER BY h LIMIT 256)
+            SELECT 256::BIGINT AS k,
+                   count(*)::BIGINT AS n_mins,
+                   max(h)::BIGINT AS kth_min,
+                   round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                              ELSE 255.0 * pow(2.0, 60) / max(h)::DOUBLE END,
+                         4) AS est_distinct
+            FROM mins
+        """,
+        "kmv_distinct_users": """
+            WITH pairs AS (
+              SELECT DISTINCT event_type,
+                     (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT)
+                       AS h
+              FROM events),
+            mins AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rn
+              FROM pairs)
+            SELECT event_type,
+                   32::BIGINT AS k,
+                   count(*)::BIGINT AS n_mins,
+                   max(h)::BIGINT AS kth_min,
+                   round(CASE WHEN count(*) < 32 THEN count(*)::DOUBLE
+                              ELSE 31.0 * pow(2.0, 60) / max(h)::DOUBLE END,
+                         4) AS est_users
+            FROM mins WHERE rn <= 32
+            GROUP BY event_type
+        """,
+        "price_quantiles": """
+            WITH ranked AS (
+              SELECT o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS rn,
+                     count(*) OVER () AS n
+              FROM orders)
+            SELECT CAST(p AS DOUBLE) AS p,
+                   round(o_totalprice, 2) AS value
+            FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) AS q(p)
+            JOIN ranked
+              ON rn = CAST(ceiling(CAST(p AS DOUBLE) * n) AS BIGINT)
+            ORDER BY p
         """,
         "events_tumbling": """
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,

@@ -98,6 +98,55 @@ def ngram_counts(
     )
 
 
+def training_corpus(
+    documents: DataFrame,
+    min_words: int = 5,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """End-to-end training-data preparation in one declarative plan:
+    exact dedup (keep the lowest doc_id per byte-identical text) →
+    quality gate (≥ ``min_words`` normalized words) → PII audit counts →
+    deterministic content-hash train/valid/test split.
+
+    The point of composing it as ONE DataFrame is that Catalyst fuses
+    the stages: the md5 dedup shuffle is the only exchange — the word
+    count, PII counts, and split bucket are all projections stacked on
+    the dedup output, evaluated in a single codegen'd pass. A pipeline
+    that materialized each stage would scan the corpus four times; this
+    scans it once (plus the dedup aggregate's own pass).
+
+    Output: (doc_id, split, n_words, n_pii), one row per surviving doc.
+    """
+    with_h = documents.select("doc_id", "text", F.md5("text").alias("_h"))
+    firsts = with_h.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    kept = with_h.join(firsts, "_h").filter(F.col("doc_id") == F.col("_keep"))
+    n_pii = sum(
+        (F.regexp_count("text", F.lit(pat)) for _, pat, _ in PII_PATTERNS),
+        F.lit(0),
+    )
+    bucket = stable_hash64("text") % 100
+    return (
+        kept.select(
+            "doc_id",
+            F.size(words(F.col("text"))).cast("long").alias("n_words"),
+            n_pii.cast("long").alias("n_pii"),
+            bucket.alias("_b"),
+        )
+        .filter(F.col("n_words") >= min_words)
+        .select(
+            "doc_id",
+            F.when(F.col("_b") < train_pct, "train")
+            .when(F.col("_b") < train_pct + valid_pct, "valid")
+            .otherwise("test")
+            .alias("split"),
+            "n_words",
+            "n_pii",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def deterministic_sample(
     documents: DataFrame, pct: int = 10, by: str = "text"
 ) -> DataFrame:

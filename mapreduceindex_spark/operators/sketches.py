@@ -1,0 +1,182 @@
+"""Sketch operators: cardinality estimation and exact distributed quantiles.
+
+The scale problem these solve: at 100 TB, ``count(DISTINCT x)`` and exact
+percentiles are the two aggregates that stop being "just a shuffle" —
+distinct needs a full dedup pass, percentiles a global sort. The standard
+engine answers (HyperLogLog, t-digest/GK) are approximate AND
+engine-specific, so their outputs can't be cross-checked against another
+engine. These operators use deterministic formulations instead:
+
+- **KMV (k-minimum-values) sketch** for distinct counts: hash every value
+  with the portable 60-bit md5 hash (``stable_hash64``), keep the k
+  smallest distinct hashes, estimate N ≈ (k-1)·2^60 / kth_min. Same
+  accuracy class as HLL (relative error ~1/sqrt(k)), but the sketch
+  content is a pure function of the data — the DuckDB oracle reproduces
+  it bit-for-bit, which no engine-native HLL allows. At cluster scale the
+  k-smallest pass is a per-partition top-k (TakeOrdered) — no full
+  shuffle, driver traffic is k values per partition.
+- **Two-phase exact quantiles**: a bucket histogram (one map-side-combined
+  aggregate, bounded output) locates each target rank's bucket and local
+  offset; a second pass sorts ONLY within the few hit buckets
+  (window partitioned by bucket — never a single-task global window).
+  This is the distributed exact-percentile algorithm; the only driver
+  materialization is the bounded histogram.
+
+SURVEY.md §2 EXT-adjacent (training-pipeline statistics surface); no
+reference-file citation — the reference has no sketch/quantile surface
+(SURVEY §2 "operators the reference does NOT have").
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduceindex_spark.functions.text import stable_hash64, token_rows
+
+#: hash space size of stable_hash64 (60-bit), as an exact double
+_HASH_SPACE = float(2**60)
+
+
+def kmv_distinct_tokens(documents: DataFrame, k: int = 256) -> DataFrame:
+    """Global KMV distinct-count sketch over the corpus vocabulary.
+
+    One row out: (k, n_mins, kth_min, est_distinct). When the true
+    distinct count is below k the sketch is exhaustive and the estimate
+    is exact; otherwise est = (k-1)·2^60/kth_min (the classic KMV
+    estimator — kth_min/2^60 estimates the fraction of hash space that
+    k distinct values span).
+
+    Plan: tokenize → distinct word (one shuffle, map-side partial) →
+    hash → TakeOrdered(k) → 1-row aggregate. The distinct-word shuffle
+    is the same one the flagship index already pays; everything after it
+    is O(k).
+    """
+    mins = (
+        token_rows(documents)
+        .filter(F.length("word") > 0)
+        .select("word")
+        .distinct()
+        .select(stable_hash64("word").alias("u"))
+        .orderBy("u")
+        .limit(k)
+    )
+    return mins.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_mins"),
+        F.max("u").alias("kth_min"),
+        F.round(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.max("u").cast("double")
+            ),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+def kmv_distinct_users(events: DataFrame, k: int = 32) -> DataFrame:
+    """Grouped KMV sketch: estimated distinct users per event type.
+
+    The grouped variant can't use TakeOrdered (that's global), so the
+    k-smallest-per-group is a row_number window over the *distinct*
+    (type, user-hash) pairs — the window sorts each group's distinct
+    hashes only, spillable and skew-bounded, never a global sort. This
+    is the shape a per-key HLL rollup takes at 100 TB: dedup shuffle,
+    then O(group · k) state.
+    """
+    pairs = (
+        events.select(
+            "event_type",
+            stable_hash64(F.col("user_id").cast("string")).alias("u"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    mins = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        mins.groupBy("event_type")
+        .agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count(F.lit(1)).alias("n_mins"),
+            F.max("u").alias("kth_min"),
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+                ).otherwise(
+                    F.lit(float(k - 1))
+                    * F.lit(_HASH_SPACE)
+                    / F.max("u").cast("double")
+                ),
+                4,
+            ).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def price_quantiles(
+    orders: DataFrame,
+    ps: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+    bucket_width: float = 1000.0,
+) -> DataFrame:
+    """Exact order-price percentiles (percentile_disc semantics: the value
+    at 1-based rank ceil(p·n) under (price, orderkey) ascending order),
+    computed distributed in two passes.
+
+    Pass 1 aggregates a bucket histogram (floor(price/width) → count) —
+    output is bounded by the price range over the width (hundreds of
+    rows), the only thing collected to the driver. The cumulative scan
+    over it maps each target rank to (bucket, local_rank). Pass 2 windows
+    ONLY the hit buckets, partitioned by bucket — the per-bucket sort
+    touches ~1/width of the data and parallelizes across buckets. No
+    global single-partition window anywhere.
+
+    percentile_disc (pick, not interpolate) is chosen because picked
+    values are engine-exact; interpolation arithmetic is too, but pick
+    semantics also survive decimal/float type differences.
+    """
+    bucketed = orders.select(
+        F.floor(F.col("o_totalprice") / bucket_width).alias("bucket"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    hist = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+        .collect()  # bounded: price-range/bucket_width rows (see docstring)
+    )
+    n = sum(r["cnt"] for r in hist)
+    if n == 0:
+        spark = orders.sparkSession
+        return spark.createDataFrame([], "p double, value double")
+    targets = []  # (bucket, local_rank, p)
+    for p in ps:
+        r = min(max(int(math.ceil(p * n)), 1), n)
+        cum = 0
+        for row in hist:
+            if cum + row["cnt"] >= r:
+                targets.append((row["bucket"], r - cum, float(p)))
+                break
+            cum += row["cnt"]
+    spark = orders.sparkSession
+    tdf = spark.createDataFrame(
+        targets, "bucket long, local_rank int, p double"
+    )
+    hit_buckets = sorted({t[0] for t in targets})
+    w = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        bucketed.filter(F.col("bucket").isin(hit_buckets))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.join(
+            F.broadcast(tdf),
+            (ranked["bucket"] == tdf["bucket"]) & (ranked["rn"] == tdf["local_rank"]),
+        )
+        .select("p", F.round("o_totalprice", 2).alias("value"))
+        .orderBy("p")
+    )
