@@ -175,15 +175,63 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def revenue_rollup(lineitem: DataFrame) -> DataFrame:
-    """ROLLUP (returnflag, linestatus): hierarchical subtotals + grand total."""
-    return (
-        lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+def _grouping_sets_from_base(
+    lineitem: DataFrame, sets: tuple[tuple[str, ...], ...]
+) -> DataFrame:
+    """Grouping sets via pre-aggregate-then-re-aggregate, not Expand.
+
+    Spark's native cube/rollup physical plan Expands every input row once per
+    grouping set BEFORE the partial aggregate — a 3-4× multiplier on the
+    fact-scan row count, which at 100 TB is 3-4× the shuffle-write of the
+    plain aggregate. Because the measures here (decimal SUM, COUNT) are
+    associative, every coarser grouping set is derivable from the finest
+    one: aggregate to (returnflag, linestatus) first (6 rows), persist,
+    and re-aggregate that 6-row base per set. One full-width aggregate +
+    O(groups) post-work instead of an Expand×N pipeline. Output is
+    bit-identical (exact decimal is reorder-proof — the property the
+    module docstring establishes).
+    """
+    base = (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(_revenue()).alias("_r"), F.count(F.lit(1)).alias("_n"))
+        .persist()
+    )
+    base.count()  # materialize once; branches below reuse the cached rows
+    branches = []
+    for keys in sets:
+        gb = base.groupBy(*keys) if keys else base.groupBy()
+        agg = gb.agg(F.sum("_r").alias("_r2"), F.sum("_n").alias("_n2"))
+        branches.append(
+            agg.select(
+                *[
+                    F.col(k).alias(k)
+                    if k in keys
+                    else F.lit(None).cast("string").alias(k)
+                    for k in ("l_returnflag", "l_linestatus")
+                ],
+                F.round("_r2", 2).cast("double").alias("revenue"),
+                F.col("_n2").cast("long").alias("n_items"),
+            )
         )
-        .orderBy("l_returnflag", "l_linestatus")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("l_returnflag", "l_linestatus")
+
+
+def revenue_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): hierarchical subtotals + grand total.
+
+    Computed by re-aggregating the finest-level base instead of
+    Catalyst's Expand plan — see ``_grouping_sets_from_base``.
+    """
+    return _grouping_sets_from_base(
+        lineitem,
+        (
+            ("l_returnflag", "l_linestatus"),
+            ("l_returnflag",),
+            (),
+        ),
     )
 
 
@@ -362,16 +410,18 @@ def monthly_revenue_trend(orders: DataFrame) -> DataFrame:
 def revenue_cube(lineitem: DataFrame) -> DataFrame:
     """CUBE (returnflag, linestatus): all 2^2 grouping combinations.
 
-    Distinct from ROLLUP (which emits only the hierarchy prefixes) —
-    exercises Catalyst's Expand-based grouping-sets machinery.
+    Distinct from ROLLUP (which emits only the hierarchy prefixes).
+    Computed by re-aggregating the finest-level base instead of
+    Catalyst's Expand×4 plan — see ``_grouping_sets_from_base``.
     """
-    return (
-        lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    return _grouping_sets_from_base(
+        lineitem,
+        (
+            ("l_returnflag", "l_linestatus"),
+            ("l_returnflag",),
+            ("l_linestatus",),
+            (),
+        ),
     )
 
 

@@ -87,3 +87,14 @@ def test_no_python_in_relational_hot_path(spark):
         plan = _plan(q)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan, f"{marker} found in relational plan"
+
+
+def test_grouping_sets_avoid_expand(spark):
+    """cube/rollup must NOT use Catalyst's Expand (input×N row multiplier);
+    the pre-aggregate-then-re-aggregate rewrite keeps one full-width pass."""
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    for df in (R.revenue_rollup(lineitem), R.revenue_cube(lineitem)):
+        plan = _plan(df)
+        assert "Expand" not in plan, plan
+        # the fact-width aggregate (the 6-row base) is cached and reused
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
