@@ -135,7 +135,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 1000,
-    direct_join_max_df2: int = 50_000_000,
+    direct_join_max_df2: int = 1_000_000,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity ≥ threshold. Output:
     (doc_a, doc_b, jaccard), a < b.
@@ -282,37 +282,41 @@ def _jaccard_rep_pairs(
     if pressure <= direct_join_max_df2:
         # direct tier: count-based intersection — the groupBy-count of the
         # self-join rows beats collect_set + array_intersect while the
-        # join output is modest (measured ~1.5× at sf0.1)
+        # join output is modest (measured ~1.5× at sf0.1). Doc sizes ride
+        # along on both join sides so the length filter
+        # (min(|A|,|B|) ≥ t·max — necessary for J ≥ t) drops incompatible
+        # pairs BEFORE the pair aggregate sees them.
         pairs = capped.select("doc_id", "sh")
         sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        a = pairs.select(F.col("doc_id").alias("doc_a"), "sh")
-        b = pairs.select(F.col("doc_id").alias("doc_b"), "sh")
+        a = pairs.join(F.broadcast(sizes), "doc_id").select(
+            F.col("doc_id").alias("doc_a"), "sh", F.col("n_sh").alias("n_a")
+        )
+        b = pairs.join(F.broadcast(sizes), "doc_id").select(
+            F.col("doc_id").alias("doc_b"), "sh", F.col("n_sh").alias("n_b")
+        )
         inter = (
             a.join(b, "sh")
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        sa = sizes.select(
-            F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-        )
-        sb = sizes.select(
-            F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-        )
-        return (
-            inter.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(
-                    F.col("n_common").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                    6,
-                ).alias("jaccard"),
+            .filter(
+                F.least("n_a", "n_b")
+                >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
             )
-            .filter(F.col("jaccard") >= threshold)
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.min("n_a").alias("n_a"),
+                F.min("n_b").alias("n_b"),
+            )
         )
+        return inter.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
     from pyspark.sql.window import Window
 
     by_doc = Window.partitionBy("doc_id")
