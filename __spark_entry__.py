@@ -214,6 +214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_revenue": lambda s, d: R.customer_running_revenue(
             _t(s, d, "orders")
         ),
+        "order_gaps": lambda s, d: R.order_gaps(_t(s, d, "orders")),
+        "customer_spend_quartiles": lambda s, d: R.customer_spend_quartiles(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "nation_revenue_share": lambda s, d: R.nation_revenue_share(
+            _t(s, d, "customer"), _t(s, d, "orders"), _t(s, d, "nation")
+        ),
         "q2_min_cost_supplier": lambda s, d: R.min_cost_supplier(
             _t(s, d, "region"),
             _t(s, d, "nation"),
@@ -1141,6 +1148,43 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
                                ROWS UNBOUNDED PRECEDING), 2)::DOUBLE
                      AS running_revenue
             FROM orders
+        """,
+        "order_gaps": """
+            SELECT o_custkey, o_orderkey,
+                   date_diff('day',
+                             lag(o_orderdate) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate ASC, o_orderkey ASC),
+                             o_orderdate)::BIGINT AS gap_days
+            FROM orders
+        """,
+        "customer_spend_quartiles": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     sum(CAST(o_totalprice AS DECIMAL(15,2))) AS t
+              FROM orders GROUP BY o_custkey),
+            base AS (
+              SELECT c_custkey,
+                     round(coalesce(t, 0), 2)::DOUBLE AS total_spent
+              FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey)
+            SELECT c_custkey, total_spent,
+                   ntile(4) OVER (ORDER BY total_spent DESC, c_custkey ASC)
+                     ::BIGINT AS quartile
+            FROM base
+        """,
+        "nation_revenue_share": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     sum(CAST(o_totalprice AS DECIMAL(15,2))) AS t
+              FROM orders GROUP BY o_custkey)
+            SELECT c_custkey, n_name,
+                   round(t, 2)::DOUBLE AS total_spent,
+                   round(t::DOUBLE /
+                         (sum(t) OVER (PARTITION BY n_name))::DOUBLE,
+                         6) AS nation_share
+            FROM customer
+            JOIN per_cust ON c_custkey = o_custkey
+            JOIN nation ON c_nationkey = n_nationkey
         """,
         "q2_min_cost_supplier": """
             WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

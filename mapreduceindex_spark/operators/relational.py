@@ -1117,6 +1117,91 @@ def waiting_suppliers(
     )
 
 
+def order_gaps(orders: DataFrame) -> DataFrame:
+    """Analytic LAG: days since the same customer's previous order
+    (null for a customer's first order).
+
+    One hash partition on o_custkey + in-partition sort — the same
+    single-shuffle shape as ``customer_running_revenue``; day arithmetic
+    is integer (timestamps are date-resolution), so engine-identical.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def customer_spend_quartiles(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Analytic NTILE: customers bucketed into spend quartiles.
+
+    Total spend aggregates per customer first (dim-size input to the
+    window), then ntile(4) over (spend desc, custkey asc) — the unique
+    key tie-break makes bucket boundaries deterministic, so the same
+    customer lands in the same quartile on any engine or partitioning.
+    The ntile window is a single global sort of dim-cardinality rows —
+    fine for a dimension, never applied to a fact table.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec2("o_totalprice")).alias("_t")
+    )
+    base = customer.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        "c_custkey",
+        F.round(F.coalesce("_t", F.lit(0)), 2).cast("double").alias("total_spent"),
+    )
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+    return (
+        base.select(
+            "c_custkey",
+            "total_spent",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def nation_revenue_share(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Windowed ratio-to-total: each customer's share of their nation's
+    order revenue (sum over partition without collapsing rows).
+
+    Spend aggregates per customer BEFORE the window, so the partition
+    sum runs over dim-cardinality rows; shares divide two exact decimal
+    sums (deterministic IEEE division, same everywhere).
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec2("o_totalprice")).alias("_t")
+    )
+    base = (
+        customer.join(per_cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name", F.col("_t"))
+    )
+    nation_total = F.sum("_t").over(Window.partitionBy("n_name"))
+    return (
+        base.select(
+            "c_custkey",
+            "n_name",
+            F.round("_t", 2).cast("double").alias("total_spent"),
+            F.round(
+                F.col("_t").cast("double") / nation_total.cast("double"), 6
+            ).alias("nation_share"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def customer_running_revenue(orders: DataFrame) -> DataFrame:
     """Analytic window: per-customer cumulative order revenue over time.
 
