@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": lambda s, d: M.frame_sample(
             M.attach_binary_payload(_t(s, d, "documents"))
         ),
+        "media_decode_png": lambda s, d: M.decode_png_dims(
+            _t(s, d, "documents")
+        ),
     }
 
 
@@ -1462,6 +1465,21 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
                    min(octet_length(encode(text)))::BIGINT AS min_bytes,
                    max(octet_length(encode(text)))::BIGINT AS max_bytes
             FROM documents GROUP BY source
+        """,
+        "media_decode_png": """
+            -- closed form of the synth-encode-decode roundtrip in
+            -- decode_png_dims: gradient row (id%196 + x), x < width ≤ 64,
+            -- so no uint8 wraparound and the pixel sum is an arithmetic
+            -- series; a decoder unfilter bug breaks px_sum equality
+            SELECT doc_id,
+                   (4 + doc_id % 61)::BIGINT AS width,
+                   (4 + doc_id % 53)::BIGINT AS height,
+                   3::BIGINT AS channels,
+                   ((4 + doc_id % 53) * 3 *
+                      ((4 + doc_id % 61) * (doc_id % 196)
+                       + (4 + doc_id % 61) * (3 + doc_id % 61) // 2)
+                   )::BIGINT AS px_sum
+            FROM documents
         """,
         "media_features": """
             SELECT doc_id,

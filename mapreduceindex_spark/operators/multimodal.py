@@ -4,10 +4,12 @@ reference is text-only).
 
 Design: image/audio/video payloads are opaque ``binary`` columns with
 typed metadata alongside. The Spark-side machinery — schema, Arrow batch
-shape, ``mapInPandas`` signatures, partitioning — is real and tested; the
-actual codec step is STUBBED (``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``) because media libraries are
-not available in this environment. Swapping the stub for PIL/ffmpeg is a
+shape, ``mapInPandas`` signatures, partitioning — is real and tested.
+The codec is REAL for PNG and WAV (pure-stdlib decoders in
+``functions/codecs.py``: zlib+struct scanline unfiltering, RIFF/PCM);
+payloads in neither format fall back to a deterministic pseudo-dimension
+stub (``fake=True``) so text-derived fixture payloads stay
+oracle-predictable. Swapping in PIL/ffmpeg for richer formats is a
 one-function change; nothing in the distributed plan moves.
 
 Scale notes: media rows are large and variable-sized, so the operators
@@ -47,16 +49,46 @@ def attach_binary_payload(documents: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, fake: bool = False) -> dict:
-    """STUB codec. Real implementation would dispatch on MIME type to
-    PIL / torchaudio / pyav. ``fake=True`` returns deterministic
-    pseudo-dimensions derived from the byte content (for tests)."""
+    """Dispatch on magic bytes to a real decoder where one exists.
+
+    - PNG → real decode (``codecs.png_decode``): actual width/height/
+      channels from the unfiltered scanlines.
+    - WAV → real decode (``codecs.wav_decode``): ``width`` carries
+      n_frames and ``height`` n_channels so the fixed feature schema
+      holds across modalities.
+    - anything else → deterministic pseudo-dimensions when ``fake=True``
+      (fixture payloads are UTF-8 text; the oracle SQL replicates this
+      formula), else ``NotImplementedError`` naming the format.
+    """
+    from mapreduceindex_spark.functions import codecs
+
+    kind = codecs.sniff_media(payload)
+    if kind == "png":
+        arr = codecs.png_decode(payload)
+        h, w = arr.shape[:2]
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        return {"kind": "png", "width": w, "height": h, "channels": ch}
+    if kind == "wav":
+        meta = codecs.wav_decode(payload)
+        return {
+            "kind": "wav",
+            "width": meta["n_frames"],
+            "height": meta["n_channels"],
+            "channels": meta["n_channels"],
+            "sample_rate": meta["sample_rate"],
+        }
     if not fake:
         raise NotImplementedError(
-            "media codecs not available in this environment; "
-            "install PIL/ffmpeg and replace this stub"
+            f"no codec for payload with magic {payload[:4]!r}; "
+            "PNG and WAV decode natively, other formats need PIL/ffmpeg"
         )
     n = len(payload)
-    return {"width": 16 + n % 1024, "height": 16 + (n // 7) % 1024}
+    return {
+        "kind": "fake",
+        "width": 16 + n % 1024,
+        "height": 16 + (n // 7) % 1024,
+        "channels": 0,
+    }
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -154,6 +186,55 @@ def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:
         schema=(
             "doc_id bigint, frame_idx bigint, frame_offset bigint, "
             "frame_len bigint"
+        ),
+    )
+
+
+def decode_png_dims(documents: DataFrame) -> DataFrame:
+    """Real-codec proof under the oracle gate: synthesize a PNG per doc,
+    decode it back, emit features of the DECODED pixels.
+
+    Each doc gets a PNG whose dimensions and content derive from
+    ``doc_id`` alone — width ``4 + id%61``, height ``4 + id%53``, RGB
+    gradient ``(id%196 + x)`` along the row — encoded with scanline
+    filter ``id % 5``, so all five PNG filter paths (None/Sub/Up/Average/
+    Paeth) are exercised across the corpus. The emitted ``px_sum`` is
+    summed from the decoded array; a wrong unfilter produces a hash
+    mismatch against the closed-form oracle SQL:
+
+        px_sum = height * 3 * (width*(id%196) + width*(width-1)/2)
+
+    Bytes never leave the stage: synth + encode + decode happen inside
+    one ``mapInPandas`` pass and only fixed-width numerics flow onward.
+    """
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "channels": [], "px_sum": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 61, 4 + i % 53
+                row = ((i % 196) + np.arange(w)).astype(np.uint8)
+                arr = np.ascontiguousarray(
+                    np.broadcast_to(row[None, :, None], (h, w, 3))
+                )
+                data = codecs.png_encode(arr, filter_type=i % 5)
+                dec = codecs.png_decode(data)
+                out["doc_id"].append(i)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["channels"].append(dec.shape[2])
+                out["px_sum"].append(int(dec.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id").mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id bigint, width bigint, height bigint, "
+            "channels bigint, px_sum bigint"
         ),
     )
 

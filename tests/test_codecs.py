@@ -1,0 +1,99 @@
+"""Pure-stdlib PNG/WAV codec tests + the oracle-checked decode query.
+
+The PNG roundtrip matrix covers every channel count × every scanline
+filter, with random content, so each decoder unfilter path is exercised
+against the matching encoder filter (which is its algebraic inverse).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapreduceindex_spark.functions import codecs
+from mapreduceindex_spark.operators import multimodal as M
+from tests.conftest import SF_SMALL, assert_df_matches_oracle
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip(channels, filter_type):
+    rng = np.random.default_rng(channels * 10 + filter_type)
+    shape = (13, 17) if channels == 1 else (13, 17, channels)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    data = codecs.png_encode(arr, filter_type=filter_type)
+    assert codecs.sniff_media(data) == "png"
+    out = codecs.png_decode(data)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_resize_nearest():
+    # gradient image: resized pixels must equal source pixels at the
+    # nearest-neighbor index map, by construction
+    arr = (np.arange(20 * 30 * 3, dtype=np.int64) % 256).astype(np.uint8)
+    arr = arr.reshape(20, 30, 3)
+    small = codecs.png_decode(codecs.png_resize_nearest(codecs.png_encode(arr), 10, 5))
+    assert small.shape == (5, 10, 3)
+    ys = (np.arange(5) * 20) // 5
+    xs = (np.arange(10) * 30) // 10
+    np.testing.assert_array_equal(small, arr[ys][:, xs])
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-(2**15), 2**15, size=(441, 2), dtype=np.int16)
+    data = codecs.wav_encode(samples, sample_rate=22050)
+    assert codecs.sniff_media(data) == "wav"
+    meta = codecs.wav_decode(data)
+    assert meta["sample_rate"] == 22050
+    assert meta["n_channels"] == 2
+    assert meta["n_frames"] == 441
+    np.testing.assert_array_equal(meta["samples"], samples)
+
+
+def test_decode_media_dispatch():
+    png = codecs.png_encode(np.zeros((3, 5, 3), dtype=np.uint8))
+    d = M.decode_media(png)
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("png", 5, 3, 3)
+
+    wav = codecs.wav_encode(np.zeros((100, 1), dtype=np.int16))
+    d = M.decode_media(wav)
+    assert (d["kind"], d["width"], d["sample_rate"]) == ("wav", 100, 16000)
+
+    text = b"just some text"
+    with pytest.raises(NotImplementedError):
+        M.decode_media(text)
+    d = M.decode_media(text, fake=True)
+    n = len(text)
+    assert (d["width"], d["height"]) == (16 + n % 1024, 16 + (n // 7) % 1024)
+
+
+def test_png_unsupported_variants_raise():
+    data = bytearray(codecs.png_encode(np.zeros((4, 4), dtype=np.uint8)))
+    # corrupt IHDR bit depth (offset: 8 sig + 8 chunk hdr + 8 w/h)
+    data[24] = 16
+    with pytest.raises(NotImplementedError):
+        codecs.png_decode(bytes(data))
+    with pytest.raises(ValueError):
+        codecs.png_decode(b"\x00" * 16)
+
+
+def test_media_decode_png_matches_oracle(spark, duck):
+    from mapreduceindex_spark.session import load_table
+
+    df = M.decode_png_dims(load_table(spark, SF_SMALL, "documents"))
+    assert_df_matches_oracle(
+        df,
+        duck,
+        """
+        SELECT doc_id,
+               (4 + doc_id % 61)::BIGINT AS width,
+               (4 + doc_id % 53)::BIGINT AS height,
+               3::BIGINT AS channels,
+               ((4 + doc_id % 53) * 3 *
+                  ((4 + doc_id % 61) * (doc_id % 196)
+                   + (4 + doc_id % 61) * (3 + doc_id % 61) // 2)
+               )::BIGINT AS px_sum
+        FROM documents
+        """,
+    )
