@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduceindex_spark.operators import clustering as CL
 from mapreduceindex_spark.operators import corpus as C
 from mapreduceindex_spark.operators import dedup as D
 from mapreduceindex_spark.operators import events as E
@@ -100,6 +101,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "length_histogram": lambda s, d: TA.length_histogram(
             _t(s, d, "documents")
+        ),
+        "contamination_check": lambda s, d: C.contamination_check(
+            _t(s, d, "documents"), n=3, benchmark_mod=97
+        ),
+        "repetition_score": lambda s, d: C.repetition_score(
+            _t(s, d, "documents"), n=2
+        ),
+        "domain_mixture": lambda s, d: C.domain_mixture(_t(s, d, "documents")),
+        "stratified_sample": lambda s, d: C.stratified_sample(
+            _t(s, d, "documents"),
+            pct_by_source={"src0": 50, "src1": 25},
+            default_pct=10,
+        ),
+        "canonical_docs": lambda s, d: D.canonical_docs(
+            _t(s, d, "documents"), n=3, threshold=0.5
         ),
         "top_words_per_source": lambda s, d: TA.top_words_per_source(
             _t(s, d, "documents"), k=5
@@ -271,6 +287,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prior_purchase": lambda s, d: E.asof_prior_purchase(
             _t(s, d, "events")
         ),
+        "funnel_conversion": lambda s, d: E.funnel_conversion(
+            _t(s, d, "events")
+        ),
+        "retention_cohorts": lambda s, d: E.retention_cohorts(
+            _t(s, d, "events")
+        ),
+        # iterative fitting (rows-only correctness: no SQL oracle exists
+        # for a fixed-point loop; see clustering.py)
+        "kmeans_embeddings": lambda s, d: CL.kmeans_embeddings(
+            _t(s, d, "embeddings"), k=8, max_iter=5
+        ),
         # structured streaming forms
         "streaming_tumbling": lambda s, d: STREAM.streaming_tumbling_counts(s, d),
         "streaming_sessions": lambda s, d: STREAM.streaming_session_counts(s, d),
@@ -280,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_inverted_index": lambda s, d: (
             STREAM.streaming_inverted_index(s, d)
         ),
+        "streaming_dedup": lambda s, d: STREAM.streaming_exact_dedup(s, d),
         # multimodal plumbing
         "media_metadata_stats": lambda s, d: M.media_metadata_stats(
             _t(s, d, "documents")
@@ -697,9 +725,118 @@ pairs AS (
 )
 SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
 """,
+        "canonical_docs": _JACCARD_BASE.replace(
+            "WITH ws AS", "WITH RECURSIVE ws AS", 1
+        )
+        + f""",
+pairs AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+), clusters AS (
+  SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
+), feats AS (
+  SELECT doc_id,
+    CASE WHEN len(text) > 0 THEN
+      len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / len(text)
+    ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN len({ws}) > 0 THEN
+      len(list_distinct({ws}))::DOUBLE / len({ws}) ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len({ws}) > 0 THEN
+      list_sum(list_transform({ws}, x -> len(x)))::DOUBLE / len({ws})
+    ELSE 0.0 END AS mean_len,
+    len({ws}) AS n
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         round(alpha_ratio * 0.3 + distinct_ratio * 0.3
+               + least(n / 100.0, 1.0) * 0.2
+               + least(mean_len / 8.0, 1.0) * 0.2, 4) AS quality
+  FROM feats
+), m AS (
+  SELECT c.cluster_rep, c.doc_id, q.quality
+  FROM clusters c JOIN q USING (doc_id)
+), best AS (
+  SELECT cluster_rep, max(quality) AS best_quality,
+         count(*)::BIGINT AS n_members
+  FROM m GROUP BY cluster_rep
+)
+SELECT b.cluster_rep,
+       min(m.doc_id)::BIGINT AS keep_doc_id,
+       b.n_members,
+       b.best_quality
+FROM best b
+JOIN m ON m.cluster_rep = b.cluster_rep AND m.quality = b.best_quality
+GROUP BY b.cluster_rep, b.n_members, b.best_quality
+""",
         "deterministic_sample": """
             SELECT doc_id, text FROM documents
             WHERE (('0x' || substr(md5(text), 1, 15))::BIGINT % 100) < 10
+        """,
+        "contamination_check": f"""
+            WITH ws AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, u.shingle
+              FROM ws, unnest({_shingles_sql('w', 3)}) AS u(shingle)
+              WHERE u.shingle <> ''
+            ), bench AS (
+              SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+            )
+            SELECT s.doc_id,
+                   count(*)::BIGINT AS n_shingles,
+                   count(b.shingle)::BIGINT AS n_overlap
+            FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+            WHERE s.doc_id % 97 <> 0
+            GROUP BY s.doc_id
+        """,
+        "repetition_score": f"""
+            WITH ws AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), ng AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(w, i, i + 1), ' ') AS ng
+              FROM ws, unnest(range(1, len(w))) AS t(i)
+              WHERE len(w) >= 2
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+                     count(DISTINCT ng)::BIGINT AS n_distinct
+              FROM ng GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+                   coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
+                   CASE WHEN coalesce(a.n_ngrams, 0) > 0 THEN
+                     (((a.n_ngrams - a.n_distinct) * 10000 * 2 + a.n_ngrams)
+                      // (a.n_ngrams * 2))::DOUBLE / 10000.0
+                   ELSE 0.0 END AS dup_pct
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "domain_mixture": f"""
+            WITH agg AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     coalesce(sum(len({ws})), 0)::BIGINT AS n_tokens
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT sum(n_tokens)::BIGINT AS total FROM agg
+            )
+            SELECT source, n_docs, n_tokens,
+                   ((n_tokens * 1000000 * 2 + total) // (total * 2))::DOUBLE
+                     / 1000000.0 AS token_share
+            FROM agg CROSS JOIN t
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE (('0x' || substr(md5(text), 1, 15))::BIGINT % 100) <
+                  CASE WHEN source = 'src1' THEN 25
+                       WHEN source = 'src0' THEN 50
+                       ELSE 10 END
         """,
         "length_histogram": """
             WITH b AS (
@@ -1401,6 +1538,47 @@ SELECT doc_id, min(label)::BIGINT AS cluster_rep FROM reach GROUP BY doc_id
                      AS lag_sec
             FROM w
             WHERE event_type <> 'purchase' AND prior_purchase_ts IS NOT NULL
+        """,
+        "funnel_conversion": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), p AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+                   count(*)::BIGINT AS n_users FROM v
+            UNION ALL
+            SELECT 1::BIGINT, 'click', count(*)::BIGINT FROM c
+            UNION ALL
+            SELECT 2::BIGINT, 'purchase', count(*)::BIGINT FROM p
+        """,
+        "retention_cohorts": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+              FROM events GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+              FROM events
+            )
+            SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+                   (date_diff('day', f.cohort_week, a.week) // 7)::BIGINT
+                     AS week_offset,
+                   count(DISTINCT a.user_id)::BIGINT AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "streaming_dedup": """
+            SELECT md5(text) AS content_hash,
+                   min(doc_id) AS keep_doc_id,
+                   count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY md5(text)
         """,
         "streaming_tumbling": """
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,

@@ -77,7 +77,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
-        runs = [_run_once(fn) for _ in range(n_runs)]
+        # one discarded warm-up run per query: the first execution pays
+        # codegen compilation + cold file footers (measured 3-4× steady
+        # state); BASELINE.md's comparable quantity is steady-state query
+        # time, so the median is over post-warm-up runs only
+        runs = [_run_once(fn) for _ in range(n_runs + 1)][1:]
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 

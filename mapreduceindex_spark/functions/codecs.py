@@ -112,18 +112,25 @@ def png_decode(data: bytes) -> np.ndarray:
         elif f == 2:  # Up
             out[y] = cur + prev
         elif f == 3:  # Average
+            # sequential left-dependency: plain-int list arithmetic is
+            # ~30× faster than per-byte numpy scalar indexing here
+            cl, pl = cur.tolist(), prev.tolist()
             for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (cur[x] + (left + int(prev[x])) // 2) & 0xFF
-            out[y] = cur
+                left = cl[x - bpp] if x >= bpp else 0
+                cl[x] = (cl[x] + (left + pl[x]) // 2) & 0xFF
+            out[y] = cl
         elif f == 4:  # Paeth
+            cl, pl = cur.tolist(), prev.tolist()
             for x in range(stride):
-                left = cur[x - bpp : x - bpp + 1] if x >= bpp else np.zeros(1, np.uint8)
-                upleft = (
-                    prev[x - bpp : x - bpp + 1] if x >= bpp else np.zeros(1, np.uint8)
-                )
-                cur[x] = (cur[x] + int(_paeth(left, prev[x : x + 1], upleft)[0])) & 0xFF
-            out[y] = cur
+                if x >= bpp:
+                    a, c = cl[x - bpp], pl[x - bpp]
+                else:
+                    a = c = 0
+                b = pl[x]
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cl[x] = (cl[x] + pred) & 0xFF
+            out[y] = cl
         else:
             raise ValueError(f"PNG filter type {f} invalid")
     arr = out.reshape(height, width, channels)

@@ -147,6 +147,158 @@ def training_corpus(
     )
 
 
+def contamination_check(
+    documents: DataFrame, n: int = 3, benchmark_mod: int = 97
+) -> DataFrame:
+    """Benchmark-contamination scan: per training doc, how many of its
+    distinct word ``n``-gram shingles also occur in the held-out benchmark
+    set (here: docs with ``doc_id % benchmark_mod == 0``, standing in for
+    an eval suite loaded from a side table).
+
+    The decontamination pass every serious training pipeline runs before
+    a corpus ships. The benchmark shingle set is tiny relative to the
+    corpus (~1/mod of docs), so it broadcasts: the corpus side is scanned
+    once, shuffled once on doc_id for the final per-doc aggregate, and
+    the shingle→benchmark probe is a broadcast hash join — no shuffle of
+    the (much larger) corpus shingle stream by shingle key. At 100 TB
+    the benchmark side stays a few MB (real eval suites are small), so
+    the broadcast holds at scale.
+
+    Output: (doc_id, n_shingles, n_overlap) for non-benchmark docs;
+    ``n_overlap > 0`` flags a doc for removal/review.
+    """
+    from mapreduceindex_spark.functions.text import shingles
+
+    sh = documents.select(
+        "doc_id",
+        F.explode_outer(shingles(F.col("text"), n)).alias("shingle"),
+    ).filter(F.col("shingle") != "").distinct()
+    bench = (
+        sh.filter(F.col("doc_id") % benchmark_mod == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        sh.filter(F.col("doc_id") % benchmark_mod != 0)
+        .join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_score(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Within-document repetition: fraction of word ``n``-grams that are
+    repeats of an earlier n-gram in the same doc (the Gopher-style
+    "duplicate n-gram fraction" quality signal — high values mean boiler-
+    plate or degenerate text).
+
+    Strict n-grams (docs with < ``n`` words have none and report 0).
+    The ratio is computed in integer space — ``(total−distinct)·10⁴``
+    divided with explicit round-half-away-from-zero — so both engines
+    produce bit-identical 4-dp values (see ``functions.exact.avg4`` for
+    the rationale). Plan: one explode→lead pass (codegen'd), one per-doc
+    aggregate, one broadcast join-back to restore zero-ngram docs.
+    """
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    per_doc = (
+        toks.select("doc_id", "nw", "pos", F.concat_ws(" ", *parts).alias("ng"))
+        .filter(F.col("pos") <= F.col("nw") - n)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.countDistinct("ng").alias("n_distinct"),
+        )
+    )
+    dup4 = F.expr(
+        "CAST(((n_ngrams - n_distinct) * 10000 * 2 + n_ngrams) "
+        "DIV (n_ngrams * 2) AS DOUBLE) / 10000.0"
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_pct",
+            F.when(F.col("n_ngrams") > 0, dup4).otherwise(F.lit(0.0)),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def domain_mixture(documents: DataFrame) -> DataFrame:
+    """Per-source corpus composition: doc/token counts and each source's
+    token share — the numbers a pipeline turns into domain sampling
+    weights when mixing sources for a training run.
+
+    Token share is integer-scaled (ppm, round-half-away-from-zero) so the
+    6-dp double is engine-exact. One aggregate, one shuffle on ``source``
+    (source cardinality is tiny — the agg is map-side partial first). The
+    global total comes from an unpartitioned window over the *aggregated*
+    relation — source-cardinality rows, not raw data — so the single-
+    partition stage is O(#sources) regardless of corpus size.
+    """
+    agg = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    share6 = F.expr(
+        "CAST((n_tokens * 1000000 * 2 + _total) DIV (_total * 2) AS DOUBLE)"
+        " / 1000000.0"
+    )
+    return (
+        agg.withColumn("_total", F.sum("n_tokens").over(total))
+        .select("source", "n_docs", "n_tokens", share6.alias("token_share"))
+        .orderBy("source")
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    pct_by_source: dict[str, int] | None = None,
+    default_pct: int = 10,
+) -> DataFrame:
+    """Per-source deterministic sample: each stratum keeps its own
+    content-hash rate — the mechanism behind domain re-weighting (e.g.
+    upsample a high-quality source to 50%, keep the crawl at 10%).
+
+    Same hash-bucket semantics as ``deterministic_sample`` (stable,
+    engine-portable, monotone in pct), applied per stratum. Pure
+    projection + filter — pushes to the scan, no shuffle at all.
+    """
+    pct_by_source = pct_by_source or {}
+    rate = F.lit(default_pct)
+    for src, pct in sorted(pct_by_source.items()):
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            (stable_hash64("text") % 100).alias("_b"),
+            rate.alias("_rate"),
+        )
+        .filter(F.col("_b") < F.col("_rate"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def deterministic_sample(
     documents: DataFrame, pct: int = 10, by: str = "text"
 ) -> DataFrame:

@@ -754,3 +754,57 @@ def simhash64(documents: DataFrame, n_bits: int = 24) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def canonical_docs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: str = "auto",
+) -> DataFrame:
+    """Quality-aware dedup decision: one surviving doc per near-dup
+    cluster — the highest-quality member, not the lowest id.
+
+    ``near_dup_clusters`` alone keeps the min-id doc, which at corpus
+    scale throws away better copies (a clean original may carry a higher
+    id than its boilerplate-wrapped clone). This composes the cluster
+    resolution with ``text_analysis.quality_score`` and keeps the argmax
+    (quality DESC, doc_id ASC tie-break — both sides of the comparison
+    are oracle-exact 4-dp values, so the argmax is engine-deterministic).
+
+    Plan shape: clusters (see ``near_dup_clusters``) join quality on
+    doc_id — one co-partitioned shuffle — then a single max_by-style
+    aggregate per cluster. Output: (cluster_rep, keep_doc_id,
+    n_members, best_quality), one row per cluster.
+    """
+    from mapreduceindex_spark.operators.text_analysis import quality_score
+
+    clusters = near_dup_clusters(
+        documents, n=n, threshold=threshold, candidates=candidates
+    )
+    quality = quality_score(documents).select("doc_id", "quality")
+    ranked = clusters.join(quality, "doc_id").select(
+        "cluster_rep",
+        "doc_id",
+        "quality",
+        # single struct-max aggregate: (quality DESC, doc_id ASC) argmax
+        # without a window — one shuffle on cluster_rep, map-side partial
+        F.struct(
+            F.col("quality").alias("q"),
+            (-F.col("doc_id")).alias("neg_id"),
+        ).alias("_key"),
+    )
+    return (
+        ranked.groupBy("cluster_rep")
+        .agg(
+            F.max("_key").alias("_best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_rep",
+            (-F.col("_best.neg_id")).cast("long").alias("keep_doc_id"),
+            "n_members",
+            F.col("_best.q").alias("best_quality"),
+        )
+        .orderBy("cluster_rep")
+    )

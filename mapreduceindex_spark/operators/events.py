@@ -264,3 +264,79 @@ def range_join_error_context(
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel: how many users reach each stage, where stage k
+    requires an event of type ``stages[k]`` STRICTLY AFTER the user's
+    qualifying stage-(k−1) event (first-touch semantics: each user's
+    funnel clock starts at their earliest qualifying event per stage).
+
+    The product-analytics staple. Plan: one filtered aggregate per stage,
+    each shuffling on ``user_id``; the stage-to-stage join is on
+    ``user_id`` too, so under AQE the exchanges reuse one partitioning.
+    The per-stage frames shrink monotonically (funnel property), and the
+    final counts are single-row aggregates. No windows over raw events,
+    no per-user state larger than one timestamp.
+
+    Output: (stage_idx, stage, n_users) — integers, one row per stage.
+    """
+    prev = None  # DataFrame(user_id, _t): users who reached the prior stage
+    counts = []
+    for idx, stage in enumerate(stages):
+        ev = events.filter(F.col("event_type") == stage)
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("_t"))
+        else:
+            cur = (
+                ev.join(prev, "user_id")
+                .filter(F.col("ts") > F.col("_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("_t"))
+            )
+        counts.append(
+            cur.agg(
+                F.lit(idx).cast("long").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("stage_idx")
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted in each subsequent activity week.
+
+    Cohort assignment is one per-user aggregate (shuffle on user_id);
+    activity weeks are a distinct projection joined back on user_id.
+    Weeks are ``date_trunc('week')`` (ISO Monday on both engines), the
+    offset an exact integer day-diff // 7. The cohort week is emitted as
+    an ISO yyyy-MM-dd STRING — date values round-trip differently per
+    engine/driver (date vs ns-timestamp), strings are portable. Output:
+    (cohort_week, week_offset, n_users).
+    """
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

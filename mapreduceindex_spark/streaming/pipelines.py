@@ -216,3 +216,37 @@ def streaming_session_counts(
             "duration_sec"
         ),
     ).orderBy("user_id", "session_start")
+
+
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over the documents stream: per content hash,
+    the surviving (minimum) doc_id and how many copies arrived.
+
+    The streaming twin of ``operators.dedup.exact_dedup`` — the stateful
+    aggregate keys on ``md5(text)``, so state size scales with DISTINCT
+    content, not stream length, and min/count are order-independent: the
+    result is identical however the stream is micro-batched (unlike
+    streaming ``dropDuplicates``, whose survivor depends on arrival
+    order). Raw text never enters the state store — only the 32-char hash
+    shuffles.
+    """
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.orderBy("content_hash")

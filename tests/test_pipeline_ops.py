@@ -1,0 +1,103 @@
+"""Semantic tests for the round-2 training-pipeline operators — properties
+the oracle hash can't express (monotonicity, conservation, composition),
+plus the rows-only kmeans fit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceindex_spark.operators import clustering as CL
+from mapreduceindex_spark.operators import corpus as C
+from mapreduceindex_spark.operators import dedup as D
+from mapreduceindex_spark.session import load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+def test_contamination_flags_planted_clone(spark, docs):
+    # plant: a non-benchmark doc that is a verbatim copy of a benchmark doc
+    bench_doc = docs.filter(F.col("doc_id") % 97 == 0).limit(1).collect()[0]
+    clone = spark.createDataFrame(
+        [(999_983, bench_doc["text"], "en", "srcX", len(bench_doc["text"]))],
+        docs.schema,
+    )
+    out = C.contamination_check(docs.unionByName(clone)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    planted = by_id[999_983]
+    # a verbatim copy shares every shingle with the benchmark set
+    assert planted["n_overlap"] == planted["n_shingles"] > 0
+    # and no benchmark doc appears in the output at all
+    assert all(i % 97 != 0 for i in by_id)
+
+
+def test_repetition_score_bounds_and_degenerate_doc(spark, docs):
+    degenerate = spark.createDataFrame(
+        [(999_979, "spam " * 50, "en", "srcX", 250)], docs.schema
+    )
+    out = C.repetition_score(docs.unionByName(degenerate))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # "spam spam ... spam": 49 bigrams, all identical -> dup_pct = 48/49
+    d = rows[999_979]
+    assert (d["n_ngrams"], d["n_distinct"]) == (49, 1)
+    assert d["dup_pct"] == pytest.approx(0.9796, abs=1e-9)
+    assert all(0.0 <= r["dup_pct"] <= 1.0 for r in rows.values())
+    # every doc present, even ngram-less ones
+    assert len(rows) == docs.count() + 1
+
+
+def test_domain_mixture_shares_sum_to_one(docs):
+    rows = C.domain_mixture(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # ppm rounding: shares sum to 1 within one ulp-of-grid per source
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) <= 1e-6 * len(rows)
+
+
+def test_stratified_sample_respects_per_source_rates(docs):
+    out = C.stratified_sample(
+        docs, pct_by_source={"src0": 100, "src1": 0}, default_pct=10
+    )
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert got.get("src0") == n_src0  # pct=100 keeps everything
+    assert "src1" not in got  # pct=0 keeps nothing
+    # default strata subset the deterministic_sample at the same pct
+    base = {r["doc_id"] for r in C.deterministic_sample(docs, pct=10).collect()}
+    rest = {r["doc_id"] for r in out.collect() if r["source"] not in ("src0", "src1")}
+    assert rest <= base
+
+
+def test_canonical_docs_keeps_best_member(docs):
+    out = D.canonical_docs(docs, n=3, threshold=0.5)
+    rows = out.collect()
+    # one row per cluster; members sum to corpus size
+    assert sum(r["n_members"] for r in rows) == docs.count()
+    assert len({r["cluster_rep"] for r in rows}) == len(rows)
+    # the kept doc is a member of its own cluster
+    clusters = {r["doc_id"]: r["cluster_rep"]
+                for r in D.near_dup_clusters(docs, n=3, threshold=0.5).collect()}
+    for r in rows:
+        assert clusters[r["keep_doc_id"]] == r["cluster_rep"]
+
+
+def test_kmeans_partitions_the_corpus(embs):
+    out = CL.kmeans_embeddings(embs, k=8, max_iter=3).collect()
+    assert sum(r["n_members"] for r in out) == embs.count()
+    assert len(out) <= 8
+    assert all(r["n_members"] > 0 for r in out)
+
+
+def test_kmeans_deterministic_across_partitionings(embs):
+    a = CL.kmeans_embeddings(embs.repartition(3), k=4, max_iter=2).collect()
+    b = CL.kmeans_embeddings(embs.repartition(11), k=4, max_iter=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
