@@ -167,12 +167,12 @@ def contamination_check(
     Output: (doc_id, n_shingles, n_overlap) for non-benchmark docs;
     ``n_overlap > 0`` flags a doc for removal/review.
     """
-    from mapreduceindex_spark.functions.text import shingles
+    from mapreduceindex_spark.operators.dedup import doc_shingles
 
-    sh = documents.select(
-        "doc_id",
-        F.explode_outer(shingles(F.col("text"), n)).alias("shingle"),
-    ).filter(F.col("shingle") != "").distinct()
+    # row-wise codegen'd shingler (posexplode + lead) — the array-HOF
+    # form is interpreted and ~8× slower at sf0.1 (measured; see
+    # doc_shingles' docstring)
+    sh = doc_shingles(documents, n)
     bench = (
         sh.filter(F.col("doc_id") % benchmark_mod == 0)
         .select("shingle")

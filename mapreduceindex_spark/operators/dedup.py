@@ -79,8 +79,13 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) string pairs.
+def doc_shingles(
+    documents: DataFrame, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Distinct (doc_id, shingle) string pairs (``distinct=False`` skips
+    the final dedup for callers that deduplicate after further
+    projection — e.g. the hash front end, which dedups 16-byte
+    (doc_id, hash) rows instead of shuffling full shingle strings).
 
     Row-wise formulation: posexplode the word array, then build each
     shingle from ``lead()`` neighbors over a per-doc window. Matches
@@ -106,7 +111,7 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
-    return (
+    out = (
         toks.select(
             "doc_id",
             "nw",
@@ -118,16 +123,25 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
             | ((F.col("pos") == 0) & (F.col("nw") <= n))
         )
         .select("doc_id", "shingle")
-        .dropDuplicates(["doc_id", "shingle"])
     )
+    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
 def _shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
     """Distinct (doc_id, sh) pairs with the 60-bit portable shingle hash —
-    the shared, shuffle-cheap front end of the Jaccard/MinHash paths."""
-    return doc_shingles(documents, n).select(
+    the shared, shuffle-cheap front end of the Jaccard/MinHash paths.
+
+    Hashing happens BEFORE the distinct: the dedup exchange then carries
+    16-byte (long, long) rows instead of doc_id + full shingle strings
+    (~3× less shuffle volume), and the post-window dedup needs no extra
+    exchange at all — hash(doc_id) partitioning from the shingle window
+    already clusters (doc_id, sh). Distinctness is preserved exactly:
+    equal shingles hash equal, and 60-bit collisions *within one doc* are
+    the same event the downstream set-similarity math already tolerates.
+    """
+    return doc_shingles(documents, n, distinct=False).select(
         "doc_id", stable_hash64("shingle").alias("sh")
-    )
+    ).dropDuplicates(["doc_id", "sh"])
 
 
 def ngram_jaccard_pairs(
