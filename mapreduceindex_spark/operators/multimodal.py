@@ -230,7 +230,16 @@ def decode_png_dims(documents: DataFrame) -> DataFrame:
                 out["px_sum"].append(int(dec.sum(dtype=np.int64)))
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id").mapInPandas(
+    # The fixture table is one small parquet file → one input split → one
+    # core doing all the Python codec work. Spread it: the repartition
+    # shuffles 8-byte doc_ids only (payloads are synthesized inside the
+    # stage), so "bytes never shuffle" still holds. At 100 TB the scan
+    # has thousands of splits and this round-robin is a cheap no-op
+    # safety net rather than the parallelism source.
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
         _roundtrip,
         schema=(
             "doc_id bigint, width bigint, height bigint, "
