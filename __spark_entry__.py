@@ -109,6 +109,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), n=2
         ),
         "domain_mixture": lambda s, d: C.domain_mixture(_t(s, d, "documents")),
+        "doc_chunks": lambda s, d: C.doc_chunks(
+            _t(s, d, "documents"), chunk_size=50
+        ),
+        "pack_sequences": lambda s, d: C.pack_sequences(
+            _t(s, d, "documents"), budget=512
+        ),
+        "postings_size": lambda s, d: II.postings_size(_t(s, d, "documents")),
         "stratified_sample": lambda s, d: C.stratified_sample(
             _t(s, d, "documents"),
             pct_by_source={"src0": 50, "src1": 25},
@@ -280,6 +287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "purchasers_without_errors": lambda s, d: E.purchasers_without_errors(
             _t(s, d, "events")
+        ),
+        "events_debounce": lambda s, d: E.debounce(
+            _t(s, d, "events"), gap_sec=300
         ),
         "events_range_join": lambda s, d: E.range_join_error_context(
             _t(s, d, "events")
@@ -863,6 +873,67 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                        ORDER BY n DESC, word ASC)::BIGINT AS rk
             FROM counts
             QUALIFY rk <= 5
+        """,
+        "doc_chunks": f"""
+            WITH wsx AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), c AS (
+              SELECT doc_id, t.i AS chunk_id,
+                     list_slice(w, t.i * 50 + 1, (t.i + 1) * 50) AS chunk
+              FROM wsx, unnest(range(0, (len(w) + 49) // 50)) AS t(i)
+            )
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   len(chunk)::BIGINT AS n_tokens,
+                   chunk[1] AS first_word,
+                   chunk[len(chunk)] AS last_word
+            FROM c
+        """,
+        "pack_sequences": f"""
+            WITH b AS (
+              SELECT doc_id, source, len({ws})::BIGINT AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT *, coalesce(sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) AS cum_before FROM b
+            )
+            SELECT source, (cum_before // 512)::BIGINT AS seq_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   min(doc_id)::BIGINT AS first_doc,
+                   max(doc_id)::BIGINT AS last_doc
+            FROM c GROUP BY source, seq_id
+        """,
+        "postings_size": f"""
+            WITH toks AS (
+              SELECT DISTINCT u.word, doc_id
+              FROM documents, unnest({ws}) AS u(word)
+            ), g AS (
+              SELECT word, doc_id - coalesce(lag(doc_id) OVER (
+                PARTITION BY word ORDER BY doc_id), 0) AS gap
+              FROM toks
+            )
+            SELECT word, count(*)::BIGINT AS df,
+                   sum(CASE WHEN gap < 128 THEN 1
+                            WHEN gap < 16384 THEN 2
+                            WHEN gap < 2097152 THEN 3
+                            WHEN gap < 268435456 THEN 4
+                            ELSE 5 END)::BIGINT AS varint_bytes,
+                   (count(*) * 8)::BIGINT AS fixed_bytes
+            FROM g GROUP BY word
+        """,
+        "events_debounce": """
+            WITH o AS (
+              SELECT event_id, user_id, event_type, ts,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_us
+              FROM events
+            )
+            SELECT event_id, user_id, event_type, ts
+            FROM o
+            WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= 300000000
         """,
         "events_range_join": """
             WITH p AS (

@@ -147,6 +147,88 @@ def training_corpus(
     )
 
 
+def doc_chunks(documents: DataFrame, chunk_size: int = 50) -> DataFrame:
+    """Fixed-size token chunking — the retrieval/embedding prep step that
+    splits each document into consecutive ``chunk_size``-word windows
+    (final chunk ragged; zero-word docs contribute none).
+
+    Chunk assignment is a pure projection on the token position
+    (``pos DIV chunk_size``), so the whole front end (split → posexplode →
+    chunk id) stays in one codegen'd stage; the only exchange is the
+    per-(doc, chunk) aggregate, whose key count is ~tokens/chunk_size —
+    at 100 TB this shuffles bounded summary rows, never raw text.
+    ``min_by``/``max_by`` pull the boundary words in the same aggregate
+    (no second window pass over the token stream).
+
+    Output: (doc_id, chunk_id, n_tokens, first_word, last_word).
+    """
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    return (
+        toks.select(
+            "doc_id",
+            F.expr(f"pos DIV {chunk_size}").cast("long").alias("chunk_id"),
+            "pos",
+            "w",
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.min_by("w", "pos").alias("first_word"),
+            F.max_by("w", "pos").alias("last_word"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def pack_sequences(documents: DataFrame, budget: int = 512) -> DataFrame:
+    """Sequence packing — concatenate documents (per source, in doc_id
+    order) into a token stream and cut it at ``budget``-token context
+    boundaries, reporting which docs land in each packed sequence. A doc
+    is assigned to the sequence where its first token falls, exactly how
+    an LM training pipeline packs short documents into fixed-length
+    contexts to avoid padding waste.
+
+    The running offset is a window cumsum *partitioned by source* — no
+    global single-partition window: each source's stream packs
+    independently, which is also the semantically right boundary (you
+    don't want a crawl doc bleeding into a books context). At 100 TB the
+    per-source window parallelizes across sources; within a giant source
+    you'd sub-shard first (``split_by_hash``) and pack per shard.
+
+    Output: (source, seq_id, n_docs, n_tokens, first_doc, last_doc).
+    """
+    base = documents.select(
+        "doc_id",
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "_cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+        )
+        .select(
+            "source",
+            F.expr(f"_cum_before DIV {budget}").cast("long").alias("seq_id"),
+            "doc_id",
+            "n_tokens",
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
 def contamination_check(
     documents: DataFrame, n: int = 3, benchmark_mod: int = 97
 ) -> DataFrame:

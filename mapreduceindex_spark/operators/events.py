@@ -340,3 +340,33 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def debounce(events: DataFrame, gap_sec: int = 300) -> DataFrame:
+    """Event-stream debounce: keep an event only if the previous event of
+    the same (user, event_type) is at least ``gap_sec`` older (or there is
+    none) — the standard collapse of client retries / double-fires before
+    events feed counters or training labels.
+
+    Time deltas are compared in integer epoch-microseconds
+    (``unix_micros``), never float seconds, so the keep/drop decision is
+    bit-identical on any engine. The lag window shuffles once on the
+    (user, event_type) key — the same partitioning every downstream
+    per-user aggregate wants, so at scale this step is free if the
+    pipeline co-partitions. Ties on ``ts`` break by ``event_id`` for a
+    deterministic survivor.
+
+    Output: the surviving (event_id, user_id, event_type, ts) rows.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    return (
+        events.select("event_id", "user_id", "event_type", "ts")
+        .withColumn("_prev_us", prev_us)
+        .filter(
+            F.col("_prev_us").isNull()
+            | (F.unix_micros("ts") - F.col("_prev_us") >= gap_sec * 1_000_000)
+        )
+        .drop("_prev_us")
+        .orderBy("event_id")
+    )

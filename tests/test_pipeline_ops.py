@@ -101,3 +101,78 @@ def test_kmeans_deterministic_across_partitionings(embs):
     a = CL.kmeans_embeddings(embs.repartition(3), k=4, max_iter=2).collect()
     b = CL.kmeans_embeddings(embs.repartition(11), k=4, max_iter=2).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_doc_chunks_conserves_tokens_and_covers_every_doc(docs):
+    chunks = C.doc_chunks(docs, chunk_size=50).collect()
+    from mapreduceindex_spark.functions.text import words
+
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(words(F.col("text"))).alias("n")
+        ).collect()
+    }
+    got = {}
+    for r in chunks:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + r["n_tokens"]
+        # every chunk but possibly the last is exactly chunk_size
+        assert 1 <= r["n_tokens"] <= 50
+    assert got == {d: n for d, n in per_doc.items() if n > 0}
+    # chunk ids are dense 0..k-1 per doc
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_id"])
+    for ids in by_doc.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_pack_sequences_conserves_and_respects_order(docs):
+    seqs = C.pack_sequences(docs, budget=512).collect()
+    total = docs.select(
+        F.sum(
+            F.size(
+                __import__(
+                    "mapreduceindex_spark.functions.text", fromlist=["words"]
+                ).words(F.col("text"))
+            )
+        )
+    ).collect()[0][0]
+    assert sum(r["n_tokens"] for r in seqs) == total
+    # within a source, seq ids are contiguous and doc ranges don't overlap
+    by_src = {}
+    for r in seqs:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["seq_id"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_doc"] < b["first_doc"]
+
+
+def test_postings_size_varint_at_least_one_byte_per_posting(docs):
+    from mapreduceindex_spark.operators.inverted_index import postings_size
+
+    rows = postings_size(docs).collect()
+    assert rows, "corpus has words"
+    for r in rows:
+        assert r["df"] <= r["varint_bytes"] <= 5 * r["df"]
+        assert r["fixed_bytes"] == 8 * r["df"]
+        # gap coding can't beat 1 byte/posting; fixed is always ≥ varint
+        assert r["varint_bytes"] <= r["fixed_bytes"]
+
+
+def test_debounce_keeps_first_and_spaced_events(spark):
+    from mapreduceindex_spark.operators.events import debounce
+
+    ev = load_table(spark, SF_SMALL, "events")
+    kept = debounce(ev, gap_sec=300)
+    # idempotent: debouncing the survivors changes nothing
+    again = debounce(kept, gap_sec=300)
+    assert kept.count() == again.count()
+    # first event of every (user, type) group survives
+    firsts = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id"))["event_id"].alias("event_id"))
+        .select("event_id")
+    )
+    assert firsts.exceptAll(kept.select("event_id")).count() == 0
