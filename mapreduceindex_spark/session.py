@@ -95,22 +95,36 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Load one fixture table, normalizing nano-precision timestamps.
+    """Load one fixture table, normalizing the event-time column.
 
-    With ``nanosAsLong`` on, TIMESTAMP(NANOS) parquet columns surface as
-    BIGINT nanos; convert to micro-precision timestamps by truncation
-    (integer ``div`` — never float division, which loses precision above
-    2^53 ns). Other tables pass through untouched, keeping full predicate
-    pushdown on their native timestamp columns.
+    The fixture ``events.ts`` column has shipped as two different parquet
+    types across driver generations, so normalize BOTH to a plain
+    session-zone TIMESTAMP (what windows, watermarks, and ``unix_micros``
+    expect, and what the DuckDB oracle sees as a naive timestamp under the
+    UTC session zone pinned above):
+
+    - TIMESTAMP(NANOS): surfaces as BIGINT nanos under ``nanosAsLong``;
+      truncate to micros with integer ``div`` (never float division, which
+      loses precision above 2^53 ns).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+      TIMESTAMP_NTZ; cast to TIMESTAMP (the cast interprets the NTZ wall
+      clock in the session zone — UTC — so the instant is exact).
+
+    Other tables pass through untouched, keeping full predicate pushdown
+    on their native columns.
     """
     from pyspark.sql import functions as F
 
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

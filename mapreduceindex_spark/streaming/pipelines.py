@@ -24,9 +24,12 @@ from pyspark.sql import functions as F
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture.
 
-    Nano-precision timestamps surface as BIGINT under ``nanosAsLong``;
-    normalize to micro timestamps exactly like the batch loader so batch
-    and streaming results stay comparable.
+    Normalize the event-time column to a plain TIMESTAMP exactly like the
+    batch loader (``session.load_table``) so batch and streaming results
+    stay comparable: BIGINT nanos (under ``nanosAsLong``) truncate to
+    micros; TIMESTAMP_NTZ (micros, isAdjustedToUTC=false) casts in the
+    UTC session zone. ``withWatermark`` requires TIMESTAMP — NTZ is
+    rejected — so this normalization is load-bearing here, not cosmetic.
     """
     from mapreduceindex_spark.session import ensure_session_confs
 
@@ -40,10 +43,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
