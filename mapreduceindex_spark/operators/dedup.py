@@ -149,7 +149,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 1000,
-    direct_join_max_df2: int = 1_000_000,
+    direct_join_max_df2: int = 50_000_000,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard similarity ≥ threshold. Output:
     (doc_a, doc_b, jaccard), a < b.
