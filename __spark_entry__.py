@@ -334,6 +334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_png": lambda s, d: M.decode_png_dims(
             _t(s, d, "documents")
         ),
+        "media_decode_wav": lambda s, d: M.decode_wav_features(
+            _t(s, d, "documents")
+        ),
+        "media_dhash": lambda s, d: M.media_dhash(
+            _t(s, d, "documents")
+        ),
     }
 
 
@@ -1739,5 +1745,53 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    (16 + (octet_length(encode(text)) // 7) % 1024)::BIGINT
                      AS fake_height
             FROM documents
+        """,
+        "media_decode_wav": """
+            -- regenerate the synth PCM series of decode_wav_features:
+            -- n = 256 + id%512 frames of ((id%97 + 7t) % 2048) - 1024;
+            -- the %2048 wraps mid-clip, so sums are order-sensitive and
+            -- any RIFF-framing or sample-width defect mismatches
+            WITH m AS (
+              SELECT doc_id, 256 + doc_id % 512 AS n, doc_id % 97 AS k
+              FROM documents
+            ), s AS (
+              SELECT m.doc_id, m.n, ((m.k + 7 * u.t) % 2048) - 1024 AS v
+              FROM m, unnest(range(0, m.n)) AS u(t)
+            )
+            SELECT doc_id,
+                   max(n)::BIGINT AS n_frames,
+                   16000::BIGINT AS sample_rate,
+                   sum(v)::BIGINT AS sum_samples,
+                   sum(v * v)::BIGINT AS sum_sq
+            FROM s GROUP BY doc_id
+        """,
+        "media_dhash": """
+            -- closed form of the synth -> encode -> NN-resize(9x8) ->
+            -- decode -> difference-hash pipeline in media_dhash:
+            -- px(y,x) = (id%97 + 3*((x*w)//9) + 5*((y*h)//8)) % 251,
+            -- bit(y,x) = px(y,x+1) > px(y,x), rows 0-3 pack into
+            -- dhash_lo and rows 4-7 into dhash_hi (bit y%4*8 + x)
+            WITH m AS (
+              SELECT doc_id, 8 + doc_id % 41 AS w, 8 + doc_id % 37 AS h,
+                     doc_id % 97 AS k
+              FROM documents
+            ), cells AS (
+              SELECT m.doc_id, yy.y AS y, xx.x AS x,
+                     CASE WHEN
+                       (m.k + 3 * (((xx.x + 1) * m.w) // 9)
+                            + 5 * ((yy.y * m.h) // 8)) % 251
+                       > (m.k + 3 * ((xx.x * m.w) // 9)
+                            + 5 * ((yy.y * m.h) // 8)) % 251
+                     THEN 1 ELSE 0 END AS bit
+              FROM m, unnest(range(0, 8)) AS yy(y), unnest(range(0, 8)) AS xx(x)
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN y < 4
+                       THEN bit * (1::BIGINT << ((y * 8 + x)::INT))
+                       ELSE 0 END)::BIGINT AS dhash_lo,
+                   sum(CASE WHEN y >= 4
+                       THEN bit * (1::BIGINT << (((y - 4) * 8 + x)::INT))
+                       ELSE 0 END)::BIGINT AS dhash_hi
+            FROM cells GROUP BY doc_id
         """,
     }

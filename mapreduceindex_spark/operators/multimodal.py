@@ -274,3 +274,119 @@ def media_metadata_stats(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def decode_wav_features(documents: DataFrame) -> DataFrame:
+    """Real-codec proof for the AUDIO path, twin of ``decode_png_dims``:
+    synthesize PCM per doc, WAV-encode, decode back, emit integer
+    features of the DECODED samples.
+
+    Each doc gets mono 16 kHz int16 audio derived from ``doc_id`` alone —
+    ``n = 256 + id%512`` frames of the wrapping ramp
+    ``((id%97 + 7t) % 2048) − 1024`` (the %2048 wraps several times per
+    clip, so a sample-order or sign bug cannot cancel out of the sums).
+    ``sum_samples`` and ``sum_sq`` are integer-exact aggregates of the
+    decoded array; the oracle SQL regenerates the same series with a
+    DuckDB ``range`` unnest, so any RIFF-framing or PCM-width defect in
+    the codec hash-mismatches.
+
+    Bytes never leave the stage (synth + encode + decode inside one
+    ``mapInPandas`` pass); only fixed-width numerics flow onward.
+    """
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "sample_rate": [],
+                "sum_samples": [], "sum_sq": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n, k = 256 + i % 512, i % 97
+                t = np.arange(n, dtype=np.int64)
+                samples = ((k + 7 * t) % 2048 - 1024).astype(np.int16)
+                data = codecs.wav_encode(samples, sample_rate=16000)
+                dec = codecs.wav_decode(data)
+                s = dec["samples"].astype(np.int64)
+                out["doc_id"].append(i)
+                out["n_frames"].append(int(dec["n_frames"]))
+                out["sample_rate"].append(int(dec["sample_rate"]))
+                out["sum_samples"].append(int(s.sum()))
+                out["sum_sq"].append(int((s * s).sum()))
+            yield pd.DataFrame(out)
+
+    # same single-file-fixture spread as decode_png_dims: shuffle 8-byte
+    # ids so the Python codec work uses every core, payloads stay in-stage
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id bigint, n_frames bigint, sample_rate bigint, "
+            "sum_samples bigint, sum_sq bigint"
+        ),
+    )
+
+
+def media_dhash(documents: DataFrame) -> DataFrame:
+    """Image near-dup fingerprint through the real codec path: per-doc
+    synthetic grayscale PNG → encode → **nearest-neighbor resize to
+    9×8** (``png_resize_nearest``: decode, integer-index, re-encode) →
+    decode → 64-bit difference hash.
+
+    dHash is the standard cheap perceptual fingerprint: bit (y,x) is
+    ``px[y][x+1] > px[y][x]`` on the 9×8 thumbnail, packed row-major into
+    two 32-bit halves (rows 0–3 → ``dhash_lo``, rows 4–7 → ``dhash_hi``;
+    one 64-bit word would put bit 63 in the BIGINT sign position, which
+    numpy wraps and DuckDB rejects — two halves keep both sides in exact
+    integer range). Near-duplicate images then cluster by Hamming
+    distance exactly like ``simhash`` does for text — the banded-prefix
+    grouping there applies unchanged, so this operator is the image
+    analog of that pipeline's front end.
+
+    The synth image ``px(y,x) = (id%97 + 3x + 5y) % 251`` varies in both
+    axes (a pure gradient would give a constant hash), with dims
+    ``w = 8 + id%41``, ``h = 8 + id%37``. The oracle SQL replays the
+    NN-resize index arithmetic (``(x_dst·w) // 9``, ``(y_dst·h) // 8``)
+    and the comparison bits in closed form, so a wrong resize index, a
+    gray-path encode/decode defect, or a bit-packing error all
+    hash-mismatch.
+    """
+    import numpy as np
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        for pdf in batches:
+            out = {"doc_id": [], "dhash_lo": [], "dhash_hi": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, k = 8 + i % 41, 8 + i % 37, i % 97
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                arr = ((k + 3 * xs[None, :] + 5 * ys[:, None]) % 251).astype(
+                    np.uint8
+                )
+                thumb = codecs.png_decode(
+                    codecs.png_resize_nearest(codecs.png_encode(arr), 9, 8)
+                )
+                bits = (thumb[:, 1:].astype(np.int16)
+                        > thumb[:, :-1].astype(np.int16)).astype(np.int64)
+                weights = np.left_shift(
+                    np.int64(1), np.arange(32, dtype=np.int64)
+                ).reshape(4, 8)
+                out["doc_id"].append(i)
+                out["dhash_lo"].append(int((bits[:4] * weights).sum()))
+                out["dhash_hi"].append(int((bits[4:] * weights).sum()))
+            yield pd.DataFrame(out)
+
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _dhash, schema="doc_id bigint, dhash_lo bigint, dhash_hi bigint"
+    )
