@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             STREAM.streaming_inverted_index(s, d)
         ),
         "streaming_dedup": lambda s, d: STREAM.streaming_exact_dedup(s, d),
+        "streaming_range_join": lambda s, d: STREAM.streaming_range_join(s, d),
         # multimodal plumbing
         "media_metadata_stats": lambda s, d: M.media_metadata_stats(
             _t(s, d, "documents")
@@ -1688,6 +1689,21 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             SELECT user_id, event_type,
                    CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS first_ts
             FROM events GROUP BY user_id, event_type
+        """,
+        "streaming_range_join": """
+            WITH p AS (
+              SELECT user_id, event_id AS purchase_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_sec
+              FROM events WHERE event_type = 'purchase'
+            ), e AS (
+              SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS e_sec
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT p.user_id, purchase_id, p_sec,
+                   count(e.e_sec)::BIGINT AS n_errors_nearby
+            FROM p LEFT JOIN e
+              ON e.user_id = p.user_id AND abs(e.e_sec - p.p_sec) <= 600
+            GROUP BY p.user_id, purchase_id, p_sec
         """,
         "media_resize": """
             WITH m AS (

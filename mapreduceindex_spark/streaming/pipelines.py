@@ -224,6 +224,99 @@ def streaming_session_counts(
     ).orderBy("user_id", "session_start")
 
 
+def streaming_range_join(
+    spark: SparkSession, sf_dir: str, window_sec: int = 600
+) -> DataFrame:
+    """Stream-stream interval join — the remaining first-class Structured
+    Streaming capability: purchases and errors arrive as two watermarked
+    streams and join on ``user_id`` with an event-time range condition
+    (``|e_ts − p_ts| ≤ window``). The watermark + time bound is what lets
+    the engine EVICT join state — each side holds only rows younger than
+    watermark + window, so state is bounded by stream *rate*, not length.
+    That eviction contract is the production semantics; the bounded
+    fixture just means nothing is dropped.
+
+    The inner interval join runs in the streaming engine (append mode —
+    each matched pair emits exactly once). The per-purchase rollup and
+    the left-complete against ALL purchases happen batch-side on the
+    materialized pairs: a streaming count per purchase key would need
+    unbounded group state (complete mode), which is unsupported after a
+    stream-stream join — and the oracle-relevant semantics live in the
+    join. Output equals ``operators.events.range_join_error_context``
+    (same oracle SQL).
+    """
+    from mapreduceindex_spark.session import load_table
+
+    ev = _stream_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    # The batch operator (and the oracle) compare FLOORED whole seconds:
+    # |floor(e) − floor(p)| ≤ window. The streaming range condition runs
+    # on the raw µs event times, so use window+1 here — a lossless
+    # superset (|Δsec| ≤ w ⟹ |Δexact| < w+1) — and apply the exact
+    # floored-second predicate batch-side on the materialized pairs.
+    pairs = p.join(
+        e,
+        (F.col("user_id") == F.col("e_user"))
+        & (
+            F.col("e_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {window_sec + 1} SECONDS")
+        )
+        & (
+            F.col("e_ts")
+            <= F.col("p_ts") + F.expr(f"INTERVAL {window_sec + 1} SECONDS")
+        ),
+        "inner",
+    )
+    hit_pairs = _run_to_table(pairs, "append")
+    hits = (
+        hit_pairs.filter(
+            F.abs(
+                F.unix_timestamp("e_ts") - F.unix_timestamp("p_ts")
+            )
+            <= window_sec
+        )
+        .groupBy("user_id", "purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_errors_nearby"))
+    )
+    all_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.unix_timestamp("ts").alias("p_sec"),
+        )
+    )
+    return (
+        all_purchases.join(hits, ["user_id", "purchase_id"], "left")
+        .select(
+            "user_id",
+            "purchase_id",
+            "p_sec",
+            F.coalesce("n_errors_nearby", F.lit(0)).cast("long").alias(
+                "n_errors_nearby"
+            ),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
 def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup over the documents stream: per content hash,
     the surviving (minimum) doc_id and how many copies arrived.
