@@ -390,3 +390,113 @@ def media_dhash(documents: DataFrame) -> DataFrame:
     return spread.mapInPandas(
         _dhash, schema="doc_id bigint, dhash_lo bigint, dhash_hi bigint"
     )
+
+
+def media_dhash_near_dups(
+    documents: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-duplicate pairs by difference-hash Hamming distance —
+    the image twin of the text MinHash-LSH pipeline, end to end: real
+    codec fingerprint (``media_dhash``'s encode → NN-resize → decode →
+    dHash) and **Hamming banding** for the pair search.
+
+    Banding: the 64 hash bits split into 8 bands of 8 bits; two hashes
+    with Hamming distance d < 8 agree exactly on ≥ 1 band (pigeonhole),
+    so for ``max_hamming`` ≤ 7 the band-bucket self-join is a LOSSLESS
+    candidate cover — never an all-pairs join, data replication exactly
+    8×, the same guarantee structure as ``minhash_lsh_pairs``. Candidates
+    verify with ``bit_count(xor)`` and a pair found via several bands
+    dedups on (doc_a, doc_b).
+
+    Synth images here use coarser parameters than ``media_dhash``
+    (``k = id%13, w = 8+id%5, h = 8+id%7``) so genuinely duplicate
+    images exist at every fixture SF (ids congruent mod lcm = 455 render
+    identically), and a QUADRATIC texture (``(k + 7x² + 11y² + 3xy)
+    % 251``) rather than the linear gradient — a gradient's dHash bits
+    are nearly all-ones for every image, which would rate most of the
+    corpus "near-duplicate"; the quadratic texture puts unrelated images
+    at Hamming ≈ 32 so the threshold actually discriminates. The oracle
+    replays the closed form and verifies by brute-force pairwise
+    distance.
+    """
+    import numpy as np
+
+    def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        for pdf in batches:
+            out = {"doc_id": [], "dhash_lo": [], "dhash_hi": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, k = 8 + i % 5, 8 + i % 7, i % 13
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                arr = (
+                    (k + 7 * xs * xs + 11 * ys * ys + 3 * xs * ys) % 251
+                ).astype(np.uint8)
+                thumb = codecs.png_decode(
+                    codecs.png_resize_nearest(codecs.png_encode(arr), 9, 8)
+                )
+                bits = (thumb[:, 1:].astype(np.int16)
+                        > thumb[:, :-1].astype(np.int16)).astype(np.int64)
+                weights = np.left_shift(
+                    np.int64(1), np.arange(32, dtype=np.int64)
+                ).reshape(4, 8)
+                out["doc_id"].append(i)
+                out["dhash_lo"].append(int((bits[:4] * weights).sum()))
+                out["dhash_hi"].append(int((bits[4:] * weights).sum()))
+            yield pd.DataFrame(out)
+
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    hashes = spread.mapInPandas(
+        _dhash, schema="doc_id bigint, dhash_lo bigint, dhash_hi bigint"
+    )
+    # 8 bands × 8 bits: bands 0-3 from the lo half, 4-7 from the hi half
+    banded = hashes.select(
+        "doc_id",
+        "dhash_lo",
+        "dhash_hi",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("dhash_lo"), 8 * j).bitwiseAND(255)
+                    for j in range(4)
+                ],
+                *[
+                    F.shiftright(F.col("dhash_hi"), 8 * j).bitwiseAND(255)
+                    for j in range(4)
+                ],
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash_lo").alias("_la"),
+        F.col("dhash_hi").alias("_ha"),
+        "band",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash_lo").alias("_lb"),
+        F.col("dhash_hi").alias("_hb"),
+        "band",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
+                + F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
