@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), n=3, num_hashes=16, bands=4, threshold=0.5
         ),
         "simhash": lambda s, d: D.simhash64(_t(s, d, "documents"), n_bits=24),
+        "simhash_near_dups": lambda s, d: D.simhash_near_dups(
+            _t(s, d, "documents")
+        ),
         "near_dup_clusters": lambda s, d: D.near_dup_clusters(
             _t(s, d, "documents"), n=3, threshold=0.5
         ),
@@ -1022,6 +1025,15 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         """,
         "minhash_lsh_pairs": _minhash_lsh_sql(16, 4),
         "simhash": _simhash_sql(24),
+        "simhash_near_dups": f"""
+            -- brute-force verification of the banded Hamming search:
+            -- all 48-bit fingerprint pairs, keep bit_count(xor) <= 1
+            WITH sh AS ({_simhash_sql(48)})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        """,
         "cosine_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS emb

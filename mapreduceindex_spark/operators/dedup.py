@@ -822,3 +822,79 @@ def canonical_docs(
         )
         .orderBy("cluster_rep")
     )
+
+
+def simhash_near_dups(
+    documents: DataFrame,
+    max_hamming: int = 1,
+    n_bits: int = 48,
+    n_bands: int = 2,
+) -> DataFrame:
+    """Text near-duplicate pairs by SimHash Hamming distance: (doc_a,
+    doc_b, hamming) with distance ≤ ``max_hamming``, a < b.
+
+    The pair-search layer on top of ``simhash64``, completing the third
+    text near-dup family (exact jaccard, MinHash-LSH, SimHash): the
+    ``n_bits`` fingerprint splits into ``n_bands`` equal bands, and two
+    fingerprints with d < n_bands agree exactly on ≥ 1 band (pigeonhole)
+    — so for ``max_hamming`` ≤ n_bands − 1 the band-bucket self-join is
+    a lossless candidate cover, verified with ``bit_count(xor)``. No
+    all-pairs join anywhere; replication is exactly ``n_bands``×.
+
+    Scale note: simhash band values are NOT uniform (majority-vote bits
+    are correlated across documents), so band buckets skew — at 100 TB
+    the band join is the skew-join case AQE's skew splitting handles, or
+    widen bands (fewer docs per bucket) at the cost of a lower provable
+    distance bound. The defaults take the wide end deliberately: two
+    24-bit bands keep buckets tiny on a homogeneous corpus (the fixture
+    has a near-flat pairwise-distance continuum — measured 24-bit/4-band
+    at d ≤ 3 admits ~30% of ALL pairs as candidates, while 48-bit/2-band
+    at d ≤ 1 stays output-proportional: 192k pairs / 3.4 s at sf0.1).
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "banding is lossless only for max_hamming < n_bands"
+        )
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash64(documents, n_bits=n_bits)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), band_bits * j).bitwiseAND(
+                        mask
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("_sa"),
+        "band",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("_sb"),
+        "band",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
