@@ -98,3 +98,21 @@ def test_grouping_sets_avoid_expand(spark):
         assert "Expand" not in plan, plan
         # the fact-width aggregate (the 6-row base) is cached and reused
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
+def test_embedding_near_dups_lsh_has_no_all_pairs_replication(spark):
+    """The default (LSH) tier must join within band buckets only — the
+    plan may not contain the exact tier's every-(block_i, block_j)
+    replication (an `explode(sequence(...))` fan-out) nor any cartesian /
+    nested-loop join. Guards the 100 TB path against regressing to
+    all-pairs."""
+    from mapreduceindex_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = _plan(S.embedding_near_dups(emb))
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, f"{marker} in LSH near-dup plan"
+    # the exact tier's block fan-out shows up as Generate(explode(sequence))
+    assert not re.search(r"Generate .*sequence", plan), (
+        "all-block-pairs replication found in the default plan"
+    )
