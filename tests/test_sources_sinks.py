@@ -175,3 +175,41 @@ def test_orc_source_round_trip(spark):
         (r["doc_id"], r["text"]) for r in documents_from_orc(spark, d).collect()
     )
     assert got == ROWS
+
+
+def test_streaming_shard_sink_matches_batch_layout(spark):
+    """The foreachBatch streaming tail must land every row in the SAME
+    shard the batch writer assigns (crc32 membership is path-invariant),
+    with nothing lost or duplicated."""
+    from mapreduceindex_spark.sinks.shards import stream_to_training_shards
+    from tests.conftest import SF_SMALL
+
+    src_schema = spark.read.parquet(f"{SF_SMALL}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMALL)
+        .select("doc_id", "text")
+    )
+    out = tempfile.mkdtemp(prefix="stream_shards_")
+    q = stream_to_training_shards(stream, out, n_shards=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_out = tempfile.mkdtemp(prefix="batch_shards_")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    write_training_shards(docs, batch_out, n_shards=4)
+
+    m_stream = {
+        r["doc_id"]: r["shard"] for r in spark.read.parquet(out).collect()
+    }
+    m_batch = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(batch_out).collect()
+    }
+    assert m_stream == m_batch
