@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: TA.quality_score(_t(s, d, "documents")),
         "doc_fingerprint": lambda s, d: TA.doc_fingerprint(_t(s, d, "documents")),
         "tf_idf": lambda s, d: TA.tf_idf(_t(s, d, "documents")),
+        "lm_doc_scores": lambda s, d: TA.lm_doc_scores(_t(s, d, "documents")),
         # dedup (EXT1)
         "exact_dedup": lambda s, d: D.exact_dedup(_t(s, d, "documents")),
         "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
@@ -721,6 +722,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.word, tf.tf, df.df,
                    round(tf.tf * ln(total.n_docs::DOUBLE / df.df), 6) AS tfidf
             FROM tf JOIN df USING (word) CROSS JOIN total
+        """,
+        "lm_doc_scores": f"""
+            -- self-trained add-one bigram LM; per-bigram log-probs are
+            -- quantized to integer micro-units before the per-doc sum so
+            -- the aggregate is associative (partitioning-independent) and
+            -- both engines divide the same two exact integers at the end
+            WITH ws AS (
+              SELECT doc_id,
+                     list_filter({_words_sql()}, w -> len(w) > 0) AS w
+              FROM documents
+            ), big AS (
+              SELECT doc_id, u.bg, string_split(u.bg, ' ')[1] AS w1
+              FROM ws, unnest(
+                list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])
+              ) AS u(bg)
+              WHERE len(w) >= 2
+            ), c2 AS (
+              SELECT bg, count(*)::BIGINT AS c2 FROM big GROUP BY bg
+            ), c1 AS (
+              SELECT w1, count(*)::BIGINT AS c1 FROM big GROUP BY w1
+            ), v AS (
+              SELECT count(DISTINCT u.word)::BIGINT AS v
+              FROM ws, unnest(w) AS u(word)
+            ), lm AS (
+              SELECT c2.bg,
+                     CAST(round(ln((c2.c2 + 1)::DOUBLE
+                                   / (c1.c1 + v.v)::DOUBLE) * 1e6)
+                          AS BIGINT) AS lp
+              FROM c2
+              JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1
+              CROSS JOIN v
+            ), sc AS (
+              SELECT big.doc_id, count(*)::BIGINT AS n_bigrams,
+                     sum(lm.lp)::BIGINT AS s
+              FROM big JOIN lm USING (bg) GROUP BY big.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   round(sc.s::DOUBLE / sc.n_bigrams::DOUBLE / 1e6, 6)
+                     AS avg_logp
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash,

@@ -304,3 +304,91 @@ def top_words_per_source(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rk") <= k)
         .orderBy("source", "rk")
     )
+
+
+def lm_doc_scores(documents: DataFrame) -> DataFrame:
+    """Bigram-LM document scores — the LM-based quality filter of a
+    training pipeline (CCNet/Gopher shape): train an add-one-smoothed
+    bigram model ON the corpus itself, then score every document by its
+    mean bigram log-probability. Low scorers are boilerplate/garbled
+    text whose word transitions don't look like the corpus.
+
+    Output: (doc_id, n_bigrams, avg_logp) with
+    ``logp(w2|w1) = ln((C(w1,w2) + 1) / (C(w1,·) + V))`` where V is the
+    corpus vocabulary size; single-word and empty docs emit
+    ``n_bigrams = 0, avg_logp NULL``.
+
+    Cross-engine determinism: each bigram's log-prob is quantized to
+    integer MICRO-units (``round(ln(p)·1e6)`` as BIGINT) before the
+    per-doc sum — integer addition is associative, so the result is
+    identical under any partitioning, and the oracle reproduces it
+    exactly (both engines divide the same two exact integers at the
+    end). A raw double sum would be partition-order-dependent.
+
+    Scale: two corpus passes (bigram emit, then count-join). The
+    bigram→count join shuffles on the bigram string; the context-count
+    and V sides are broadcast (vocabulary ≪ corpus). No driver
+    materialization anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.text import words
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    ).filter(F.length("w") > 0)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", F.concat_ws(" ", "w1", "w2").alias("bg"))
+        .persist()
+    )
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.agg(F.countDistinct("w").alias("v"))
+    lm = (
+        c2.withColumn("w1", F.split("bg", " ")[0])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    scored = (
+        big.join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("_sum_micro"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.col("_sum_micro").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / 1e6,
+                6,
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
