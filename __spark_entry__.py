@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: TA.doc_fingerprint(_t(s, d, "documents")),
         "tf_idf": lambda s, d: TA.tf_idf(_t(s, d, "documents")),
         "lm_doc_scores": lambda s, d: TA.lm_doc_scores(_t(s, d, "documents")),
+        "bloom_prefilter": lambda s, d: SK.bloom_prefilter_stats(
+            _t(s, d, "events")
+        ),
         # dedup (EXT1)
         "exact_dedup": lambda s, d: D.exact_dedup(_t(s, d, "documents")),
         "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
@@ -1579,6 +1582,42 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          4) AS est_users
             FROM mins WHERE rn <= 32
             GROUP BY event_type
+        """,
+        "bloom_prefilter": f"""
+            -- identical Bloom bitmap reconstruction (same md5 positions,
+            -- same 63-bit word packing), so false positives match
+            -- bit-for-bit; n_pass_bloom >= n_true_semi by construction
+            WITH users AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase' AND value > 200.0
+            ), pos AS (
+              SELECT {_hash60_sql("user_id::VARCHAR || '#' || i::VARCHAR")}
+                       % 16384 AS p
+              FROM users, range(0, 3) AS t(i)
+            ), words AS (
+              SELECT p // 63 AS w,
+                     bit_or(1::BIGINT << (p % 63)::INT) AS bits
+              FROM pos GROUP BY 1
+            ), ppos AS (
+              SELECT e.event_id, e.user_id, e.event_type,
+                     {_hash60_sql("e.user_id::VARCHAR || '#' || i::VARCHAR")}
+                       % 16384 AS p
+              FROM events e, range(0, 3) AS t(i)
+            ), hits AS (
+              SELECT event_id, any_value(ppos.event_type) AS event_type,
+                     any_value(ppos.user_id) AS user_id,
+                     (sum(CASE WHEN words.bits
+                                    & (1::BIGINT << (p % 63)::INT) != 0
+                          THEN 1 ELSE 0 END) = 3)::INT AS pass_bloom
+              FROM ppos LEFT JOIN words ON ppos.p // 63 = words.w
+              GROUP BY event_id
+            )
+            SELECT h.event_type, count(*)::BIGINT AS n_events,
+                   sum(h.pass_bloom)::BIGINT AS n_pass_bloom,
+                   sum(CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_true_semi
+            FROM hits h LEFT JOIN users u USING (user_id)
+            GROUP BY h.event_type
         """,
         "price_quantiles": """
             WITH ranked AS (

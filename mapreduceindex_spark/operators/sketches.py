@@ -180,3 +180,117 @@ def price_quantiles(
         .select("p", F.round("o_totalprice", 2).alias("value"))
         .orderBy("p")
     )
+
+
+def bloom_prefilter_stats(
+    events: DataFrame,
+    m_bits: int = 16384,
+    k: int = 3,
+    min_value: float = 200.0,
+) -> DataFrame:
+    """Bloom-filter semi-join prefilter, measured: how many events would a
+    runtime filter on "high-value purchasers" (any purchase with value >
+    ``min_value`` — ~20% of users on the fixture, so the filter actually
+    filters) let through, versus the exact semi-join truth — per event
+    type.
+
+    This is the engine technique behind runtime row-group pruning and
+    bloom-joins: build a compact bitmap over the build side's keys
+    (distinct purchase users), probe the big side with it BEFORE the real
+    join, and pay the exact join only for survivors. The filter is
+    one-sided (no false negatives, bounded false positives), so
+    ``n_pass_bloom ≥ n_true_semi`` per group with equality iff no
+    false positives — both counts are emitted so the false-positive rate
+    is visible in the result.
+
+    Wholly distributed AND engine-portable: the bitmap is ``m_bits``
+    positions packed into 63-bit BIGINT words built with a ``bit_or``
+    hash aggregate (~m/63 rows, broadcast to the probe); positions come
+    from the portable md5 hash (``stable_hash64(user#i) % m``), so the
+    DuckDB oracle reconstructs the IDENTICAL bitmap bit-for-bit — false
+    positives included — which is what makes a probabilistic structure
+    exactly testable. Probe events explode to their k positions, join the
+    broadcast words, and pass iff all k bits are set.
+    """
+    from mapreduceindex_spark.functions.text import stable_hash64
+
+    def _positions(user_col):
+        return [
+            (
+                stable_hash64(
+                    F.concat(user_col.cast("string"), F.lit(f"#{i}"))
+                )
+                % m_bits
+            ).alias(f"p{i}")
+            for i in range(k)
+        ]
+
+    users = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > min_value)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    pos = users.select(
+        F.explode(F.array(*_positions(F.col("user_id")))).alias("p")
+    )
+    bloom_words = (
+        pos.select(
+            F.expr("p div 63").alias("w"),
+            # SQL expr: pyspark's shiftleft() only takes a literal shift
+            F.expr("shiftleft(1L, cast(p % 63 as int))").alias("msk"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("msk").alias("bits"))
+    )
+    probe = events.select("event_id", "user_id", "event_type")
+    ppos = probe.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.explode(F.array(*_positions(F.col("user_id")))).alias("p"),
+    )
+    hits = (
+        ppos.join(
+            F.broadcast(bloom_words),
+            F.expr("p div 63") == F.col("w"),
+            "left",
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr("shiftleft(1L, cast(p % 63 as int))")
+                    )
+                    != 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("event_id", "event_type", "user_id")
+        .agg((F.sum("hit") == k).cast("int").alias("pass_bloom"))
+    )
+    truth = hits.join(
+        users.withColumn("_in", F.lit(1)), "user_id", "left"
+    ).select(
+        "event_type",
+        "pass_bloom",
+        F.coalesce("_in", F.lit(0)).alias("in_truth"),
+    )
+    return (
+        truth.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("pass_bloom").cast("long").alias("n_pass_bloom"),
+            F.sum("in_truth").cast("long").alias("n_true_semi"),
+        )
+        .orderBy("event_type")
+    )
