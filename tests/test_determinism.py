@@ -25,6 +25,12 @@ NAMES = [
     "events_sliding",
     "top_orders_per_customer",
     "minhash_lsh_pairs",
+    # round-2 banded/quantized additions: band-join order and integer-
+    # micro sums must not leak partitioning into results
+    "simhash_near_dups",
+    "media_dhash_near_dups",
+    "lm_doc_scores",
+    "bloom_prefilter",
 ]
 
 
