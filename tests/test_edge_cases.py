@@ -248,3 +248,87 @@ def test_range_join_counts_nearby_errors(spark):
         for r in range_join_error_context(events, window_sec=600).collect()
     }
     assert got == {(1, 1): 2, (2, 5): 0, (1, 6): 1}
+
+
+def test_simhash_near_dups_empty_and_identical(spark):
+    from mapreduceindex_spark.operators.dedup import simhash_near_dups
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash_near_dups(empty).count() == 0
+    # identical token sets -> identical fingerprints -> hamming-0 pair
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unrelated")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_dups(docs).collect()}
+    assert rows.get((1, 2)) == 0
+
+
+def test_lm_doc_scores_degenerate_docs(spark):
+    from mapreduceindex_spark.operators.text_analysis import lm_doc_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),  # identical -> identical score
+            (3, "word"),                    # single word -> no bigrams
+            (4, "123 456"),                 # normalizes to empty words
+            (5, ""),                        # empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+           for r in lm_doc_scores(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1][0] == 5
+    assert out[3] == (0, None)
+    assert out[4] == (0, None)
+    assert out[5] == (0, None)
+    # every doc present exactly once
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_media_dhash_near_dups_finds_identical_synth_images(spark):
+    """ids congruent mod lcm(13,5,7)=455 render identical synth images,
+    so the banded search must report them at hamming 0."""
+    from mapreduceindex_spark.operators.multimodal import media_dhash_near_dups
+
+    docs = spark.createDataFrame(
+        [(7, "x"), (462, "y"), (1000, "z")], ["doc_id", "text"]
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in media_dhash_near_dups(docs).collect()}
+    assert rows.get((7, 462)) == 0
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """One-sided error: every true semi-join member must pass the Bloom,
+    so n_pass_bloom >= n_true_semi in every group."""
+    from mapreduceindex_spark.operators.sketches import bloom_prefilter_stats
+    from mapreduceindex_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    for r in bloom_prefilter_stats(ev).collect():
+        assert r["n_pass_bloom"] >= r["n_true_semi"], r
+
+
+def test_streaming_range_join_equals_batch(spark):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch bucketized range join's result on the bounded fixture."""
+    from mapreduceindex_spark.operators.events import range_join_error_context
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming.pipelines import streaming_range_join
+    from tests.conftest import SF_SMALL
+
+    batch = sorted(
+        tuple(r)
+        for r in range_join_error_context(
+            load_table(spark, SF_SMALL, "events")
+        ).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in streaming_range_join(spark, SF_SMALL).collect()
+    )
+    assert stream == batch
