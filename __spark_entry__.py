@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_near_dups": lambda s, d: M.media_dhash_near_dups(
             _t(s, d, "documents")
         ),
+        "media_dup_clusters": lambda s, d: M.media_dup_clusters(
+            _t(s, d, "documents")
+        ),
     }
 
 
@@ -529,6 +532,37 @@ _COSINE = (
     "(sqrt(list_dot_product(q.emb::DOUBLE[], q.emb::DOUBLE[])) * "
     "sqrt(list_dot_product(c.emb::DOUBLE[], c.emb::DOUBLE[]))), 6)"
 )
+
+#: Closed form of the coarse-parameter dHash pipeline shared by
+#: media_dhash_near_dups and media_dup_clusters: synth params k=id%13,
+#: w=8+id%5, h=8+id%7, quadratic texture (k + 7sx² + 11sy² + 3·sx·sy) % 251
+#: at the NN-resized source coords, bits packed into two 32-bit halves.
+_DHASH_COARSE_CTE = """m AS (
+              SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h,
+                     doc_id % 13 AS k
+              FROM documents
+            ), px AS (
+              SELECT m.doc_id, yy.y AS y, xx.x AS x,
+                     (m.k + 7 * ((xx.x * m.w) // 9) * ((xx.x * m.w) // 9)
+                          + 11 * ((yy.y * m.h) // 8) * ((yy.y * m.h) // 8)
+                          + 3 * ((xx.x * m.w) // 9) * ((yy.y * m.h) // 8))
+                       % 251 AS v
+              FROM m, unnest(range(0, 8)) AS yy(y), unnest(range(0, 9)) AS xx(x)
+            ), cells AS (
+              SELECT a.doc_id, a.y, a.x, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+              FROM px a JOIN px b
+                ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+              WHERE a.x < 8
+            ), hashes AS (
+              SELECT doc_id,
+                     sum(CASE WHEN y < 4
+                         THEN bit * (1::BIGINT << ((y * 8 + x)::INT))
+                         ELSE 0 END)::BIGINT AS lo,
+                     sum(CASE WHEN y >= 4
+                         THEN bit * (1::BIGINT << (((y - 4) * 8 + x)::INT))
+                         ELSE 0 END)::BIGINT AS hi
+              FROM cells GROUP BY doc_id
+            )"""
 
 
 def _ann_lsh_sql(n_queries: int, k: int, n_planes: int, dim: int) -> str:
@@ -1907,45 +1941,33 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                        ELSE 0 END)::BIGINT AS dhash_hi
             FROM cells GROUP BY doc_id
         """,
-        "media_dhash_near_dups": """
-            -- brute-force verification of the banded Hamming search in
-            -- media_dhash_near_dups: same closed-form dHash (coarse
-            -- params k=id%13, w=8+id%5, h=8+id%7, quadratic texture
-            -- (k + 7sx^2 + 11sy^2 + 3sxsy) % 251 at the NN-resized
-            -- source coords), all pairs, keep bit_count(xor) <= 6. The
-            -- Spark side must find exactly these via the 8x8-bit band
-            -- buckets (lossless for d < 8).
-            WITH m AS (
-              SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h,
-                     doc_id % 13 AS k
-              FROM documents
-            ), px AS (
-              SELECT m.doc_id, yy.y AS y, xx.x AS x,
-                     (m.k + 7 * ((xx.x * m.w) // 9) * ((xx.x * m.w) // 9)
-                          + 11 * ((yy.y * m.h) // 8) * ((yy.y * m.h) // 8)
-                          + 3 * ((xx.x * m.w) // 9) * ((yy.y * m.h) // 8))
-                       % 251 AS v
-              FROM m, unnest(range(0, 8)) AS yy(y), unnest(range(0, 9)) AS xx(x)
-            ), cells AS (
-              SELECT a.doc_id, a.y, a.x, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
-              FROM px a JOIN px b
-                ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
-              WHERE a.x < 8
-            ), hashes AS (
-              SELECT doc_id,
-                     sum(CASE WHEN y < 4
-                         THEN bit * (1::BIGINT << ((y * 8 + x)::INT))
-                         ELSE 0 END)::BIGINT AS lo,
-                     sum(CASE WHEN y >= 4
-                         THEN bit * (1::BIGINT << (((y - 4) * 8 + x)::INT))
-                         ELSE 0 END)::BIGINT AS hi
-              FROM cells GROUP BY doc_id
-            )
+        "media_dhash_near_dups": "WITH "
+        + _DHASH_COARSE_CTE
+        + """
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    (bit_count(xor(a.lo, b.lo))
                     + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
             FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) <= 6
+        """,
+        "media_dup_clusters": "WITH RECURSIVE "
+        + _DHASH_COARSE_CTE
+        + """,
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), reach(doc_id, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+            )
+            SELECT doc_id, min(label)::BIGINT AS cluster_rep
+            FROM reach GROUP BY doc_id
         """,
     }

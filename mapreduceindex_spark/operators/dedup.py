@@ -635,7 +635,31 @@ def near_dup_clusters(
     pair_df = pair_df.select("doc_a", "doc_b")
     if star is not None:
         pair_df = pair_df.union(star)
-    pairs = pair_df.persist(StorageLevel.MEMORY_AND_DISK)
+    return resolve_components(
+        pair_df, documents, driver_max_edges=driver_max_edges,
+        max_iter=max_iter,
+    )
+
+
+def resolve_components(
+    pair_df: DataFrame,
+    documents: DataFrame,
+    driver_max_edges: int = 5_000_000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve an edge list into connected components: every ``doc_id`` in
+    ``documents`` maps to the minimum id reachable through ``pair_df``
+    (columns ``doc_a``, ``doc_b``); singletons map to themselves.
+
+    The shared cluster-resolution tail of every near-dup pipeline (text
+    jaccard/LSH via ``near_dup_clusters``, image dHash via
+    ``media_dup_clusters``) — two tiers as documented there: bounded
+    driver union-find below ``driver_max_edges`` edges, distributed
+    min-label propagation (converge-or-raise) above.
+    """
+    pairs = pair_df.select("doc_a", "doc_b").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if pairs.count() <= driver_max_edges:
         parent: dict[int, int] = {}
 
@@ -711,7 +735,7 @@ def near_dup_clusters(
             break
     else:
         raise RuntimeError(
-            f"near_dup_clusters: label propagation did not converge in "
+            f"resolve_components: label propagation did not converge in "
             f"{max_iter} rounds (component diameter exceeds the budget); "
             f"raise max_iter or switch to large-star/small-star contraction"
         )

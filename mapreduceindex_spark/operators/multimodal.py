@@ -500,3 +500,22 @@ def media_dhash_near_dups(
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+def media_dup_clusters(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image duplicate clusters: (doc_id, cluster_rep) — every document
+    mapped to the minimum doc_id reachable through the dHash
+    near-duplicate graph, singletons to themselves.
+
+    The image pipeline taken to the dedup DECISION, mirroring the text
+    path one-to-one: ``media_dhash_near_dups`` (banded Hamming pairs) is
+    to ``ngram_jaccard_pairs`` what this is to ``near_dup_clusters`` —
+    the same shared ``resolve_components`` tail (driver union-find under
+    the edge bound, distributed min-label propagation above) resolves
+    the pair graph, and keeping ``doc_id == cluster_rep`` rows yields
+    the image-deduplicated corpus.
+    """
+    from mapreduceindex_spark.operators.dedup import resolve_components
+
+    pairs = media_dhash_near_dups(documents, max_hamming=max_hamming)
+    return resolve_components(pairs, documents)
