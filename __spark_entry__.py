@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": lambda s, d: C.contamination_check(
             _t(s, d, "documents"), n=3, benchmark_mod=97
         ),
+        "boilerplate_score": lambda s, d: C.boilerplate_score(
+            _t(s, d, "documents")
+        ),
         "repetition_score": lambda s, d: C.repetition_score(
             _t(s, d, "documents"), n=2
         ),
@@ -919,6 +922,37 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                      (((a.n_ngrams - a.n_distinct) * 10000 * 2 + a.n_ngrams)
                       // (a.n_ngrams * 2))::DOUBLE / 10000.0
                    ELSE 0.0 END AS dup_pct
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "boilerplate_score": f"""
+            -- strict 8-grams on the raw word array (concat_ws keeps
+            -- empty words, matching the Spark side); doc frequency
+            -- counted on the portable 60-bit hash both engines share
+            WITH ws AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), ng AS (
+              SELECT doc_id,
+                     {_hash60_sql(
+                         "array_to_string(list_slice(w, i, i + 7), ' ')"
+                     )} AS h
+              FROM ws, unnest(range(1, len(w) - 6)) AS t(i)
+              WHERE len(w) >= 8
+            ), dfreq AS (
+              SELECT h, count(DISTINCT doc_id)::BIGINT AS df
+              FROM ng GROUP BY h
+            ), agg AS (
+              SELECT ng.doc_id, count(*)::BIGINT AS n_ngrams,
+                     sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0
+                         END)::BIGINT AS n_hot
+              FROM ng JOIN dfreq USING (h) GROUP BY ng.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+                   coalesce(a.n_hot, 0)::BIGINT AS n_hot,
+                   CASE WHEN coalesce(a.n_ngrams, 0) > 0 THEN
+                     ((a.n_hot * 10000 * 2 + a.n_ngrams)
+                      // (a.n_ngrams * 2))::DOUBLE / 10000.0
+                   ELSE 0.0 END AS boilerplate_pct
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "domain_mixture": f"""

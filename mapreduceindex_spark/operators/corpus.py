@@ -406,3 +406,74 @@ def deterministic_sample(
         .select("doc_id", "text")
         .orderBy("doc_id")
     )
+
+
+def boilerplate_score(
+    documents: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document boilerplate fraction: per doc, the share of its
+    word ``n``-gram positions whose n-gram also appears in ≥ ``min_docs``
+    distinct documents — the corpus-level complement of
+    ``repetition_score`` (within-doc) and ``contamination_check``
+    (external benchmark): headers, footers, license blocks, and
+    navigation chrome score high and get filtered or masked before
+    training.
+
+    Exactness: the ratio is integer-space 4-dp (same
+    round-half-away-from-zero as ``repetition_score``); n-grams travel
+    as the portable 60-bit hash, which the oracle recomputes, so both
+    engines count identical keys. Plan: one explode→lead pass, one
+    distinct + hash-agg for document frequency, one join back on the
+    8-byte hash, one per-doc aggregate — no strings in any exchange.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    pos_df = (
+        toks.select(
+            "doc_id", "nw", "pos", F.concat_ws(" ", *parts).alias("ng")
+        )
+        .filter(F.col("pos") <= F.col("nw") - n)
+        .select("doc_id", stable_hash64("ng").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hot = (
+        pos_df.dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h", F.lit(1).alias("_hot"))
+    )
+    per_doc = (
+        pos_df.join(hot, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("_hot", F.lit(0))).alias("n_hot"),
+        )
+    )
+    frac4 = F.expr(
+        "CAST((n_hot * 10000 * 2 + n_ngrams) DIV (n_ngrams * 2) AS DOUBLE)"
+        " / 10000.0"
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_hot", F.lit(0)).cast("long").alias("n_hot"),
+        )
+        .withColumn(
+            "boilerplate_pct",
+            F.when(F.col("n_ngrams") > 0, frac4).otherwise(F.lit(0.0)),
+        )
+        .orderBy("doc_id")
+    )
