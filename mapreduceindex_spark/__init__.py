@@ -22,4 +22,40 @@ express the semantics (and then always Arrow-vectorized).
 
 __version__ = "0.1.0"
 
-from mapreduceindex_spark.session import get_spark  # noqa: F401
+# Curated public API: the operators a reference user reaches for first.
+# Submodules hold the full surface (see SURVEY.md §2.1 for the map).
+from mapreduceindex_spark.operators.corpus import (  # noqa: F401
+    split_by_hash,
+    training_corpus,
+)
+from mapreduceindex_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+    ngram_jaccard_pairs,
+    resolve_components,
+)
+from mapreduceindex_spark.operators.inverted_index import (  # noqa: F401
+    inverted_index,
+    merge_index,
+    search_docs,
+)
+from mapreduceindex_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+)
+from mapreduceindex_spark.operators.text_analysis import (  # noqa: F401
+    quality_score,
+    tf_idf,
+)
+from mapreduceindex_spark.session import (  # noqa: F401
+    get_spark,
+    load_table,
+    load_tables,
+    register_views,
+)
+from mapreduceindex_spark.sinks.letter_sink import (  # noqa: F401
+    write_letter_files,
+)
+from mapreduceindex_spark.sources.manifest import (  # noqa: F401
+    corpus_from_manifest,
+)

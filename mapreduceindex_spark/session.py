@@ -135,3 +135,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     free; callers select only what they need.
     """
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view, so the whole schema is
+    queryable with plain ``spark.sql(...)`` — the SQL-first entry point for
+    users coming from a warehouse rather than the DataFrame API. Views are
+    lazy: nothing is read until a query touches a table, and each view
+    carries the same event-time normalization as ``load_table``.
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

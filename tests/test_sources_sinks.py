@@ -213,3 +213,26 @@ def test_streaming_shard_sink_matches_batch_layout(spark):
         for r in spark.read.parquet(batch_out).collect()
     }
     assert m_stream == m_batch
+
+
+def test_public_api_and_sql_views(spark):
+    """The package root exposes the curated API, and register_views makes
+    the whole schema queryable with plain SQL."""
+    import mapreduceindex_spark as mri
+    from tests.conftest import SF_SMALL
+
+    for name in (
+        "inverted_index", "exact_dedup", "minhash_lsh_pairs", "cosine_topk",
+        "tf_idf", "get_spark", "register_views", "corpus_from_manifest",
+    ):
+        assert callable(getattr(mri, name)), name
+
+    mri.register_views(spark, SF_SMALL)
+    n = spark.sql(
+        "SELECT count(*) AS n FROM documents JOIN events ON 1=0"
+    ).collect()[0]["n"]
+    assert n == 0
+    top = spark.sql(
+        "SELECT event_type, count(*) AS c FROM events GROUP BY event_type"
+    ).count()
+    assert top == 5
