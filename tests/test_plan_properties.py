@@ -116,3 +116,25 @@ def test_embedding_near_dups_lsh_has_no_all_pairs_replication(spark):
     assert not re.search(r"Generate .*sequence", plan), (
         "all-block-pairs replication found in the default plan"
     )
+
+
+def test_lm_doc_scores_broadcasts_model_and_stays_jvm(spark):
+    """The bigram LM's context-count and vocabulary sides must broadcast
+    (model ≪ corpus), and the whole plan must stay JVM-side — no Python
+    eval anywhere in a text-scoring hot path."""
+    from mapreduceindex_spark.operators.text_analysis import lm_doc_scores
+
+    plan = _plan(lm_doc_scores(load_table(spark, SF_SMALL, "documents")))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} found in LM scoring plan"
+
+
+def test_bloom_prefilter_broadcasts_bitmap(spark):
+    """The Bloom bitmap (~m/63 rows) must reach the probe side as a
+    broadcast — shipping the big events table to the bitmap would invert
+    the whole point of a runtime filter."""
+    from mapreduceindex_spark.operators.sketches import bloom_prefilter_stats
+
+    plan = _plan(bloom_prefilter_stats(load_table(spark, SF_SMALL, "events")))
+    assert "BroadcastHashJoin" in plan, plan
