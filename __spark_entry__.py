@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_score": lambda s, d: C.boilerplate_score(
             _t(s, d, "documents")
         ),
+        "sentence_chunks": lambda s, d: C.sentence_chunks(
+            _t(s, d, "documents")
+        ),
         "repetition_score": lambda s, d: C.repetition_score(
             _t(s, d, "documents"), n=2
         ),
@@ -954,6 +957,37 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                       // (a.n_ngrams * 2))::DOUBLE / 10000.0
                    ELSE 0.0 END AS boilerplate_pct
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "sentence_chunks": f"""
+            -- sentence split + budget-crossing chunk assignment: a
+            -- sentence lands in the chunk where its first word falls in
+            -- the doc's running token stream (cum-before DIV budget)
+            WITH s AS (
+              SELECT doc_id, u.x.i AS idx, u.x.s AS sent
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(text, '[.!?]+\\s+') AS l
+                FROM documents
+              ), unnest(
+                list_transform(range(1, len(l) + 1),
+                               i -> {{'i': i, 's': l[i]}})
+              ) AS u(x)
+            ), sized AS (
+              SELECT doc_id, idx,
+                     len({_words_sql("sent")})::BIGINT AS nw
+              FROM s
+            ), nonempty AS (
+              SELECT doc_id, idx, nw,
+                     coalesce(sum(nw) OVER (
+                       PARTITION BY doc_id ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum
+              FROM sized WHERE nw > 0
+            )
+            SELECT doc_id, (cum // 40)::BIGINT AS chunk_id,
+                   count(*)::BIGINT AS n_sentences,
+                   sum(nw)::BIGINT AS n_tokens
+            FROM nonempty GROUP BY doc_id, cum // 40
         """,
         "domain_mixture": f"""
             WITH agg AS (

@@ -477,3 +477,55 @@ def boilerplate_score(
         )
         .orderBy("doc_id")
     )
+
+
+def sentence_chunks(documents: DataFrame, budget: int = 40) -> DataFrame:
+    """Sentence-aware chunking — ``doc_chunks``' RAG-prep sibling: split
+    each document at sentence boundaries (``[.!?]+`` + whitespace), then
+    assign whole sentences to ``budget``-token chunks so no chunk ever
+    cuts mid-sentence. A sentence belongs to the chunk where its first
+    word falls in the document's running token stream (the same
+    budget-crossing rule as ``pack_sequences``) — deterministic, and a
+    pure cumsum, where the greedy "close the chunk early" variant would
+    be an inherently sequential scan.
+
+    Token counts are normalized non-empty words (``functions.text.words``
+    semantics); sentences with no such words vanish, so punctuation-only
+    fragments and trailing-delimiter empties never produce chunks.
+
+    Plan: split → posexplode → per-sentence word count (one codegen'd
+    stage), one window cumsum per doc, one per-(doc, chunk) aggregate.
+    Output: (doc_id, chunk_id, n_sentences, n_tokens).
+
+    Note: the fixture documents carry no sentence punctuation, so the
+    driver-oracle row only exercises the single-sentence path; the
+    multi-sentence budget-crossing behavior is pinned by
+    ``tests/test_edge_cases.py::test_sentence_chunks_budget_crossing``.
+    """
+    sents = documents.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"[.!?]+\s+")).alias("idx", "sent"),
+    )
+    sized = sents.select(
+        "doc_id", "idx", F.size(words(F.col("sent"))).alias("nw")
+    ).filter(F.col("nw") > 0)
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = sized.select(
+        "doc_id",
+        "nw",
+        F.coalesce(F.sum("nw").over(win), F.lit(0)).alias("_cum"),
+    ).select(
+        "doc_id", "nw", F.expr(f"_cum DIV {budget}").alias("chunk_id")
+    )
+    return (
+        assigned.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("nw").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

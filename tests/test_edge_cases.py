@@ -332,3 +332,26 @@ def test_streaming_range_join_equals_batch(spark):
         tuple(r) for r in streaming_range_join(spark, SF_SMALL).collect()
     )
     assert stream == batch
+
+
+def test_sentence_chunks_budget_crossing(spark):
+    """Whole sentences assigned to budget-crossing chunks: with budget=5
+    and sentences of 3 words each, cum-before per sentence is 0,3,6,9 ->
+    chunks 0,0,1,1; a punctuation-only fragment contributes nothing."""
+    from mapreduceindex_spark.operators.corpus import sentence_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three. four five six! seven eight nine? ten eleven twelve."),
+            (2, "just one sentence here"),
+            (3, "!!! ..."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["chunk_id"]): (r["n_sentences"], r["n_tokens"])
+           for r in sentence_chunks(docs, budget=5).collect()}
+    assert out == {
+        (1, 0): (2, 6),   # sentences at cum 0 and 3
+        (1, 1): (2, 6),   # sentences at cum 6 and 9
+        (2, 0): (1, 4),
+    }
