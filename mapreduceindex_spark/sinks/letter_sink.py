@@ -9,19 +9,16 @@ checker diffs all 26, ``checker/checker.sh:25-33``).
 
 Scale design: the index is repartitioned BY LETTER (26-way hash on the
 first character) and sorted within partitions, so each letter's lines are
-produced by a bounded set of tasks in global order; Spark writes one
-part-file per partition and the driver renames/concatenates per letter.
-At test scale a single pass with ``partitionBy`` is used; at 100 TB the
-same plan holds because the per-letter files are themselves an artifact
-of the reference's contract (a cluster deployment would leave the output
-as partitioned parquet and skip the concat).
+produced in global order by exactly one task, which streams them straight
+into the final ``<letter>.txt`` (single-node contract mode). At 100 TB
+the per-letter flat text files are themselves an artifact of the
+reference's contract — a cluster deployment uses ``materialize="parquet"``
+(letter-partitioned parquet, order reconstructed by ``ORDER BY``).
 """
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 import string
 
 from pyspark.sql import DataFrame
@@ -57,11 +54,10 @@ def write_letter_files(
     """Materialize the per-letter index from an inverted-index DataFrame.
 
     - ``materialize="txt"`` (the reference contract): ``out_dir/{a..z}.txt``.
-      One Spark job: partition by letter (hash, 26 buckets ≈ one task per
-      letter), sort within partitions by the reference's global order,
-      write as ``partitionBy("letter")`` text. Driver then moves each
-      letter's part-files (already internally ordered; ≤1 per letter here)
-      into the flat ``<letter>.txt`` layout and touches empties.
+      One Spark job: partition by letter (hash, 26 buckets), sort within
+      partitions by the reference's global order, and write each letter's
+      lines directly to ``<letter>.txt`` from the owning task. Empties are
+      pre-touched so all 26 files always exist.
     - ``materialize="parquet"`` (cluster mode): letter-partitioned parquet
       at ``out_dir/letter=<x>/`` carrying ``(df, word, line)``, no
       driver-side concatenation — the 100 TB form, where a single flat
@@ -84,23 +80,48 @@ def write_letter_files(
         return
     if materialize != "txt":
         raise ValueError(f"write_letter_files: unknown materialize {materialize!r}")
+    # Single-node (reference-contract) mode: each letter lands wholly in one
+    # hash partition of the 26-way repartition, and rows arrive sorted by
+    # (letter, df DESC, word ASC), so every task can stream its letters
+    # straight into final ``<letter>.txt`` files — no dynamic-partition
+    # commit protocol, no staging directory, no driver-side concat pass
+    # over the data (the prior staged ``partitionBy`` + concat cost ~2× the
+    # bytes and a second sweep of file opens).  Truncating ``open`` keeps a
+    # retried task idempotent.  This requires a filesystem shared with the
+    # driver (true on a single node); multi-node clusters use the
+    # ``parquet`` mode above, where per-letter flat text files are
+    # themselves the bottleneck.
     os.makedirs(out_dir, exist_ok=True)
-    staged = os.path.join(out_dir, "_staged")
+    # golden-dir contract: all 26 files exist, 0-byte for empty letters
+    # (``checker/test_out_small/d.txt``); tasks then overwrite the
+    # non-empty ones.
+    for ch in string.ascii_lowercase:
+        open(os.path.join(out_dir, f"{ch}.txt"), "w").close()
+
+    def _write_partition(rows) -> None:
+        current, fh = None, None
+        try:
+            for row in rows:
+                if row.letter != current:
+                    if fh is not None:
+                        fh.close()
+                    current = row.letter
+                    fh = open(
+                        os.path.join(out_dir, f"{current}.txt"),
+                        "w",
+                        encoding="ascii",
+                    )
+                fh.write(row.line)
+                fh.write("\n")
+        finally:
+            if fh is not None:
+                fh.close()
+
     (
         lines.repartition(26, "letter")
         .sortWithinPartitions(
             "letter", F.col("df").desc(), F.col("word").asc()
         )
         .select("letter", "line")
-        .write.mode("overwrite")
-        .partitionBy("letter")
-        .text(staged)
+        .foreachPartition(_write_partition)
     )
-    for ch in string.ascii_lowercase:
-        target = os.path.join(out_dir, f"{ch}.txt")
-        parts = sorted(glob.glob(os.path.join(staged, f"letter={ch}", "part-*")))
-        with open(target, "wb") as out:
-            for p in parts:
-                with open(p, "rb") as src:
-                    shutil.copyfileobj(src, out)
-    shutil.rmtree(staged)
