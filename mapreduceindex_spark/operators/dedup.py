@@ -171,6 +171,19 @@ def ngram_jaccard_pairs(
     df-join overhead only pays for itself once the quadratic pressure is
     real. Both tiers share the candidate→verify structure and semantics.
 
+    ``direct_join_max_df2`` basis (measured, local[32]): at sf0.1 the
+    capped pressure is Σ df² ≈ 2.8 M and the direct tier beats forced
+    prefix filtering 2.9–4.1 s vs 3.5–10.3 s (steady state ~1.2–2×); the
+    10×-clone stress keeps the same ordering because the pre-collapse
+    holds pressure at unique-content level. The 50 M ceiling is a memory
+    bound, not a timing crossover: self-join output rows are 16-byte
+    (long, long) pairs, so 50 M rows ≈ 800 MB *before* partitioning —
+    ~25 MB per task at 32 shuffle partitions, comfortably within any
+    executor profile, and AQE splits skewed partitions further. Past it,
+    candidate volume (not memory) is what makes prefix filtering's window
+    overhead pay. Memory-constrained callers can lower the budget; both
+    tiers return identical results.
+
     Also retained from the simpler formulation: the frequency cap (a
     shingle in > ``max_shingle_df`` docs is discrimination-free Σdf²
     fuel) and the persisted hash front end (multiple plan branches, no
@@ -669,7 +682,12 @@ def resolve_components(
                 x = parent[x]
             return x
 
-        for a, b in pairs.collect():
+        edge_list = pairs.collect()
+        # the driver tier's result depends only on the collected edge
+        # list from here on — release the cached pair blocks so repeated
+        # cluster resolutions in one session don't accumulate them
+        pairs.unpersist()
+        for a, b in edge_list:
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[ra] = rb
@@ -739,6 +757,13 @@ def resolve_components(
             f"{max_iter} rounds (component diameter exceeds the budget); "
             f"raise max_iter or switch to large-star/small-star contraction"
         )
+    # converged: the final labels frame is persisted and materialized (the
+    # convergence count read every row), so the iteration inputs can be
+    # released — only `labels` backs the returned plan. A cache-evicted
+    # labels partition would recompute through the unpersisted lineage:
+    # slower, still correct.
+    edges.unpersist()
+    pairs.unpersist()
     return (
         documents.select("doc_id")
         .join(labels, "doc_id", "left")

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 #: Schema of the feature output of `extract_media_features`.
 MEDIA_FEATURE_SCHEMA = (
@@ -392,33 +393,12 @@ def media_dhash(documents: DataFrame) -> DataFrame:
     )
 
 
-def media_dhash_near_dups(
-    documents: DataFrame, max_hamming: int = 6
-) -> DataFrame:
-    """Image near-duplicate pairs by difference-hash Hamming distance —
-    the image twin of the text MinHash-LSH pipeline, end to end: real
-    codec fingerprint (``media_dhash``'s encode → NN-resize → decode →
-    dHash) and **Hamming banding** for the pair search.
-
-    Banding: the 64 hash bits split into 8 bands of 8 bits; two hashes
-    with Hamming distance d < 8 agree exactly on ≥ 1 band (pigeonhole),
-    so for ``max_hamming`` ≤ 7 the band-bucket self-join is a LOSSLESS
-    candidate cover — never an all-pairs join, data replication exactly
-    8×, the same guarantee structure as ``minhash_lsh_pairs``. Candidates
-    verify with ``bit_count(xor)`` and a pair found via several bands
-    dedups on (doc_a, doc_b).
-
-    Synth images here use coarser parameters than ``media_dhash``
-    (``k = id%13, w = 8+id%5, h = 8+id%7``) so genuinely duplicate
-    images exist at every fixture SF (ids congruent mod lcm = 455 render
-    identically), and a QUADRATIC texture (``(k + 7x² + 11y² + 3xy)
-    % 251``) rather than the linear gradient — a gradient's dHash bits
-    are nearly all-ones for every image, which would rate most of the
-    corpus "near-duplicate"; the quadratic texture puts unrelated images
-    at Hamming ≈ 32 so the threshold actually discriminates. The oracle
-    replays the closed form and verifies by brute-force pairwise
-    distance.
-    """
+def _dhash_frame_coarse(documents: DataFrame) -> DataFrame:
+    """(doc_id, dhash_lo, dhash_hi) via the coarse synth parameters used
+    by the near-dup pipeline (see ``media_dhash_near_dups``): quadratic
+    texture ``(k + 7x² + 11y² + 3xy) % 251`` with ``k = id%13,
+    w = 8+id%5, h = 8+id%7``, fingerprinted through the real PNG
+    encode → NN-resize → decode path."""
     import numpy as np
 
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -450,9 +430,59 @@ def media_dhash_near_dups(
     spread = documents.select("doc_id").repartition(
         documents.sparkSession.sparkContext.defaultParallelism
     )
-    hashes = spread.mapInPandas(
+    return spread.mapInPandas(
         _dhash, schema="doc_id bigint, dhash_lo bigint, dhash_hi bigint"
     )
+
+
+def media_dhash_near_dups(
+    documents: DataFrame,
+    max_hamming: int = 6,
+    _hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by difference-hash Hamming distance —
+    the image twin of the text MinHash-LSH pipeline, end to end: real
+    codec fingerprint (``media_dhash``'s encode → NN-resize → decode →
+    dHash) and **Hamming banding** for the pair search.
+
+    Banding: the 64 hash bits split into 8 bands of 8 bits; two hashes
+    with Hamming distance d < 8 agree exactly on ≥ 1 band (pigeonhole),
+    so for ``max_hamming`` ≤ 7 the band-bucket self-join is a LOSSLESS
+    candidate cover — never an all-pairs join, data replication exactly
+    8×, the same guarantee structure as ``minhash_lsh_pairs``. Candidates
+    verify with ``bit_count(xor)`` and a pair found via several bands
+    dedups on (doc_a, doc_b).
+
+    Synth images here use coarser parameters than ``media_dhash``
+    (``k = id%13, w = 8+id%5, h = 8+id%7``) so genuinely duplicate
+    images exist at every fixture SF (ids congruent mod lcm = 455 render
+    identically), and a QUADRATIC texture (``(k + 7x² + 11y² + 3xy)
+    % 251``) rather than the linear gradient — a gradient's dHash bits
+    are nearly all-ones for every image, which would rate most of the
+    corpus "near-duplicate"; the quadratic texture puts unrelated images
+    at Hamming ≈ 32 so the threshold actually discriminates. The oracle
+    replays the closed form and verifies by brute-force pairwise
+    distance.
+    """
+    if max_hamming >= 8:
+        # pigeonhole cover is lossless only below the band count — same
+        # guard as simhash_near_dups; silently-incomplete candidates
+        # presented as exact would be a correctness bug, not a tuning knob
+        raise ValueError(
+            f"media_dhash_near_dups: max_hamming={max_hamming} breaks the "
+            f"8-band pigeonhole guarantee (requires max_hamming <= 7)"
+        )
+    if _hashes is not None:
+        hashes = _hashes
+    else:
+        # both sides of the band self-join scan this frame and Catalyst
+        # does not reuse the exchange across the differently-aliased
+        # sides (verified: MapInPandas appears twice in the executed
+        # plan), so persist to run the codec stage once. Bounded cache:
+        # 3 bigints per document.
+        hashes = _dhash_frame_coarse(documents).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     # 8 bands × 8 bits: bands 0-3 from the lo half, 4-7 from the hi half
     banded = hashes.select(
         "doc_id",
@@ -517,5 +547,18 @@ def media_dup_clusters(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
     """
     from mapreduceindex_spark.operators.dedup import resolve_components
 
-    pairs = media_dhash_near_dups(documents, max_hamming=max_hamming)
-    return resolve_components(pairs, documents)
+    # one codec pass: the persisted hash frame feeds both sides of the
+    # band self-join AND the verification columns; resolve_components
+    # materializes the pair graph eagerly (its edge-count tier probe), so
+    # the cache can be dropped before returning — the resolved plan no
+    # longer reads it (driver tier: collected LUT; propagation tier:
+    # persisted labels).
+    hashes = _dhash_frame_coarse(documents).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = media_dhash_near_dups(
+        documents, max_hamming=max_hamming, _hashes=hashes
+    )
+    out = resolve_components(pairs, documents)
+    hashes.unpersist()
+    return out

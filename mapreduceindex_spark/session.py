@@ -75,9 +75,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
     - ``timeZone=UTC``: every ``unix_timestamp``/``date_trunc`` result
       must match the (timezone-naive) DuckDB oracle regardless of the
       host's local zone.
+    - ``parallelPartitionDiscovery.threshold``: with explicit per-file
+      path lists (the manifest corpus source), Spark fires a
+      one-task-per-path listing JOB once the path count crosses the
+      default threshold (32); driver-side stat of a bounded manifest is
+      far cheaper (measured: removes a 355-task job per fresh
+      DataFrame). Manifests beyond 100 k files fall back to the parallel
+      listing, which on an object store at real scale is the right tool.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000"
+    )
 
 
 TABLES = (

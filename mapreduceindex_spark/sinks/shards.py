@@ -55,11 +55,18 @@ def stream_to_training_shards(
 
     ``foreachBatch`` hands each micro-batch to the BATCH writer, so shard
     assignment (``crc32(id) mod n``) is identical to the offline path and
-    a row lands in the same shard directory whichever route it took; each
-    batch appends its rows into the shard partitions. Exactly-once comes
-    from the checkpoint: a replayed batch overwrites per-batch output
-    deterministically rather than double-appending (parquet append +
-    idempotent batch ids is the stock Spark recipe).
+    a row lands in the same shard directory whichever route it took.
+
+    **Exactly-once**: ``foreachBatch`` alone is at-least-once — after a
+    failure/restart the checkpoint replays the last uncommitted batch, and
+    a plain parquet append would double-append its rows. The write is
+    therefore keyed on ``batch_id``: output is partitioned by
+    ``(shard, batch)`` and written with **dynamic partition overwrite**,
+    so a replayed batch atomically replaces exactly its own
+    ``shard=*/batch=B`` directories instead of appending next to the
+    first attempt's rows. Downstream loaders read ``out_dir`` (or one
+    ``shard=K/``) recursively and see each row once; the extra ``batch``
+    partition column is bookkeeping they may drop.
 
     Returns the started ``StreamingQuery``; callers drive it
     (``processAllAvailable``/``awaitTermination``) and stop it.
@@ -70,20 +77,39 @@ def stream_to_training_shards(
         checkpoint_dir = tempfile.mkdtemp(prefix="shard_stream_ckpt_")
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sharded = batch_df.withColumn(
-            "shard",
-            (F.crc32(F.col(id_col).cast("string")) % n_shards).cast("int"),
-        )
-        (
-            sharded.repartition(n_shards, "shard")
-            .sortWithinPartitions("shard", id_col)
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(out_dir)
-        )
+        write_shard_batch(batch_df, batch_id, out_dir, n_shards, id_col)
 
     return (
         stream.writeStream.foreachBatch(_write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def write_shard_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> None:
+    """Idempotent per-batch shard write (the ``foreachBatch`` body of
+    ``stream_to_training_shards``, exposed for direct use/testing).
+
+    Dynamic partition overwrite on ``(shard, batch=batch_id)``: re-running
+    the same batch replaces its own partition directories, never appends a
+    second copy — the property that upgrades foreachBatch's at-least-once
+    replay to exactly-once output.
+    """
+    sharded = batch_df.withColumn(
+        "shard",
+        (F.crc32(F.col(id_col).cast("string")) % n_shards).cast("int"),
+    ).withColumn("batch", F.lit(batch_id))
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard", "batch")
+        .parquet(out_dir)
     )

@@ -57,18 +57,15 @@ def corpus_from_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
     doc_id comes from a broadcast-joined manifest-order map on the file
     path (tiny dim — Catalyst broadcasts it automatically).
     """
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    # all read-dependent runtime confs live in ensure_session_confs so a
+    # caller-provided bare session behaves identically to get_spark()'s
+    # (this includes the parallel-discovery threshold that keeps the
+    # explicit path list below from firing a one-task-per-path listing job)
+    ensure_session_confs(spark)
     entries = read_manifest(manifest_path)
     id_map = spark.createDataFrame(entries, DOC_SCHEMA)
-    if len(entries) <= 100_000:
-        # With explicit per-file paths, Spark fires a one-task-per-path
-        # listing JOB unless the count is under the parallel-discovery
-        # threshold; driver-side stat of a bounded manifest is far cheaper
-        # (measured: removes a 355-task job per fresh DataFrame). Larger
-        # manifests keep the parallel listing — on an object store at real
-        # scale that job is the right tool.
-        spark.conf.set(
-            "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000"
-        )
     raw = spark.read.format("binaryFile").load([p for _, p in entries]).select(
         F.col("path").alias("_file"),
         F.decode("content", "UTF-8").alias("text"),

@@ -53,7 +53,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_table(agg: DataFrame, mode: str = "complete") -> DataFrame:
+def _run_to_table(
+    agg: DataFrame, mode: str = "complete", partitions: int = 4
+) -> DataFrame:
     """Drive a finite streaming aggregation to completion into a memory
     sink; return the materialized result as a batch DataFrame.
 
@@ -61,25 +63,51 @@ def _run_to_table(agg: DataFrame, mode: str = "complete") -> DataFrame:
     query start; a fixture-scale stream with a handful of keys pays per-
     state-store overhead, so the partition count is pinned low for the
     run and restored afterwards (a real deployment sizes it to key
-    cardinality once — it is frozen into the checkpoint).
+    cardinality once — it is frozen into the checkpoint). Operators whose
+    per-partition work is a *Python* stage (``applyInPandasWithState``)
+    pass a higher ``partitions``: there the bottleneck is group-loop
+    execution across Python workers, not state-store count (measured on
+    first_seen at sf0.1: 3.1 s @ 4 partitions → 1.7 s @ 16).
     """
     spark = agg.sparkSession
     name = "s" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    # No-data micro-batches exist to advance the watermark so *eviction*
+    # and append-mode window finalization make progress on a quiet
+    # source. Every operator driven through this harness emits its rows
+    # in the data batch itself (complete-mode aggs; the stateful dedup
+    # and the stream-stream inner join both emit on arrival), so the
+    # trailing empty batches are pure overhead on a drained finite
+    # source — measured ~1.4 s of the range join's 3.4 s. A deployment
+    # that relies on watermark-driven emission (append-mode windowed
+    # aggs) must leave this on.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
+        # availableNow: drain everything already in the source, then stop
+        # on our own — one trigger cycle instead of processAllAvailable's
+        # poll-until-idle loop (which costs extra no-data micro-batches
+        # plus polling latency on a finite source). Result-identical on
+        # bounded input; an unbounded deployment swaps the trigger line.
         q = (
             agg.writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
+            .trigger(availableNow=True)
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+        )
     return spark.table(name)
 
 
@@ -194,7 +222,7 @@ def streaming_first_seen_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = _run_to_table(dedup, "append")
+    out = _run_to_table(dedup, "append", partitions=16)
     return out.orderBy("user_id", "event_type")
 
 

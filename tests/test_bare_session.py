@@ -50,6 +50,36 @@ def bare_spark(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def test_ensure_session_confs_is_the_single_conf_site(bare_spark):
+    """Every read-dependent runtime conf — including the parallel-discovery
+    threshold the manifest source needs — is (re)established by
+    ``ensure_session_confs`` on a bare session, and the manifest source
+    routes through it rather than setting session conf as a side effect
+    of its own (round-2 advice: one conf site, same class of bug as
+    round 1's nanos failure)."""
+    import inspect
+
+    from mapreduceindex_spark.session import ensure_session_confs
+    from mapreduceindex_spark.sources import manifest
+
+    bare_spark.conf.unset(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    )
+    ensure_session_confs(bare_spark)
+    assert (
+        bare_spark.conf.get(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        )
+        == "100000"
+    )
+    assert bare_spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert bare_spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # the manifest source must not carry its own spark.conf.set side effect
+    src = inspect.getsource(manifest)
+    assert "conf.set" not in src
+    assert "ensure_session_confs" in src
+
+
 @pytest.mark.parametrize("name", AFFECTED)
 def test_query_runs_and_matches_oracle_on_bare_session(bare_spark, duck, name):
     import __spark_entry__ as entry

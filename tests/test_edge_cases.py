@@ -355,3 +355,19 @@ def test_sentence_chunks_budget_crossing(spark):
         (1, 1): (2, 6),   # sentences at cum 6 and 9
         (2, 0): (1, 4),
     }
+
+
+def test_media_dhash_near_dups_rejects_band_breaking_threshold(spark):
+    """8 bands of 8 bits are a lossless pigeonhole cover only for
+    max_hamming <= 7; beyond that the candidate set is silently
+    incomplete, so the operator must refuse (same guard as
+    simhash_near_dups)."""
+    import pytest
+
+    from mapreduceindex_spark.operators.multimodal import media_dhash_near_dups
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        media_dhash_near_dups(docs, max_hamming=8)
+    # boundary value stays accepted
+    media_dhash_near_dups(docs, max_hamming=7)

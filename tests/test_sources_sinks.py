@@ -215,6 +215,38 @@ def test_streaming_shard_sink_matches_batch_layout(spark):
     assert m_stream == m_batch
 
 
+def test_streaming_shard_sink_replay_is_idempotent(spark):
+    """A micro-batch replayed after a failure/restart (same batch_id) must
+    not double-append: the dynamic-partition-overwrite write replaces its
+    own (shard, batch) directories, so running the batch body twice leaves
+    exactly one copy of every row."""
+    from mapreduceindex_spark.sinks.shards import write_shard_batch
+
+    out = tempfile.mkdtemp(prefix="replay_shards_")
+    batch = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    write_shard_batch(batch, 0, out, n_shards=4)
+    first = sorted(
+        (r["doc_id"], r["shard"], r["batch"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(first) == 20
+    # replay: identical batch_id, identical rows — exactly-once output
+    write_shard_batch(batch, 0, out, n_shards=4)
+    replayed = sorted(
+        (r["doc_id"], r["shard"], r["batch"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert replayed == first
+    # a NEW batch id appends alongside, untouched by the replay
+    batch2 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20, 30)], ["doc_id", "text"]
+    )
+    write_shard_batch(batch2, 1, out, n_shards=4)
+    assert spark.read.parquet(out).count() == 30
+
+
 def test_public_api_and_sql_views(spark):
     """The package root exposes the curated API, and register_views makes
     the whole schema queryable with plain SQL."""
