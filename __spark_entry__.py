@@ -102,6 +102,7 @@ _VERIFY_FIRST = [
     "funnel_conversion",
     "retention_cohorts",
     # new in round 3 — also need their first driver row
+    "media_decode_bmp",
 ]
 
 
@@ -407,6 +408,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.attach_binary_payload(_t(s, d, "documents"))
         ),
         "media_decode_png": lambda s, d: M.decode_png_dims(
+            _t(s, d, "documents")
+        ),
+        "media_decode_bmp": lambda s, d: M.decode_bmp_dims(
             _t(s, d, "documents")
         ),
         "media_decode_wav": lambda s, d: M.decode_wav_features(
@@ -2010,6 +2014,26 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                       ((4 + doc_id % 61) * (doc_id % 196)
                        + (4 + doc_id % 61) * (3 + doc_id % 61) // 2)
                    )::BIGINT AS px_sum
+            FROM documents
+        """,
+        "media_decode_bmp": """
+            -- closed form of decode_bmp_dims' synth-encode-decode
+            -- roundtrip: v(y,x) = id%100 + x + 2y (max 183, no byte
+            -- wrap), replicated over RGB; px_sum is flip-invariant but
+            -- row0_sum pins orientation (bottom-up vs top-down both
+            -- normalize to row 0 = image top)
+            SELECT doc_id,
+                   (4 + doc_id % 29)::BIGINT AS width,
+                   (4 + doc_id % 23)::BIGINT AS height,
+                   (3 * ((4 + doc_id % 23) * (4 + doc_id % 29) * (doc_id % 100)
+                         + (4 + doc_id % 23) * (4 + doc_id % 29)
+                           * (3 + doc_id % 29) // 2
+                         + (4 + doc_id % 29) * (4 + doc_id % 23)
+                           * (3 + doc_id % 23))
+                   )::BIGINT AS px_sum,
+                   (3 * ((4 + doc_id % 29) * (doc_id % 100)
+                         + (4 + doc_id % 29) * (3 + doc_id % 29) // 2)
+                   )::BIGINT AS row0_sum
             FROM documents
         """,
         "media_features": """

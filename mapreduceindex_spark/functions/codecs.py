@@ -1,11 +1,13 @@
-"""Pure-stdlib media codecs: PNG (zlib + struct + numpy) and WAV (wave).
+"""Pure-stdlib media codecs: PNG (zlib + struct + numpy), BMP (struct),
+and WAV (wave).
 
-The environment has no PIL/ffmpeg/cv2, but PNG and WAV are simple enough
-to decode with the standard library alone — PNG is zlib-compressed
-scanlines behind a chunked container, WAV is PCM behind RIFF — so the
-multimodal operators (``operators/multimodal.py``) get a REAL codec for
-these two formats and fall back to the documented deterministic stub only
-for payloads that are neither.
+The environment has no PIL/ffmpeg/cv2, but PNG, BMP and WAV are simple
+enough to decode with the standard library alone — PNG is zlib-compressed
+scanlines behind a chunked container, BMP is raw padded BGR scanlines
+behind two fixed headers, WAV is PCM behind RIFF — so the multimodal
+operators (``operators/multimodal.py``) get a REAL codec for these
+formats and fall back to the documented deterministic stub only for
+payloads that are none of them.
 
 PNG support is deliberately scoped: 8-bit depth, color types 0 (gray),
 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelmingly
@@ -37,11 +39,14 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff_media(data: bytes) -> str:
-    """Cheap container sniff from magic bytes: 'png' | 'wav' | 'unknown'."""
+    """Cheap container sniff from magic bytes:
+    'png' | 'wav' | 'bmp' | 'unknown'."""
     if data[:8] == PNG_SIGNATURE:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:2] == b"BM":
+        return "bmp"
     return "unknown"
 
 
@@ -205,6 +210,91 @@ def png_resize_nearest(data: bytes, target_w: int, target_h: int) -> bytes:
     ys = (np.arange(target_h) * h) // target_h
     xs = (np.arange(target_w) * w) // target_w
     return png_encode(arr[ys][:, xs])
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+#
+# Windows bitmap, deliberately scoped like the PNG codec: uncompressed
+# (BI_RGB) 24-bit BITMAPINFOHEADER files — the overwhelmingly common
+# save-as-BMP output. Both row orders are handled (positive biHeight =
+# bottom-up, the BMP default; negative = top-down), and 4-byte scanline
+# padding is applied/stripped per spec. Anything else (palettized, 16/32
+# bpp, RLE, OS/2 core headers) raises NotImplementedError rather than
+# decoding wrongly.
+
+
+def bmp_encode(arr: np.ndarray, top_down: bool = False) -> bytes:
+    """Encode a uint8 array — (h, w) gray or (h, w, 3) RGB — as a 24-bit
+    uncompressed BMP. Grayscale replicates into the three channels.
+
+    ``top_down=True`` writes rows in natural order with negative
+    biHeight; the default writes the spec-default bottom-up layout.
+    """
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("bmp_encode expects (h, w) or (h, w, 3) uint8")
+    h, w, _ = arr.shape
+    bgr = arr[:, :, ::-1]  # pixel order on disk is BGR
+    if not top_down:
+        bgr = bgr[::-1]  # bottom row first
+    stride = w * 3
+    pad = (-stride) % 4
+    rows = bytearray()
+    for y in range(h):
+        rows += bgr[y].tobytes()
+        rows += b"\x00" * pad
+    pixel_bytes = bytes(rows)
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_bytes)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40,                       # biSize
+        w,
+        -h if top_down else h,    # negative = top-down
+        1,                        # biPlanes
+        24,                       # biBitCount
+        0,                        # biCompression = BI_RGB
+        len(pixel_bytes),         # biSizeImage
+        2835, 2835,               # 72 DPI in px/m — conventional filler
+        0, 0,                     # palette entries / important colors
+    )
+    return file_header + info_header + pixel_bytes
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array,
+    normalizing both bottom-up and top-down row orders to natural
+    (row 0 = image top) orientation."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    (data_offset,) = struct.unpack_from("<I", data, 10)
+    (bi_size,) = struct.unpack_from("<I", data, 14)
+    if bi_size < 40:
+        raise NotImplementedError(f"BMP header size {bi_size} unsupported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    (bit_count,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bit_count != 24:
+        raise NotImplementedError(f"BMP bit count {bit_count} unsupported")
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} unsupported")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    stride = w * 3
+    padded = stride + ((-stride) % 4)
+    pixels = data[data_offset : data_offset + h * padded]
+    if len(pixels) != h * padded:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(pixels, dtype=np.uint8).reshape(h, padded)[:, :stride]
+    bgr = rows.reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])
 
 
 # ---------------------------------------------------------------------------

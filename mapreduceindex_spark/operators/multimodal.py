@@ -54,6 +54,8 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
 
     - PNG → real decode (``codecs.png_decode``): actual width/height/
       channels from the unfiltered scanlines.
+    - BMP → real decode (``codecs.bmp_decode``): 24-bit uncompressed,
+      both row orders normalized.
     - WAV → real decode (``codecs.wav_decode``): ``width`` carries
       n_frames and ``height`` n_channels so the fixed feature schema
       holds across modalities.
@@ -69,6 +71,10 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
         h, w = arr.shape[:2]
         ch = 1 if arr.ndim == 2 else arr.shape[2]
         return {"kind": "png", "width": w, "height": h, "channels": ch}
+    if kind == "bmp":
+        arr = codecs.bmp_decode(payload)
+        h, w = arr.shape[:2]
+        return {"kind": "bmp", "width": w, "height": h, "channels": 3}
     if kind == "wav":
         meta = codecs.wav_decode(payload)
         return {
@@ -81,7 +87,7 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
     if not fake:
         raise NotImplementedError(
             f"no codec for payload with magic {payload[:4]!r}; "
-            "PNG and WAV decode natively, other formats need PIL/ffmpeg"
+            "PNG, BMP and WAV decode natively, other formats need PIL/ffmpeg"
         )
     n = len(payload)
     return {
@@ -245,6 +251,64 @@ def decode_png_dims(documents: DataFrame) -> DataFrame:
         schema=(
             "doc_id bigint, width bigint, height bigint, "
             "channels bigint, px_sum bigint"
+        ),
+    )
+
+
+def decode_bmp_dims(documents: DataFrame) -> DataFrame:
+    """Real-codec proof for the BMP path, same contract as
+    ``decode_png_dims``: synthesize a 24-bit BMP per doc, decode it back,
+    emit features of the DECODED pixels under the oracle gate.
+
+    Dimensions/content derive from ``doc_id`` alone — width
+    ``4 + id%29``, height ``4 + id%23`` (the width sweep covers all four
+    scanline-padding classes of ``3·w mod 4``), pixel value
+    ``v(y, x) = id%100 + x + 2y`` replicated across RGB (max 183, no
+    byte wrap). Odd ids encode top-down (negative biHeight), even ids
+    bottom-up, so both row orders must normalize identically. Emitted:
+
+        px_sum   = 3 · Σ_y Σ_x v(y,x)
+                 = 3·(h·w·base + h·w(w−1)/2 + w·h(h−1))
+        row0_sum = 3 · Σ_x v(0,x) = 3·(w·base + w(w−1)/2)
+
+    ``row0_sum`` is the orientation witness: a decoder that forgets to
+    flip bottom-up rows (or flips top-down ones) reports row y=h−1 as
+    row 0 and hash-mismatches the closed-form oracle, which ``px_sum``
+    alone (flip-invariant) would miss. Bytes never leave the stage.
+    """
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "px_sum": [], "row0_sum": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, base = 4 + i % 29, 4 + i % 23, i % 100
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                gray = (base + xs + 2 * ys).astype(np.uint8)
+                data = codecs.bmp_encode(gray, top_down=bool(i % 2))
+                dec = codecs.bmp_decode(data)
+                out["doc_id"].append(i)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["px_sum"].append(int(dec.sum(dtype=np.int64)))
+                out["row0_sum"].append(int(dec[0].sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id bigint, width bigint, height bigint, "
+            "px_sum bigint, row0_sum bigint"
         ),
     )
 

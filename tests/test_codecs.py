@@ -97,3 +97,42 @@ def test_media_decode_png_matches_oracle(spark, duck):
         FROM documents
         """,
     )
+
+
+def test_bmp_roundtrip_all_padding_classes_and_orientations():
+    """24-bit BMP encode→decode is exact for every scanline-padding class
+    (3·w mod 4 ∈ {0,1,2,3}) in both row orders, and grayscale input
+    replicates across RGB."""
+    rng = np.random.RandomState(11)
+    for w in (4, 5, 6, 7):
+        for top_down in (False, True):
+            arr = rng.randint(0, 256, (5, w, 3)).astype(np.uint8)
+            back = codecs.bmp_decode(codecs.bmp_encode(arr, top_down=top_down))
+            assert back.shape == (5, w, 3)
+            assert (back == arr).all(), (w, top_down)
+    gray = rng.randint(0, 256, (4, 6)).astype(np.uint8)
+    back = codecs.bmp_decode(codecs.bmp_encode(gray))
+    assert all((back[:, :, c] == gray).all() for c in range(3))
+
+
+def test_bmp_sniff_and_dispatch():
+    bmp = codecs.bmp_encode(np.zeros((3, 5), dtype=np.uint8))
+    assert codecs.sniff_media(bmp) == "bmp"
+    d = M.decode_media(bmp)
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("bmp", 5, 3, 3)
+
+
+def test_bmp_unsupported_variants_raise():
+    data = bytearray(codecs.bmp_encode(np.zeros((4, 4), dtype=np.uint8)))
+    data[28] = 32  # biBitCount -> 32
+    with pytest.raises(NotImplementedError):
+        codecs.bmp_decode(bytes(data))
+    data = bytearray(codecs.bmp_encode(np.zeros((4, 4), dtype=np.uint8)))
+    data[30] = 1  # biCompression -> BI_RLE8
+    with pytest.raises(NotImplementedError):
+        codecs.bmp_decode(bytes(data))
+    with pytest.raises(ValueError):
+        codecs.bmp_decode(b"\x00" * 64)
+    truncated = codecs.bmp_encode(np.zeros((8, 8), dtype=np.uint8))[:-16]
+    with pytest.raises(ValueError):
+        codecs.bmp_decode(truncated)

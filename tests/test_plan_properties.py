@@ -138,3 +138,51 @@ def test_bloom_prefilter_broadcasts_bitmap(spark):
 
     plan = _plan(bloom_prefilter_stats(load_table(spark, SF_SMALL, "events")))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q2_min_cost_supplier_all_dims_broadcast(spark):
+    """q2's snowflake (region→nation→supplier, part) must reach the fact
+    through broadcast joins only — the argmin join-back included; a plan
+    where a dim falls back to a shuffle join regresses the single-shuffle
+    shape at 100 TB."""
+    tables = [
+        load_table(spark, SF_SMALL, t)
+        for t in ["region", "nation", "supplier", "part", "lineitem"]
+    ]
+    plan = _plan(R.min_cost_supplier(*tables))
+    assert len(re.findall(r"\) BroadcastHashJoin", plan)) >= 4, plan
+    assert not re.findall(r"\) (?:SortMergeJoin|ShuffledHashJoin)", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_supplier_part_counts_no_fact_shuffle_join(spark):
+    """q16 (count-distinct suppliers per (brand, type, size) + NOT-IN
+    anti join) keeps part/supplier broadcast; the only exchanges are the
+    aggregation's own."""
+    tables = [
+        load_table(spark, SF_SMALL, t)
+        for t in ["supplier", "part", "lineitem"]
+    ]
+    plan = _plan(R.supplier_part_counts(*tables))
+    assert len(re.findall(r"\) BroadcastHashJoin", plan)) >= 2, plan
+    assert not re.findall(r"\) (?:SortMergeJoin|ShuffledHashJoin)", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_waiting_suppliers_single_fact_fact_shuffle(spark):
+    """q21's double-EXISTS rides ONE per-order aggregate of lineitem:
+    supplier/nation/orders broadcast, and at most one join (the fact-side
+    aggregate join-back) is allowed to shuffle."""
+    tables = [
+        load_table(spark, SF_SMALL, t)
+        for t in ["supplier", "orders", "lineitem"]
+    ]
+    plan = _plan(R.waiting_suppliers(*tables))
+    assert len(re.findall(r"\) BroadcastHashJoin", plan)) >= 3, plan
+    assert (
+        len(re.findall(r"\) (?:SortMergeJoin|ShuffledHashJoin)", plan)) <= 1
+    ), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
