@@ -101,8 +101,17 @@ _VERIFY_FIRST = [
     "events_range_join",
     "funnel_conversion",
     "retention_cohorts",
-    # new in round 3 — also need their first driver row
+    # new in round 3 — also need their first driver row (41 + 9 = the
+    # driver's full 50-entry sample)
     "media_decode_bmp",
+    "vocab_stats",
+    "token_length_histogram",
+    "lang_id_confusion",
+    "ngram_novelty",
+    "bigram_lift",
+    "embedding_norms",
+    "embedding_dim_stats",
+    "revenue_moving_avg",
 ]
 
 
@@ -424,6 +433,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "media_dup_clusters": lambda s, d: M.media_dup_clusters(
             _t(s, d, "documents")
+        ),
+        # round 3: corpus/vector analytics additions
+        "vocab_stats": lambda s, d: TA.vocab_stats(_t(s, d, "documents")),
+        "token_length_histogram": lambda s, d: TA.token_length_histogram(
+            _t(s, d, "documents")
+        ),
+        "lang_id_confusion": lambda s, d: TA.lang_id_confusion(
+            _t(s, d, "documents")
+        ),
+        "ngram_novelty": lambda s, d: C.ngram_novelty(
+            _t(s, d, "documents"), n=3
+        ),
+        "bigram_lift": lambda s, d: C.bigram_lift(
+            _t(s, d, "documents"), top_k=50
+        ),
+        "embedding_norms": lambda s, d: S.embedding_norms(
+            _t(s, d, "embeddings")
+        ),
+        "embedding_dim_stats": lambda s, d: S.embedding_dim_stats(
+            _t(s, d, "embeddings")
+        ),
+        "revenue_moving_avg": lambda s, d: R.revenue_moving_avg(
+            _t(s, d, "orders")
         ),
     }
 
@@ -2122,5 +2154,150 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             )
             SELECT doc_id, min(label)::BIGINT AS cluster_rep
             FROM reach GROUP BY doc_id
+        """,
+        # ---- round 3: corpus/vector analytics additions ----
+        "vocab_stats": f"""
+            WITH toks AS (
+              SELECT source, u.word FROM documents, unnest({ws}) AS u(word)
+            ), wc AS (
+              SELECT source, word, count(*) AS n FROM toks GROUP BY 1, 2
+            )
+            SELECT source,
+                   sum(n)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_distinct,
+                   (count(*) FILTER (n = 1))::BIGINT AS n_hapax,
+                   round(count(*)::DOUBLE / sum(n), 6) AS distinct_ratio,
+                   round((count(*) FILTER (n = 1))::DOUBLE / count(*), 6)
+                     AS hapax_ratio
+            FROM wc GROUP BY source
+        """,
+        "token_length_histogram": f"""
+            WITH toks AS (
+              SELECT u.word FROM documents, unnest({ws}) AS u(word)
+            )
+            SELECT len(word)::BIGINT AS word_len,
+                   count(*)::BIGINT AS n_tokens,
+                   count(DISTINCT word)::BIGINT AS n_distinct_words
+            FROM toks GROUP BY 1
+        """,
+        "lang_id_confusion": f"""
+            WITH base AS (
+              SELECT doc_id, lang, {ws} AS w FROM documents
+            ), r AS (
+              SELECT doc_id, lang,
+                CASE WHEN len(w) > 0 THEN
+                  len(list_filter(w, x -> x IN ({stop})))::DOUBLE / len(w)
+                ELSE 0.0 END AS ratio
+              FROM base
+            ), li AS (
+              SELECT lang,
+                     CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END
+                       AS pred_lang
+              FROM r
+            ), cells AS (
+              SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+              FROM li GROUP BY 1, 2
+            )
+            SELECT lang, pred_lang, n_docs,
+                   round(n_docs::DOUBLE
+                         / sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+            FROM cells
+        """,
+        "ngram_novelty": f"""
+            WITH base AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, {_hash60_sql('u.s')} AS h
+              FROM (SELECT doc_id, {_shingles_sql('w', 3)} AS ss
+                    FROM base WHERE len(w) > 0) t,
+                   unnest(ss) AS u(s)
+            ), dfc AS (
+              SELECT h, count(*) AS df FROM sh GROUP BY h
+            ), per AS (
+              SELECT s.doc_id,
+                     count(*)::BIGINT AS n_shingles,
+                     (count(*) FILTER (dfc.df = 1))::BIGINT AS n_novel
+              FROM sh s JOIN dfc ON s.h = dfc.h GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+                   coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+                   round(CASE WHEN coalesce(per.n_shingles, 0) > 0
+                         THEN per.n_novel::DOUBLE / per.n_shingles
+                         ELSE 0.0 END, 6) AS novelty_ratio
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "bigram_lift": f"""
+            WITH base AS (
+              SELECT {ws} AS w FROM documents
+            ), uni AS (
+              SELECT u.word, count(*) AS n_uni
+              FROM base, unnest(w) AS u(word) GROUP BY 1
+            ), tot AS (
+              SELECT sum(n_uni) AS n_total FROM uni
+            ), bg AS (
+              SELECT u.bg AS bigram, count(*) AS n_ab
+              FROM (SELECT list_transform(range(1, len(w)),
+                           i -> w[i] || ' ' || w[i+1]) AS bgs
+                    FROM base WHERE len(w) >= 2) t,
+                   unnest(bgs) AS u(bg)
+              GROUP BY 1 ORDER BY n_ab DESC, bigram ASC LIMIT 50
+            )
+            SELECT bigram,
+                   n_ab::BIGINT AS n_ab,
+                   a.n_uni::BIGINT AS n_a,
+                   b.n_uni::BIGINT AS n_b,
+                   round((n_ab * n_total)::DOUBLE
+                         / (a.n_uni * b.n_uni)::DOUBLE, 6) AS lift
+            FROM bg, tot,
+                 uni a, uni b
+            WHERE a.word = string_split(bigram, ' ')[1]
+              AND b.word = string_split(bigram, ' ')[2]
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   len(embedding)::BIGINT AS n_dims,
+                   round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])), 6)
+                     AS l2_norm,
+                   (abs(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        - 1.0) <= 0.001) AS is_unit,
+                   label::BIGINT AS label
+            FROM embeddings
+        """,
+        "embedding_dim_stats": """
+            WITH e AS (
+              SELECT u.s.dim AS dim, u.s.x AS x
+              FROM (SELECT list_transform(range(1, len(embedding) + 1),
+                           i -> {'dim': CAST(i - 1 AS BIGINT),
+                                 'x': CAST(embedding[i] AS DOUBLE)}) AS es
+                    FROM embeddings) t,
+                   unnest(es) AS u(s)
+            )
+            SELECT dim,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(round(x * 1000000, 0) AS BIGINT)) AS sum_micro,
+                   round(sum(CAST(round(x * 1000000, 0) AS BIGINT))::DOUBLE
+                         / 1000000.0 / count(*), 6) AS mean,
+                   round(min(x), 6) AS min_val,
+                   round(max(x), 6) AS max_val
+            FROM e GROUP BY dim
+        """,
+        "revenue_moving_avg": """
+            WITH m AS (
+              SELECT CAST(FLOOR(epoch(date_trunc('month', o_orderdate)))
+                       AS BIGINT) AS month_start,
+                     sum(CAST(round(CAST(o_totalprice AS DECIMAL(15,2))
+                                    * 100, 0) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1
+            )
+            SELECT month_start,
+                   round(cents::DOUBLE / 100, 2) AS revenue,
+                   round(sum(cents) OVER w::DOUBLE / 100
+                         / count(*) OVER w, 4) AS moving_avg
+            FROM m
+            WINDOW w AS (ORDER BY month_start
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
     }

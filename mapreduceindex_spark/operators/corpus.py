@@ -529,3 +529,111 @@ def sentence_chunks(documents: DataFrame, budget: int = 40) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word
+    ``n``-gram shingles that appear in NO other document (corpus
+    df = 1). The inverse lens of ``boilerplate_score`` — that flags docs
+    made of cross-corpus chrome; this credits docs contributing content
+    nothing else has, the "keep" signal when a dedup pass must choose
+    survivors or a mixer rewards diversity.
+
+    Rides the dedup family's 60-bit hash front end
+    (``dedup._shingle_hashes``): shingles shuffle as 16-byte
+    (doc_id, hash) rows, df is one hash-agg over them, and the join back
+    is on the 8-byte hash — no strings in any exchange (the same
+    collision tolerance documented there). Docs with zero shingles
+    (no normalized words) zero-fill through the left join. The ratio is
+    one division of exact BIGINT counts, 6-dp rounded.
+    """
+    from mapreduceindex_spark.operators.dedup import _shingle_hashes
+
+    sh = _shingle_hashes(documents, n)
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count(F.when(F.col("df") == 1, 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_novel").cast("double") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_lift(documents: DataFrame, top_k: int = 50) -> DataFrame:
+    """Collocation strength for the most frequent bigrams: observed
+    bigram count vs what independent unigrams would predict,
+    ``lift = n_ab · N_words / (n_a · n_b)`` — the association measure
+    behind phrase mining / tokenizer-merge candidates (PMI is its log;
+    emitting the exact rational keeps the oracle comparison integer-born
+    instead of cross-engine ``ln``).
+
+    Plan: one token pass feeds both the unigram counts and the
+    posexplode+lead bigram counts; the two unigram joins broadcast
+    (vocabulary ≪ corpus at any scale — and at 100 TB a frequency-capped
+    vocabulary dim is the standard practice). Top-k by (n_ab DESC,
+    bigram ASC) before the joins, so only ``top_k`` rows reach them.
+    """
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_uni"))
+    total = toks.select(F.count(F.lit(1)).alias("n_total"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "nw",
+            "pos",
+            F.col("w").alias("w_a"),
+            F.lead("w", 1).over(win).alias("w_b"),
+        )
+        .filter(F.col("pos") <= F.col("nw") - 2)
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.col("n_ab").desc(), F.col("w_a").asc(), F.col("w_b").asc())
+        .limit(top_k)
+    )
+    return (
+        bigrams.join(
+            F.broadcast(unigrams.withColumnRenamed("w", "w_a")), "w_a"
+        )
+        .withColumnRenamed("n_uni", "n_a")
+        .join(F.broadcast(unigrams.withColumnRenamed("w", "w_b")), "w_b")
+        .withColumnRenamed("n_uni", "n_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "w_a", "w_b").alias("bigram"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                (F.col("n_ab") * F.col("n_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), F.col("bigram").asc())
+    )

@@ -1225,3 +1225,42 @@ def customer_running_revenue(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_custkey", "order_ts", "o_orderkey")
     )
+
+
+def revenue_moving_avg(orders: DataFrame, window: int = 3) -> DataFrame:
+    """Monthly order revenue with a trailing ``window``-month moving
+    average — the window-FRAME surface (``ROWS BETWEEN N PRECEDING AND
+    CURRENT ROW``) the other analytic queries don't exercise
+    (``customer_running_revenue`` is the unbounded-preceding shape;
+    ``order_gaps`` is LAG).
+
+    Exactness: the frame average divides a BIGINT cents sum (windowed
+    over per-month exact DECIMAL sums quantized to cents) by the frame
+    row count, so partial months at the series head average over the
+    rows that exist — both engines agree to the bit. The window runs
+    over the ~tens-of-rows monthly rollup, not the fact table: at any
+    scale the heavy lifting is the one hash aggregate below it.
+    """
+    from pyspark.sql.window import Window as W
+
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    monthly = orders.groupBy(
+        F.unix_timestamp(month).alias("month_start")
+    ).agg(
+        F.sum(
+            F.round(_dec2("o_totalprice") * 100, 0).cast("long")
+        ).alias("_cents")
+    )
+    frame = (
+        W.orderBy("month_start").rowsBetween(-(window - 1), W.currentRow)
+    )
+    return monthly.select(
+        "month_start",
+        F.round(F.col("_cents").cast("double") / 100, 2).alias("revenue"),
+        F.round(
+            F.sum("_cents").over(frame).cast("double")
+            / 100
+            / F.count(F.lit(1)).over(frame),
+            4,
+        ).alias("moving_avg"),
+    ).orderBy("month_start")

@@ -437,3 +437,68 @@ def ivf_topk(
 def hyperplane_literals(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     """Expose the plane constants for oracle-SQL generation."""
     return _hyperplanes(n_planes, dim)
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-vector hygiene pass: dimensionality, L2 norm, and a
+    unit-normalized flag — the first validation any embedding table gets
+    before similarity search (cosine over unnormalized vectors silently
+    becomes dot-product ranking; a stray zero vector NaNs it).
+
+    All JVM-side (``aggregate`` fold, codegen'd); the norm is the same
+    left-to-right float64 fold the DuckDB oracle's ``list_dot_product``
+    performs, so the 6-dp rounding is cross-engine exact — the same
+    contract ``cosine_topk`` relies on.
+    """
+    from mapreduceindex_spark.functions.vectors import l2_norm
+
+    norm = l2_norm("embedding")
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(norm, 6).alias("l2_norm"),
+        (F.abs(norm - F.lit(1.0)) <= 1e-3).alias("is_unit"),
+        F.col("label").cast("long").alias("label"),
+    ).orderBy("vec_id")
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension distribution over the whole embedding table: count,
+    mean, min, max. Dead dimensions (constant/zero), scale outliers, and
+    train/serve drift all show up here first — the feature-health
+    dashboard behind any vector index.
+
+    Exactness: float sums are order-dependent, so the mean is computed
+    from an integer-micro quantized sum (``round(x·1e6)`` per element →
+    BIGINT Σ — associative, cross-engine exact) and one final division;
+    min/max are order-independent already. One posexplode + one hash agg
+    keyed on the 64 dimension ids; with AQE the post-explode exchange
+    coalesces, and at 100 TB the partial aggregate reduces 64·N elements
+    to 64 rows per task before any shuffle.
+    """
+    elems = embeddings.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return (
+        elems.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("x") * 1e6, 0).cast("long")).alias("sum_micro"),
+            F.min("x").alias("_min"),
+            F.max("x").alias("_max"),
+        )
+        .select(
+            "dim",
+            "n",
+            "sum_micro",
+            F.round(
+                F.col("sum_micro").cast("double") / 1e6 / F.col("n"), 6
+            ).alias("mean"),
+            F.round("_min", 6).alias("min_val"),
+            F.round("_max", 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )

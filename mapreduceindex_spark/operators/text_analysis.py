@@ -392,3 +392,102 @@ def lm_doc_scores(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def vocab_stats(documents: DataFrame) -> DataFrame:
+    """Per-source vocabulary statistics — the Heaps'-law inputs a corpus
+    curator tracks while scaling a crawl: total tokens, distinct words,
+    hapax legomena (words occurring exactly once in the source), and the
+    ratios. A source whose hapax share collapses is saturating (more of
+    the same); one whose share stays high keeps contributing novel
+    vocabulary — that is the mix-weighting signal.
+
+    Plan: one token pass → (source, word) counts (partial agg map-side),
+    then a per-source rollup — the word-level frame never leaves the
+    exchange that built it. Ratios are single divisions of exact BIGINT
+    counts, so the 6-dp rounding is cross-engine deterministic.
+    """
+    word_counts_by_source = (
+        _tokens(documents, "source")
+        .filter(F.length("word") > 0)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        word_counts_by_source.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.count(F.when(F.col("n") == 1, 1)).cast("long").alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            "n_hapax",
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("distinct_ratio"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_distinct"), 6
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_length_histogram(documents: DataFrame) -> DataFrame:
+    """Corpus-wide word-length distribution: for each normalized word
+    length, total occurrences and distinct words of that length.
+
+    The tokenizer-design companion to ``length_histogram`` (which buckets
+    documents): the occurrence/type split shows whether long tokens are
+    a heavy tail of unique junk (URLs, hashes — high distinct, low reuse)
+    or legitimate vocabulary. Pure integer aggregation over one token
+    pass; the distinct count rides the same exchange partitioned by
+    length.
+    """
+    lengths = (
+        _tokens(documents)
+        .filter(F.length("word") > 0)
+        .select(F.length("word").cast("long").alias("word_len"), "word")
+    )
+    return (
+        lengths.groupBy("word_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("word").cast("long").alias("n_distinct_words"),
+        )
+        .orderBy("word_len")
+    )
+
+
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of the ``language_id`` classifier against the
+    labeled ``lang`` column: (lang, pred_lang, n_docs, share-of-label).
+
+    The eval loop a pipeline runs after changing a filter model: per
+    true label, where do its documents land? ``share`` is each cell's
+    fraction of its label row (exact BIGINT counts, one division), so
+    per-label recall is read directly off the diagonal.
+    """
+    from pyspark.sql.window import Window
+
+    preds = language_id(documents).select("doc_id", "lang", "pred_lang")
+    cells = preds.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    label_totals = Window.partitionBy("lang")
+    return (
+        cells.select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(label_totals),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
