@@ -457,6 +457,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_moving_avg": lambda s, d: R.revenue_moving_avg(
             _t(s, d, "orders")
         ),
+        # round 3, beyond the 50-slot sample (rotate forward in round 4)
+        "index_delete": lambda s, d: II.flatten_index(
+            II.index_delete(
+                II.inverted_index(_t(s, d, "documents"), ordered=False),
+                _t(s, d, "documents")
+                .filter("doc_id % 7 = 0")
+                .select("doc_id"),
+            )
+        ),
+        "phrase_search": lambda s, d: II.phrase_search(
+            _t(s, d, "documents"), phrase="order fast"
+        ),
+        "events_anomaly": lambda s, d: E.anomaly_windows(_t(s, d, "events")),
+        "order_value_percent_rank": lambda s, d: R.order_value_percent_rank(
+            _t(s, d, "orders")
+        ),
+        "per_source_topk_sample": lambda s, d: C.per_source_topk_sample(
+            _t(s, d, "documents"), k=10
+        ),
+        "streaming_quality_filter": lambda s, d: (
+            STREAM.streaming_quality_filter(s, d)
+        ),
     }
 
 
@@ -2283,6 +2305,99 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    round(min(x), 6) AS min_val,
                    round(max(x), 6) AS max_val
             FROM e GROUP BY dim
+        """,
+        "index_delete": f"""
+            -- delete(index(A), D) == index(A - D): the oracle rebuilds
+            -- from the surviving documents, the engine edits the full
+            -- index's posting arrays
+            WITH toks AS (
+              SELECT doc_id, u.word
+              FROM documents, unnest({ws}) AS u(word)
+              WHERE doc_id % 7 != 0
+            )
+            SELECT word,
+                   count(DISTINCT doc_id)::BIGINT AS df,
+                   array_to_string(list_sort(list(DISTINCT doc_id)), ' ')
+                     AS doc_ids
+            FROM toks GROUP BY word
+        """,
+        "phrase_search": f"""
+            WITH base AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), pos AS (
+              SELECT doc_id, u.bg
+              FROM (SELECT doc_id,
+                           list_transform(range(1, len(w)),
+                                          i -> w[i] || ' ' || w[i+1]) AS bgs
+                    FROM base WHERE len(w) >= 2) t,
+                   unnest(bgs) AS u(bg)
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_hits
+            FROM pos WHERE bg = 'order fast' GROUP BY doc_id
+        """,
+        "events_anomaly": """
+            WITH c AS (
+              SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT)
+                       AS window_start,
+                     event_type,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ), trailed AS (
+              SELECT window_start, event_type, n_events,
+                     coalesce(sum(n_events) OVER w, 0)::BIGINT AS trail_sum,
+                     (count(*) OVER w)::BIGINT AS trail_n
+              FROM c
+              WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT window_start, event_type, n_events, trail_sum, trail_n
+            FROM trailed
+            WHERE trail_n > 0 AND n_events * trail_n > 2 * trail_sum
+        """,
+        "order_value_percent_rank": """
+            SELECT * FROM (
+              SELECT o_orderkey, o_custkey,
+                     o_totalprice::DOUBLE AS o_totalprice,
+                     round(percent_rank() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey ASC), 6)
+                       AS pct_rank
+              FROM orders
+            ) WHERE pct_rank <= 0.05
+        """,
+        "per_source_topk_sample": """
+            SELECT doc_id, source, content_hash, rk FROM (
+              SELECT doc_id, source, md5(text) AS content_hash,
+                     (row_number() OVER (PARTITION BY source
+                        ORDER BY md5(text) ASC, doc_id ASC))::BIGINT AS rk
+              FROM documents
+            ) WHERE rk <= 10
+        """,
+        "streaming_quality_filter": f"""
+            WITH base AS (
+              SELECT doc_id, text, {ws} AS w FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                CASE WHEN len(text) > 0 THEN
+                  len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                    / len(text)
+                ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN len(w) > 0 THEN
+                  len(list_distinct(w))::DOUBLE / len(w)
+                ELSE 0.0 END AS distinct_ratio,
+                CASE WHEN len(w) > 0 THEN
+                  list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+                ELSE 0.0 END AS mean_len,
+                len(w) AS n
+              FROM base
+            ), scored AS (
+              SELECT doc_id, round(alpha_ratio, 4) AS alpha_ratio,
+                     round(distinct_ratio, 4) AS distinct_ratio,
+                     round(alpha_ratio * 0.3 + distinct_ratio * 0.3
+                           + least(n / 100.0, 1.0) * 0.2
+                           + least(mean_len / 8.0, 1.0) * 0.2, 4) AS quality
+              FROM feats
+            )
+            SELECT * FROM scored WHERE quality >= 0.62
         """,
         "revenue_moving_avg": """
             WITH m AS (

@@ -637,3 +637,31 @@ def bigram_lift(documents: DataFrame, top_k: int = 50) -> DataFrame:
         )
         .orderBy(F.col("n_ab").desc(), F.col("bigram").asc())
     )
+
+
+def per_source_topk_sample(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic fixed-size sample: exactly ``min(k, |source|)`` docs
+    per source, chosen by content-hash order — the fixed-BUDGET
+    companion to ``stratified_sample`` (fixed rate) and
+    ``deterministic_sample`` (global rate). Inspection sets, eval
+    slices, and per-domain probes all want "k of each", stable across
+    reruns and cluster sizes.
+
+    Hash-order ranking (md5 of content, doc_id tiebreak) is a uniform
+    draw independent of ingestion order; one window per source, k rows
+    kept before anything else happens, so downstream cost is k·|sources|
+    regardless of corpus size.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("content_hash"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+        .orderBy("source", "rk")
+    )

@@ -370,3 +370,60 @@ def debounce(events: DataFrame, gap_sec: int = 300) -> DataFrame:
         .drop("_prev_us")
         .orderBy("event_id")
     )
+
+
+def anomaly_windows(
+    events: DataFrame, width_sec: int = 600, trail: int = 3, factor: int = 2
+) -> DataFrame:
+    """Volume-anomaly detection over tumbling windows: per event type,
+    flag windows whose count exceeds ``factor``× the average of the
+    ``trail`` preceding windows — the monitoring query an event pipeline
+    runs on itself (error-burst / bot-spike detection).
+
+    Two-layer plan: the heavy tumbling aggregate first (fact-scale, one
+    exchange), then the frame window over the per-type window series —
+    tiny by construction (windows × types), so the unbounded-frame cost
+    the fact table could never pay is paid by rows that number in the
+    thousands. The comparison is pure integer cross-multiplication
+    (``trail_n · count > factor · trail_sum`` with the frame row count
+    riding along), so no float threshold can disagree across engines;
+    windows with no complete trailing frame (series head) compare
+    against the rows that exist, matching the SQL frame semantics.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        events.groupBy(
+            F.window("ts", f"{width_sec} seconds").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-trail, -1)
+    )
+    trailed = counts.select(
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.coalesce(F.sum("n_events").over(frame), F.lit(0))
+        .cast("long")
+        .alias("trail_sum"),
+        F.count(F.lit(1)).over(frame).cast("long").alias("trail_n"),
+    )
+    return (
+        trailed.filter(
+            (F.col("trail_n") > 0)
+            & (
+                F.col("n_events") * F.col("trail_n")
+                > F.lit(factor) * F.col("trail_sum")
+            )
+        )
+        .orderBy("event_type", "window_start")
+    )

@@ -113,7 +113,13 @@ def inverted_index_flat(
     array serialization when cross-checking against SQL oracles.
     """
     idx = inverted_index(documents, text_col, id_col, salt_buckets)
-    return idx.select(
+    return flatten_index(idx)
+
+
+def flatten_index(index: DataFrame) -> DataFrame:
+    """Project an (word, df, doc_ids ARRAY) index to the oracle-friendly
+    flat form: posting list as a space-joined string."""
+    return index.select(
         "word",
         "df",
         F.array_join(
@@ -242,4 +248,79 @@ def postings_size(documents: DataFrame) -> DataFrame:
             (F.col("df") * 8).alias("fixed_bytes"),
         )
         .orderBy("word")
+    )
+
+
+def index_delete(
+    index: DataFrame, deleted_doc_ids: DataFrame
+) -> DataFrame:
+    """Incremental index maintenance, deletion side — ``merge_index``'s
+    inverse: remove a set of retired doc_ids from every posting list and
+    drop words whose list empties. The GDPR-takedown / recrawl-replace
+    path of a production index.
+
+    ``deleted_doc_ids`` (column ``doc_id``) is collected to an array and
+    broadcast inside an ``array_except`` projection — deletion touches
+    only the index rows, never re-reads corpus text, and the delete set
+    at any one maintenance tick is bounded (a mass delete is a rebuild,
+    not an edit). A filter on ``array_contains``-style overlap first
+    would save rewriting untouched rows; ``array_except`` already no-ops
+    them in one codegen'd pass, so the plan stays a single projection +
+    filter with zero joins and zero shuffles.
+    Invariant (tested): delete(index(A), D) ≡ index(A − D).
+    """
+    ids = [r["doc_id"] for r in deleted_doc_ids.select("doc_id").collect()]
+    gone = F.array([F.lit(i).cast("bigint") for i in ids])
+    return (
+        index.select(
+            "word",
+            F.array_except("doc_ids", gone).alias("doc_ids"),
+        )
+        .filter(F.size("doc_ids") > 0)
+        .select(
+            "word",
+            F.size("doc_ids").cast("long").alias("df"),
+            "doc_ids",
+        )
+    )
+
+
+def phrase_search(documents: DataFrame, phrase: str) -> DataFrame:
+    """Positional phrase search: documents containing the normalized words
+    of ``phrase`` CONSECUTIVELY, with the occurrence count — what the
+    word-level index cannot answer (``search_docs`` ``mode="all"`` finds
+    co-occurrence anywhere; this is the "exact quote" query).
+
+    Plan: posexplode + ``lead`` builds length-|phrase| word windows per
+    document (the same codegen'd shape as ``ngram_counts``), filters on
+    the single phrase string, and aggregates per doc — the phrase
+    equality filter sits directly on the window projection, so only
+    matching positions reach the aggregate. Ranked (n_hits DESC, doc_id
+    ASC) like ``search_docs``.
+    """
+    from mapreduceindex_spark.functions.text import words
+
+    terms = [t for t in (normalize_token_py(x) for x in phrase.split()) if t]
+    if not terms:
+        raise ValueError("phrase_search: phrase has no normalized words")
+    n = len(terms)
+    target = " ".join(terms)
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    return (
+        toks.select(
+            "doc_id", "nw", "pos", F.concat_ws(" ", *parts).alias("window")
+        )
+        .filter(
+            (F.col("pos") <= F.col("nw") - n) & (F.col("window") == target)
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
     )

@@ -1264,3 +1264,32 @@ def revenue_moving_avg(orders: DataFrame, window: int = 3) -> DataFrame:
             4,
         ).alias("moving_avg"),
     ).orderBy("month_start")
+
+
+def order_value_percent_rank(orders: DataFrame, top_pct: float = 0.05) -> DataFrame:
+    """Orders in the top ``top_pct`` tail of order value by
+    ``percent_rank`` — the analytic-function shape the other window
+    queries don't cover (``customer_spend_quartiles`` is NTILE;
+    ``nation_revenue_share`` is ratio-to-total). percent_rank is
+    (rank−1)/(n−1): an exact rational of BIGINTs, so the 6-dp rounding
+    is engine-exact, and ties (equal prices) share a rank by definition.
+
+    The global window is a single-partition sort at fixture scale; at
+    100 TB the same question is answered by ``price_quantiles``-style
+    distributed percentiles + a threshold filter — this operator's
+    contract is the exact rank surface, retained because percent_rank
+    over a pre-aggregated frame (e.g. per-month order rollups) is the
+    common production form.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    ranked = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+    return ranked.filter(F.col("pct_rank") <= top_pct).orderBy(
+        "pct_rank", "o_orderkey"
+    )

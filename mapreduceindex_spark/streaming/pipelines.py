@@ -377,3 +377,66 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(agg, "complete")
     return out.orderBy("content_hash")
+
+
+def streaming_quality_filter(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.62
+) -> DataFrame:
+    """Stateless streaming quality gate: the ``quality_score`` filter as
+    a pure per-row streaming projection — the ingest-time form of corpus
+    filtering (score documents as they arrive, pass survivors onward).
+
+    Statelessness is the point: every feature the batch operator derives
+    through a per-doc aggregate (word counts, distinct ratio, mean word
+    length) is recomputed here as row-local ARRAY expressions over the
+    same normalized word list, so the operator needs no state store, no
+    watermark, and no output-mode constraint — each micro-batch row
+    passes or drops on sight, which is exactly how a production ingest
+    filter in front of a training-shard sink runs (append mode composes
+    with ``sinks.shards.stream_to_training_shards``). The arithmetic
+    matches ``operators.text_analysis.quality_score`` term for term, so
+    the batch oracle gates the streaming plan.
+    """
+    from mapreduceindex_spark.functions.text import words
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ws = words(F.col("text"))
+    n = F.size(ws)
+    n_chars = F.length("text")
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / n_chars,
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(ws)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n,
+    ).otherwise(F.lit(0.0))
+    score = (
+        alpha_ratio * 0.3
+        + distinct_ratio * 0.3
+        + F.least(n.cast("double") / 100.0, F.lit(1.0)) * 0.2
+        + F.least(mean_len / 8.0, F.lit(1.0)) * 0.2
+    )
+    passed = stream.select(
+        "doc_id",
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality"),
+    ).filter(F.col("quality") >= threshold)
+    out = _run_to_table(passed, "append")
+    return out.orderBy("doc_id")

@@ -371,3 +371,64 @@ def test_media_dhash_near_dups_rejects_band_breaking_threshold(spark):
         media_dhash_near_dups(docs, max_hamming=8)
     # boundary value stays accepted
     media_dhash_near_dups(docs, max_hamming=7)
+
+
+def test_index_delete_equals_full_rebuild(spark):
+    """delete(index(A), D) ≡ index(A − D), including dropping words whose
+    posting list empties and no-op on ids absent from the index."""
+    from mapreduceindex_spark.operators.inverted_index import (
+        index_delete,
+        inverted_index,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta"),
+            (2, "beta gamma"),
+            (3, "gamma solo"),
+            (4, "alpha beta gamma"),
+        ],
+    )
+    gone = spark.createDataFrame([(3,), (99,)], ["doc_id"])  # 99: absent
+    edited = sorted(
+        (r["word"], r["df"], tuple(r["doc_ids"]))
+        for r in index_delete(
+            inverted_index(docs, ordered=False), gone
+        ).collect()
+    )
+    rebuilt = sorted(
+        (r["word"], r["df"], tuple(r["doc_ids"]))
+        for r in inverted_index(
+            docs.filter("doc_id NOT IN (3, 99)"), ordered=False
+        ).collect()
+    )
+    assert edited == rebuilt
+    # 'solo' existed only in doc 3 -> word dropped entirely
+    assert "solo" not in {w for w, _, _ in edited}
+
+
+def test_phrase_search_consecutive_and_normalized(spark):
+    """Phrase match requires adjacency (search_docs 'all' does not),
+    normalizes like the flagship ('Order, FAST!' → 'order fast'), counts
+    every occurrence, and rejects empty phrases."""
+    import pytest
+
+    from mapreduceindex_spark.operators.inverted_index import phrase_search
+
+    docs = _docs(
+        spark,
+        [
+            (1, "ship the order fast today"),
+            (2, "fast order arrived"),       # both words, wrong order
+            (3, "Order, FAST! order fast"),  # normalization + 2 hits
+            (4, "order it fast"),            # not adjacent
+        ],
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(docs, "Order FAST").collect()
+    }
+    assert got == {1: 1, 3: 2}
+    with pytest.raises(ValueError, match="no normalized words"):
+        phrase_search(docs, "123 456")
