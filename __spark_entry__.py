@@ -479,6 +479,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quality_filter": lambda s, d: (
             STREAM.streaming_quality_filter(s, d)
         ),
+        "asof_error_purchase": lambda s, d: E.asof_error_purchase(
+            _t(s, d, "events")
+        ),
+        "dup_spans": lambda s, d: D.dup_spans(
+            _t(s, d, "documents"), n=8, min_docs=2
+        ),
+        "streaming_static_enrich": lambda s, d: (
+            STREAM.streaming_static_enrich(s, d)
+        ),
     }
 
 
@@ -2398,6 +2407,72 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               FROM feats
             )
             SELECT * FROM scored WHERE quality >= 0.62
+        """,
+        "asof_error_purchase": """
+            -- DuckDB's native ASOF JOIN is the oracle for the cogrouped
+            -- merge_asof implementation; purchases are pre-deduped to one
+            -- canonical row per (user, ts) so the tie pick is unique
+            WITH e AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'error'
+            ), p AS (
+              SELECT user_id, ts, min(event_id) AS purchase_id
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT e.user_id, e.event_id,
+                   CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS e_sec,
+                   p.purchase_id,
+                   CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS p_sec,
+                   CAST(FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) AS BIGINT)
+                     AS lag_sec
+            FROM e ASOF JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "dup_spans": f"""
+            WITH base AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), pos_ng AS (
+              SELECT doc_id, u.s.p AS pos, {_hash60_sql('u.s.ng')} AS h
+              FROM (SELECT doc_id,
+                           list_transform(range(1, len(w) - 8 + 2),
+                             i -> {{'p': CAST(i - 1 AS BIGINT),
+                                   'ng': array_to_string(
+                                     list_slice(w, i, i + 7), ' ')}}) AS ss
+                    FROM base WHERE len(w) >= 8) t,
+                   unnest(ss) AS u(s)
+            ), hot AS (
+              SELECT h FROM (
+                SELECT h, count(DISTINCT doc_id) AS df
+                FROM pos_ng GROUP BY h
+              ) WHERE df >= 2
+            ), hp AS (
+              SELECT doc_id, pos FROM pos_ng JOIN hot USING (h)
+            ), flagged AS (
+              SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS nw_
+              FROM hp
+            ), spans AS (
+              SELECT doc_id, pos,
+                sum(nw_) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS sp
+              FROM flagged
+            )
+            SELECT doc_id,
+                   min(pos)::BIGINT AS span_start,
+                   (max(pos) + 7)::BIGINT AS span_end,
+                   (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_len,
+                   count(*)::BIGINT AS n_hot_positions
+            FROM spans GROUP BY doc_id, sp
+        """,
+        "streaming_static_enrich": """
+            SELECT event_type, c_mktsegment AS segment,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(CAST(value AS DECIMAL(15,2))), 4)::DOUBLE
+                     AS sum_value
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
+            GROUP BY 1, 2
         """,
         "revenue_moving_avg": """
             WITH m AS (

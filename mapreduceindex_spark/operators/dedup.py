@@ -947,3 +947,83 @@ def simhash_near_dups(
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dup_spans(
+    documents: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact duplicated-substring spans: per document, the maximal token
+    ranges every position of which starts a word ``n``-gram that also
+    occurs in ≥ ``min_docs`` documents — the span-level dedup report of
+    the "deduplicate substrings, not documents" school (long shared
+    passages: licenses, templates, syndicated paragraphs). Document-level
+    near-dup misses these when the rest of the doc differs; this finds
+    the shared passage itself, ready for masking or cutting.
+
+    Plan: one posexplode+lead pass emits (doc_id, pos, hash-of-ngram);
+    document frequency is one distinct + hash-agg; hot positions join
+    back on the 8-byte hash; then interval merging is a per-doc sorted
+    window — consecutive hot positions with gap ≤ n overlap as text
+    ranges [pos, pos+n−1], so a LAG flag + running sum labels maximal
+    spans, and one aggregate emits them. Every exchange carries hashes
+    and positions, never text; per-doc window state is that doc's hot
+    positions only.
+    """
+    from pyspark.sql.window import Window
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    pos_ng = (
+        toks.select(
+            "doc_id", "nw", "pos", F.concat_ws(" ", *parts).alias("ng")
+        )
+        .filter(F.col("pos") <= F.col("nw") - n)
+        .select("doc_id", "pos", stable_hash64("ng").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hot = (
+        pos_ng.dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h")
+    )
+    hot_pos = pos_ng.join(hot, "h").select("doc_id", "pos")
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hot_pos.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos", 1).over(by_doc) > n, 1
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    spans = flagged.withColumn(
+        "_span",
+        F.sum("_new").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    out = (
+        spans.groupBy("doc_id", "_span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_hot_positions"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_hot_positions",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+    pos_ng.unpersist()
+    return out

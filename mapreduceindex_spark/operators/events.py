@@ -427,3 +427,87 @@ def anomaly_windows(
         )
         .orderBy("event_type", "window_start")
     )
+
+
+def asof_error_purchase(events: DataFrame) -> DataFrame:
+    """General two-table as-of join via cogrouped ``applyInPandas``: each
+    error event matched to the latest purchase at-or-before it, per
+    user. ``asof_prior_purchase`` is the single-table window shortcut;
+    this is the production shape — two independent tables cogrouped on
+    the key, ``pandas.merge_asof`` per group — that works when the sides
+    are different tables with no shared event order (here: the purchase
+    and error slices standing in for two tables). Oracle: DuckDB's
+    native ``ASOF JOIN``.
+
+    Determinism: purchases are pre-deduped to one canonical row per
+    (user, timestamp) — min event_id — because both the SQL ASOF and
+    ``merge_asof`` pick an arbitrary survivor among equal-timestamp
+    matches; with unique timestamps the match is unique.
+
+    Scale: the cogroup shuffles each side once on user_id; per-group
+    state is one user's events (bounded); ``merge_asof`` is linear in
+    the two sorted slices. Arrow-batched, like every Python op here.
+    """
+    import pandas as pd
+
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    # the purchase timestamp is renamed IN THE PLAN, not in pandas: both
+    # sides' ts descend from the same source attribute, and Spark's
+    # cogroup attribute-dedup drops the purchase-side ts from the Arrow
+    # batch when a downstream projection exists (observed: the pandas
+    # frame arrives as [user_id, purchase_id]); a distinct name keeps it.
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select("user_id", F.col("ts").alias("p_ts"), "purchase_id")
+    )
+
+    def _asof(err: pd.DataFrame, pur: pd.DataFrame) -> pd.DataFrame:
+        # one side of a cogroup key can be rowless — Spark passes a
+        # zero-COLUMN frame then, so bail before touching columns
+        if err.empty or pur.empty:
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "e_sec", "purchase_id", "p_sec"]
+            )
+        err = err.sort_values(["ts", "event_id"])
+        pur = pur.sort_values("p_ts")
+        merged = pd.merge_asof(
+            err,
+            pur[["p_ts", "purchase_id"]],
+            left_on="ts",
+            right_on="p_ts",
+            direction="backward",
+        )
+        hit = merged.dropna(subset=["purchase_id"])
+        return pd.DataFrame(
+            {
+                "user_id": hit["user_id"].astype("int64"),
+                "event_id": hit["event_id"].astype("int64"),
+                "e_sec": hit["ts"].astype("int64") // 1_000_000_000,
+                "purchase_id": hit["purchase_id"].astype("int64"),
+                "p_sec": hit["p_ts"].astype("int64") // 1_000_000_000,
+            }
+        )
+
+    out = (
+        errors.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            lambda e, p: _asof(e, p),
+            schema=(
+                "user_id bigint, event_id bigint, e_sec bigint, "
+                "purchase_id bigint, p_sec bigint"
+            ),
+        )
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "e_sec",
+        "purchase_id",
+        "p_sec",
+        (F.col("e_sec") - F.col("p_sec")).alias("lag_sec"),
+    ).orderBy("user_id", "event_id")

@@ -440,3 +440,38 @@ def streaming_quality_filter(
     ).filter(F.col("quality") >= threshold)
     out = _run_to_table(passed, "append")
     return out.orderBy("doc_id")
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension table (customer market segment, keyed on user_id =
+    c_custkey in the fixture schema) and aggregated per (event_type,
+    segment) — the remaining first-class Structured Streaming join kind
+    (``streaming_range_join`` covers stream-stream). The static side is
+    a plain batch DataFrame: Spark broadcast-joins it into every
+    micro-batch with no state store, which is exactly the production
+    "enrich the firehose against a dim table" pattern; the value sum is
+    the same exact-decimal aggregation as the windowed twins.
+    """
+    from mapreduceindex_spark.session import load_table
+
+    ev = _stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(15,2)")).alias("_sum_value"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        "event_type",
+        "segment",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("_sum_value", 4).cast("double").alias("sum_value"),
+    ).orderBy("event_type", "segment")
