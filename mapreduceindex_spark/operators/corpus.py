@@ -549,7 +549,12 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     """
     from mapreduceindex_spark.operators.dedup import _shingle_hashes
 
-    sh = _shingle_hashes(documents, n)
+    from pyspark.storagelevel import StorageLevel
+
+    # both the df aggregate and the join-back scan this frame; persist so
+    # the explode+window front end runs once (bounded cache: 16-byte
+    # (doc_id, hash) rows, the same budget the jaccard family carries)
+    sh = _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(df_counts, "sh")

@@ -1025,5 +1025,9 @@ def dup_spans(
         )
         .orderBy("doc_id", "span_start")
     )
-    pos_ng.unpersist()
+    # NOTE: pos_ng stays persisted — the returned (lazy) plan scans it
+    # from two branches (df aggregate + hot join-back), and nothing here
+    # ran an action yet, so an unpersist-before-return would silently
+    # undo the cache before it ever materialized. Bounded: 24-byte
+    # (doc_id, pos, hash) rows.
     return out
