@@ -29,6 +29,7 @@ from mapreduceindex_spark.operators.corpus import (  # noqa: F401
     training_corpus,
 )
 from mapreduceindex_spark.operators.dedup import (  # noqa: F401
+    dup_spans,
     exact_dedup,
     minhash_lsh_pairs,
     near_dup_clusters,
@@ -36,8 +37,10 @@ from mapreduceindex_spark.operators.dedup import (  # noqa: F401
     resolve_components,
 )
 from mapreduceindex_spark.operators.inverted_index import (  # noqa: F401
+    index_delete,
     inverted_index,
     merge_index,
+    phrase_search,
     search_docs,
 )
 from mapreduceindex_spark.operators.similarity import (  # noqa: F401

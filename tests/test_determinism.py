@@ -31,6 +31,16 @@ NAMES = [
     "media_dhash_near_dups",
     "lm_doc_scores",
     "bloom_prefilter",
+    # round-3 additions: cogrouped merge_asof (per-group Python must not
+    # depend on group-to-partition placement), span interval merge
+    # (window over hot positions), quantized embedding sums, frame
+    # windows, cluster resolution through the media clone collapse
+    "asof_error_purchase",
+    "dup_spans",
+    "embedding_dim_stats",
+    "revenue_moving_avg",
+    "media_dup_clusters",
+    "per_source_topk_sample",
 ]
 
 

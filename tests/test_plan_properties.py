@@ -186,3 +186,30 @@ def test_q21_waiting_suppliers_single_fact_fact_shuffle(spark):
     ), plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lift_broadcasts_vocab_dims(spark):
+    """bigram_lift's two unigram joins and the scalar total must all be
+    broadcast — the top-k bigram frame is tiny and the vocabulary is a
+    dim; a shuffle join here would drag the full token stream through
+    an exchange per join at scale."""
+    from mapreduceindex_spark.operators.corpus import bigram_lift
+
+    plan = _plan(bigram_lift(load_table(spark, SF_SMALL, "documents"), top_k=50))
+    n_broadcast = len(re.findall(r"\) Broadcast(?:Hash|NestedLoop)Join", plan))
+    assert n_broadcast >= 3, plan
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"\) (?:SortMergeJoin|ShuffledHashJoin)", plan), plan
+
+
+def test_embedding_dim_stats_partial_aggregates_before_exchange(spark):
+    """The per-dimension aggregate must partial-aggregate map-side: 64·N
+    exploded elements reduce to 64 rows per task before any shuffle."""
+    from mapreduceindex_spark.operators.similarity import embedding_dim_stats
+
+    plan = _plan(embedding_dim_stats(load_table(spark, SF_SMALL, "embeddings")))
+    first_exchange = plan.index("Exchange")
+    assert "partial_" in plan[first_exchange:], plan
+    # one posexplode, no re-explode (the formatted plan prints each node
+    # in the tree summary AND the detail section, so count node headers)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
