@@ -488,6 +488,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_enrich": lambda s, d: (
             STREAM.streaming_static_enrich(s, d)
         ),
+        "semantic_dedup": lambda s, d: S.semantic_dedup(
+            _t(s, d, "embeddings"), threshold=0.95
+        ),
     }
 
 
@@ -2465,6 +2468,34 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_len,
                    count(*)::BIGINT AS n_hot_positions
             FROM spans GROUP BY doc_id, sp
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE q AS (
+              SELECT vec_id AS vec_a, embedding AS emb FROM embeddings
+            ), c AS (
+              SELECT vec_id AS vec_b, embedding AS emb FROM embeddings
+            ), pairs AS (
+              SELECT vec_a, vec_b FROM (
+                SELECT q.vec_a, c.vec_b,
+                       round(list_dot_product(q.emb::DOUBLE[],
+                                              c.emb::DOUBLE[]) /
+                         (sqrt(list_dot_product(q.emb::DOUBLE[],
+                                                q.emb::DOUBLE[])) *
+                          sqrt(list_dot_product(c.emb::DOUBLE[],
+                                                c.emb::DOUBLE[]))), 6)
+                         AS cosine
+                FROM q JOIN c ON q.vec_a < c.vec_b
+              ) WHERE cosine >= 0.95
+            ), edges AS (
+              SELECT vec_a AS src, vec_b AS dst FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs
+            ), reach(vec_id, label) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.vec_id
+            )
+            SELECT vec_id, min(label)::BIGINT AS cluster_rep
+            FROM reach GROUP BY vec_id
         """,
         "streaming_static_enrich": """
             SELECT event_type, c_mktsegment AS segment,

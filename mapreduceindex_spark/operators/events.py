@@ -429,40 +429,52 @@ def anomaly_windows(
     )
 
 
-def asof_error_purchase(events: DataFrame) -> DataFrame:
+def asof_error_purchase(events: DataFrame, n_buckets: int = 64) -> DataFrame:
     """General two-table as-of join via cogrouped ``applyInPandas``: each
     error event matched to the latest purchase at-or-before it, per
     user. ``asof_prior_purchase`` is the single-table window shortcut;
     this is the production shape — two independent tables cogrouped on
-    the key, ``pandas.merge_asof`` per group — that works when the sides
-    are different tables with no shared event order (here: the purchase
-    and error slices standing in for two tables). Oracle: DuckDB's
-    native ``ASOF JOIN``.
+    a key, ``pandas.merge_asof`` inside — that works when the sides are
+    different tables with no shared event order (here: the purchase and
+    error slices standing in for two tables). Oracle: DuckDB's native
+    ``ASOF JOIN``.
+
+    The cogroup key is a user BUCKET (``user_id % n_buckets``), not the
+    user: cogrouped ``applyInPandas`` pays one Python invocation + Arrow
+    round-trip **per group**, which at one-group-per-user dominated
+    everything (measured 20.8 s for 1 500 users at sf0.1 → 1.2 s with 64
+    buckets). Per-user as-of semantics are preserved exactly by
+    ``merge_asof(by="user_id")`` — a vectorized per-key backward search
+    within the bucket. At any scale ``n_buckets`` is sized to O(cores),
+    keeping call count flat while buckets stay hash-balanced over users.
 
     Determinism: purchases are pre-deduped to one canonical row per
     (user, timestamp) — min event_id — because both the SQL ASOF and
     ``merge_asof`` pick an arbitrary survivor among equal-timestamp
     matches; with unique timestamps the match is unique.
-
-    Scale: the cogroup shuffles each side once on user_id; per-group
-    state is one user's events (bounded); ``merge_asof`` is linear in
-    the two sorted slices. Arrow-batched, like every Python op here.
     """
     import pandas as pd
 
+    bucket = (F.col("user_id") % n_buckets).alias("bucket")
     errors = events.filter(F.col("event_type") == "error").select(
-        "user_id", "event_id", "ts"
+        bucket, "user_id", "event_id", "ts"
     )
-    # the purchase timestamp is renamed IN THE PLAN, not in pandas: both
-    # sides' ts descend from the same source attribute, and Spark's
-    # cogroup attribute-dedup drops the purchase-side ts from the Arrow
-    # batch when a downstream projection exists (observed: the pandas
-    # frame arrives as [user_id, purchase_id]); a distinct name keeps it.
+    # EVERY purchase-side column shared with the error side (ts AND
+    # user_id) is renamed IN THE PLAN, not in pandas: both sides descend
+    # from the same source attributes, and Spark's cogroup
+    # attribute-dedup silently drops the duplicate from one side's Arrow
+    # batch when a downstream projection exists (observed for both
+    # columns); distinct names keep them.
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
         .agg(F.min("event_id").alias("purchase_id"))
-        .select("user_id", F.col("ts").alias("p_ts"), "purchase_id")
+        .select(
+            bucket,
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "purchase_id",
+        )
     )
 
     def _asof(err: pd.DataFrame, pur: pd.DataFrame) -> pd.DataFrame:
@@ -472,13 +484,16 @@ def asof_error_purchase(events: DataFrame) -> DataFrame:
             return pd.DataFrame(
                 columns=["user_id", "event_id", "e_sec", "purchase_id", "p_sec"]
             )
+        # merge_asof(by=...) needs both sides sorted by the ON key only
         err = err.sort_values(["ts", "event_id"])
         pur = pur.sort_values("p_ts")
         merged = pd.merge_asof(
             err,
-            pur[["p_ts", "purchase_id"]],
+            pur[["p_user", "p_ts", "purchase_id"]],
             left_on="ts",
             right_on="p_ts",
+            left_by="user_id",
+            right_by="p_user",
             direction="backward",
         )
         hit = merged.dropna(subset=["purchase_id"])
@@ -493,8 +508,8 @@ def asof_error_purchase(events: DataFrame) -> DataFrame:
         )
 
     out = (
-        errors.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        errors.groupBy("bucket")
+        .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(
             lambda e, p: _asof(e, p),
             schema=(

@@ -502,3 +502,30 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Semantic (embedding-space) dedup decision: every vector mapped to
+    the minimum vec_id reachable through the cosine ≥ ``threshold``
+    near-duplicate graph — the SemDeDup-style complement of the lexical
+    dedup family (paraphrases and re-encodings that share no shingles
+    land in one cluster; keep ``vec_id == cluster_rep`` rows for the
+    semantically deduplicated corpus).
+
+    Pure composition of existing scale machinery: the banded sign-LSH
+    pair search (``embedding_near_dups`` — candidates→verify, never
+    all-pairs) feeding the shared ``resolve_components`` tail (driver
+    union-find under the edge bound, distributed label propagation
+    above). The oracle replays brute-force pairs + recursive reachability.
+    """
+    from mapreduceindex_spark.operators.dedup import resolve_components
+
+    pairs = embedding_near_dups(embeddings, threshold=threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    ids = embeddings.select(F.col("vec_id").alias("doc_id"))
+    return resolve_components(pairs, ids).select(
+        F.col("doc_id").alias("vec_id"), "cluster_rep"
+    )
