@@ -112,6 +112,12 @@ _VERIFY_FIRST = [
     "embedding_norms",
     "embedding_dim_stats",
     "revenue_moving_avg",
+    # ROUND-4 ROTATION QUEUE (sample is full at 50): index_delete,
+    # phrase_search, events_anomaly, order_value_percent_rank,
+    # per_source_topk_sample, streaming_quality_filter,
+    # asof_error_purchase, dup_spans, streaming_static_enrich,
+    # semantic_dedup — move these into the head of this list next round,
+    # rotating out entries that got their CORRECTNESS_r03 row.
 ]
 
 
