@@ -24,6 +24,13 @@ The deterministic md5-based hash (``stable_hash64``) is used instead of
 ``xxhash64`` so every stage is reproducible in any SQL engine (the
 DuckDB oracle recomputes it bit-for-bit); swap in ``F.xxhash64`` for
 cheaper hashing when cross-engine auditability is not required.
+
+**Laziness caveat**: the adaptive operators here are NOT fully lazy —
+``ngram_jaccard_pairs`` (Σ df² tier probe), ``near_dup_clusters``
+(clone-group census) and ``resolve_components`` (edge-count tier probe)
+run small bounded Spark jobs at *call* time to pick an execution tier,
+so building the DataFrame already costs a few scans. The probed values
+are scalars (counts), never data collections.
 """
 
 from __future__ import annotations
