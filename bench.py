@@ -152,9 +152,32 @@ def main() -> None:
             timings[name] = round(statistics.median(runs), 3)
             spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
+    def _print_compact(partial: bool) -> None:
+        # The driver keeps only the tail of the log and parses its last
+        # JSON line; a partial line after each phase means a truncated or
+        # killed run still leaves one complete, parseable object behind.
+        heaviest = dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        )
+        payload = {
+            "metric": "total_query_wall_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": heaviest,
+            "n_queries": len(timings),
+            "runs_per_query": n_runs,
+            "sf": sf,
+        }
+        if partial:
+            payload["partial"] = True
+        print(json.dumps(payload), flush=True)
+
+    if timings:
+        _print_compact(partial=True)  # anchor done
     _sweep(batch_items)
     if stream_items:
         if batch_items:
+            _print_compact(partial=True)  # batch phase done
             spark.stop()
             spark = _fresh_session()
         _sweep(stream_items)
@@ -179,22 +202,7 @@ def main() -> None:
             }
         )
     )
-    heaviest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": heaviest,
-                "n_queries": len(timings),
-                "runs_per_query": n_runs,
-                "sf": sf,
-            }
-        )
-    )
+    _print_compact(partial=False)
 
 
 if __name__ == "__main__":
