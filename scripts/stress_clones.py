@@ -66,6 +66,23 @@ def main():
         "minhash_lsh_pairs",
         lambda: D.minhash_lsh_pairs(cloned, n=3, threshold=0.5),
     )
+    # round-3 span-level dedup: the clone corpus makes EVERY position
+    # hot (each doc has ≥ clone_factor-1 byte-identical twins), so this
+    # is the worst case for the interval merge — output stays one
+    # full-doc span per doc, never a quadratic pair set.
+    timed(
+        "dup_spans",
+        lambda: D.dup_spans(cloned, n=8, min_docs=2),
+    )
+    # round-3 media clone collapse: 10× image clones collapse to one rep
+    # per distinct dHash before the band join (the same pre-collapse the
+    # text tiers use), so cost tracks DISTINCT images, not the corpus.
+    from mapreduceindex_spark.operators import multimodal as M
+
+    timed(
+        "media_dup_clusters",
+        lambda: M.media_dup_clusters(cloned),
+    )
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 
