@@ -497,6 +497,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": lambda s, d: S.semantic_dedup(
             _t(s, d, "embeddings"), threshold=0.95
         ),
+        "minhash_accuracy": lambda s, d: D.minhash_accuracy(
+            _t(s, d, "documents"), n=3, num_hashes=16, bands=4, threshold=0.5
+        ),
+        "dup_graph_stats": lambda s, d: D.dup_graph_stats(
+            _t(s, d, "documents"), n=3, threshold=0.5
+        ),
     }
 
 
@@ -2474,6 +2480,41 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_len,
                    count(*)::BIGINT AS n_hot_positions
             FROM spans GROUP BY doc_id, sp
+        """,
+        "minhash_accuracy": (lambda _match16=" + ".join(
+            f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
+            for i in range(16)
+        ): f"""
+            WITH pairs AS (
+              SELECT * FROM ({_minhash_lsh_sql(16, 4)})
+            ), sig2 AS (
+              SELECT * FROM ({_minhash_sig_cte(16)} SELECT * FROM sig)
+            ), scored AS (
+              SELECT p.doc_a, p.doc_b, p.jaccard,
+                     ({_match16}) / 16.0 AS est_raw
+              FROM pairs p
+              JOIN sig2 a ON a.doc_id = p.doc_a
+              JOIN sig2 b ON b.doc_id = p.doc_b
+            )
+            SELECT doc_a, doc_b, jaccard,
+                   round(est_raw, 6) AS est_jaccard,
+                   round(abs(est_raw - jaccard), 6) AS abs_err
+            FROM scored
+        """)(),
+        "dup_graph_stats": f"""
+            WITH pairs AS (
+              SELECT doc_a, doc_b FROM (
+                {_JACCARD_BASE}
+                SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5
+              )
+            ), endpoints AS (
+              SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs
+            ), degrees AS (
+              SELECT doc_id, count(*) AS degree FROM endpoints GROUP BY 1
+            )
+            SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_docs
+            FROM degrees GROUP BY 1
         """,
         "semantic_dedup": """
             WITH RECURSIVE q AS (

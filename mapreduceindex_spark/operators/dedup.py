@@ -1038,3 +1038,74 @@ def dup_spans(
     # undo the cache before it ever materialized. Bounded: 24-byte
     # (doc_id, pos, hash) rows.
     return out
+
+
+def minhash_accuracy(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sketch-quality audit: for every verified near-dup pair, the
+    MinHash ESTIMATE (matching signature components / K) next to the
+    exact Jaccard — the calibration readout that tells an operator
+    whether K and the band layout are sized right before trusting the
+    sketch tier at full scale (estimator std-dev is √(j(1−j)/K) ≈ 0.125
+    at j=0.5, K=16; a corpus whose errors exceed that band has
+    correlated shingles or too-few hashes).
+
+    One extra signature aggregate over the corpus plus two hash joins of
+    the (small, output-proportional) pair set against it — the pair
+    search itself is reused unchanged.
+    """
+    pairs = minhash_lsh_pairs(documents, n, num_hashes, bands, threshold)
+    sigs = minhash_signatures(documents, n, num_hashes)
+    matches = sum(
+        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est_raw = matches.cast("double") / float(num_hashes)
+    return (
+        pairs.alias("p")
+        .join(sigs.alias("a"), F.col("p.doc_a") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("p.doc_b") == F.col("b.doc_id"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.jaccard").alias("jaccard"),
+            F.round(est_raw, 6).alias("est_jaccard"),
+            F.round(F.abs(est_raw - F.col("p.jaccard")), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dup_graph_stats(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Degree distribution of the near-duplicate graph: (degree, n_docs)
+    for every degree ≥ 1 — the shape diagnostic run before cluster
+    resolution. A long-tailed distribution (one hub touching thousands
+    of docs) predicts giant components and motivates threshold/banding
+    review; a flat low-degree profile means clean small clusters.
+
+    Two tiny aggregates over the output-proportional pair set (each pair
+    counted toward both endpoints); the corpus itself is never touched
+    beyond the pair search.
+    """
+    pairs = ngram_jaccard_pairs(documents, n, threshold).select(
+        "doc_a", "doc_b"
+    )
+    endpoints = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    degrees = endpoints.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_docs")
+        .orderBy("degree")
+    )
