@@ -503,6 +503,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_stats": lambda s, d: D.dup_graph_stats(
             _t(s, d, "documents"), n=3, threshold=0.5
         ),
+        "dedup_rate_by_source": lambda s, d: C.dedup_rate_by_source(
+            _t(s, d, "documents")
+        ),
+        "cross_source_overlap": lambda s, d: C.cross_source_overlap(
+            _t(s, d, "documents")
+        ),
     }
 
 
@@ -2515,6 +2521,35 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             )
             SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_docs
             FROM degrees GROUP BY 1
+        """,
+        "dedup_rate_by_source": """
+            WITH pc AS (
+              SELECT source, md5(text) AS h, count(*) AS n
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT source,
+                   sum(n)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_distinct,
+                   (sum(n) - count(*))::BIGINT AS n_dups,
+                   round((sum(n) - count(*))::DOUBLE / sum(n), 6) AS dup_rate
+            FROM pc GROUP BY source
+        """,
+        "cross_source_overlap": f"""
+            WITH base AS (
+              SELECT source, {ws} AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT source, {_hash60_sql('u.ng')} AS h
+              FROM (SELECT source,
+                           list_transform(range(1, len(w) - 8 + 2),
+                             i -> array_to_string(
+                               list_slice(w, i, i + 7), ' ')) AS ngs
+                    FROM base WHERE len(w) >= 8) t,
+                   unnest(ngs) AS u(ng)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared_ngrams
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "semantic_dedup": """
             WITH RECURSIVE q AS (

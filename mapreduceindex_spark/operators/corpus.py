@@ -670,3 +670,87 @@ def per_source_topk_sample(documents: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("rk") <= k)
         .orderBy("source", "rk")
     )
+
+
+def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Redundancy profile per source: docs, distinct contents, and the
+    duplicate rate — the first column of any crawl-slice health report
+    (a source whose dup_rate climbs is re-crawling itself; its marginal
+    token is worth less to the mix).
+
+    One hash aggregate on (source, md5) then a per-source rollup; only
+    32-char hashes shuffle. The rate is one division of exact BIGINTs.
+    """
+    per_content = (
+        documents.select("source", F.md5("text").alias("_h"))
+        .groupBy("source", "_h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_content.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dups"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def cross_source_overlap(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Passage overlap between source pairs: for each (source_a <
+    source_b), how many distinct word ``n``-grams appear in BOTH — the
+    provenance matrix that finds mirror sites and syndicated passages
+    before they skew mixture weights (within-source duplication is
+    ``dedup_rate_by_source``'s job; this is specifically cross-slice,
+    and n-gram-level so partial republication registers even when whole
+    documents are never byte-identical).
+
+    Distinct (source, ngram-hash) pairs self-join on the 8-byte hash —
+    inputs are deduplicated per source first, so an n-gram shared by k
+    sources contributes C(k,2) pair rows regardless of how often each
+    source repeats it. The frequency profile of long n-grams makes this
+    sparse: only genuinely shared passages survive the distinct+join.
+    Hashes only in every exchange.
+    """
+    base = documents.select(
+        "doc_id", "source", words(F.col("text")).alias("ws")
+    )
+    toks = base.select(
+        "doc_id",
+        "source",
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    sh = (
+        toks.select(
+            "source",
+            "nw",
+            "pos",
+            F.concat_ws(" ", *parts).alias("ng"),
+        )
+        .filter(F.col("pos") <= F.col("nw") - n)
+        .select("source", stable_hash64("ng").alias("_h"))
+        .dropDuplicates(["source", "_h"])
+    )
+    a = sh.select(F.col("source").alias("source_a"), "_h")
+    b = sh.select(F.col("source").alias("source_b"), "_h")
+    return (
+        a.join(b, "_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+        .orderBy("source_a", "source_b")
+    )
