@@ -509,6 +509,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_overlap": lambda s, d: C.cross_source_overlap(
             _t(s, d, "documents")
         ),
+        "index_reindex": lambda s, d: II.flatten_index(
+            II.reindex_docs(
+                II.inverted_index(_t(s, d, "documents"), ordered=False),
+                _t(s, d, "documents")
+                .filter("doc_id % 11 = 0")
+                .selectExpr("doc_id", "concat(text, ' refreshed') AS text"),
+            )
+        ),
     }
 
 
@@ -2521,6 +2529,25 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             )
             SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_docs
             FROM degrees GROUP BY 1
+        """,
+        "index_reindex": f"""
+            -- reindex(index(A), D') == index((A - ids(D')) U D'): the
+            -- oracle rebuilds from the post-update corpus, the engine
+            -- edits postings (delete) then folds the delta (merge)
+            WITH newdocs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN text || ' refreshed' ELSE text END AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, u.word
+              FROM newdocs, unnest({_words_sql()}) AS u(word)
+            )
+            SELECT word,
+                   count(DISTINCT doc_id)::BIGINT AS df,
+                   array_to_string(list_sort(list(DISTINCT doc_id)), ' ')
+                     AS doc_ids
+            FROM toks GROUP BY word
         """,
         "dedup_rate_by_source": """
             WITH pc AS (

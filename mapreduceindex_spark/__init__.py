@@ -41,6 +41,7 @@ from mapreduceindex_spark.operators.inverted_index import (  # noqa: F401
     inverted_index,
     merge_index,
     phrase_search,
+    reindex_docs,
     search_docs,
 )
 from mapreduceindex_spark.operators.similarity import (  # noqa: F401

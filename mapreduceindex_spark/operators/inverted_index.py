@@ -324,3 +324,23 @@ def phrase_search(documents: DataFrame, phrase: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
         .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
     )
+
+
+def reindex_docs(
+    index: DataFrame, changed_documents: DataFrame
+) -> DataFrame:
+    """CDC-style index upsert: re-index CHANGED documents — every
+    doc_id present in ``changed_documents`` has its old postings removed
+    and its new content indexed, in one composed plan. Completes the
+    maintenance triad: ``merge_index`` (inserts) + ``index_delete``
+    (retirements) + this (updates = delete ∘ merge), so a production
+    index follows a recrawl without rebuilds.
+
+    Invariant (tested): reindex(index(A), D') ≡ index((A − ids(D')) ∪ D')
+    — also exercised when a "changed" doc's new text is empty (its words
+    simply disappear from the index).
+    """
+    retired = changed_documents.select("doc_id")
+    return merge_index(
+        index_delete(index, retired), changed_documents, ordered=False
+    )

@@ -432,3 +432,45 @@ def test_phrase_search_consecutive_and_normalized(spark):
     assert got == {1: 1, 3: 2}
     with pytest.raises(ValueError, match="no normalized words"):
         phrase_search(docs, "123 456")
+
+
+def test_reindex_docs_equals_full_rebuild(spark):
+    """reindex(index(A), D') ≡ index((A − ids(D')) ∪ D'): updated docs
+    replace their old postings entirely, including words they no longer
+    contain and docs whose new text is empty."""
+    from mapreduceindex_spark.operators.inverted_index import (
+        inverted_index,
+        reindex_docs,
+    )
+
+    old = _docs(
+        spark,
+        [
+            (1, "alpha beta"),
+            (2, "beta gamma"),
+            (3, "delta solo"),
+        ],
+    )
+    changed = _docs(
+        spark,
+        [
+            (2, "epsilon beta"),  # gamma vanishes, epsilon appears
+            (3, ""),              # doc emptied: all its words vanish
+        ],
+    )
+    got = sorted(
+        (r["word"], r["df"], tuple(r["doc_ids"]))
+        for r in reindex_docs(inverted_index(old, ordered=False), changed).collect()
+    )
+    rebuilt_src = _docs(
+        spark,
+        [(1, "alpha beta"), (2, "epsilon beta"), (3, "")],
+    )
+    want = sorted(
+        (r["word"], r["df"], tuple(r["doc_ids"]))
+        for r in inverted_index(rebuilt_src, ordered=False).collect()
+    )
+    assert got == want
+    words_left = {w for w, _, _ in got}
+    assert "gamma" not in words_left and "solo" not in words_left
+    assert "epsilon" in words_left
