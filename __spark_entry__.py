@@ -509,6 +509,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_overlap": lambda s, d: C.cross_source_overlap(
             _t(s, d, "documents")
         ),
+        "quality_by_source": lambda s, d: TA.quality_by_source(
+            _t(s, d, "documents")
+        ),
         "index_reindex": lambda s, d: II.flatten_index(
             II.reindex_docs(
                 II.inverted_index(_t(s, d, "documents"), ordered=False),
@@ -2529,6 +2532,42 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             )
             SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_docs
             FROM degrees GROUP BY 1
+        """,
+        "quality_by_source": f"""
+            WITH base AS (
+              SELECT doc_id, text, {ws} AS w FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                CASE WHEN len(text) > 0 THEN
+                  len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                    / len(text)
+                ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN len(w) > 0 THEN
+                  len(list_distinct(w))::DOUBLE / len(w)
+                ELSE 0.0 END AS distinct_ratio,
+                CASE WHEN len(w) > 0 THEN
+                  list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+                ELSE 0.0 END AS mean_len,
+                len(w) AS n
+              FROM base
+            ), scored AS (
+              SELECT doc_id,
+                     CAST(round(round(alpha_ratio * 0.3
+                           + distinct_ratio * 0.3
+                           + least(n / 100.0, 1.0) * 0.2
+                           + least(mean_len / 8.0, 1.0) * 0.2, 4) * 10000, 0)
+                       AS BIGINT) AS q4
+              FROM feats
+            )
+            SELECT d.source,
+                   count(*)::BIGINT AS n_docs,
+                   round(sum(q4)::DOUBLE / 10000.0 / count(*), 6)
+                     AS mean_quality,
+                   (count(*) FILTER (q4 < 6200))::BIGINT AS n_below_062,
+                   round((count(*) FILTER (q4 < 6200))::DOUBLE / count(*), 6)
+                     AS reject_share
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+            GROUP BY d.source
         """,
         "index_reindex": f"""
             -- reindex(index(A), D') == index((A - ids(D')) U D'): the

@@ -491,3 +491,45 @@ def lang_id_confusion(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+def quality_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source quality profile: doc count, exact mean quality, and the
+    share below a keep-threshold — the slice-level readout that turns
+    ``quality_score`` into mixture decisions (a slice whose mean decays
+    or whose reject share grows gets down-weighted before training).
+
+    Exactness: per-doc quality is the oracle-exact 4-dp score; the mean
+    aggregates it as integer ten-thousandths (associative BIGINT sum,
+    order-independent) and divides once, so the 6-dp result is
+    cross-engine deterministic — the same quantize-then-sum pattern as
+    ``embedding_dim_stats``.
+    """
+    q = quality_score(documents).select("doc_id", "quality")
+    src = documents.select("doc_id", "source")
+    joined = src.join(q, "doc_id").select(
+        "source",
+        F.round(F.col("quality") * 10000, 0).cast("long").alias("_q4"),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_q4").alias("_sum_q4"),
+            F.count(F.when(F.col("_q4") < 6200, 1))
+            .cast("long")
+            .alias("n_below_062"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("_sum_q4").cast("double") / 10000.0 / F.col("n_docs"), 6
+            ).alias("mean_quality"),
+            "n_below_062",
+            F.round(
+                F.col("n_below_062").cast("double") / F.col("n_docs"), 6
+            ).alias("reject_share"),
+        )
+        .orderBy("source")
+    )
