@@ -213,3 +213,25 @@ def test_embedding_dim_stats_partial_aggregates_before_exchange(spark):
     # one posexplode, no re-explode (the formatted plan prints each node
     # in the tree summary AND the detail section, so count node headers)
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+
+
+def test_no_cartesian_product_in_any_batch_query(spark):
+    """Registry-wide anti-pattern audit: no query's physical plan may
+    contain a CartesianProduct — the one join strategy that is
+    categorically wrong at scale (broadcast nested-loop against a
+    broadcast SCALAR is fine and used deliberately; an unconstrained
+    cartesian never is). Streaming queries and the iterative kmeans are
+    excluded: building them executes the pipeline, and their batch
+    result frames carry no join plan of interest.
+    """
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        if name.startswith("streaming_") or name == "kmeans_embeddings":
+            continue
+        df = fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian joins in: {offenders}"
