@@ -215,23 +215,54 @@ def test_embedding_dim_stats_partial_aggregates_before_exchange(spark):
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
 
 
+#: The only batch queries whose plans may contain a Python eval node —
+#: every one an Arrow-batched mapInPandas/applyInPandas stage that
+#: built-ins cannot express (codecs, dHash, cogrouped merge_asof).
+#: Anything else acquiring a Python stage is a hot-path regression.
+PYTHON_ALLOWED = {
+    "media_features",
+    "media_resize",
+    "media_frame_sample",
+    "media_decode_png",
+    "media_decode_bmp",
+    "media_decode_wav",
+    "media_dhash",
+    "media_dhash_near_dups",
+    "media_dup_clusters",
+    "asof_error_purchase",
+    # hyperplane sign-bit projection: one Arrow-batched numpy matmul in
+    # the scan stage (similarity._embedding_near_dups_lsh)
+    "embedding_near_dups",
+}
+
+_PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+               "FlatMapCoGroupsInPandas", "FlatMapGroupsInPandas")
+
+
 def test_no_cartesian_product_in_any_batch_query(spark):
-    """Registry-wide anti-pattern audit: no query's physical plan may
-    contain a CartesianProduct — the one join strategy that is
-    categorically wrong at scale (broadcast nested-loop against a
+    """Registry-wide anti-pattern audit over every batch query's executed
+    plan: (a) no CartesianProduct anywhere — the one join strategy that
+    is categorically wrong at scale (broadcast nested-loop against a
     broadcast SCALAR is fine and used deliberately; an unconstrained
-    cartesian never is). Streaming queries and the iterative kmeans are
-    excluded: building them executes the pipeline, and their batch
-    result frames carry no join plan of interest.
+    cartesian never is); (b) Python eval nodes appear exactly in the
+    declared codec/cogroup set, so no relational/text/dedup hot path can
+    silently grow a per-row Python stage. Streaming queries and the
+    iterative kmeans are excluded: building them executes the pipeline,
+    and their batch result frames carry no plan of interest.
     """
     import __spark_entry__ as entrymod
 
-    offenders = []
+    cartesian, pythonic = [], set()
     for name, fn in entrymod.queries().items():
         if name.startswith("streaming_") or name == "kmeans_embeddings":
             continue
         df = fn(spark, SF_SMALL)
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, f"cartesian joins in: {offenders}"
+            cartesian.append(name)
+        if any(m in plan for m in _PY_MARKERS):
+            pythonic.add(name)
+    assert not cartesian, f"cartesian joins in: {cartesian}"
+    assert pythonic <= PYTHON_ALLOWED, (
+        f"unexpected Python stages in: {sorted(pythonic - PYTHON_ALLOWED)}"
+    )
