@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduceindex_spark.functions import exact as XQ
 from mapreduceindex_spark.operators import clustering as CL
 from mapreduceindex_spark.operators import corpus as C
 from mapreduceindex_spark.operators import dedup as D
@@ -2329,23 +2330,31 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    label::BIGINT AS label
             FROM embeddings
         """,
-        "embedding_dim_stats": """
+        "embedding_dim_stats": f"""
+            -- tie-free micro quantization on BOTH sides (exact.micro /
+            -- exact.micro_sql): engine-native round() resolves exact .5
+            -- boundaries per-version, which caused the r03 driver-only
+            -- hash_fail on this query
             WITH e AS (
               SELECT u.s.dim AS dim, u.s.x AS x
               FROM (SELECT list_transform(range(1, len(embedding) + 1),
-                           i -> {'dim': CAST(i - 1 AS BIGINT),
-                                 'x': CAST(embedding[i] AS DOUBLE)}) AS es
+                           i -> {{'dim': CAST(i - 1 AS BIGINT),
+                                 'x': CAST(embedding[i] AS DOUBLE)}}) AS es
                     FROM embeddings) t,
                    unnest(es) AS u(s)
+            ), agg AS (
+              SELECT dim,
+                     count(*)::BIGINT AS n,
+                     sum({XQ.micro_sql('x')}) AS sum_micro,
+                     min(x) AS min_raw,
+                     max(x) AS max_raw
+              FROM e GROUP BY dim
             )
-            SELECT dim,
-                   count(*)::BIGINT AS n,
-                   sum(CAST(round(x * 1000000, 0) AS BIGINT)) AS sum_micro,
-                   round(sum(CAST(round(x * 1000000, 0) AS BIGINT))::DOUBLE
-                         / 1000000.0 / count(*), 6) AS mean,
-                   round(min(x), 6) AS min_val,
-                   round(max(x), 6) AS max_val
-            FROM e GROUP BY dim
+            SELECT dim, n, sum_micro,
+                   {XQ.mean_of_micro_sql('sum_micro', 'n')} AS mean,
+                   {XQ.q6_sql('min_raw')} AS min_val,
+                   {XQ.q6_sql('max_raw')} AS max_val
+            FROM agg
         """,
         "index_delete": f"""
             -- delete(index(A), D) == index(A - D): the oracle rebuilds

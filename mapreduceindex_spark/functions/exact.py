@@ -24,6 +24,61 @@ def sum_dec(c: str, digits: int = 2) -> Column:
     return F.round(F.sum(dec2(c)), digits).cast("double")
 
 
+def micro(c: Column) -> Column:
+    """Tie-free micro (1e-6) quantization of a double → BIGINT.
+
+    ``round(x * 1e6, 0)`` resolves exact .5 boundaries with the engine's
+    native rounding mode — DuckDB builds differ (half-even vs half-away),
+    which produced a driver-only hash mismatch on ``embedding_dim_stats``
+    (VERDICT r03 "What's wrong" #1). This formulation is explicit
+    half-away-from-zero built from IEEE-exact primitives only (multiply,
+    add 0.5, floor), so every engine/version computes the same integer.
+    """
+    return (
+        F.when(c >= 0, F.floor(c * 1e6 + F.lit(0.5)))
+        .otherwise(-F.floor(-c * 1e6 + F.lit(0.5)))
+        .cast("long")
+    )
+
+
+def q6(c: Column) -> Column:
+    """Tie-free 6-dp rounding of a double (micro-quantize, scale back)."""
+    return micro(c).cast("double") / 1e6
+
+
+def mean_of_micro(sum_micro_col: str, n_col: str) -> Column:
+    """Exact 6-dp mean from an integer micro sum: BIGINT ``DIV`` with
+    explicit round-half-away-from-zero, then one final scale-back — no
+    engine-native float rounding anywhere. Takes column *names* so the
+    whole expression stays in integer SQL (``DIV``), like :func:`avg4`."""
+    s, n = sum_micro_col, n_col
+    return F.expr(
+        f"CAST(CASE WHEN {s} >= 0 THEN ({s}*2 + {n}) DIV ({n}*2) "
+        f"ELSE -(((-{s})*2 + {n}) DIV ({n}*2)) END AS DOUBLE) / 1000000.0"
+    )
+
+
+def micro_sql(x: str) -> str:
+    """DuckDB twin of :func:`micro` (same tie-free formula, same BIGINT)."""
+    return (
+        f"CAST(CASE WHEN {x} >= 0 THEN floor(({x}) * 1000000 + 0.5) "
+        f"ELSE -floor(-({x}) * 1000000 + 0.5) END AS BIGINT)"
+    )
+
+
+def q6_sql(x: str) -> str:
+    """DuckDB twin of :func:`q6`."""
+    return f"({micro_sql(x)}::DOUBLE / 1000000.0)"
+
+
+def mean_of_micro_sql(s: str, n: str) -> str:
+    """DuckDB twin of :func:`mean_of_micro` (BIGINT half-away division)."""
+    return (
+        f"(CAST(CASE WHEN {s} >= 0 THEN ({s}*2 + {n}) // ({n}*2) "
+        f"ELSE -(((-({s}))*2 + {n}) // ({n}*2)) END AS DOUBLE) / 1000000.0)"
+    )
+
+
 def avg4(c: str) -> Column:
     """Order-independent 4-dp average of a 2-dp column, exact in integers.
 

@@ -406,6 +406,45 @@ def test_index_delete_equals_full_rebuild(spark):
     assert edited == rebuilt
     # 'solo' existed only in doc 3 -> word dropped entirely
     assert "solo" not in {w for w, _, _ in edited}
+    # the over-cap tier (explode + anti-join + re-aggregate) preserves the
+    # same invariant — broadcast_cap=0 forces it
+    joined = sorted(
+        (r["word"], r["df"], tuple(r["doc_ids"]))
+        for r in index_delete(
+            inverted_index(docs, ordered=False), gone, broadcast_cap=0
+        ).collect()
+    )
+    assert joined == rebuilt
+
+
+def test_index_delete_plan_is_distributed(spark):
+    """Neither tier may embed the delete set as a literal expression tree
+    (r03 verdict: a collected literal array blows codegen limits long
+    before memory). Broadcast tier: a broadcast join and an array_except,
+    no literal array of ids. Join tier: a left-anti join, no cartesian."""
+    from mapreduceindex_spark.operators.inverted_index import (
+        index_delete,
+        inverted_index,
+    )
+
+    docs = _docs(spark, [(i, f"w{i} common") for i in range(1, 8)])
+    gone = spark.createDataFrame([(i,) for i in range(1, 5)], ["doc_id"])
+    idx = inverted_index(docs, ordered=False)
+
+    bplan = index_delete(idx, gone)._jdf.queryExecution().executedPlan().toString()
+    assert "array_except" in bplan
+    assert "Broadcast" in bplan
+    # the ids 1..4 must not appear as an [1, 2, 3, 4]-style literal
+    assert "[1, 2, 3, 4]" not in bplan
+
+    jplan = (
+        index_delete(idx, gone, broadcast_cap=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in jplan
+    assert "CartesianProduct" not in jplan
 
 
 def test_phrase_search_consecutive_and_normalized(spark):
