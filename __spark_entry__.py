@@ -394,8 +394,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": lambda s, d: E.retention_cohorts(
             _t(s, d, "events")
         ),
-        # iterative fitting (rows-only correctness: no SQL oracle exists
-        # for a fixed-point loop; see clustering.py)
+        # iterative fitting — integer-micro Lloyd's, oracle = the loop
+        # UNROLLED to max_iter rounds of plain SQL (see _kmeans_sql)
         "kmeans_embeddings": lambda s, d: CL.kmeans_embeddings(
             _t(s, d, "embeddings"), k=8, max_iter=5
         ),
@@ -801,6 +801,78 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def _kmeans_sql(k: int = 8, max_iter: int = 5) -> str:
+    """DuckDB replay of clustering.kmeans_embeddings — Lloyd's UNROLLED
+    to ``max_iter`` fixed rounds (a recursive CTE would need two
+    references to the working table; unrolling a literal constant is
+    plain SQL). Bit-exact because both engines run the identical integer
+    program: tie-free micro quantization, int64 Σ(x−c)² argmin with
+    ties to the lower centroid id, half-away BIGINT mean, empty clusters
+    carrying the previous centroid. The Spark side's early fixpoint
+    break is a no-op under replay — iterating past a fixpoint reproduces
+    the same centroids.
+    """
+    qx = XQ.micro_sql("CAST(x AS DOUBLE)")
+    # argmin key: ||x||² is row-constant, so −2·x·c + ||c||² ranks like
+    # Σ(x−c)². Native list_dot_product over the int64-micro lists stays
+    # EXACT in float64 (|values| ≤ ~2e14 ≪ 2⁵³ — every integer
+    # representable), and beats a per-element lambda ~4× wall-clock.
+    dist = (
+        "(-2 * list_dot_product(q.e::DOUBLE[], c.c::DOUBLE[]) "
+        "+ list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]))"
+    )
+    halfmean = (
+        "CASE WHEN s >= 0 THEN (s*2 + n) // (n*2) "
+        "ELSE -(((-s)*2 + n) // (n*2)) END"
+    )
+    parts = [
+        "qe AS (SELECT vec_id, "
+        f"list_transform(embedding, x -> {qx}) AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, e AS c FROM qe WHERE vec_id < {k})",
+    ]
+    for i in range(1, max_iter + 1):
+        prev = f"c{i-1}"
+        parts.append(
+            f"a{i} AS (SELECT vec_id, e, cid FROM ("
+            f"SELECT q.vec_id, q.e, c.cid, row_number() OVER ("
+            f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM qe q CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT cid, u.s.d AS d, sum(u.s.x) AS s, "
+            f"count(*) AS n FROM (SELECT cid, "
+            "list_transform(range(1, len(e) + 1), "
+            f"j -> {{'d': j, 'x': e[j]}}) AS es FROM a{i}) t, "
+            "unnest(es) AS u(s) GROUP BY cid, d)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cid, list({halfmean} ORDER BY d) AS mc "
+            f"FROM s{i} GROUP BY cid)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT p.cid, coalesce(m.mc, p.c) AS c "
+            f"FROM {prev} p LEFT JOIN m{i} m ON m.cid = p.cid)"
+        )
+    last = f"c{max_iter}"
+    parts.append(
+        "fin AS (SELECT vec_id, cid FROM ("
+        "SELECT q.vec_id, c.cid, row_number() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn "
+        f"FROM qe q CROSS JOIN {last} c) WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT f.cid::BIGINT AS centroid_id,
+       count(*)::BIGINT AS n_members,
+       any_value(l.v)::BIGINT AS centroid_l1_micro
+FROM fin f
+JOIN (SELECT cid, list_sum(list_transform(c, z -> abs(z))) AS v
+      FROM {last}) l ON l.cid = f.cid
+GROUP BY f.cid
+"""
+    )
 
 
 def _pii_total_sql() -> str:
@@ -2356,6 +2428,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    {XQ.q6_sql('max_raw')} AS max_val
             FROM agg
         """,
+        "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
         "index_delete": f"""
             -- delete(index(A), D) == index(A - D): the oracle rebuilds
             -- from the surviving documents, the engine edits the full

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import statistics
 import sys
@@ -34,6 +35,7 @@ def _time_noop(df) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    anchor_cold = None
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -126,9 +128,15 @@ def main() -> None:
         small = "/root/reference/checker/test_small.txt"
         if os.path.exists(small):
             _ref_once(small)
-        runs = [_ref_once() for _ in range(n_runs + 2)][2:]
+        all_runs = [_ref_once() for _ in range(n_runs + 2)]
+        runs = all_runs[2:]
         timings["ref_corpus_index"] = round(statistics.median(runs), 3)
         spread["ref_corpus_index"] = [round(min(runs), 3), round(max(runs), 3)]
+        # first full-corpus run = cold number (JIT/worker-pool not yet at
+        # steady state); reported alongside the warm median so the anchor
+        # is comparable BOTH to the reference's cold single-shot runs and
+        # to a warmed server process — they are different quantities
+        anchor_cold = round(all_runs[0], 3)
 
     # Batch queries next, streaming queries last: each completed streaming
     # run leaves state-store providers + maintenance threads behind
@@ -166,6 +174,7 @@ def main() -> None:
             "queries": heaviest,
             "n_queries": len(timings),
             "runs_per_query": n_runs,
+            "anchor_cold_sec": anchor_cold,
             "sf": sf,
         }
         if partial:
@@ -183,25 +192,37 @@ def main() -> None:
         _sweep(stream_items)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": n_runs,
+        "spread": spread,
+        "anchor_cold_sec": anchor_cold,
+        "sf": sf,
+    }
     # Full detail first; then a compact summary as the LAST line.  The
     # driver's log tail-capture keeps only ~1.9 KB, and the full per-query
     # line for 100+ queries is ~4 KB — round 2's BENCH record came back
     # `parsed: null` because the line was truncated mid-object.  The final
     # compact line (same schema, `queries` trimmed to the 10 heaviest) is
     # always short enough to survive the tail window intact.
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": n_runs,
-                "spread": spread,
-                "sf": sf,
-            }
-        )
-    )
+    print(json.dumps(full))
+    # Persist the full record too: the driver's tail window only carries
+    # the compact line, so round-over-round per-query comparison needs a
+    # committed file. Round number = 1 + the highest recorded BENCH_r.
+    here = os.path.dirname(os.path.abspath(__file__))
+    if only_set is None:  # subset iterations must not clobber the record
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        n_round = (max(rounds) if rounds else 0) + 1
+        path = os.path.join(here, f"BENCH_SELF_r{n_round:02d}.json")
+        with open(path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
     _print_compact(partial=False)
 
 

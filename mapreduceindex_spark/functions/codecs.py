@@ -40,13 +40,30 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def sniff_media(data: bytes) -> str:
     """Cheap container sniff from magic bytes:
-    'png' | 'wav' | 'bmp' | 'unknown'."""
+    'png' | 'wav' | 'bmp' | 'unknown'.
+
+    The BMP magic is only two ASCII bytes ('BM'), so any text payload
+    starting "BMW…"/"BMI…" would false-positive on magic alone and crash
+    the decoder on garbage header fields. BMP therefore additionally
+    requires a plausible 54-byte header: declared file size covering the
+    header, both reserved words zero, and a known BITMAPINFOHEADER size —
+    the same fields ``bmp_decode`` reads, checked before classifying.
+    """
     if data[:8] == PNG_SIGNATURE:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
-    if data[:2] == b"BM":
-        return "bmp"
+    if data[:2] == b"BM" and len(data) >= 54:
+        bf_size, reserved, data_offset, bi_size = struct.unpack_from(
+            "<IIII", data, 2
+        )
+        if (
+            reserved == 0
+            and bi_size in (40, 108, 124)
+            and 54 <= data_offset <= len(data)
+            and bf_size >= 54
+        ):
+            return "bmp"
     return "unknown"
 
 

@@ -1,26 +1,43 @@
 """Iterative clustering over embedding columns (SURVEY.md EXT2 adjacency;
 no reference file:line — the C reference has no vector surface).
 
-Lloyd's k-means as a DataFrame loop: the canonical *iterative* algorithm
-the driver contract calls out as legitimately non-SQL-expressible (the
-correctness row is rows-only; there is no oracle twin). The loop shape —
-broadcast small model state out, aggregate new state back — is how every
-iterative fitted model (k-means, logistic regression, ALS) runs on Spark:
-per-iteration data movement is one map pass plus one k×dim-sized
-aggregate, never a shuffle of the corpus by cluster.
+Lloyd's k-means as a DataFrame loop: the canonical *iterative* algorithm.
+The loop shape — broadcast small model state out, aggregate new state
+back — is how every iterative fitted model (k-means, logistic regression,
+ALS) runs on Spark: per-iteration data movement is one map pass plus one
+k×dim-sized aggregate, never a shuffle of the corpus by cluster.
 
-Scale: the model state (k × dim floats) is a few KB — collecting it per
-iteration is a scalar-aggregate-class driver roundtrip, not a data
-collect. Assignment is BLAS inside Arrow-batched ``mapInPandas`` (one
-N×dim @ dim×k matmul per batch); the centroid update is a per-dimension
-hash aggregate (k·dim groups). Iteration count is a fixed small constant,
-so the whole fit is ``max_iter`` linear passes.
+Exactness (round 4): the whole fit runs in INTEGER micro space so a
+DuckDB oracle can replay it bit-for-bit (``_kmeans_sql`` in the entry
+module unrolls the loop to ``max_iter`` rounds of plain SQL). Vectors
+are quantized once with the tie-free ``exact.micro`` transform
+(JVM-side); distances are int64 ``Σ(x−c)²``; centroid updates are BIGINT
+sums with explicit round-half-away-from-zero division. No float enters
+any comparison or aggregate, so assignment and the final model are
+identical across engines, partitionings, and BLAS implementations —
+which upgrades the driver-correctness row from rows-only to a full
+value-hash match (the last ``no_oracle`` entry in CORRECTNESS_r03).
+
+Scale: assignment AND the centroid-update partial sums happen inside one
+Arrow-batched ``mapInPandas`` pass per iteration — each batch emits at
+most k rows of (count, Σx per dim), so the per-iteration shuffle carries
+``batches×k×dim`` integers (not ``N×dim``), the distributed reduce
+returns exactly k·dim rows, and the driver only ever holds model state.
+The quantized corpus is persisted once, so iterations never re-scan
+parquet or re-run the quantization transform.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _halfdiv(s: int, n: int) -> int:
+    """BIGINT round-half-away-from-zero division — the Python twin of
+    ``exact.mean_of_micro`` / the oracle's ``//``-based CASE."""
+    return (2 * s + n) // (2 * n) if s >= 0 else -((2 * (-s) + n) // (2 * n))
 
 
 def kmeans_embeddings(
@@ -28,75 +45,115 @@ def kmeans_embeddings(
     k: int = 8,
     max_iter: int = 5,
 ) -> DataFrame:
-    """Fit k-means (Lloyd) on the embedding column; return cluster sizes.
+    """Fit k-means (Lloyd) on the embedding column; return per-cluster
+    size plus an L1 fingerprint of the fitted centroid.
 
-    Deterministic setup: centroids initialize to the first ``k`` vectors
-    (vec_id < k) and every assignment tie-breaks toward the lower
-    centroid id; centroid coordinates are rounded to 6 dp after each
-    update so the fit is reproducible across partitionings to float
-    noise below the rounding grid. Output: (centroid_id, n_members),
-    one row per non-empty cluster, ordered by centroid_id.
+    Deterministic setup: vectors quantize to int64 micro units (tie-free
+    half-away ``exact.micro``); centroids initialize to the first ``k``
+    quantized vectors (vec_id < k); every assignment minimizes the exact
+    integer ``Σ(x−c)²`` and tie-breaks toward the lower centroid id; the
+    centroid update is the exact integer mean (half-away division) per
+    dimension, empty clusters keeping their previous centroid. Iterating
+    past a fixpoint is a no-op, so the SQL oracle replays a fixed
+    ``max_iter`` rounds while this loop breaks early — same model.
+
+    Output: (centroid_id, n_members, centroid_l1_micro) per non-empty
+    cluster ordered by centroid_id, where centroid_l1_micro = Σ_d |c_d|
+    in micro units — pinning the fitted centroid values, not just the
+    partition sizes, into the correctness hash.
     """
     import numpy as np
     import pandas as pd
 
-    vecs = embeddings.select("vec_id", "embedding")
-    centroids = np.array(
-        [
-            r["embedding"]
-            for r in vecs.filter(F.col("vec_id") < k)
-            .orderBy("vec_id")
-            .collect()
-        ],
-        dtype="float64",
+    from mapreduceindex_spark.functions.exact import micro
+
+    spark = embeddings.sparkSession
+    qvecs = (
+        embeddings.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: micro(x.cast("double"))
+            ).alias("e"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    init = qvecs.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    centroids = np.array([r["e"] for r in init], dtype="int64")
+    kk, dim = centroids.shape
 
-    def _assigned(cents: np.ndarray) -> DataFrame:
+    def _partials(cents: np.ndarray) -> DataFrame:
         C = cents  # captured by value per iteration
+        c_norm2 = (C * C).sum(axis=1)
 
-        def _assign(batches):
-            c_norm2 = (C * C).sum(axis=1)
+        def _gen(batches):
             for pdf in batches:
                 if pdf.empty:
                     continue
-                E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-                # argmin over squared distance; ||x||² is row-constant so
-                # the argmin needs only  −2·x·cᵀ + ||c||²
-                d = -2.0 * (E @ C.T) + c_norm2
+                E = np.stack(pdf["e"].to_numpy()).astype("int64")
+                # argmin over exact integer distance; ||x||² is
+                # row-constant so the argmin needs only −2·x·cᵀ + ||c||²
+                # (|x_i|,|c_i| ≤ ~2e6 micro → |Σ| ≤ 64·8e12 ≪ 2⁶³).
+                # np.argmin returns the FIRST minimum = lowest cid.
+                a = (-2 * (E @ C.T) + c_norm2).argmin(axis=1)
+                sums = np.zeros((kk, dim), dtype="int64")
+                np.add.at(sums, a, E)
+                cnt = np.bincount(a, minlength=kk)
+                nz = np.nonzero(cnt)[0]
                 yield pd.DataFrame(
                     {
-                        "vec_id": pdf["vec_id"].to_numpy(),
-                        "embedding": pdf["embedding"].to_numpy(),
-                        "centroid_id": d.argmin(axis=1),
+                        "centroid_id": nz.astype("int64"),
+                        "n": cnt[nz].astype("int64"),
+                        "s": list(sums[nz]),
                     }
                 )
 
-        return vecs.mapInPandas(
-            _assign, "vec_id long, embedding array<float>, centroid_id long"
+        return qvecs.mapInPandas(
+            _gen, "centroid_id long, n long, s array<long>"
         )
 
-    for _ in range(max_iter):
-        assigned = _assigned(centroids)
-        # new centroid = per-dimension mean: explode dims, one hash agg
-        # over k·dim groups, collect the (tiny) model state back
-        upd = (
-            assigned.select(
-                "centroid_id", F.posexplode("embedding").alias("dim", "x")
-            )
+    def _reduce(cents: np.ndarray):
+        """One job: per-batch partials → distributed (cid, dim) reduce →
+        k·dim-row model-state collect (bounded at any corpus size)."""
+        rows = (
+            _partials(cents)
+            .select("centroid_id", "n", F.posexplode("s").alias("dim", "x"))
             .groupBy("centroid_id", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("x").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
-        nxt = centroids.copy()
-        for r in upd:
-            nxt[r["centroid_id"], r["dim"]] = round(r["m"], 6)
+        counts: dict[int, int] = {}
+        nxt = cents.copy()
+        for r in rows:
+            # n re-sums the batch counts inside every dim group, so any
+            # dim row carries the cid's total member count
+            counts[r["centroid_id"]] = r["n"]
+            nxt[r["centroid_id"], r["dim"]] = _halfdiv(r["s"], r["n"])
+        return nxt, counts
+
+    counts: dict[int, int] = {}
+    converged = False
+    for _ in range(max_iter):
+        nxt, counts = _reduce(centroids)
         if np.array_equal(nxt, centroids):
+            converged = True  # counts already reflect the final model
             break
         centroids = nxt
+    if not converged and max_iter > 0:
+        # centroids moved on the last round: one more assignment pass for
+        # the member counts under the FINAL model (counts only — k rows)
+        counts = {
+            r["centroid_id"]: r["n"]
+            for r in _partials(centroids)
+            .groupBy("centroid_id")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+    qvecs.unpersist()
 
-    return (
-        _assigned(centroids)
-        .groupBy("centroid_id")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .orderBy("centroid_id")
+    out = [
+        (int(cid), int(counts[cid]), int(np.abs(centroids[cid]).sum()))
+        for cid in sorted(counts)
+    ]
+    return spark.createDataFrame(
+        out, "centroid_id bigint, n_members bigint, centroid_l1_micro bigint"
     )

@@ -978,6 +978,9 @@ def dup_spans(
     """
     from pyspark.sql.window import Window
 
+    from mapreduceindex_spark.functions import caching
+
+    caching.release()  # free the previous invocation's tracked cache
     base = documents.select("doc_id", words(F.col("text")).alias("ws"))
     toks = base.select(
         "doc_id",
@@ -986,7 +989,7 @@ def dup_spans(
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
-    pos_ng = (
+    pos_ng = caching.track(
         toks.select(
             "doc_id", "nw", "pos", F.concat_ws(" ", *parts).alias("ng")
         )
@@ -1032,11 +1035,11 @@ def dup_spans(
         )
         .orderBy("doc_id", "span_start")
     )
-    # NOTE: pos_ng stays persisted — the returned (lazy) plan scans it
-    # from two branches (df aggregate + hot join-back), and nothing here
-    # ran an action yet, so an unpersist-before-return would silently
-    # undo the cache before it ever materialized. Bounded: 24-byte
-    # (doc_id, pos, hash) rows.
+    # pos_ng stays persisted — the returned (lazy) plan scans it from two
+    # branches (df aggregate + hot join-back), and nothing here ran an
+    # action yet. It is TRACKED (caching.track): the next dup_spans /
+    # media_dhash_near_dups call or an explicit caching.release() frees
+    # it, so repeated invocations no longer accumulate cached blocks.
     return out
 
 

@@ -62,10 +62,21 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
     - anything else → deterministic pseudo-dimensions when ``fake=True``
       (fixture payloads are UTF-8 text; the oracle SQL replicates this
       formula), else ``NotImplementedError`` naming the format.
+
+    ``fake=True`` additionally catches real-decoder failures and falls
+    back to the fake formula: the fake paths run over encoded document
+    TEXT, so a payload that merely *sniffs* like a container (the 'BM'
+    magic is two ASCII bytes) must degrade to the deterministic fake the
+    oracle replicates, not crash the whole query on one document.
     """
     from mapreduceindex_spark.functions import codecs
 
     kind = codecs.sniff_media(payload)
+    if fake and kind != "unknown":
+        try:
+            return decode_media(payload, fake=False)
+        except Exception:
+            kind = "unknown"
     if kind == "png":
         arr = codecs.png_decode(payload)
         h, w = arr.shape[:2]
@@ -544,9 +555,17 @@ def media_dhash_near_dups(
         # does not reuse the exchange across the differently-aliased
         # sides (verified: MapInPandas appears twice in the executed
         # plan), so persist to run the codec stage once. Bounded cache:
-        # 3 bigints per document.
-        hashes = _dhash_frame_coarse(documents).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # 3 bigints per document. Tracked (caching.track) because the
+        # consumer is the returned lazy plan — the next tracked-cache
+        # operator call or caching.release() frees it, so repeated
+        # invocations in one session no longer accumulate blocks.
+        from mapreduceindex_spark.functions import caching
+
+        caching.release()
+        hashes = caching.track(
+            _dhash_frame_coarse(documents).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
     # 8 bands × 8 bits: bands 0-3 from the lo half, 4-7 from the hi half
     banded = hashes.select(

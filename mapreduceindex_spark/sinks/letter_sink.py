@@ -91,6 +91,25 @@ def write_letter_files(
     # driver (true on a single node); multi-node clusters use the
     # ``parquet`` mode above, where per-letter flat text files are
     # themselves the bottleneck.
+    # The tasks below write FINAL files straight to a driver-visible path;
+    # on a multi-node master they would land on executor-local disks and
+    # the output would be silently empty, and speculative duplicate
+    # attempts could interleave one file. Refuse anything but local mode
+    # (the reference contract is single-node); clusters use 'parquet'.
+    sc = lines.sparkSession.sparkContext
+    if not (sc.master or "").startswith("local"):
+        raise RuntimeError(
+            "write_letter_files(materialize='txt') requires a local[*] "
+            f"master (got {sc.master!r}): executor tasks write final "
+            "files to a driver-shared filesystem. On a cluster use "
+            "materialize='parquet'."
+        )
+    if (sc.getConf().get("spark.speculation", "false") or "").lower() == "true":
+        raise RuntimeError(
+            "write_letter_files(materialize='txt') is incompatible with "
+            "spark.speculation=true: duplicate attempts would truncate "
+            "and interleave the same final file concurrently."
+        )
     os.makedirs(out_dir, exist_ok=True)
     # golden-dir contract: all 26 files exist, 0-byte for empty letters
     # (``checker/test_out_small/d.txt``); tasks then overwrite the

@@ -122,6 +122,30 @@ def test_bmp_sniff_and_dispatch():
     assert (d["kind"], d["width"], d["height"], d["channels"]) == ("bmp", 5, 3, 3)
 
 
+def test_bmp_sniff_rejects_text_lookalikes():
+    """The 2-byte 'BM' magic must not classify text payloads ('BMW…') as
+    BMP — ASCII text has no NUL bytes, so the zero reserved words and a
+    known biSize are impossible; such payloads fall to the deterministic
+    fake instead of crashing media_features on garbage header fields."""
+    text = b"BMW motorcycles are manufactured in Berlin " * 4
+    assert codecs.sniff_media(text) == "unknown"
+    d = M.decode_media(text, fake=True)
+    n = len(text)
+    assert (d["kind"], d["width"], d["height"]) == (
+        "fake", 16 + n % 1024, 16 + (n // 7) % 1024
+    )
+    # a corrupt REAL container under fake=True degrades to the fake
+    # formula rather than poisoning the whole Arrow batch
+    broken = bytearray(codecs.bmp_encode(np.zeros((4, 4), dtype=np.uint8)))
+    broken[28] = 32  # biBitCount -> unsupported
+    d = M.decode_media(bytes(broken), fake=True)
+    assert d["kind"] == "fake"
+    # ...but still raises when fake=False (a real decode pipeline must
+    # surface corruption, not invent dimensions)
+    with pytest.raises(NotImplementedError):
+        M.decode_media(bytes(broken), fake=False)
+
+
 def test_bmp_unsupported_variants_raise():
     data = bytearray(codecs.bmp_encode(np.zeros((4, 4), dtype=np.uint8)))
     data[28] = 32  # biBitCount -> 32

@@ -417,6 +417,24 @@ def test_index_delete_equals_full_rebuild(spark):
     assert joined == rebuilt
 
 
+def test_tracked_caches_bounded_across_invocations(spark):
+    """dup_spans / media_dhash_near_dups persist a frame the RETURNED
+    plan consumes, which previously leaked one cache per invocation in a
+    long-lived session; the tracked-cache registry bounds live caches to
+    the most recent invocation and release() frees even that."""
+    from mapreduceindex_spark.functions import caching
+    from mapreduceindex_spark.operators.dedup import dup_spans
+
+    text = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [(i, text) for i in range(1, 4)])
+    for _ in range(3):
+        dup_spans(docs, n=8, min_docs=2).collect()
+    assert len(caching._LIVE) <= 1
+    caching.release()
+    assert not caching._LIVE
+    caching.release()  # idempotent
+
+
 def test_index_delete_plan_is_distributed(spark):
     """Neither tier may embed the delete set as a literal expression tree
     (r03 verdict: a collected literal array blows codegen limits long
