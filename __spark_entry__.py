@@ -53,72 +53,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: Registry priority: the driver's oracle harness samples the FIRST 50
-#: entries in registry order (CORRECTNESS_r01/r02 tested sets are exactly
-#: registry prefixes), so entries that have never received a driver
-#: correctness row are listed first.  Round-1+2 driver-verified queries
-#: (67 green rows across CORRECTNESS_r01+r02) rotate to the back; local
-#: pytest still oracle-checks all of them every run, so rotation costs
-#: no coverage.
+#: entries in registry order (CORRECTNESS_r01-r03 tested sets are exactly
+#: registry prefixes), so entries that most need a driver correctness
+#: row are listed first.  Queries with an existing green row rotate to
+#: the back; local pytest still oracle-checks all of them every run, so
+#: rotation costs no coverage.
 _VERIFY_FIRST = [
-    # never driver-sampled in rounds 1-2 (41 entries)
-    "media_decode_png",
-    "media_decode_wav",
-    "media_dhash",
-    "media_dhash_near_dups",
-    "media_dup_clusters",
-    "media_metadata_stats",
-    "media_features",
-    "media_resize",
-    "media_frame_sample",
-    "streaming_first_seen",
-    "streaming_inverted_index",
-    "streaming_dedup",
-    "streaming_range_join",
-    "kmeans_embeddings",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_delay_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "customer_running_revenue",
-    "order_gaps",
-    "customer_spend_quartiles",
-    "nation_revenue_share",
-    "kmv_distinct_tokens",
-    "kmv_distinct_users",
-    "price_quantiles",
-    "events_debounce",
-    "events_range_join",
-    "funnel_conversion",
-    "retention_cohorts",
-    # new in round 3 — also need their first driver row (41 + 9 = the
-    # driver's full 50-entry sample)
-    "media_decode_bmp",
-    "vocab_stats",
-    "token_length_histogram",
-    "lang_id_confusion",
-    "ngram_novelty",
-    "bigram_lift",
-    "embedding_norms",
+    # (a) never driver-sampled: the whole round-3 back half landed after
+    # the r03 50-slot sample filled (VERDICT r03 "What's missing" #1)
+    "index_delete",
+    "index_reindex",
+    "phrase_search",
+    "events_anomaly",
+    "order_value_percent_rank",
+    "per_source_topk_sample",
+    "asof_error_purchase",
+    "dup_spans",
+    "semantic_dedup",
+    "minhash_accuracy",
+    "dup_graph_stats",
+    "dedup_rate_by_source",
+    "cross_source_overlap",
+    "quality_by_source",
+    "streaming_quality_filter",
+    "streaming_static_enrich",
+    # (b) latest driver row is a round-1 TIMESTAMP(NANOS) error; the fix
+    # (session.py nanos normalization) landed in round 2 but these were
+    # never re-sampled (VERDICT r03 #2)
+    "events_tumbling",
+    "events_sliding",
+    "sessionize",
+    "events_json_stats",
+    "user_activity_pivot",
+    "purchasers_without_errors",
+    "asof_prior_purchase",
+    "streaming_tumbling",
+    "streaming_sessions",
+    # (c) fixed this round, need a green row to close the r03 findings:
+    # the tie-free quantization (hash_fail #1) and the new unrolled-SQL
+    # k-means oracle (the last no_oracle row)
     "embedding_dim_stats",
-    "revenue_moving_avg",
-    # ROUND-4 ROTATION QUEUE (sample is full at 50): index_delete,
-    # phrase_search, events_anomaly, order_value_percent_rank,
-    # per_source_topk_sample, streaming_quality_filter,
-    # asof_error_purchase, dup_spans, streaming_static_enrich,
-    # semantic_dedup — move these into the head of this list next round,
-    # rotating out entries that got their CORRECTNESS_r03 row.
+    "kmeans_embeddings",
+    # round-4 additions — first driver row
+    "shuffle_corpus",
+    "label_quality_profile",
+    # (d) high-value re-verifies: last green row is r01/r02 and the
+    # operators are the engine's most complex surfaces (pair search,
+    # components, ANN, flagship, heavy relational)
+    "inverted_index",
+    "inverted_index_salted",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_near_dups",
+    "near_dup_clusters",
+    "canonical_docs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dups",
+    "ivf_topk",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q17_small_qty_revenue",
+    "q18_big_order_customers",
+    "tf_idf",
+    "lm_doc_scores",
 ]
 
 
@@ -512,6 +514,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "quality_by_source": lambda s, d: TA.quality_by_source(
             _t(s, d, "documents")
+        ),
+        # round 4: seeded training shuffle + cross-modal curation join
+        "shuffle_corpus": lambda s, d: C.shuffle_corpus(
+            _t(s, d, "documents"), seed=42, n_shards=16
+        ),
+        "label_quality_profile": lambda s, d: C.label_quality_profile(
+            _t(s, d, "documents"), _t(s, d, "embeddings")
         ),
         "index_reindex": lambda s, d: II.flatten_index(
             II.reindex_docs(
@@ -2429,6 +2438,57 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM agg
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
+        "shuffle_corpus": f"""
+            -- seeded permutation key is the portable md5 hash, so the
+            -- oracle replays the exact shard + in-shard order
+            WITH ranked AS (
+              SELECT doc_id,
+                     {_hash60_sql("'42:' || doc_id::VARCHAR")} AS k
+              FROM documents
+            )
+            SELECT doc_id,
+                   (k % 16)::BIGINT AS shard,
+                   row_number() OVER (PARTITION BY k % 16
+                       ORDER BY k, doc_id)::BIGINT AS pos_in_shard
+            FROM ranked
+        """,
+        "label_quality_profile": f"""
+            WITH base AS (
+              SELECT doc_id, text, {ws} AS w FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                CASE WHEN len(text) > 0 THEN
+                  len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                    / len(text)
+                ELSE 0.0 END AS alpha_ratio,
+                CASE WHEN len(w) > 0 THEN
+                  len(list_distinct(w))::DOUBLE / len(w)
+                ELSE 0.0 END AS distinct_ratio,
+                CASE WHEN len(w) > 0 THEN
+                  list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+                ELSE 0.0 END AS mean_len,
+                len(w) AS n
+              FROM base
+            ), q AS (
+              SELECT doc_id,
+                     round(alpha_ratio * 0.3 + distinct_ratio * 0.3
+                           + least(n / 100.0, 1.0) * 0.2
+                           + least(mean_len / 8.0, 1.0) * 0.2, 4) AS quality,
+                     n AS n_words
+              FROM feats
+            ), agg AS (
+              SELECT e.label::BIGINT AS label,
+                     count(*)::BIGINT AS n_docs,
+                     sum({XQ.micro_sql('q.quality')}) AS _qs,
+                     sum(q.n_words)::BIGINT AS n_tokens
+              FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+              GROUP BY e.label
+            )
+            SELECT label, n_docs,
+                   {XQ.mean_of_micro_sql('_qs', 'n_docs')} AS mean_quality,
+                   n_tokens
+            FROM agg
+        """,
         "index_delete": f"""
             -- delete(index(A), D) == index(A - D): the oracle rebuilds
             -- from the surviving documents, the engine edits the full

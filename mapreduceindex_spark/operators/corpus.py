@@ -754,3 +754,82 @@ def cross_source_overlap(documents: DataFrame, n: int = 8) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
         .orderBy("source_a", "source_b")
     )
+
+
+def shuffle_corpus(
+    documents: DataFrame, seed: int = 42, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic seeded global shuffle into training shards: every
+    document gets a pseudo-random shard and a stable position within it —
+    the "shuffle once, stream shards in order" layout every large-scale
+    training run wants (epoch order must be reproducible from the seed
+    alone, never from partition layout or file enumeration order).
+
+    The permutation key is ``stable_hash64(seed || ':' || doc_id)`` —
+    engine-portable (md5-based), so the DuckDB oracle replays the exact
+    permutation. Shard = key % n_shards; position = rank of the key
+    within the shard (doc_id tie-break, though 60-bit collisions are
+    ~never). Scale: one hash-partitioned window per shard — the sort is
+    per-shard, NOT a global total order, so at 100 TB each shard sorts
+    ~1/n_shards of the keys independently and no single range exchange
+    sees the whole corpus; n_shards scales with the cluster.
+    """
+    key = stable_hash64(
+        F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
+    )
+    ranked = documents.select(
+        "doc_id", key.alias("_k"), (key % n_shards).cast("long").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_k", "doc_id")
+    return (
+        ranked.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        )
+        .orderBy("shard", "pos_in_shard")
+    )
+
+
+def label_quality_profile(
+    documents: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """Cross-modal corpus health: per embedding label (= cluster/topic id
+    in the fixture), the lexical quality profile of the matching
+    documents — mean quality score, mean token count, document count.
+    The join every curation loop runs before re-weighting a mixture:
+    "which semantic clusters are full of low-quality text?".
+
+    One co-partitioned hash join on the id (both sides shuffle on the
+    same key — at 100 TB this is the canonical bucketed-join candidate),
+    then a k-group aggregate. Quality terms reuse
+    ``text_analysis.quality_score`` exactly, and the means use the
+    integer-quantized tie-free forms, so the oracle is exact.
+    """
+    from mapreduceindex_spark.functions.exact import mean_of_micro, micro
+    from mapreduceindex_spark.operators.text_analysis import quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    nw = documents.select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_words")
+    )
+    lab = embeddings.select(
+        F.col("vec_id").alias("doc_id"), F.col("label").cast("long").alias("label")
+    )
+    return (
+        q.join(nw, "doc_id")
+        .join(lab, "doc_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(micro(F.col("quality"))).alias("_qs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "label",
+            "n_docs",
+            mean_of_micro("_qs", "n_docs").alias("mean_quality"),
+            "n_tokens",
+        )
+        .orderBy("label")
+    )

@@ -334,6 +334,49 @@ def test_streaming_range_join_equals_batch(spark):
     assert stream == batch
 
 
+def test_streaming_static_enrich_state_is_group_bounded(spark):
+    """The stream-static join must add NO stateful join operator (the
+    static side broadcasts into each micro-batch) and the aggregation's
+    state rows must equal the group cardinality — state bounded by
+    (event_type × segment), never by stream length. Mirrors the
+    range-join eviction assertions for the remaining join kind."""
+    import uuid as _uuid
+
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming.pipelines import _stream_events
+    from tests.conftest import SF_SMALL
+
+    ev = _stream_events(spark, SF_SMALL)
+    dim = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "s" + _uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    n_groups = spark.table(name).count()
+    assert n_groups > 0
+    state_ops = progress["stateOperators"]
+    assert len(state_ops) == 1, state_ops  # agg only — no join state
+    assert state_ops[0]["operatorName"] == "stateStoreSave", state_ops
+    assert state_ops[0]["numRowsTotal"] == n_groups, state_ops
+
+
 def test_sentence_chunks_budget_crossing(spark):
     """Whole sentences assigned to budget-crossing chunks: with budget=5
     and sentences of 3 words each, cum-before per sentence is 0,3,6,9 ->
@@ -415,6 +458,43 @@ def test_index_delete_equals_full_rebuild(spark):
         ).collect()
     )
     assert joined == rebuilt
+
+
+def test_asof_bucket_sizing_and_hot_user_guard(spark):
+    """n_buckets derives from a data-volume probe (floor 64, one bucket
+    never expected past target_bucket_rows), results are invariant to the
+    bucket count, and an unsplittable hot user past max_bucket_rows
+    raises with the remedy named instead of OOMing an executor."""
+    import pytest as _pytest
+
+    from mapreduceindex_spark.operators.events import asof_error_purchase
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        for j in range(5):
+            rows.append((eid, u, "purchase", 1_700_000_000 + j * 100))
+            eid += 1
+            rows.append((eid, u, "error", 1_700_000_000 + j * 100 + 50))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_sec long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts_sec").cast("timestamp").alias("ts"),
+    )
+    auto = sorted(map(tuple, asof_error_purchase(events).collect()))
+    pinned = sorted(
+        map(tuple, asof_error_purchase(events, n_buckets=3).collect())
+    )
+    assert auto == pinned and len(auto) == 30
+    # tiny target -> more buckets than the floor, same answer
+    scaled = sorted(
+        map(tuple, asof_error_purchase(events, target_bucket_rows=1).collect())
+    )
+    assert scaled == auto
+    with _pytest.raises(ValueError, match="time-range secondary"):
+        asof_error_purchase(events, max_bucket_rows=3)
 
 
 def test_tracked_caches_bounded_across_invocations(spark):

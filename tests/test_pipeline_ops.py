@@ -176,3 +176,31 @@ def test_debounce_keeps_first_and_spaced_events(spark):
         .select("event_id")
     )
     assert firsts.exceptAll(kept.select("event_id")).count() == 0
+
+
+def test_shuffle_corpus_is_seeded_permutation(docs):
+    """Every document appears exactly once; positions are contiguous
+    1..n per shard; the order is a pure function of the seed (invariant
+    to partition layout, different across seeds)."""
+    out = C.shuffle_corpus(docs, seed=42, n_shards=16).collect()
+    assert len(out) == docs.count()
+    assert len({r["doc_id"] for r in out}) == len(out)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    again = C.shuffle_corpus(docs.repartition(7), seed=42, n_shards=16).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = C.shuffle_corpus(docs, seed=7, n_shards=16).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_label_quality_profile_conserves_docs(docs, embs):
+    out = C.label_quality_profile(docs, embs).collect()
+    joined = docs.join(
+        embs.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    ).count()
+    assert sum(r["n_docs"] for r in out) == joined
+    assert all(0.0 <= r["mean_quality"] <= 1.0 for r in out)
+    assert all(r["n_tokens"] > 0 for r in out)
