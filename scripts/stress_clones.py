@@ -24,16 +24,20 @@ def main():
     clones = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="stress_clones")
     docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
-        "doc_id", "text"
+        "doc_id", "text", "source"
     )
     n_base = docs.count()
     cloned = (
         docs.select(
-            "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(clones - 1))).alias("c")
+            "doc_id",
+            "text",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(clones - 1))).alias("c"),
         )
         .select(
             (F.col("doc_id") + F.col("c") * F.lit(n_base * 10)).alias("doc_id"),
             "text",
+            "source",
         )
     )
     cloned.persist()
@@ -82,6 +86,25 @@ def main():
     timed(
         "media_dup_clusters",
         lambda: M.media_dup_clusters(cloned),
+    )
+    # round-4 heavy tail (VERDICT r03 next-round #8): both ride the pair
+    # front end. minhash_accuracy re-pays the exact + LSH pair searches
+    # plus two signature joins — output-proportional, so the clone corpus
+    # (maximal pair pressure) is its worst case. cross_source_overlap
+    # dedups per (source, shingle-hash) BEFORE the self-join, so 10×
+    # cloning must NOT grow its join input — cost tracks distinct
+    # content per source, not corpus size.
+    from mapreduceindex_spark.operators import corpus as CP
+
+    timed(
+        "minhash_accuracy",
+        lambda: D.minhash_accuracy(
+            cloned, n=3, num_hashes=16, bands=4, threshold=0.5
+        ),
+    )
+    timed(
+        "cross_source_overlap",
+        lambda: CP.cross_source_overlap(cloned),
     )
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
