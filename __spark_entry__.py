@@ -97,6 +97,7 @@ _VERIFY_FIRST = [
     # round-4 additions — first driver row
     "shuffle_corpus",
     "label_quality_profile",
+    "cms_hot_tokens",
     # (d) high-value re-verifies: last green row is r01/r02 and the
     # operators are the engine's most complex surfaces (pair search,
     # components, ANN, flagship, heavy relational)
@@ -120,7 +121,6 @@ _VERIFY_FIRST = [
     "q17_small_qty_revenue",
     "q18_big_order_customers",
     "tf_idf",
-    "lm_doc_scores",
 ]
 
 
@@ -514,6 +514,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "quality_by_source": lambda s, d: TA.quality_by_source(
             _t(s, d, "documents")
+        ),
+        # round 4: CMS heavy-hitter calibration (the skew detector)
+        "cms_hot_tokens": lambda s, d: SK.cms_hot_tokens(
+            _t(s, d, "documents"), depth=4, width=1024, k=20
         ),
         # round 4: seeded training shuffle + cross-modal curation join
         "shuffle_corpus": lambda s, d: C.shuffle_corpus(
@@ -2438,6 +2442,35 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM agg
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
+        "cms_hot_tokens": f"""
+            -- identical 4x1024 count-min grid (portable md5 row hashes),
+            -- so estimates AND the one-sided error replay exactly
+            WITH toks AS (
+              SELECT u.word FROM documents, unnest({ws}) AS u(word)
+            ), wc AS (
+              SELECT word, count(*)::BIGINT AS n FROM toks GROUP BY word
+            ), cells AS (
+              SELECT t.i,
+                     ({_hash60_sql("t.i::VARCHAR || ':' || word")} % 1024)
+                       AS col,
+                     sum(n) AS v
+              FROM wc, range(4) t(i)
+              GROUP BY 1, 2
+            ), top AS (
+              SELECT word, n FROM wc ORDER BY n DESC, word ASC LIMIT 20
+            ), probes AS (
+              SELECT t.word, t.n, r.i,
+                     ({_hash60_sql("r.i::VARCHAR || ':' || t.word")} % 1024)
+                       AS col
+              FROM top t, range(4) r(i)
+            )
+            SELECT p.word,
+                   p.n AS n_exact,
+                   min(c.v)::BIGINT AS cms_est,
+                   (min(c.v) - p.n)::BIGINT AS overestimate
+            FROM probes p JOIN cells c ON c.i = p.i AND c.col = p.col
+            GROUP BY p.word, p.n
+        """,
         "shuffle_corpus": f"""
             -- seeded permutation key is the portable md5 hash, so the
             -- oracle replays the exact shard + in-shard order

@@ -294,3 +294,69 @@ def bloom_prefilter_stats(
         )
         .orderBy("event_type")
     )
+
+
+def cms_hot_tokens(
+    documents: DataFrame, depth: int = 4, width: int = 1024, k: int = 20
+) -> DataFrame:
+    """Count-min-sketch calibration over the corpus token stream: the
+    exact top-``k`` hottest words joined against their CMS estimates —
+    (word, n_exact, cms_est, overestimate). The sketch is THE skew
+    detector at 100 TB: a ``depth×width`` cell grid (4096 counters here)
+    answers "which keys are heavy?" with one bounded aggregate, which is
+    what decides salting/broadcast strategies before any expensive
+    shuffle. This operator reports the sketch's error against exact
+    truth on the heaviest keys — the calibration readout (same pattern
+    as ``minhash_accuracy`` for MinHash).
+
+    Deterministic + engine-portable: row ``i``'s hash is
+    ``stable_hash64(i || ':' || word) % width`` (md5-based), so the
+    DuckDB oracle rebuilds the identical grid; the CMS one-sided
+    guarantee (estimate ≥ exact, always) is asserted by a unit test.
+
+    Plan: one word-count aggregate (the same shuffle word_counts pays)
+    feeds BOTH the 4096-cell grid (cells = Σ counts of colliding words —
+    summing pre-aggregated counts is exactly the classic per-occurrence
+    CMS) and the exact top-k; estimates come from a broadcast join of
+    the k×depth probe rows against the grid. Everything after the first
+    aggregate is O(depth·(width + k)); the grid is mergeable (a sum),
+    so at any scale it composes map-side.
+    """
+    wc = (
+        token_rows(documents)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_i = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+
+    def _col(i, word):
+        return (
+            stable_hash64(
+                F.concat(i.cast("string"), F.lit(":"), word)
+            )
+            % width
+        ).alias("col")
+
+    cells = (
+        wc.select("word", "n", rows_i)
+        .select("i", _col(F.col("i"), F.col("word")), "n")
+        .groupBy("i", "col")
+        .agg(F.sum("n").alias("v"))
+    )
+    top = wc.orderBy(F.col("n").desc(), F.col("word").asc()).limit(k)
+    probes = top.select("word", "n", rows_i).select(
+        "word", "n", "i", _col(F.col("i"), F.col("word"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "col"])
+        .groupBy("word", "n")
+        .agg(F.min("v").alias("_est"))
+        .select(
+            "word",
+            F.col("n").cast("long").alias("n_exact"),
+            F.col("_est").cast("long").alias("cms_est"),
+            (F.col("_est") - F.col("n")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.col("n_exact").desc(), F.col("word").asc())
+    )

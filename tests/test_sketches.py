@@ -78,3 +78,24 @@ def test_price_quantiles_rank_semantics(spark):
 def test_price_quantiles_empty_input(spark):
     orders = load_table(spark, SF, "orders").filter("o_orderkey < 0")
     assert price_quantiles(orders).count() == 0
+
+
+def test_cms_one_sided_guarantee_and_exactness(spark):
+    """CMS never underestimates (min over depth rows of colliding sums),
+    and with width >> vocabulary every estimate is exact. A width-2 grid
+    forces collisions and must show overestimate > 0 somewhere while the
+    guarantee still holds."""
+    from mapreduceindex_spark.operators.sketches import cms_hot_tokens
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    wide = cms_hot_tokens(docs, depth=4, width=65536, k=15).collect()
+    assert len(wide) == 15
+    assert all(r["overestimate"] == 0 for r in wide)  # no collisions
+    assert all(r["cms_est"] >= r["n_exact"] for r in wide)
+    # exact ordering: descending counts, word tie-break
+    keys = [(-r["n_exact"], r["word"]) for r in wide]
+    assert keys == sorted(keys)
+    tight = cms_hot_tokens(docs, depth=2, width=2, k=15).collect()
+    assert all(r["cms_est"] >= r["n_exact"] for r in tight)
+    assert any(r["overestimate"] > 0 for r in tight)
