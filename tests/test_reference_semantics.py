@@ -99,3 +99,48 @@ def test_flagship_global_order(spark):
     # O10: posting lists ascending.
     for r in rows:
         assert list(r["doc_ids"]) == sorted(r["doc_ids"])
+
+
+def test_micro_quantization_cross_engine_exact(spark):
+    """The tie-free micro/q6/mean helpers must produce BIT-identical
+    results in Spark and DuckDB on adversarial values — exact .5-micro
+    boundaries, negative zeros, denormals-at-the-grid, large magnitudes.
+    This is the regression pin for the r03 embedding_dim_stats driver
+    hash_fail (engine-native round() resolves ties per-version)."""
+    import duckdb
+
+    from mapreduceindex_spark.functions import exact as X
+
+    vals = [
+        0.0, -0.0, 1.5e-6, -1.5e-6, 2.5e-6, -2.5e-6, 0.4999995,
+        -0.4999995, 0.0000005, -0.0000005, 1.0000005, -1.0000005,
+        123.4567895, -123.4567895, 7.5e-7, -7.5e-7, 1e-9, -1e-9,
+        0.1, -0.1, 3.141592653589793, -2.718281828459045, 999999.9999995,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = (
+        df.select(
+            F.col("x"),
+            X.micro(F.col("x")).alias("m"),
+            X.q6(F.col("x")).alias("q"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in got:
+        lit = f"CAST({r['x']!r} AS DOUBLE)"  # repr round-trips doubles
+        m, q = con.execute(
+            f"SELECT {X.micro_sql(lit)}, {X.q6_sql(lit)}"
+        ).fetchone()
+        assert m == r["m"], (r["x"], m, r["m"])
+        assert q == r["q"] or (q != q and r["q"] != r["q"]), (r["x"], q, r["q"])
+    # mean_of_micro vs its SQL twin on half-boundary sums
+    for s, n in [(5, 2), (-5, 2), (7, 2), (-7, 2), (10, 4), (-10, 4), (0, 3)]:
+        sdf = spark.createDataFrame([(s, n)], "s long, n long")
+        spark_mean = sdf.select(
+            X.mean_of_micro("s", "n").alias("m")
+        ).collect()[0]["m"]
+        duck_mean = con.execute(
+            f"SELECT {X.mean_of_micro_sql(str(s), str(n))}"
+        ).fetchone()[0]
+        assert spark_mean == duck_mean, (s, n, spark_mean, duck_mean)
