@@ -1095,13 +1095,17 @@ def dup_graph_stats(
 
     Two tiny aggregates over the output-proportional pair set (each pair
     counted toward both endpoints); the corpus itself is never touched
-    beyond the pair search.
+    beyond the pair search. Endpoints come from ONE explode, not a
+    two-branch union — a union of two projections re-executes the whole
+    pair front per branch (measured at sf0.1: 5.9 s union → 2.5 s
+    explode; Catalyst does not merge sibling scans of a computed
+    subtree).
     """
     pairs = ngram_jaccard_pairs(documents, n, threshold).select(
         "doc_a", "doc_b"
     )
-    endpoints = pairs.select(F.col("doc_a").alias("doc_id")).union(
-        pairs.select(F.col("doc_b").alias("doc_id"))
+    endpoints = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
     degrees = endpoints.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("degree")
