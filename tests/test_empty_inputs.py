@@ -1,0 +1,72 @@
+"""Empty-input robustness: every selected operator must return an empty
+(0-row) result on empty tables, not crash — the failure mode that
+otherwise surfaces as a dead pipeline stage the first time a partition,
+source slice, or filter comes back empty in production. Python/Arrow
+stages are the usual culprits (np.stack on a 0-row batch, pandas dtype
+inference on empty frames), so the list leans on those paths."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from mapreduceindex_spark.session import TABLES, load_table
+from tests.conftest import SF_SMALL
+
+#: batch queries exercised on fully-empty tables. Streaming queries are
+#: excluded (file-stream sources need at least one file commit), as is
+#: kmeans (k seed vectors are a documented precondition of the fit).
+EMPTY_SAFE = [
+    "inverted_index",
+    "word_counts",
+    "search_any",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_dups",
+    "near_dup_clusters",
+    "dup_spans",
+    "semantic_dedup",
+    "cms_hot_tokens",
+    "shuffle_corpus",
+    "label_quality_profile",
+    "embedding_dim_stats",
+    "embedding_norms",
+    "cosine_topk",
+    "tf_idf",
+    "quality_score",
+    "media_features",
+    "media_dhash_near_dups",
+    "events_debounce",
+    "events_range_join",
+    "asof_error_purchase",
+    "sessionize",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "index_delete",
+    "phrase_search",
+]
+
+
+@pytest.fixture()
+def empty_tables(spark, monkeypatch):
+    """Route every load_table call to a 0-row frame with the real schema."""
+    import mapreduceindex_spark.session as sess
+
+    real = sess.load_table
+    cache = {}
+
+    def _empty(spark_, sf_dir, name):
+        key = name
+        if key not in cache:
+            cache[key] = real(spark_, SF_SMALL, name).where("1=0").cache()
+        return cache[key]
+
+    monkeypatch.setattr(sess, "load_table", _empty)
+    return _empty
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_query_survives_empty_input(spark, empty_tables, name):
+    df = entrymod._all_queries()[name](spark, SF_SMALL)
+    assert df.count() == 0
