@@ -98,6 +98,7 @@ _VERIFY_FIRST = [
     "shuffle_corpus",
     "label_quality_profile",
     "cms_hot_tokens",
+    "bm25_search",
     # (d) high-value re-verifies: last green row is r01/r02 and the
     # operators are the engine's most complex surfaces (pair search,
     # components, ANN, flagship, heavy relational)
@@ -120,7 +121,6 @@ _VERIFY_FIRST = [
     "q5_region_revenue",
     "q17_small_qty_revenue",
     "q18_big_order_customers",
-    "tf_idf",
 ]
 
 
@@ -515,6 +515,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": lambda s, d: TA.quality_by_source(
             _t(s, d, "documents")
         ),
+        # round 4: BM25 ranked retrieval over the flagship's domain
+        "bm25_search": lambda s, d: II.bm25_search(
+            _t(s, d, "documents"), query="vector hash join"
+        ),
         # round 4: CMS heavy-hitter calibration (the skew detector)
         "cms_hot_tokens": lambda s, d: SK.cms_hot_tokens(
             _t(s, d, "documents"), depth=4, width=1024, k=20
@@ -886,6 +890,77 @@ JOIN (SELECT cid, list_sum(list_transform(c, z -> abs(z))) AS v
 GROUP BY f.cid
 """
     )
+
+
+def _bm25_sql(
+    query: str, k1: float = 1.2, b: float = 0.75, top_k: int = 20
+) -> str:
+    """DuckDB twin of inverted_index.bm25_search — the SAME float
+    expression tree in the same sorted-term order (score sums are a
+    literal chain, never a float aggregate over an unordered set), with
+    Python-evaluated constants embedded via repr() so e.g. ``k1 + 1``
+    is the identical double on both sides. 6-dp tie-free quantization
+    closes the loop."""
+    from mapreduceindex_spark.operators.inverted_index import (
+        normalize_token_py,
+    )
+
+    terms = sorted(
+        {t for t in (normalize_token_py(x) for x in query.split()) if t}
+    )
+    ws = _words_sql()
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ", ".join(
+        f"max(CASE WHEN word = '{t}' THEN tf END) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"count(DISTINCT CASE WHEN word = '{t}' THEN doc_id END)::BIGINT"
+        f" AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    avgdl = "(c.total_tokens::DOUBLE / c.n_docs)"
+    norm_len = f"(1.0 - {b!r} + ({b!r} * d.dl::DOUBLE) / {avgdl})"
+    score = "0.0"
+    for i in range(len(terms)):
+        tf_t = f"(COALESCE(t.tf_{i}, 0)::DOUBLE)"
+        df_t = f"(f.df_{i}::DOUBLE)"
+        idf = (
+            f"ln(1.0 + (c.n_docs::DOUBLE - {df_t} + 0.5) / ({df_t} + 0.5))"
+        )
+        score = (
+            f"({score} + {idf} * ({tf_t} * {(k1 + 1.0)!r} "
+            f"/ ({tf_t} + {k1!r} * {norm_len})))"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.word FROM documents, unnest({ws}) AS u(word)
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id
+), consts AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens
+  FROM dl
+), tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf
+  FROM toks WHERE word IN ({in_list}) GROUP BY doc_id, word
+), tfp AS (
+  SELECT doc_id, {tf_cols} FROM tf GROUP BY doc_id
+), dfp AS (
+  SELECT {df_cols} FROM tf
+)
+SELECT doc_id, doc_len, score FROM (
+  SELECT d.doc_id,
+         d.dl AS doc_len,
+         {XQ.q6_sql(score)} AS score
+  FROM dl d
+  LEFT JOIN tfp t USING (doc_id)
+  CROSS JOIN consts c
+  CROSS JOIN dfp f
+)
+WHERE score > 0.0
+ORDER BY score DESC, doc_id ASC
+LIMIT {top_k}
+"""
 
 
 def _pii_total_sql() -> str:
@@ -2442,6 +2517,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM agg
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
+        "bm25_search": _bm25_sql("vector hash join"),
         "cms_hot_tokens": f"""
             -- identical 4x1024 count-min grid (portable md5 row hashes),
             -- so estimates AND the one-sided error replay exactly

@@ -372,3 +372,101 @@ def reindex_docs(
     return merge_index(
         index_delete(index, retired), changed_documents, ordered=False
     )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Ranked retrieval over the corpus: Okapi BM25 scores for ``query``,
+    top ``top_k`` documents — the query surface the reference's index
+    exists to serve (``search_docs`` answers boolean membership;
+    ``phrase_search`` exact quotes; this is relevance RANKING, the
+    third leg of a search engine). idf uses the Robertson/Sparck-Jones
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` form (never negative), tf
+    saturation the standard ``(k1+1)`` numerator.
+
+    Determinism/oracle exactness: per-term score columns are summed in
+    SORTED term order as one fixed expression tree (no float aggregate
+    over an unordered term set), ``avgdl`` is an exact BIGINT
+    token-count divided once, and the final score is 6-dp tie-free
+    quantized — the DuckDB twin writes the identical expression, so
+    doubles match bit-for-bit.
+
+    Plan: the doc-length aggregate rides the same single-exchange
+    tokenize front as the flagship; term tf's filter to the (few) query
+    terms BEFORE their aggregate, so the per-term frames are tiny; the
+    corpus constants (N, df per term, Σdl) broadcast as one scalar row.
+    Top-k is TakeOrdered — no global sort materialization.
+    """
+    from mapreduceindex_spark.functions.exact import q6
+    from mapreduceindex_spark.functions.text import token_rows
+
+    terms = sorted(
+        {t for t in (normalize_token_py(x) for x in query.split()) if t}
+    )
+    if not terms:
+        raise ValueError("bm25_search: query has no normalized words")
+    toks = token_rows(documents).filter(F.length("word") > 0)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("word").isin(terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # corpus constants in ONE broadcastable row (N docs, Σ tokens) plus
+    # per-term document frequencies and tf's pivoted to FIXED columns
+    # (tf_i / df_i in sorted-term order), so the score is one literal
+    # expression tree
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    tf_piv = (
+        tf.groupBy("doc_id")
+        .pivot("word", terms)
+        .agg(F.first("tf"))
+        .select(
+            "doc_id",
+            *[F.col(f"`{t}`").alias(f"tf_{i}") for i, t in enumerate(terms)],
+        )
+    )
+    df_piv = (
+        tf.groupBy()
+        .pivot("word", terms)
+        .agg(F.countDistinct("doc_id"))
+        .select(
+            *[F.col(f"`{t}`").alias(f"df_{i}") for i, t in enumerate(terms)]
+        )
+    )
+    scored = (
+        dl.join(tf_piv, "doc_id", "left")
+        .join(F.broadcast(consts))
+        .join(F.broadcast(df_piv))
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    norm_len = F.lit(1.0) - b + F.lit(b) * F.col("dl").cast("double") / avgdl
+    score = F.lit(0.0)
+    for i, _t in enumerate(terms):
+        tf_t = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
+        df_t = F.coalesce(F.col(f"df_{i}"), F.lit(0)).cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        score = score + idf * (
+            tf_t * (k1 + 1.0) / (tf_t + F.lit(k1) * norm_len)
+        )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").cast("long").alias("doc_len"),
+            q6(score).alias("score"),
+        )
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )

@@ -611,3 +611,36 @@ def test_reindex_docs_equals_full_rebuild(spark):
     words_left = {w for w, _, _ in got}
     assert "gamma" not in words_left and "solo" not in words_left
     assert "epsilon" in words_left
+
+
+def test_bm25_ranking_semantics(spark):
+    """Known-ranking corpus: a document matching BOTH query terms beats
+    single-term docs; among single-term docs the RARE term outweighs the
+    common one (idf); tf saturates (10 repeats ≪ 10× the score); docs
+    with no query term are absent; empty query raises."""
+    import pytest as _pytest
+
+    from mapreduceindex_spark.operators.inverted_index import bm25_search
+
+    filler = "lorem ipsum dolor sit amet"
+    docs = _docs(
+        spark,
+        [
+            (1, f"zebra quark {filler}"),          # both terms
+            (2, f"zebra {filler}"),                # common term only
+            (3, f"quark {filler}"),                # rare term only
+            (4, f"zebra zebra zebra {filler}"),    # common, high tf
+            (5, f"zebra {filler}"),                # common term only
+            (6, filler),                           # neither
+        ],
+    )
+    out = bm25_search(docs, "zebra quark").collect()
+    ranked = [r["doc_id"] for r in out]
+    assert 6 not in ranked
+    assert ranked[0] == 1                      # both terms win
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[3] > scores[2]               # rare term > common term
+    assert scores[4] > scores[2]               # higher tf helps...
+    assert scores[4] < 3 * scores[2]           # ...but saturates
+    with _pytest.raises(ValueError, match="no normalized words"):
+        bm25_search(docs, "42 !!!")
