@@ -99,6 +99,7 @@ _VERIFY_FIRST = [
     "label_quality_profile",
     "cms_hot_tokens",
     "bm25_search",
+    "ivf_topk_trained",
     # (d) high-value re-verifies: last green row is r01/r02 and the
     # operators are the engine's most complex surfaces (pair search,
     # components, ANN, flagship, heavy relational)
@@ -120,7 +121,6 @@ _VERIFY_FIRST = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q17_small_qty_revenue",
-    "q18_big_order_customers",
 ]
 
 
@@ -515,6 +515,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": lambda s, d: TA.quality_by_source(
             _t(s, d, "documents")
         ),
+        # round 4: trained-ANN — k-means cells feeding the IVF probe
+        "ivf_topk_trained": lambda s, d: S.ivf_topk_trained(
+            _t(s, d, "embeddings"),
+            n_queries=10,
+            k=5,
+            n_centroids=8,
+            n_probe=2,
+            max_iter=5,
+        ),
         # round 4: BM25 ranked retrieval over the flagship's domain
         "bm25_search": lambda s, d: II.bm25_search(
             _t(s, d, "documents"), query="vector hash join"
@@ -820,16 +829,22 @@ QUALIFY rank <= {k}
 """
 
 
-def _kmeans_sql(k: int = 8, max_iter: int = 5) -> str:
-    """DuckDB replay of clustering.kmeans_embeddings — Lloyd's UNROLLED
-    to ``max_iter`` fixed rounds (a recursive CTE would need two
-    references to the working table; unrolling a literal constant is
-    plain SQL). Bit-exact because both engines run the identical integer
-    program: tie-free micro quantization, int64 Σ(x−c)² argmin with
-    ties to the lower centroid id, half-away BIGINT mean, empty clusters
-    carrying the previous centroid. The Spark side's early fixpoint
-    break is a no-op under replay — iterating past a fixpoint reproduces
-    the same centroids.
+def _kmeans_ctes(k: int = 8, max_iter: int = 5) -> tuple[str, str]:
+    """CTE body of the DuckDB k-means replay — Lloyd's UNROLLED to
+    ``max_iter`` fixed rounds (a recursive CTE would need two references
+    to the working table; unrolling a literal constant is plain SQL).
+    Bit-exact because both engines run the identical integer program:
+    tie-free micro quantization, int64 Σ(x−c)² argmin with ties to the
+    lower centroid id, half-away BIGINT mean, empty clusters carrying
+    the previous centroid. The Spark side's early fixpoint break is a
+    no-op under replay — iterating past a fixpoint reproduces the same
+    centroids.
+
+    Returns ``(cte_body, last_centroid_cte)``; the body defines ``qe``
+    (quantized vectors), ``c0..cN`` (per-round centroids), ``asgrank``
+    (final-model cell ranking per vector) and ``fin`` (rank-1
+    assignment) for consumers (:func:`_kmeans_sql`,
+    :func:`_ivf_trained_sql`) to build on.
     """
     qx = XQ.micro_sql("CAST(x AS DOUBLE)")
     # argmin key: ||x||² is row-constant, so −2·x·c + ||c||² ranks like
@@ -874,13 +889,20 @@ def _kmeans_sql(k: int = 8, max_iter: int = 5) -> str:
         )
     last = f"c{max_iter}"
     parts.append(
-        "fin AS (SELECT vec_id, cid FROM ("
+        "asgrank AS ("
         "SELECT q.vec_id, c.cid, row_number() OVER ("
         f"PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn "
-        f"FROM qe q CROSS JOIN {last} c) WHERE rn = 1)"
+        f"FROM qe q CROSS JOIN {last} c)"
     )
+    parts.append("fin AS (SELECT vec_id, cid FROM asgrank WHERE rn = 1)")
+    return ",\n".join(parts), last
+
+
+def _kmeans_sql(k: int = 8, max_iter: int = 5) -> str:
+    """Full k-means oracle query — see :func:`_kmeans_ctes`."""
+    ctes, last = _kmeans_ctes(k, max_iter)
     return (
-        "WITH " + ",\n".join(parts) + f"""
+        "WITH " + ctes + f"""
 SELECT f.cid::BIGINT AS centroid_id,
        count(*)::BIGINT AS n_members,
        any_value(l.v)::BIGINT AS centroid_l1_micro
@@ -888,6 +910,51 @@ FROM fin f
 JOIN (SELECT cid, list_sum(list_transform(c, z -> abs(z))) AS v
       FROM {last}) l ON l.cid = f.cid
 GROUP BY f.cid
+"""
+    )
+
+
+def _ivf_trained_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    max_iter: int = 5,
+) -> str:
+    """DuckDB twin of similarity.ivf_topk_trained: re-derives the
+    k-means centroids with the unrolled-SQL fit, re-ranks cells with the
+    identical integer distance (asgrank ties to the lower cell id), then
+    scores candidates with the standard oracle-exact cosine."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+            f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+            f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+        )
+
+    ctes, _last = _kmeans_ctes(n_centroids, max_iter)
+    return (
+        "WITH " + ctes + f""",
+members AS (
+  SELECT f.vec_id AS member_id, f.cid AS cent_id, e.embedding AS c_emb
+  FROM fin f JOIN embeddings e ON e.vec_id = f.vec_id
+), probes AS (
+  SELECT vec_id AS query_id, cid AS cent_id FROM asgrank
+  WHERE vec_id < {n_queries} AND rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, m.member_id AS neighbor_id,
+         {cos("q.embedding", "m.c_emb")} AS cosine
+  FROM members m
+  JOIN probes p ON m.cent_id = p.cent_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE m.member_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {k}
 """
     )
 
@@ -2517,6 +2584,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM agg
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
+        "ivf_topk_trained": _ivf_trained_sql(
+            n_queries=10, k=5, n_centroids=8, n_probe=2, max_iter=5
+        ),
         "bm25_search": _bm25_sql("vector hash join"),
         "cms_hot_tokens": f"""
             -- identical 4x1024 count-min grid (portable md5 row hashes),

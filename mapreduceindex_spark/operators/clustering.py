@@ -40,13 +40,16 @@ def _halfdiv(s: int, n: int) -> int:
     return (2 * s + n) // (2 * n) if s >= 0 else -((2 * (-s) + n) // (2 * n))
 
 
-def kmeans_embeddings(
+def fit_kmeans_micro(
     embeddings: DataFrame,
     k: int = 8,
     max_iter: int = 5,
-) -> DataFrame:
-    """Fit k-means (Lloyd) on the embedding column; return per-cluster
-    size plus an L1 fingerprint of the fitted centroid.
+):
+    """Run the integer-micro Lloyd's loop; return
+    ``(centroids, counts)`` — the k×dim int64 micro centroid matrix and
+    the per-centroid member counts under the FINAL model. This is the
+    shared fit behind ``kmeans_embeddings`` (reporting) and
+    ``similarity.ivf_topk_trained`` (trained ANN cells).
 
     Deterministic setup: vectors quantize to int64 micro units (tie-free
     half-away ``exact.micro``); centroids initialize to the first ``k``
@@ -56,11 +59,6 @@ def kmeans_embeddings(
     dimension, empty clusters keeping their previous centroid. Iterating
     past a fixpoint is a no-op, so the SQL oracle replays a fixed
     ``max_iter`` rounds while this loop breaks early — same model.
-
-    Output: (centroid_id, n_members, centroid_l1_micro) per non-empty
-    cluster ordered by centroid_id, where centroid_l1_micro = Σ_d |c_d|
-    in micro units — pinning the fitted centroid values, not just the
-    partition sizes, into the correctness hash.
     """
     import numpy as np
     import pandas as pd
@@ -149,11 +147,30 @@ def kmeans_embeddings(
             .collect()
         }
     qvecs.unpersist()
+    return centroids, counts
 
+
+def kmeans_embeddings(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Fit k-means (Lloyd, :func:`fit_kmeans_micro`) on the embedding
+    column; return per-cluster size plus an L1 fingerprint of the fitted
+    centroid.
+
+    Output: (centroid_id, n_members, centroid_l1_micro) per non-empty
+    cluster ordered by centroid_id, where centroid_l1_micro = Σ_d |c_d|
+    in micro units — pinning the fitted centroid values, not just the
+    partition sizes, into the correctness hash.
+    """
+    import numpy as np
+
+    centroids, counts = fit_kmeans_micro(embeddings, k, max_iter)
     out = [
         (int(cid), int(counts[cid]), int(np.abs(centroids[cid]).sum()))
         for cid in sorted(counts)
     ]
-    return spark.createDataFrame(
+    return embeddings.sparkSession.createDataFrame(
         out, "centroid_id bigint, n_members bigint, centroid_l1_micro bigint"
     )

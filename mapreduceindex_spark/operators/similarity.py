@@ -533,3 +533,99 @@ def semantic_dedup(
     return resolve_components(pairs, ids).select(
         F.col("doc_id").alias("vec_id"), "cluster_rep"
     )
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF top-k over TRAINED cells: the k-means fit
+    (``clustering.fit_kmeans_micro``) provides the centroid table, and
+    the IVF probe machinery searches it — "train the index, then
+    search", the shape every production vector index (FAISS IVF, Milvus,
+    pgvector ivfflat) actually runs, completing the ANN family next to
+    the data-independent first-C-vectors ``ivf_topk``.
+
+    Exactness: cell assignment uses the SAME integer-micro ``Σ(x−c)²``
+    argmin as the fit (ties to the lower cell id), so member cells and
+    probe order replay bit-for-bit in the oracle (which re-derives the
+    centroids with the unrolled-SQL k-means and ranks with the identical
+    integer distance); only the final candidate scoring is float cosine,
+    the already-oracle-exact expression ``cosine_topk`` uses.
+
+    Scale: the fitted model is k×dim ints — broadcast as a literal table
+    exactly like ``ivf_topk``'s centroid frame; assignment is one
+    codegen'd JVM fold per (vector, cell), O(N·C·dim) with no Python and
+    no shuffle beyond the final per-query window over candidates.
+    """
+    from mapreduceindex_spark.functions.exact import micro
+    from mapreduceindex_spark.operators.clustering import fit_kmeans_micro
+
+    cents, _counts = fit_kmeans_micro(embeddings, n_centroids, max_iter)
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(cents)],
+        "cent_id long, cent array<long>",
+    )
+    qv = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"), lambda x: micro(x.cast("double"))
+        ).alias("qe"),
+    )
+
+    def _nearest_cells(df: DataFrame, id_col: str, n_keep: int) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("qe"), F.col("cent"), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col("vec_id").alias(id_col), "cent_id", dist.alias("dist")
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("dist").asc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .select(id_col, "cent_id")
+        )
+
+    members = _nearest_cells(qv, "member_id", 1).join(
+        embeddings.select(
+            F.col("vec_id").alias("member_id"),
+            F.col("embedding").alias("c_emb"),
+        ),
+        "member_id",
+    )
+    queries = qv.filter(F.col("vec_id") < n_queries)
+    probes = _nearest_cells(queries, "query_id", n_probe)
+    q_emb = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        members.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("member_id") != F.col("query_id"))
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            F.col("member_id").alias("neighbor_id"),
+            F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
