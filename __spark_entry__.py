@@ -100,6 +100,7 @@ _VERIFY_FIRST = [
     "cms_hot_tokens",
     "bm25_search",
     "ivf_topk_trained",
+    "streaming_hot_tokens",
     # (d) high-value re-verifies: last green row is r01/r02 and the
     # operators are the engine's most complex surfaces (pair search,
     # components, ANN, flagship, heavy relational)
@@ -120,7 +121,6 @@ _VERIFY_FIRST = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q17_small_qty_revenue",
 ]
 
 
@@ -496,6 +496,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_static_enrich": lambda s, d: (
             STREAM.streaming_static_enrich(s, d)
+        ),
+        "streaming_hot_tokens": lambda s, d: STREAM.streaming_hot_tokens(
+            s, d, k=20
         ),
         "semantic_dedup": lambda s, d: S.semantic_dedup(
             _t(s, d, "embeddings"), threshold=0.95
@@ -2584,6 +2587,16 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM agg
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
+        "streaming_hot_tokens": f"""
+            -- bounded stream == batch: running counts converge to the
+            -- exact counts, so the oracle is the exact top-20
+            WITH toks AS (
+              SELECT u.word FROM documents, unnest({ws}) AS u(word)
+            )
+            SELECT word, count(*)::BIGINT AS n
+            FROM toks GROUP BY word
+            ORDER BY n DESC, word ASC LIMIT 20
+        """,
         "ivf_topk_trained": _ivf_trained_sql(
             n_queries=10, k=5, n_centroids=8, n_probe=2, max_iter=5
         ),

@@ -475,3 +475,40 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round("_sum_value", 4).cast("double").alias("sum_value"),
     ).orderBy("event_type", "segment")
+
+
+def streaming_hot_tokens(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Streaming heavy-hitter tracking: running word counts over the
+    document stream, top ``k`` reported — the ingest-time form of the
+    batch ``cms_hot_tokens`` calibration (a live skew dashboard over the
+    firehose). Complete-mode hash aggregate: state is one counter per
+    distinct word (vocabulary-bounded — Heaps' law, not stream-length-
+    bounded), the same state-vs-input distinction every streaming
+    aggregate here maintains. On the bounded fixture the running counts
+    equal the batch exact counts, so the oracle is the exact top-k.
+    """
+    from mapreduceindex_spark.functions.text import token_rows
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    counts = (
+        token_rows(stream)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(counts, "complete")
+    return (
+        out.select("word", F.col("n").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(k)
+    )
