@@ -101,6 +101,7 @@ _VERIFY_FIRST = [
     "bm25_search",
     "ivf_topk_trained",
     "streaming_hot_tokens",
+    "events_resample",
     # (d) high-value re-verifies: last green row is r01/r02 and the
     # operators are the engine's most complex surfaces (pair search,
     # components, ANN, flagship, heavy relational)
@@ -120,7 +121,6 @@ _VERIFY_FIRST = [
     "ivf_topk",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
 ]
 
 
@@ -389,6 +389,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "asof_prior_purchase": lambda s, d: E.asof_prior_purchase(
             _t(s, d, "events")
+        ),
+        "events_resample": lambda s, d: E.events_resample(
+            _t(s, d, "events"), freq_sec=3600
         ),
         "funnel_conversion": lambda s, d: E.funnel_conversion(
             _t(s, d, "events")
@@ -2587,6 +2590,29 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM agg
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
+        "events_resample": """
+            -- grid derives from per-type bounds, zeros are explicit
+            WITH b AS (
+              SELECT event_type,
+                     (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600
+                       AS bucket_start
+              FROM events
+            ), counts AS (
+              SELECT event_type, bucket_start, count(*)::BIGINT AS n_events
+              FROM b GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type,
+                     min(bucket_start) AS lo, max(bucket_start) AS hi
+              FROM counts GROUP BY 1
+            ), grid AS (
+              SELECT event_type, u.g AS bucket_start
+              FROM bounds, unnest(generate_series(lo, hi, 3600)) AS u(g)
+            )
+            SELECT g.event_type, g.bucket_start,
+                   COALESCE(c.n_events, 0)::BIGINT AS n_events
+            FROM grid g
+            LEFT JOIN counts c USING (event_type, bucket_start)
+        """,
         "streaming_hot_tokens": f"""
             -- bounded stream == batch: running counts converge to the
             -- exact counts, so the oracle is the exact top-20

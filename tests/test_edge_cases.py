@@ -644,3 +644,28 @@ def test_bm25_ranking_semantics(spark):
     assert scores[4] < 3 * scores[2]           # ...but saturates
     with _pytest.raises(ValueError, match="no normalized words"):
         bm25_search(docs, "42 !!!")
+
+
+def test_events_resample_gap_fill(spark):
+    """Zero buckets are explicit between each type's own bounds; counts
+    conserve; a type's grid does not extend to other types' ranges."""
+    from mapreduceindex_spark.operators.events import events_resample
+
+    rows = [
+        (1, 1, "click", 1_700_000_000),
+        (2, 1, "click", 1_700_000_100),      # same bucket as #1
+        (3, 1, "click", 1_700_007_200),      # 2 buckets later -> 1 gap
+        (4, 2, "error", 1_700_003_600),      # different type, own range
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, s long"
+    ).select("event_id", "user_id", "event_type",
+             F.col("s").cast("timestamp").alias("ts"))
+    out = {(r["event_type"], r["bucket_start"]): r["n_events"]
+           for r in events_resample(events, freq_sec=3600).collect()}
+    assert out == {
+        ("click", 1_700_000_000 // 3600 * 3600): 2,
+        ("click", 1_700_003_600 // 3600 * 3600): 0,   # explicit gap zero
+        ("click", 1_700_007_200 // 3600 * 3600): 1,
+        ("error", 1_700_003_600 // 3600 * 3600): 1,   # single-bucket range
+    }
