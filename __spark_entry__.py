@@ -121,6 +121,11 @@ _VERIFY_FIRST = [
     "ivf_topk",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # ROUND-5 ROTATION: once CORRECTNESS_r04 lands, move its green rows
+    # to the back and promote whatever (if anything) came back non-green
+    # plus any round-5 additions; sections (a)-(c) + the round-4 block
+    # above will then all have driver rows, leaving only re-verify
+    # cycling. Local pytest oracle-checks all 140 every run regardless.
 ]
 
 

@@ -1274,21 +1274,63 @@ def order_value_percent_rank(orders: DataFrame, top_pct: float = 0.05) -> DataFr
     (rank−1)/(n−1): an exact rational of BIGINTs, so the 6-dp rounding
     is engine-exact, and ties (equal prices) share a rank by definition.
 
-    The global window is a single-partition sort at fixture scale; at
-    100 TB the same question is answered by ``price_quantiles``-style
-    distributed percentiles + a threshold filter — this operator's
-    contract is the exact rank surface, retained because percent_rank
-    over a pre-aggregated frame (e.g. per-month order rollups) is the
-    common production form.
+    No global window (round 4): a naive ``percent_rank() OVER (ORDER BY
+    …)`` moves the WHOLE table to one partition. Instead the global rank
+    is assembled two-phase, the ``price_quantiles`` histogram trick
+    extended to ranks: (1) bucket counts per integer price (an
+    aggregate bounded by the price RANGE, not row count) yield each
+    bucket's cumulative offset; (2) buckets whose offset already
+    exceeds the top-``top_pct`` bound are PRUNED before any sort; (3) a
+    window partitioned BY BUCKET ranks only the surviving ~``top_pct``
+    tail, and offset + local row_number = the exact global rank (the
+    o_orderkey tie-break makes the total order unique, so rank ==
+    row_number and percent_rank's tie semantics are moot). Identical
+    output to the single-window form, oracle unchanged.
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    ranked = orders.select(
+    base = orders.select(
         "o_orderkey",
         "o_custkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.floor("o_totalprice").cast("long").alias("_b"),
+    )
+    totals = base.agg(F.count(F.lit(1)).alias("_n"))
+    wb = Window.orderBy(F.col("_b").desc())
+    offsets = (
+        base.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_b",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_offset"),
+        )
+    )
+    bound = top_pct * (F.col("_n") - 1).cast("double") + 1.0
+    local = Window.partitionBy("_b").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = (
+        base.join(offsets, "_b")
+        .join(F.broadcast(totals))
+        .filter(F.col("_offset").cast("double") < bound)
+        .withColumn("_rank", F.col("_offset") + F.row_number().over(local))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(
+                F.when(F.col("_n") > 1,
+                       (F.col("_rank") - 1).cast("double")
+                       / (F.col("_n") - 1).cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+        )
     )
     return ranked.filter(F.col("pct_rank") <= top_pct).orderBy(
         "pct_rank", "o_orderkey"
