@@ -25,6 +25,7 @@ from mapreduceindex_spark.operators import corpus as C
 from mapreduceindex_spark.operators import dedup as D
 from mapreduceindex_spark.operators import events as E
 from mapreduceindex_spark.operators import multimodal as M
+from mapreduceindex_spark.operators import profiling as PF
 from mapreduceindex_spark.operators import relational as R
 from mapreduceindex_spark.operators import similarity as S
 from mapreduceindex_spark.operators import sketches as SK
@@ -102,6 +103,7 @@ _VERIFY_FIRST = [
     "ivf_topk_trained",
     "streaming_hot_tokens",
     "events_resample",
+    "profile_orders",
     # (d) high-value re-verifies: last green row is r01/r02 and the
     # operators are the engine's most complex surfaces (pair search,
     # components, ANN, flagship, heavy relational)
@@ -120,7 +122,6 @@ _VERIFY_FIRST = [
     "embedding_near_dups",
     "ivf_topk",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     # ROUND-5 ROTATION: once CORRECTNESS_r04 lands, move its green rows
     # to the back and promote whatever (if anything) came back non-green
     # plus any round-5 additions; sections (a)-(c) + the round-4 block
@@ -526,6 +527,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": lambda s, d: TA.quality_by_source(
             _t(s, d, "documents")
         ),
+        # round 4: dataset profiler (schema-width output, one aggregate)
+        "profile_orders": lambda s, d: PF.profile_table(_t(s, d, "orders")),
         # round 4: trained-ANN — k-means cells feeding the IVF probe
         "ivf_topk_trained": lambda s, d: S.ivf_topk_trained(
             _t(s, d, "embeddings"),
@@ -1039,6 +1042,61 @@ WHERE score > 0.0
 ORDER BY score DESC, doc_id ASC
 LIMIT {top_k}
 """
+
+
+def _profile_sql(table: str, cols: list[tuple[str, str, str]]) -> str:
+    """DuckDB twin of profiling.profile_table for a known schema:
+    ``cols`` = (name, spark_dtype_literal, kind) with kind in
+    num|time|str. One aggregate row, then one UNION ALL branch per
+    column — same bounded shape as the Spark side."""
+    aggs = ["count(*) AS n_rows"]
+    branches = []
+    for i, (name, dtype, kind) in enumerate(cols):
+        aggs.append(
+            f"sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS nn{i}"
+        )
+        aggs.append(f"count(DISTINCT {name}) AS nd{i}")
+        if kind == "num":
+            aggs += [
+                f"min({name})::DOUBLE AS lo{i}",
+                f"max({name})::DOUBLE AS hi{i}",
+            ]
+            num = (f"lo{i}", f"hi{i}")
+            st = ("NULL::VARCHAR", "NULL::VARCHAR")
+        elif kind == "time":
+            aggs += [
+                f"FLOOR(epoch(min({name})))::DOUBLE AS lo{i}",
+                f"FLOOR(epoch(max({name})))::DOUBLE AS hi{i}",
+            ]
+            num = (f"lo{i}", f"hi{i}")
+            st = ("NULL::VARCHAR", "NULL::VARCHAR")
+        else:
+            aggs += [f"min({name}) AS lo{i}", f"max({name}) AS hi{i}"]
+            num = ("NULL::DOUBLE", "NULL::DOUBLE")
+            st = (f"lo{i}", f"hi{i}")
+        branches.append(
+            f"SELECT '{name}' AS \"column\", '{dtype}' AS dtype, "
+            f"n_rows::BIGINT AS n_rows, nn{i}::BIGINT AS n_nulls, "
+            f"nd{i}::BIGINT AS n_distinct, {num[0]} AS min_num, "
+            f"{num[1]} AS max_num, {st[0]} AS min_str, {st[1]} AS max_str "
+            "FROM s"
+        )
+    return (
+        f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+#: orders fixture schema as loaded by session.load_table (timestamp[us]
+#: parquet surfaces as TIMESTAMP_NTZ) — pinned for the profiler oracle
+_ORDERS_PROFILE_COLS = [
+    ("o_orderkey", "bigint", "num"),
+    ("o_custkey", "bigint", "num"),
+    ("o_orderstatus", "string", "str"),
+    ("o_totalprice", "double", "num"),
+    ("o_orderdate", "timestamp_ntz", "time"),
+    ("o_orderpriority", "string", "str"),
+]
 
 
 def _pii_total_sql() -> str:
@@ -2595,6 +2653,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM agg
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
+        "profile_orders": _profile_sql("orders", _ORDERS_PROFILE_COLS),
         "events_resample": """
             -- grid derives from per-type bounds, zeros are explicit
             WITH b AS (

@@ -1,0 +1,101 @@
+"""Dataset profiling: per-column statistics for any table in one pass.
+
+The first thing a data platform runs against a new drop: row count,
+null fraction, exact distinct cardinality, and value ranges per column —
+the readout that catches schema drift, broken ingestion (all-null
+columns), and key-cardinality surprises before any pipeline consumes
+the data. Output is one row per column (bounded by schema width, never
+by data volume).
+
+Scale notes: all per-column aggregates land in ONE ``agg`` call — Spark
+plans the multi-column ``countDistinct`` set via a single Expand +
+aggregate (one shuffle; input multiplied by the distinct-column count).
+That is the exact-answer plan; at 100 TB a routine profiling run would
+swap ``countDistinct`` for ``approx_count_distinct`` (HLL, same single
+aggregate, no Expand) or the KMV sketch in ``operators/sketches.py`` —
+only the one expression changes. Exact is kept here because the
+DuckDB oracle gate checks values, and distinct counts are the point.
+
+No reference file:line — the reference has no schema system to profile
+(SURVEY.md §1.3); this is north-star platform surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Profile every column of ``df``: one output row per column with
+    ``(column, dtype, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str)``.
+
+    Ranges are typed: numerics (and date/timestamp, as epoch seconds)
+    fill ``min_num``/``max_num`` as DOUBLE — never stringified numbers,
+    whose formatting is engine-specific; strings fill
+    ``min_str``/``max_str``; other types (arrays, binary) report counts
+    only. One aggregate job; the result frame is built from the single
+    collected row (schema-width model state, not data).
+    """
+    num_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    time_types = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    kinds: dict[str, str] = {}
+    for f in df.schema.fields:
+        c, k = f.name, None
+        col = F.col(f"`{c}`")
+        if isinstance(f.dataType, num_types):
+            k = "num"
+            lo, hi = (
+                F.min(col).cast("double"),
+                F.max(col).cast("double"),
+            )
+        elif isinstance(f.dataType, time_types):
+            k = "time"
+            as_ts = col.cast("timestamp")
+            lo = F.unix_timestamp(F.min(as_ts)).cast("double")
+            hi = F.unix_timestamp(F.max(as_ts)).cast("double")
+        elif isinstance(f.dataType, T.StringType):
+            k = "str"
+            lo, hi = F.min(col), F.max(col)
+        else:
+            k = "other"
+            lo = hi = F.lit(None)
+        kinds[c] = k
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.count_distinct(col).alias(f"__nd_{c}"),
+            lo.alias(f"__lo_{c}"),
+            hi.alias(f"__hi_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+
+    out = []
+    for f in df.schema.fields:
+        c, k = f.name, kinds[f.name]
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        out.append(
+            (
+                c,
+                f.dataType.simpleString(),
+                int(row["__n_rows"]),
+                int(row[f"__nn_{c}"]),
+                int(row[f"__nd_{c}"]),
+                float(lo) if k in ("num", "time") and lo is not None else None,
+                float(hi) if k in ("num", "time") and hi is not None else None,
+                lo if k == "str" else None,
+                hi if k == "str" else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, dtype string, n_rows bigint, n_nulls bigint, "
+        "n_distinct bigint, min_num double, max_num double, "
+        "min_str string, max_str string",
+    )

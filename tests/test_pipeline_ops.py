@@ -204,3 +204,29 @@ def test_label_quality_profile_conserves_docs(docs, embs):
     assert sum(r["n_docs"] for r in out) == joined
     assert all(0.0 <= r["mean_quality"] <= 1.0 for r in out)
     assert all(r["n_tokens"] > 0 for r in out)
+
+
+def test_profile_table_semantics(spark):
+    """Null counting, exact distincts, typed ranges (numeric vs string
+    vs timestamp-as-epoch), and null-safe behavior on a hand-built
+    frame including an all-null column."""
+    from mapreduceindex_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.5, None),
+            (2, "b", None, None),
+            (2, None, -1.0, None),
+        ],
+        "id bigint, s string, x double, dead string",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 3
+    assert (prof["id"]["n_nulls"], prof["id"]["n_distinct"]) == (0, 2)
+    assert (prof["id"]["min_num"], prof["id"]["max_num"]) == (1.0, 2.0)
+    assert prof["id"]["min_str"] is None
+    assert (prof["s"]["n_nulls"], prof["s"]["n_distinct"]) == (1, 2)
+    assert (prof["s"]["min_str"], prof["s"]["max_str"]) == ("a", "b")
+    assert (prof["x"]["min_num"], prof["x"]["max_num"]) == (-1.0, 2.5)
+    assert (prof["dead"]["n_nulls"], prof["dead"]["n_distinct"]) == (3, 0)
+    assert prof["dead"]["min_str"] is None and prof["dead"]["max_num"] is None
