@@ -734,11 +734,16 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
-_COSINE = (
-    "round(list_dot_product(q.emb::DOUBLE[], c.emb::DOUBLE[]) / "
+#: raw cosine; 6-dp rounding applied via the tie-free q6_sql wrapper —
+#: engine-native round() resolves exact .5 ties per-version (the r03
+#: embedding_dim_stats hash_fail class), so no native round survives in
+#: the similarity family on either side
+_COSINE_RAW = (
+    "(list_dot_product(q.emb::DOUBLE[], c.emb::DOUBLE[]) / "
     "(sqrt(list_dot_product(q.emb::DOUBLE[], q.emb::DOUBLE[])) * "
-    "sqrt(list_dot_product(c.emb::DOUBLE[], c.emb::DOUBLE[]))), 6)"
+    "sqrt(list_dot_product(c.emb::DOUBLE[], c.emb::DOUBLE[]))))"
 )
+_COSINE = XQ.q6_sql(_COSINE_RAW)
 
 #: Closed form of the coarse-parameter dHash pipeline shared by
 #: media_dhash_near_dups and media_dup_clusters: synth params k=id%13,
@@ -804,10 +809,10 @@ QUALIFY rank <= {k}
 
 def _ivf_sql(n_queries: int, k: int, n_centroids: int, n_probe: int) -> str:
     def cos(a: str, b: str) -> str:
-        return (
-            f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        return XQ.q6_sql(
+            f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
             f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
-            f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+            f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
         )
 
     return f"""
@@ -941,10 +946,10 @@ def _ivf_trained_sql(
     scores candidates with the standard oracle-exact cosine."""
 
     def cos(a: str, b: str) -> str:
-        return (
-            f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        return XQ.q6_sql(
+            f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
             f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
-            f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+            f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
         )
 
     ctes, _last = _kmeans_ctes(n_centroids, max_iter)
@@ -1664,11 +1669,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             ), c AS (
               SELECT vec_id AS vec_b, embedding AS emb FROM embeddings
             ), scored AS (
-              SELECT q.vec_a, c.vec_b,
-                     round(list_dot_product(q.emb::DOUBLE[], c.emb::DOUBLE[]) /
-                       (sqrt(list_dot_product(q.emb::DOUBLE[], q.emb::DOUBLE[])) *
-                        sqrt(list_dot_product(c.emb::DOUBLE[], c.emb::DOUBLE[]))), 6)
-                       AS cosine
+              SELECT q.vec_a, c.vec_b, {_COSINE} AS cosine
               FROM q JOIN c ON q.vec_a < c.vec_b
             )
             SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.95
@@ -2614,11 +2615,13 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             WHERE a.word = string_split(bigram, ' ')[1]
               AND b.word = string_split(bigram, ' ')[2]
         """,
-        "embedding_norms": """
+        "embedding_norms": f"""
             SELECT vec_id,
                    len(embedding)::BIGINT AS n_dims,
-                   round(sqrt(list_dot_product(embedding::DOUBLE[],
-                                               embedding::DOUBLE[])), 6)
+                   {XQ.q6_sql(
+                       "sqrt(list_dot_product(embedding::DOUBLE[], "
+                       "embedding::DOUBLE[]))"
+                   )}
                      AS l2_norm,
                    (abs(sqrt(list_dot_product(embedding::DOUBLE[],
                                               embedding::DOUBLE[]))
@@ -3041,7 +3044,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
             GROUP BY 1, 2
         """,
-        "semantic_dedup": """
+        "semantic_dedup": f"""
             WITH RECURSIVE q AS (
               SELECT vec_id AS vec_a, embedding AS emb FROM embeddings
             ), c AS (
@@ -3049,13 +3052,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             ), pairs AS (
               SELECT vec_a, vec_b FROM (
                 SELECT q.vec_a, c.vec_b,
-                       round(list_dot_product(q.emb::DOUBLE[],
-                                              c.emb::DOUBLE[]) /
-                         (sqrt(list_dot_product(q.emb::DOUBLE[],
-                                                q.emb::DOUBLE[])) *
-                          sqrt(list_dot_product(c.emb::DOUBLE[],
-                                                c.emb::DOUBLE[]))), 6)
-                         AS cosine
+                       {_COSINE} AS cosine
                 FROM q JOIN c ON q.vec_a < c.vec_b
               ) WHERE cosine >= 0.95
             ), edges AS (

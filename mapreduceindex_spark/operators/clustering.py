@@ -65,7 +65,6 @@ def fit_kmeans_micro(
 
     from mapreduceindex_spark.functions.exact import micro
 
-    spark = embeddings.sparkSession
     qvecs = (
         embeddings.select(
             "vec_id",
@@ -76,6 +75,17 @@ def fit_kmeans_micro(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     init = qvecs.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if not init:
+        qvecs.unpersist()
+        raise ValueError(
+            f"fit_kmeans_micro: no seed vectors with vec_id < {k}"
+        )
+    # centroid IDS are the seed vectors' ACTUAL vec_ids (matching the
+    # SQL oracle's `vec_id AS cid`), not list positions — they differ
+    # whenever ids below k are sparse or non-zero-based. Rows of
+    # `centroids` stay position-indexed internally; cids maps out.
+    cids = np.array([r["vec_id"] for r in init], dtype="int64")
+    pos_of = {int(c): i for i, c in enumerate(cids)}
     centroids = np.array([r["e"] for r in init], dtype="int64")
     kk, dim = centroids.shape
 
@@ -99,7 +109,7 @@ def fit_kmeans_micro(
                 nz = np.nonzero(cnt)[0]
                 yield pd.DataFrame(
                     {
-                        "centroid_id": nz.astype("int64"),
+                        "centroid_id": cids[nz],  # actual vec_id cids
                         "n": cnt[nz].astype("int64"),
                         "s": list(sums[nz]),
                     }
@@ -125,7 +135,9 @@ def fit_kmeans_micro(
             # n re-sums the batch counts inside every dim group, so any
             # dim row carries the cid's total member count
             counts[r["centroid_id"]] = r["n"]
-            nxt[r["centroid_id"], r["dim"]] = _halfdiv(r["s"], r["n"])
+            nxt[pos_of[r["centroid_id"]], r["dim"]] = _halfdiv(
+                r["s"], r["n"]
+            )
         return nxt, counts
 
     counts: dict[int, int] = {}
@@ -147,7 +159,7 @@ def fit_kmeans_micro(
             .collect()
         }
     qvecs.unpersist()
-    return centroids, counts
+    return cids, centroids, counts
 
 
 def kmeans_embeddings(
@@ -166,9 +178,14 @@ def kmeans_embeddings(
     """
     import numpy as np
 
-    centroids, counts = fit_kmeans_micro(embeddings, k, max_iter)
+    cids, centroids, counts = fit_kmeans_micro(embeddings, k, max_iter)
+    pos_of = {int(c): i for i, c in enumerate(cids)}
     out = [
-        (int(cid), int(counts[cid]), int(np.abs(centroids[cid]).sum()))
+        (
+            int(cid),
+            int(counts[cid]),
+            int(np.abs(centroids[pos_of[cid]]).sum()),
+        )
         for cid in sorted(counts)
     ]
     return embeddings.sparkSession.createDataFrame(

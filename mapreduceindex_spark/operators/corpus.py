@@ -781,13 +781,14 @@ def shuffle_corpus(
         "doc_id", key.alias("_k"), (key % n_shards).cast("long").alias("shard")
     )
     w = Window.partitionBy("shard").orderBy("_k", "doc_id")
-    return (
-        ranked.select(
-            "doc_id",
-            "shard",
-            F.row_number().over(w).cast("long").alias("pos_in_shard"),
-        )
-        .orderBy("shard", "pos_in_shard")
+    # no trailing global orderBy: it would add exactly the whole-corpus
+    # range exchange this design exists to avoid, and (shard,
+    # pos_in_shard) fully determine the order for any consumer that
+    # wants one
+    return ranked.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
 
 

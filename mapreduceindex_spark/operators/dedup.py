@@ -980,7 +980,7 @@ def dup_spans(
 
     from mapreduceindex_spark.functions import caching
 
-    caching.release()  # free the previous invocation's tracked cache
+    caching.release("dup_spans")  # free this operator's previous cache
     base = documents.select("doc_id", words(F.col("text")).alias("ws"))
     toks = base.select(
         "doc_id",
@@ -995,7 +995,8 @@ def dup_spans(
         )
         .filter(F.col("pos") <= F.col("nw") - n)
         .select("doc_id", "pos", stable_hash64("ng").alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        key="dup_spans",
     )
     hot = (
         pos_ng.dropDuplicates(["doc_id", "h"])

@@ -581,8 +581,10 @@ def events_resample(events: DataFrame, freq_sec: int = 3600) -> DataFrame:
     year of hourly buckets is 8 760 rows per type — broadcastable
     noise next to the event scan.
     """
+    # floor, not cast-truncation: they differ on negative epochs
+    # (pre-1970 timestamps), and the oracle's // floors
     bucket = (
-        (F.unix_timestamp("ts") / freq_sec).cast("long") * freq_sec
+        F.floor(F.unix_timestamp("ts") / freq_sec).cast("long") * freq_sec
     ).alias("bucket_start")
     counts = (
         events.select("event_type", bucket)

@@ -285,9 +285,23 @@ def index_delete(
 
     Invariant (tested): delete(index(A), D) ≡ index(A − D).
     """
-    dels = deleted_doc_ids.select(
-        F.col("doc_id").cast("bigint").alias("doc_id")
-    ).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    from mapreduceindex_spark.functions import caching
+
+    # the distinct delete set feeds the scalar count probe AND the
+    # chosen tier: persist it (tracked, released on the next call) so
+    # the caller's delete-set plan — possibly a full table scan, as in
+    # reindex_docs — executes once, not twice
+    caching.release("index_delete")
+    dels = caching.track(
+        deleted_doc_ids.select(
+            F.col("doc_id").cast("bigint").alias("doc_id")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        key="index_delete",
+    )
     if dels.count() <= broadcast_cap:
         gone = dels.agg(F.array_sort(F.collect_list("doc_id")).alias("_gone"))
         return (

@@ -561,11 +561,12 @@ def media_dhash_near_dups(
         # invocations in one session no longer accumulate blocks.
         from mapreduceindex_spark.functions import caching
 
-        caching.release()
+        caching.release("media_dhash_near_dups")
         hashes = caching.track(
             _dhash_frame_coarse(documents).persist(
                 StorageLevel.MEMORY_AND_DISK
-            )
+            ),
+            key="media_dhash_near_dups",
         )
     # 8 bands × 8 bits: bands 0-3 from the lo half, 4-7 from the hi half
     banded = hashes.select(

@@ -1310,7 +1310,11 @@ def order_value_percent_rank(orders: DataFrame, top_pct: float = 0.05) -> DataFr
             ).alias("_offset"),
         )
     )
-    bound = top_pct * (F.col("_n") - 1).cast("double") + 1.0
+    # pruning must be a SUPERSET of the final round(pct,6) <= top_pct
+    # filter: rounding admits raw pct up to top_pct + 5e-7, so widen the
+    # rank bound by a 1e-6 relative slack (costs a handful of extra
+    # candidate rows, never drops a qualifying one)
+    bound = (top_pct + 1e-6) * (F.col("_n") - 1).cast("double") + 1.0
     local = Window.partitionBy("_b").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )

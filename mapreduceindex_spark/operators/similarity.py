@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from mapreduceindex_spark.functions.exact import q6
 from mapreduceindex_spark.functions.vectors import cosine_similarity
 
 
@@ -108,7 +109,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -154,7 +155,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -230,7 +231,11 @@ def embedding_near_dups(
         denom = np.outer(np.linalg.norm(la, axis=1), np.linalg.norm(rb, axis=1))
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom > 0, gram / denom, np.nan)
-        cos = np.round(cos, 6)
+        cos = np.where(
+            cos >= 0,
+            np.floor(cos * 1e6 + 0.5),
+            -np.floor(-cos * 1e6 + 0.5),
+        ) / 1e6  # tie-free, branch-identical to exact.q6 (-0.0 -> +0.0)
         with np.errstate(invalid="ignore"):
             ia, ib = np.where(cos >= threshold)
         va, vb = ids_a[ia], ids_b[ib]
@@ -338,7 +343,11 @@ def _embedding_near_dups_lsh(
         denom = np.outer(norms, norms)
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom > 0, gram / denom, np.nan)
-        cos = np.round(cos, 6)
+        cos = np.where(
+            cos >= 0,
+            np.floor(cos * 1e6 + 0.5),
+            -np.floor(-cos * 1e6 + 0.5),
+        ) / 1e6  # tie-free, branch-identical to exact.q6 (-0.0 -> +0.0)
         with np.errstate(invalid="ignore"):
             ia, ib = np.where(cos >= threshold)
         keep = ids[ia] < ids[ib]
@@ -389,7 +398,7 @@ def ivf_topk(
         scored = df.crossJoin(F.broadcast(cent)).select(
             F.col("vec_id").alias(id_col),
             "cent_id",
-            F.round(cosine_similarity("embedding", "cent_emb"), 6).alias("csim"),
+            q6(cosine_similarity("embedding", "cent_emb")).alias("csim"),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("csim").desc(), F.col("cent_id").asc()
@@ -419,7 +428,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("member_id").alias("neighbor_id"),
-            F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
         )
         # no dedup needed: a member lives in exactly one cell, so each
         # (query, member) pair survives the probe join at most once
@@ -456,7 +465,7 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     return embeddings.select(
         "vec_id",
         F.size("embedding").cast("long").alias("n_dims"),
-        F.round(norm, 6).alias("l2_norm"),
+        q6(norm).alias("l2_norm"),
         (F.abs(norm - F.lit(1.0)) <= 1e-3).alias("is_unit"),
         F.col("label").cast("long").alias("label"),
     ).orderBy("vec_id")
@@ -565,10 +574,13 @@ def ivf_topk_trained(
     from mapreduceindex_spark.functions.exact import micro
     from mapreduceindex_spark.operators.clustering import fit_kmeans_micro
 
-    cents, _counts = fit_kmeans_micro(embeddings, n_centroids, max_iter)
+    cids, cents, _counts = fit_kmeans_micro(embeddings, n_centroids, max_iter)
     spark = embeddings.sparkSession
     cent = spark.createDataFrame(
-        [(i, [int(v) for v in row]) for i, row in enumerate(cents)],
+        [
+            (int(c), [int(v) for v in row])
+            for c, row in zip(cids, cents)
+        ],
         "cent_id long, cent array<long>",
     )
     qv = embeddings.select(
@@ -618,7 +630,7 @@ def ivf_topk_trained(
         .select(
             "query_id",
             F.col("member_id").alias("neighbor_id"),
-            F.round(cosine_similarity("q_emb", "c_emb"), 6).alias("cosine"),
+            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

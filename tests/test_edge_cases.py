@@ -509,7 +509,17 @@ def test_tracked_caches_bounded_across_invocations(spark):
     docs = _docs(spark, [(i, text) for i in range(1, 4)])
     for _ in range(3):
         dup_spans(docs, n=8, min_docs=2).collect()
-    assert len(caching._LIVE) <= 1
+    assert len(caching._LIVE.get("dup_spans", [])) <= 1
+    # keyed isolation: building ANOTHER operator's plan must not evict
+    # dup_spans' pending cache (a global single-slot registry would)
+    plan = dup_spans(docs, n=8, min_docs=2)  # not yet materialized
+    from mapreduceindex_spark.operators.multimodal import (
+        media_dhash_near_dups,
+    )
+
+    media_dhash_near_dups(docs)  # builds + tracks under its own key
+    assert len(caching._LIVE.get("dup_spans", [])) == 1
+    plan.collect()  # still backed by its cache
     caching.release()
     assert not caching._LIVE
     caching.release()  # idempotent

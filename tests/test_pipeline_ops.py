@@ -230,3 +230,25 @@ def test_profile_table_semantics(spark):
     assert (prof["x"]["min_num"], prof["x"]["max_num"]) == (-1.0, 2.5)
     assert (prof["dead"]["n_nulls"], prof["dead"]["n_distinct"]) == (3, 0)
     assert prof["dead"]["min_str"] is None and prof["dead"]["max_num"] is None
+
+
+def test_kmeans_sparse_seed_ids_match_oracle_convention(spark):
+    """Centroid ids are the seed vectors' ACTUAL vec_ids (the SQL
+    oracle's `vec_id AS cid`), not list positions — exercised with ids
+    sparse below k; and an id-space with no seeds raises cleanly."""
+    import pytest as _pytest
+
+    vecs = [(i, [float(i % 3), float(i % 5), 1.0]) for i in (0, 2, 5, 7, 9, 11)]
+    embs = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = CL.kmeans_embeddings(embs, k=4, max_iter=3).collect()
+    # seeds are vec_ids {0, 2} (the only ids < 4): cluster ids must be
+    # exactly those values, and every vector lands in one of them
+    assert {r["centroid_id"] for r in out} <= {0, 2}
+    assert sum(r["n_members"] for r in out) == len(vecs)
+    with _pytest.raises(ValueError, match="no seed vectors"):
+        CL.kmeans_embeddings(
+            spark.createDataFrame(
+                [(50, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+            ),
+            k=4,
+        )
