@@ -45,6 +45,9 @@ EMPTY_SAFE = [
     "q5_region_revenue",
     "index_delete",
     "phrase_search",
+    "bm25_search",
+    "events_resample",
+    "order_value_percent_rank",
 ]
 
 
