@@ -31,6 +31,7 @@ from mapreduceindex_spark.operators import similarity as S
 from mapreduceindex_spark.operators import sketches as SK
 from mapreduceindex_spark.operators import text_analysis as TA
 from mapreduceindex_spark.operators import inverted_index as II
+from mapreduceindex_spark.operators import layout as LY
 from mapreduceindex_spark.operators.inverted_index import (
     inverted_index_flat,
 )
@@ -104,6 +105,8 @@ _VERIFY_FIRST = [
     "streaming_hot_tokens",
     "events_resample",
     "profile_orders",
+    "zorder_layout",
+    "join_hotspots",
     # (d) high-value re-verifies: last green row is r01/r02 and the
     # operators are the engine's most complex surfaces (pair search,
     # components, ANN, flagship, heavy relational)
@@ -529,6 +532,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # round 4: dataset profiler (schema-width output, one aggregate)
         "profile_orders": lambda s, d: PF.profile_table(_t(s, d, "orders")),
+        # round 4: physical layout planning — Z-order file boxes + join
+        # skew scouting (operators/layout.py)
+        "zorder_layout": lambda s, d: LY.zorder_layout(_t(s, d, "lineitem")),
+        "join_hotspots": lambda s, d: LY.join_hotspots(
+            _t(s, d, "events"), _t(s, d, "orders")
+        ),
         # round 4: trained-ANN — k-means cells feeding the IVF probe
         "ivf_topk_trained": lambda s, d: S.ivf_topk_trained(
             _t(s, d, "embeddings"),
@@ -2657,6 +2666,27 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
         "profile_orders": _profile_sql("orders", _ORDERS_PROFILE_COLS),
+        "zorder_layout": LY.zorder_layout_oracle_sql(),
+        "join_hotspots": """
+            WITH l AS (
+              SELECT CAST(user_id AS BIGINT) AS join_key,
+                     count(*) AS n_events
+              FROM events GROUP BY 1
+            ), r AS (
+              SELECT CAST(o_custkey AS BIGINT) AS join_key,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1
+            ), j AS (
+              SELECT l.join_key, n_events, n_orders,
+                     n_events * n_orders AS out_rows
+              FROM l JOIN r USING (join_key)
+            ), t AS (SELECT sum(out_rows) AS total FROM j)
+            SELECT join_key, n_events, n_orders, out_rows,
+                   CAST(out_rows * 1000000 // total AS BIGINT) AS share_ppm
+            FROM j, t
+            ORDER BY out_rows DESC, join_key
+            LIMIT 20
+        """,
         "events_resample": """
             -- grid derives from per-type bounds, zeros are explicit
             WITH b AS (

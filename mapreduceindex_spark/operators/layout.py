@@ -1,0 +1,201 @@
+"""Physical data-layout planning: Z-order clustering and join-skew scouting.
+
+At 100 TB the dominant cost is often not the query plan but the data
+layout it scans: files clustered so min/max footer stats prune most of
+them, and shuffles planned around the keys that would otherwise melt a
+single reducer. These operators produce those layout decisions as
+ordinary DataFrames, so they run through the same oracle gate as every
+query.
+
+No reference file:line — the reference's only layout decision is its
+per-letter output partitioning (``reducer.c:96-141``, the 26-way
+split); Z-ordering and skew scouting generalize "choose where each row
+lives" to multi-dimensional predicates and shuffle planning.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _interleave(xn, yn, bits: int):
+    """Morton code: bit i of x lands at 2i, bit i of y at 2i+1.
+
+    Unrolled to ``2*bits`` shift/mask terms so the whole key stays one
+    codegen'd integer expression — no UDF, no loop at runtime.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(xn, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(yn, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda a, b: a + b, terms)
+
+
+def zorder_layout(
+    lineitem: DataFrame, bits: int = 8, rows_per_file: int = 4096
+) -> DataFrame:
+    """Plan a Z-order rewrite of ``lineitem`` clustered on
+    ``(l_partkey, l_suppkey)`` and report each target file's bounding
+    box — the min/max footer stats a scan would prune on.
+
+    Each dimension is min/max-normalized to ``bits`` bits with pure
+    integer arithmetic (``(v - lo) * (2^bits - 1) DIV (hi - lo)`` — no
+    float division, so both engines agree bit-for-bit), then
+    interleaved into a Morton key. Rows sort globally by
+    ``(zkey, l_orderkey, l_linenumber)`` and cut into
+    ``rows_per_file``-row files; the output is one row per file with
+    its row count and per-dimension bounds. Tight, non-overlapping
+    boxes are the whole point: a predicate on either dimension can skip
+    every file whose box misses it.
+
+    The global sort rank is assembled two-phase (the
+    ``order_value_percent_rank`` pattern): per-zkey counts give each
+    key's cumulative offset — the offset frame is bounded by the
+    4^bits key space (65 536 at the default), never by row count — and
+    a window partitioned BY KEY adds the local row number. At 100 TB
+    the same plan is ``repartitionByRange(zkey)`` +
+    ``sortWithinPartitions`` + a size-targeted writer; the one
+    unpartitioned window here runs over the bounded key frame only.
+    """
+    M = (1 << bits) - 1
+    base = lineitem.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_partkey").cast("long").alias("x"),
+        F.col("l_suppkey").cast("long").alias("y"),
+    )
+    bounds = base.agg(
+        F.min("x").alias("_xlo"),
+        F.max("x").alias("_xhi"),
+        F.min("y").alias("_ylo"),
+        F.max("y").alias("_yhi"),
+    )
+    normed = base.join(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "x",
+        "y",
+        F.expr(f"(x - _xlo) * {M} DIV greatest(_xhi - _xlo, 1)").alias("xn"),
+        F.expr(f"(y - _ylo) * {M} DIV greatest(_yhi - _ylo, 1)").alias("yn"),
+    )
+    keyed = normed.select(
+        "l_orderkey",
+        "l_linenumber",
+        "x",
+        "y",
+        _interleave(F.col("xn"), F.col("yn"), bits).cast("long").alias("zkey"),
+    )
+    wz = Window.orderBy("zkey").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("zkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select("zkey", F.coalesce(F.sum("_cnt").over(wz), F.lit(0)).alias("_off"))
+    )
+    local = Window.partitionBy("zkey").orderBy("l_orderkey", "l_linenumber")
+    ranked = (
+        keyed.join(offsets, "zkey")
+        .withColumn("_rn", F.col("_off") + F.row_number().over(local))
+        .withColumn(
+            "file_id", F.expr(f"CAST((_rn - 1) DIV {rows_per_file} AS BIGINT)")
+        )
+    )
+    return (
+        ranked.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_part"),
+            F.max("x").alias("max_part"),
+            F.min("y").alias("min_supp"),
+            F.max("y").alias("max_supp"),
+            F.min("zkey").alias("min_z"),
+            F.max("zkey").alias("max_z"),
+        )
+        .orderBy("file_id")
+    )
+
+
+def zorder_layout_oracle_sql(bits: int = 8, rows_per_file: int = 4096) -> str:
+    """DuckDB twin of :func:`zorder_layout` — same unrolled Morton
+    expression, same integer normalization, same file cuts."""
+    M = (1 << bits) - 1
+    z = " + ".join(
+        f"(((xn >> {i}) & 1) << {2 * i}) + (((yn >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH b AS (
+  SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+         min(l_suppkey) AS ylo, max(l_suppkey) AS yhi
+  FROM lineitem
+), n AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+         (l_partkey - xlo) * {M} // greatest(xhi - xlo, 1) AS xn,
+         (l_suppkey - ylo) * {M} // greatest(yhi - ylo, 1) AS yn
+  FROM lineitem, b
+), z AS (
+  SELECT *, CAST({z} AS BIGINT) AS zkey FROM n
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS rn
+  FROM z
+)
+SELECT CAST((rn - 1) // {rows_per_file} AS BIGINT) AS file_id,
+       count(*) AS n_rows,
+       min(x) AS min_part, max(x) AS max_part,
+       min(y) AS min_supp, max(y) AS max_supp,
+       min(zkey) AS min_z, max(zkey) AS max_z
+FROM r
+GROUP BY 1
+ORDER BY file_id
+"""
+
+
+def join_hotspots(events: DataFrame, orders: DataFrame, top_k: int = 20) -> DataFrame:
+    """Scout the skew of a planned ``events ⋈ orders`` join on
+    ``user_id = o_custkey`` BEFORE running it: per-key row counts on
+    both sides, their product (that key's share of the join output),
+    and its parts-per-million share of the total — the readout that
+    decides between a plain shuffle join, AQE skew splitting, or
+    salting the hot keys.
+
+    Two map-side-combined aggregates (each output-bounded by key
+    cardinality, not row count), an inner join of the two count frames,
+    and a single-row total broadcast for the exact integer ppm — the
+    probe costs two small shuffles regardless of input size, which is
+    why a planner can afford to run it ahead of every big join. All
+    arithmetic is BIGINT (``DIV``), so the oracle comparison is exact.
+    """
+    left = (
+        events.groupBy(F.col("user_id").cast("long").alias("join_key"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    right = (
+        orders.groupBy(F.col("o_custkey").cast("long").alias("join_key"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = left.join(right, "join_key").select(
+        "join_key",
+        "n_events",
+        "n_orders",
+        (F.col("n_events") * F.col("n_orders")).alias("out_rows"),
+    )
+    total = j.agg(F.sum("out_rows").alias("_total"))
+    return (
+        j.join(F.broadcast(total))
+        .select(
+            "join_key",
+            "n_events",
+            "n_orders",
+            "out_rows",
+            F.expr("CAST(out_rows * 1000000 DIV _total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.col("out_rows").desc(), F.col("join_key").asc())
+        .limit(top_k)
+    )

@@ -48,6 +48,8 @@ EMPTY_SAFE = [
     "bm25_search",
     "events_resample",
     "order_value_percent_rank",
+    "zorder_layout",
+    "join_hotspots",
 ]
 
 
