@@ -31,6 +31,7 @@ from mapreduceindex_spark.operators import similarity as S
 from mapreduceindex_spark.operators import sketches as SK
 from mapreduceindex_spark.operators import text_analysis as TA
 from mapreduceindex_spark.operators import inverted_index as II
+from mapreduceindex_spark.operators import graph as G
 from mapreduceindex_spark.operators import layout as LY
 from mapreduceindex_spark.operators.inverted_index import (
     inverted_index_flat,
@@ -107,6 +108,7 @@ _VERIFY_FIRST = [
     "profile_orders",
     "zorder_layout",
     "join_hotspots",
+    "token_pagerank",
     # (d) high-value re-verifies: last green row is r01/r02 and the
     # operators are the engine's most complex surfaces (pair search,
     # components, ANN, flagship, heavy relational)
@@ -537,6 +539,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": lambda s, d: LY.zorder_layout(_t(s, d, "lineitem")),
         "join_hotspots": lambda s, d: LY.join_hotspots(
             _t(s, d, "events"), _t(s, d, "orders")
+        ),
+        # round 4: iterative graph analytics — integer-micro PageRank
+        # over the bigram graph, oracle = unrolled CTE replay
+        "token_pagerank": lambda s, d: G.token_pagerank(
+            _t(s, d, "documents")
         ),
         # round 4: trained-ANN — k-means cells feeding the IVF probe
         "ivf_topk_trained": lambda s, d: S.ivf_topk_trained(
@@ -2667,6 +2674,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
         "profile_orders": _profile_sql("orders", _ORDERS_PROFILE_COLS),
         "zorder_layout": LY.zorder_layout_oracle_sql(),
+        "token_pagerank": G.token_pagerank_oracle_sql(_words_sql()),
         "join_hotspots": """
             WITH l AS (
               SELECT CAST(user_id AS BIGINT) AS join_key,

@@ -1,0 +1,174 @@
+"""Iterative graph analytics over corpus-derived graphs.
+
+``token_pagerank`` ranks tokens by weighted PageRank over the bigram
+adjacency graph — the "which tokens sit at the center of the corpus'
+phrase structure" readout that complements frequency (``word_counts``)
+and association strength (``bigram_lift``): a token can be mid-frequency
+yet central because many distinct high-weight contexts point at it.
+
+Exactness: every iteration runs in integer micro-units (1e6 = rank mass
+1.0) with floor division, the same trick that makes the k-means oracle
+replayable (``operators/clustering.py``) — float damping would drift
+across engines, integer damping cannot. The DuckDB oracle unrolls the
+same ``iters`` rounds as chained CTEs and matches bit-for-bit.
+
+No reference file:line — the reference has no graph surface; this is
+north-star analytics over the same token stream as O3–O5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from mapreduceindex_spark.functions.text import words
+
+#: integer rank scale: 1.0 of rank mass == 1_000_000 micro-units
+_SCALE = 1_000_000
+
+
+def token_pagerank(
+    documents: DataFrame,
+    damping_pct: int = 85,
+    iters: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Weighted PageRank over the token bigram graph; top ``top_k``
+    tokens by final rank.
+
+    Nodes are the distinct normalized tokens; a directed edge a→b with
+    weight ``n_ab`` exists per distinct adjacent pair (adjacency never
+    crosses document boundaries). Per iteration, in BIGINT micro-units::
+
+        rank'(v) = (100-d)% base  +  d% · Σ_{a→v} (rank(a)·n_ab) DIV out_w(a)
+
+    with ``base = SCALE DIV N`` mass spread uniformly. Dangling-node
+    mass (tokens that never precede another token) is dropped rather
+    than redistributed — a documented simplification that keeps every
+    term a pure integer expression on both engines.
+
+    Scale shape: the graph frames are VOCABULARY-bounded (nodes = vocab,
+    edges = distinct bigrams), a property of the language, not the
+    corpus — at 100 TB the token pass is the only full-data scan, after
+    which each iteration is a vocab-sized hash join + partial aggregate.
+    Edges and nodes are persisted across the ``iters`` joins and
+    released before returning; the result is collected (bounded by
+    ``top_k``) so no cached lineage escapes, the same bounded-model-state
+    pattern as the k-means centroids.
+    """
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    edges = (
+        toks.select(
+            "nw",
+            "pos",
+            F.col("w").alias("a"),
+            F.lead("w", 1).over(win).alias("b"),
+        )
+        .filter(F.col("pos") <= F.col("nw") - 2)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    out_w = edges.groupBy("a").agg(F.sum("n_ab").alias("out_w"))
+    edges2 = edges.join(out_w, "a").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = toks.select("w").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("_n"))
+
+    d = int(damping_pct)
+    ranks = nodes.join(F.broadcast(ncnt)).select(
+        "w", F.expr(f"CAST({_SCALE} DIV _n AS BIGINT)").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges2.join(ranks, edges2["a"] == ranks["w"])
+            .select(
+                F.col("b"),
+                F.expr("CAST(r * n_ab DIV out_w AS BIGINT)").alias("c"),
+            )
+            .groupBy("b")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(ncnt))
+            .join(contrib, nodes["w"] == contrib["b"], "left")
+            .select(
+                "w",
+                F.expr(
+                    f"CAST({(100 - d) * _SCALE // 100} DIV _n "
+                    f"+ {d} * coalesce(cs, 0) DIV 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    top = (
+        ranks.orderBy(F.col("r").desc(), F.col("w").asc())
+        .limit(top_k)
+        .collect()
+    )
+    edges2.unpersist()
+    nodes.unpersist()
+    return documents.sparkSession.createDataFrame(
+        [(row["w"], int(row["r"])) for row in top],
+        "token string, rank_micro bigint",
+    )
+
+
+def token_pagerank_oracle_sql(
+    words_sql: str, damping_pct: int = 85, iters: int = 3, top_k: int = 50
+) -> str:
+    """DuckDB twin of :func:`token_pagerank` — the same ``iters``
+    integer-micro rounds unrolled as chained CTEs. ``words_sql`` is the
+    engine-portable tokenizer expression over ``documents.text``."""
+    d = int(damping_pct)
+    base = (100 - d) * _SCALE // 100
+    ctes = [
+        f"base AS (SELECT {words_sql} AS w FROM documents)",
+        (
+            "e AS (SELECT string_split(u.bg, chr(1))[1] AS a, "
+            "string_split(u.bg, chr(1))[2] AS b, count(*)::BIGINT AS n_ab "
+            "FROM (SELECT list_transform(range(1, len(w)), "
+            "i -> w[i] || chr(1) || w[i+1]) AS bgs "
+            "FROM base WHERE len(w) >= 2) t, unnest(bgs) AS u(bg) "
+            "GROUP BY 1, 2)"
+        ),
+        "ow AS (SELECT a, sum(n_ab)::BIGINT AS out_w FROM e GROUP BY a)",
+        "e2 AS (SELECT e.a, e.b, e.n_ab, ow.out_w FROM e JOIN ow USING (a))",
+        (
+            "nodes AS (SELECT DISTINCT u.word AS w "
+            "FROM base, unnest(w) AS u(word))"
+        ),
+        "ncnt AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        (
+            f"r0 AS (SELECT w, CAST({_SCALE} // n AS BIGINT) AS r "
+            "FROM nodes, ncnt)"
+        ),
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e2.b, "
+            f"sum(CAST({prev}.r * e2.n_ab // e2.out_w AS BIGINT))::BIGINT "
+            f"AS cs FROM e2 JOIN {prev} ON {prev}.w = e2.a GROUP BY e2.b)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.w, "
+            f"CAST({base} // n + {d} * coalesce(c{i}.cs, 0) // 100 "
+            f"AS BIGINT) AS r "
+            f"FROM nodes CROSS JOIN ncnt "
+            f"LEFT JOIN c{i} ON nodes.w = c{i}.b)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT w AS token, r::BIGINT AS rank_micro
+FROM {prev}
+ORDER BY r DESC, token ASC
+LIMIT {top_k}
+"""
+    )

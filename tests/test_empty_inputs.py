@@ -50,6 +50,7 @@ EMPTY_SAFE = [
     "order_value_percent_rank",
     "zorder_layout",
     "join_hotspots",
+    "token_pagerank",
 ]
 
 

@@ -252,3 +252,40 @@ def test_kmeans_sparse_seed_ids_match_oracle_convention(spark):
             ),
             k=4,
         )
+
+
+def test_token_pagerank_centrality_semantics(spark):
+    """A token pointed at by many distinct contexts outranks its
+    sources; every rank is at least the uniform base share."""
+    from mapreduceindex_spark.operators import graph as G
+
+    # hub graph: aa->hub, bb->hub, cc->hub (each doc repeated so edge
+    # weights > 1), hub->dd once
+    rows = [
+        (1, "aa hub aa hub"),
+        (2, "bb hub bb hub"),
+        (3, "cc hub cc hub"),
+        (4, "hub dd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["token"]: r["rank_micro"]
+        for r in G.token_pagerank(docs, top_k=10).collect()
+    }
+    # 5 nodes -> uniform base = (0.15 * 1e6) / 5 = 30000
+    assert all(v >= 30000 for v in out.values())
+    assert out["hub"] > out["aa"] and out["hub"] > out["bb"]
+    # hub fans out 1/4 to each of aa/bb/cc/dd: the receivers tie exactly
+    # (integer damping is deterministic), and none outranks the hub
+    assert out["aa"] == out["bb"] == out["cc"] == out["dd"]
+
+
+def test_token_pagerank_empty_and_single_doc(spark):
+    from mapreduceindex_spark.operators import graph as G
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert G.token_pagerank(empty).count() == 0
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    got = G.token_pagerank(one).collect()
+    # single node, no edges: rank = base share = 150000, all mass dangles
+    assert [(r["token"], r["rank_micro"]) for r in got] == [("solo", 150000)]
