@@ -107,6 +107,7 @@ _VERIFY_FIRST = [
     "events_resample",
     "profile_orders",
     "zorder_layout",
+    "zorder_skipping",
     "join_hotspots",
     "token_pagerank",
     # (d) high-value re-verifies: last green row is r01/r02 and the
@@ -537,6 +538,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: physical layout planning — Z-order file boxes + join
         # skew scouting (operators/layout.py)
         "zorder_layout": lambda s, d: LY.zorder_layout(_t(s, d, "lineitem")),
+        "zorder_skipping": lambda s, d: LY.zorder_skipping(
+            _t(s, d, "lineitem")
+        ),
         "join_hotspots": lambda s, d: LY.join_hotspots(
             _t(s, d, "events"), _t(s, d, "orders")
         ),
@@ -2675,6 +2679,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "profile_orders": _profile_sql("orders", _ORDERS_PROFILE_COLS),
         "zorder_layout": LY.zorder_layout_oracle_sql(),
         "token_pagerank": G.token_pagerank_oracle_sql(_words_sql()),
+        "zorder_skipping": LY.zorder_skipping_oracle_sql(),
         "join_hotspots": """
             WITH l AS (
               SELECT CAST(user_id AS BIGINT) AS join_key,

@@ -155,6 +155,134 @@ ORDER BY file_id
 """
 
 
+def zorder_skipping(
+    lineitem: DataFrame, bits: int = 8, rows_per_file: int = 1024
+) -> DataFrame:
+    """Quantify what :func:`zorder_layout` buys: for a narrow
+    ``l_partkey`` predicate (an off-center 5% band of the key span —
+    centered bands straddle the Morton top-bit boundary, the curve's
+    worst case, derived
+    in-query so both engines use identical integer bounds), count how
+    many files a min/max-pruning scan must read under (a) the Z-order
+    layout vs (b) the natural ingest-order layout (files cut along
+    ``l_orderkey`` spans — what a pipeline that just appends gets).
+
+    One output row: the predicate bounds, file counts, and files
+    scanned under each layout. The natural baseline needs no global
+    rank at all — ``file_id = l_orderkey DIV step`` with ``step`` sized
+    from the key span and row count — so the whole comparison is three
+    aggregates and a broadcast of two single-row bound frames. The
+    Z-order side reuses the exact :func:`zorder_layout` boxes; on the
+    clustered layout a dimension predicate hits a contiguous minority
+    of boxes, on the append layout it hits nearly all of them — the
+    measured gap IS the 100 TB scan-cost argument for Z-ordering.
+    """
+    zboxes = zorder_layout(lineitem, bits=bits, rows_per_file=rows_per_file)
+    bounds = lineitem.agg(
+        F.min("l_partkey").cast("long").alias("_xlo"),
+        F.max("l_partkey").cast("long").alias("_xhi"),
+        F.min("l_orderkey").cast("long").alias("_olo"),
+        F.max("l_orderkey").cast("long").alias("_ohi"),
+        F.count(F.lit(1)).alias("_nrows"),
+    )
+    pred = bounds.select(
+        "_olo",
+        "_ohi",
+        "_nrows",
+        F.expr("_xlo + (_xhi - _xlo) * 10 DIV 100").alias("pred_lo"),
+        F.expr("_xlo + (_xhi - _xlo) * 15 DIV 100").alias("pred_hi"),
+        F.expr(
+            f"greatest(1, (_ohi - _olo + 1) * {rows_per_file} DIV _nrows)"
+        ).alias("_step"),
+    )
+    z = zboxes.join(F.broadcast(pred)).agg(
+        F.count(F.lit(1)).alias("n_files_zorder"),
+        F.sum(
+            F.when(
+                (F.col("max_part") >= F.col("pred_lo"))
+                & (F.col("min_part") <= F.col("pred_hi")),
+                1,
+            ).otherwise(0)
+        ).alias("n_scan_zorder"),
+        F.first("pred_lo").alias("pred_lo"),
+        F.first("pred_hi").alias("pred_hi"),
+    )
+    nat = (
+        lineitem.join(F.broadcast(pred))
+        .groupBy(F.expr("(l_orderkey - _olo) DIV _step").alias("_fid"))
+        .agg(
+            F.min("l_partkey").cast("long").alias("min_part"),
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.first("pred_lo").alias("pred_lo"),
+            F.first("pred_hi").alias("pred_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files_natural"),
+            F.sum(
+                F.when(
+                    (F.col("max_part") >= F.col("pred_lo"))
+                    & (F.col("min_part") <= F.col("pred_hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_scan_natural"),
+        )
+    )
+    return z.join(F.broadcast(nat)).select(
+        F.col("pred_lo").cast("long").alias("pred_lo"),
+        F.col("pred_hi").cast("long").alias("pred_hi"),
+        F.col("n_files_zorder").cast("long").alias("n_files_zorder"),
+        F.col("n_scan_zorder").cast("long").alias("n_scan_zorder"),
+        F.col("n_files_natural").cast("long").alias("n_files_natural"),
+        F.col("n_scan_natural").cast("long").alias("n_scan_natural"),
+    )
+
+
+def zorder_skipping_oracle_sql(bits: int = 8, rows_per_file: int = 1024) -> str:
+    """DuckDB twin of :func:`zorder_skipping` — composes the
+    :func:`zorder_layout` oracle as a subquery and replays the natural
+    layout's span cut with identical integer arithmetic."""
+    zsql = zorder_layout_oracle_sql(bits=bits, rows_per_file=rows_per_file)
+    return f"""
+WITH zbox AS ({zsql}),
+b AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS xlo,
+         CAST(max(l_partkey) AS BIGINT) AS xhi,
+         CAST(min(l_orderkey) AS BIGINT) AS olo,
+         CAST(max(l_orderkey) AS BIGINT) AS ohi,
+         count(*) AS nrows
+  FROM lineitem
+), p AS (
+  SELECT olo, ohi, nrows,
+         xlo + (xhi - xlo) * 10 // 100 AS pred_lo,
+         xlo + (xhi - xlo) * 15 // 100 AS pred_hi,
+         greatest(1, (ohi - olo + 1) * {rows_per_file} // nrows) AS step
+  FROM b
+), z AS (
+  SELECT count(*) AS n_files_zorder,
+         sum(CASE WHEN max_part >= pred_lo AND min_part <= pred_hi
+             THEN 1 ELSE 0 END) AS n_scan_zorder
+  FROM zbox, p
+), natbox AS (
+  SELECT (l_orderkey - olo) // step AS fid,
+         min(l_partkey) AS min_part, max(l_partkey) AS max_part
+  FROM lineitem, p
+  GROUP BY 1
+), nat AS (
+  SELECT count(*) AS n_files_natural,
+         sum(CASE WHEN max_part >= pred_lo AND min_part <= pred_hi
+             THEN 1 ELSE 0 END) AS n_scan_natural
+  FROM natbox, p
+)
+SELECT CAST(pred_lo AS BIGINT) AS pred_lo,
+       CAST(pred_hi AS BIGINT) AS pred_hi,
+       CAST(n_files_zorder AS BIGINT) AS n_files_zorder,
+       CAST(n_scan_zorder AS BIGINT) AS n_scan_zorder,
+       CAST(n_files_natural AS BIGINT) AS n_files_natural,
+       CAST(n_scan_natural AS BIGINT) AS n_scan_natural
+FROM z, nat, p
+"""
+
+
 def join_hotspots(events: DataFrame, orders: DataFrame, top_k: int = 20) -> DataFrame:
     """Scout the skew of a planned ``events ⋈ orders`` join on
     ``user_id = o_custkey`` BEFORE running it: per-key row counts on
