@@ -132,7 +132,11 @@ _VERIFY_FIRST = [
     # to the back and promote whatever (if anything) came back non-green
     # plus any round-5 additions; sections (a)-(c) + the round-4 block
     # above will then all have driver rows, leaving only re-verify
-    # cycling. Local pytest oracle-checks all 140 every run regardless.
+    # cycling. The list is 54 entries, so the driver's 50-slot sample
+    # drops the final four (d) re-verifies (ann_lsh_topk,
+    # embedding_near_dups, ivf_topk, q1_pricing_summary — all with green
+    # r01/r02 rows); promote them in round 5. Local pytest
+    # oracle-checks all 145 every run regardless.
 ]
 
 
