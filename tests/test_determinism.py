@@ -41,6 +41,11 @@ NAMES = [
     "revenue_moving_avg",
     "media_dup_clusters",
     "per_source_topk_sample",
+    # round-4 additions: two-phase global rank must not leak partition
+    # placement into file cuts; iterative integer PageRank must not
+    # leak join/aggregation order into ranks
+    "zorder_layout",
+    "token_pagerank",
 ]
 
 
