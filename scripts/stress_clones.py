@@ -106,6 +106,29 @@ def main():
         "cross_source_overlap",
         lambda: CP.cross_source_overlap(cloned),
     )
+    # round-4 graph claim under stress: 10× cloning multiplies token and
+    # edge WEIGHTS but leaves the node/edge SETS unchanged, so the
+    # vocabulary-bounded design means runtime must track the one token
+    # pass, not 10× the iteration cost.
+    from mapreduceindex_spark.operators import graph as G
+
+    timed(
+        "token_pagerank",
+        lambda: G.token_pagerank(cloned),
+    )
+    # round-4 layout claim under stress: 10× lineitem (6M rows) through
+    # the two-phase Z-order rank — the offsets frame stays bounded by
+    # the 4^bits key space, so only the data exchanges scale.
+    from mapreduceindex_spark.operators import layout as LY
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    li10 = li.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(clones - 1))).alias("_c")
+    ).drop("_c")
+    timed(
+        "zorder_layout_10x",
+        lambda: LY.zorder_layout(li10),
+    )
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 
