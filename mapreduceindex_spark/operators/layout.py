@@ -20,6 +20,9 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from mapreduceindex_spark.functions import caching
 
 
 def _interleave(xn, yn, bits: int):
@@ -45,7 +48,11 @@ def zorder_layout(
     Each dimension is min/max-normalized to ``bits`` bits with pure
     integer arithmetic (``(v - lo) * (2^bits - 1) DIV (hi - lo)`` — no
     float division, so both engines agree bit-for-bit), then
-    interleaved into a Morton key. Rows sort globally by
+    interleaved into a Morton key. The bounds come from one collected
+    probe aggregate (seven scalars of model state) embedded as
+    literals, and the keyed frame is persisted (tracked per-operator,
+    released on re-entry) so the offsets aggregate and the rank join
+    read one materialization instead of re-scanning per branch. Rows sort globally by
     ``(zkey, l_orderkey, l_linenumber)`` and cut into
     ``rows_per_file``-row files; the output is one row per file with
     its row count and per-dimension bounds. Tight, non-overlapping
@@ -61,33 +68,62 @@ def zorder_layout(
     ``sortWithinPartitions`` + a size-targeted writer; the one
     unpartitioned window here runs over the bounded key frame only.
     """
-    M = (1 << bits) - 1
-    base = lineitem.select(
+    caching.release("zorder_layout")
+    base = _zorder_base(lineitem)
+    b = _bounds_probe(base)
+    return _zorder_boxes(base, b, bits, rows_per_file)
+
+
+def _zorder_base(lineitem: DataFrame) -> DataFrame:
+    return lineitem.select(
         F.col("l_orderkey").cast("long").alias("l_orderkey"),
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
         F.col("l_partkey").cast("long").alias("x"),
         F.col("l_suppkey").cast("long").alias("y"),
     )
-    bounds = base.agg(
-        F.min("x").alias("_xlo"),
-        F.max("x").alias("_xhi"),
-        F.min("y").alias("_ylo"),
-        F.max("y").alias("_yhi"),
-    )
-    normed = base.join(F.broadcast(bounds)).select(
-        "l_orderkey",
-        "l_linenumber",
-        "x",
-        "y",
-        F.expr(f"(x - _xlo) * {M} DIV greatest(_xhi - _xlo, 1)").alias("xn"),
-        F.expr(f"(y - _ylo) * {M} DIV greatest(_yhi - _ylo, 1)").alias("yn"),
-    )
-    keyed = normed.select(
-        "l_orderkey",
-        "l_linenumber",
-        "x",
-        "y",
-        _interleave(F.col("xn"), F.col("yn"), bits).cast("long").alias("zkey"),
+
+
+def _bounds_probe(base: DataFrame) -> dict:
+    """One aggregate scan collecting the seven scalars every layout
+    decision needs (dimension mins/maxes, orderkey span, row count) —
+    bounded model state, the same probe-then-plan move as the dedup
+    tier probes. Embedding the scalars as literals keeps the heavy
+    plan from re-deriving the bounds once per referencing branch."""
+    row = base.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+        F.min("l_orderkey").alias("olo"),
+        F.max("l_orderkey").alias("ohi"),
+        F.count(F.lit(1)).alias("nrows"),
+    ).collect()[0]
+    return {k: (0 if row[k] is None else int(row[k])) for k in row.asDict()}
+
+
+def _zorder_boxes(
+    base: DataFrame, b: dict, bits: int, rows_per_file: int
+) -> DataFrame:
+    M = (1 << bits) - 1
+    keyed = caching.track(
+        base.select(
+            "l_orderkey",
+            "l_linenumber",
+            "x",
+            "y",
+            _interleave(
+                F.expr(
+                    f"(x - {b['xlo']}) * {M} "
+                    f"DIV greatest({b['xhi'] - b['xlo']}, 1)"
+                ),
+                F.expr(
+                    f"(y - {b['ylo']}) * {M} "
+                    f"DIV greatest({b['yhi'] - b['ylo']}, 1)"
+                ),
+                bits,
+            ).cast("long").alias("zkey"),
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+        key="zorder_layout",
     )
     wz = Window.orderBy("zkey").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -177,59 +213,48 @@ def zorder_skipping(
     of boxes, on the append layout it hits nearly all of them — the
     measured gap IS the 100 TB scan-cost argument for Z-ordering.
     """
-    zboxes = zorder_layout(lineitem, bits=bits, rows_per_file=rows_per_file)
-    bounds = lineitem.agg(
-        F.min("l_partkey").cast("long").alias("_xlo"),
-        F.max("l_partkey").cast("long").alias("_xhi"),
-        F.min("l_orderkey").cast("long").alias("_olo"),
-        F.max("l_orderkey").cast("long").alias("_ohi"),
-        F.count(F.lit(1)).alias("_nrows"),
-    )
-    pred = bounds.select(
-        "_olo",
-        "_ohi",
-        "_nrows",
-        F.expr("_xlo + (_xhi - _xlo) * 10 DIV 100").alias("pred_lo"),
-        F.expr("_xlo + (_xhi - _xlo) * 15 DIV 100").alias("pred_hi"),
-        F.expr(
-            f"greatest(1, (_ohi - _olo + 1) * {rows_per_file} DIV _nrows)"
-        ).alias("_step"),
-    )
-    z = zboxes.join(F.broadcast(pred)).agg(
-        F.count(F.lit(1)).alias("n_files_zorder"),
-        F.sum(
+    caching.release("zorder_layout")
+    base = _zorder_base(lineitem)
+    b = _bounds_probe(base)
+    zboxes = _zorder_boxes(base, b, bits, rows_per_file)
+    # one probe feeds the layout AND the predicate/step arithmetic:
+    # Python // on non-negative ints == Spark DIV == DuckDB //
+    empty = b["nrows"] == 0
+    pred_lo = b["xlo"] + (b["xhi"] - b["xlo"]) * 10 // 100
+    pred_hi = b["xlo"] + (b["xhi"] - b["xlo"]) * 15 // 100
+    step = max(1, (b["ohi"] - b["olo"] + 1) * rows_per_file // max(b["nrows"], 1))
+    pl = F.lit(None if empty else pred_lo).cast("long")
+    ph = F.lit(None if empty else pred_hi).cast("long")
+
+    def _scan_count(alias: str):
+        return F.sum(
             F.when(
-                (F.col("max_part") >= F.col("pred_lo"))
-                & (F.col("min_part") <= F.col("pred_hi")),
+                (F.col("max_part") >= F.lit(pred_lo))
+                & (F.col("min_part") <= F.lit(pred_hi)),
                 1,
             ).otherwise(0)
-        ).alias("n_scan_zorder"),
-        F.first("pred_lo").alias("pred_lo"),
-        F.first("pred_hi").alias("pred_hi"),
+        ).alias(alias)
+
+    z = zboxes.agg(
+        F.count(F.lit(1)).alias("n_files_zorder"),
+        _scan_count("n_scan_zorder"),
     )
     nat = (
-        lineitem.join(F.broadcast(pred))
-        .groupBy(F.expr("(l_orderkey - _olo) DIV _step").alias("_fid"))
+        base.groupBy(
+            F.expr(f"(l_orderkey - {b['olo']}) DIV {step}").alias("_fid")
+        )
         .agg(
-            F.min("l_partkey").cast("long").alias("min_part"),
-            F.max("l_partkey").cast("long").alias("max_part"),
-            F.first("pred_lo").alias("pred_lo"),
-            F.first("pred_hi").alias("pred_hi"),
+            F.min("x").alias("min_part"),
+            F.max("x").alias("max_part"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_files_natural"),
-            F.sum(
-                F.when(
-                    (F.col("max_part") >= F.col("pred_lo"))
-                    & (F.col("min_part") <= F.col("pred_hi")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_scan_natural"),
+            _scan_count("n_scan_natural"),
         )
     )
     return z.join(F.broadcast(nat)).select(
-        F.col("pred_lo").cast("long").alias("pred_lo"),
-        F.col("pred_hi").cast("long").alias("pred_hi"),
+        pl.alias("pred_lo"),
+        ph.alias("pred_hi"),
         F.col("n_files_zorder").cast("long").alias("n_files_zorder"),
         F.col("n_scan_zorder").cast("long").alias("n_scan_zorder"),
         F.col("n_files_natural").cast("long").alias("n_files_natural"),
@@ -295,9 +320,13 @@ def join_hotspots(events: DataFrame, orders: DataFrame, top_k: int = 20) -> Data
     cardinality, not row count), an inner join of the two count frames,
     and a single-row total broadcast for the exact integer ppm — the
     probe costs two small shuffles regardless of input size, which is
-    why a planner can afford to run it ahead of every big join. All
-    arithmetic is BIGINT (``DIV``), so the oracle comparison is exact.
+    why a planner can afford to run it ahead of every big join. The
+    joined count frame is persisted (tracked, released on re-entry) so
+    the total and the per-key ppm both read it once instead of
+    re-running the aggregates per referencing branch. All arithmetic
+    is BIGINT (``DIV``), so the oracle comparison is exact.
     """
+    caching.release("join_hotspots")
     left = (
         events.groupBy(F.col("user_id").cast("long").alias("join_key"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -306,11 +335,16 @@ def join_hotspots(events: DataFrame, orders: DataFrame, top_k: int = 20) -> Data
         orders.groupBy(F.col("o_custkey").cast("long").alias("join_key"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    j = left.join(right, "join_key").select(
-        "join_key",
-        "n_events",
-        "n_orders",
-        (F.col("n_events") * F.col("n_orders")).alias("out_rows"),
+    j = caching.track(
+        left.join(right, "join_key")
+        .select(
+            "join_key",
+            "n_events",
+            "n_orders",
+            (F.col("n_events") * F.col("n_orders")).alias("out_rows"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        key="join_hotspots",
     )
     total = j.agg(F.sum("out_rows").alias("_total"))
     return (
