@@ -110,6 +110,7 @@ _VERIFY_FIRST = [
     "zorder_skipping",
     "join_hotspots",
     "token_pagerank",
+    "curation_funnel",
     # (d) high-value re-verifies: last green row is r01/r02 and the
     # operators are the engine's most complex surfaces (pair search,
     # components, ANN, flagship, heavy relational)
@@ -551,6 +552,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: iterative graph analytics — integer-micro PageRank
         # over the bigram graph, oracle = unrolled CTE replay
         "token_pagerank": lambda s, d: G.token_pagerank(
+            _t(s, d, "documents")
+        ),
+        # round 4: the whole curation pipeline as one gate-by-gate count
+        "curation_funnel": lambda s, d: C.curation_funnel(
             _t(s, d, "documents")
         ),
         # round 4: trained-ANN — k-means cells feeding the IVF probe
@@ -1141,7 +1146,7 @@ def _pii_total_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{w}'" for w in TA.EN_STOPWORDS)
     ws = _words_sql()
-    return {
+    d = {
         "inverted_index": _INVERTED_INDEX_SQL,
         "inverted_index_salted": _INVERTED_INDEX_SQL,
         "streaming_inverted_index": _INVERTED_INDEX_SQL,
@@ -3138,3 +3143,17 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
     }
+    # curation_funnel composes three already-verified oracle queries as
+    # subqueries (each parenthesized block carries its own WITH), so the
+    # funnel's oracle is definitionally consistent with its parts
+    d["curation_funnel"] = f"""
+        WITH ex AS ({d['exact_dedup']}),
+        canon AS ({d['canonical_docs']})
+        SELECT (SELECT count(*) FROM documents)::BIGINT AS n_raw,
+               (SELECT count(*) FROM ex)::BIGINT AS n_exact_unique,
+               (SELECT count(*) FROM canon)::BIGINT AS n_canonical,
+               (SELECT CAST(sum(CASE WHEN best_quality >= 0.5
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                FROM canon) AS n_quality_pass
+    """
+    return d

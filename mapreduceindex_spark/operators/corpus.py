@@ -834,3 +834,46 @@ def label_quality_profile(
         )
         .orderBy("label")
     )
+
+
+def curation_funnel(
+    documents: DataFrame,
+    quality_min: float = 0.5,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The whole curation pipeline as one readout: how many documents
+    survive each gate on the way to a training corpus — raw count,
+    distinct contents after exact dedup, near-dup cluster survivors
+    (``canonical_docs``: one best-quality keeper per cluster), and
+    keepers that also clear the ``quality_min`` bar. One row, four
+    BIGINT counts — the number every curation run reports first.
+
+    Pure composition of already-oracle-verified operators
+    (``dedup.exact_dedup``, ``dedup.canonical_docs``,
+    ``text_analysis.quality_score``); the funnel adds only three
+    single-row aggregates joined by broadcast, so its cost IS the
+    near-dup pipeline's cost and its 100 TB story is theirs
+    (banded candidates, never all-pairs). The quality gate compares
+    the 4-dp-exact score, so the count is engine-deterministic.
+    """
+    from mapreduceindex_spark.operators.dedup import (
+        canonical_docs,
+        exact_dedup,
+    )
+
+    raw = documents.agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    ex = exact_dedup(documents).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_unique")
+    )
+    canon = canonical_docs(documents, n=n, threshold=threshold).agg(
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        F.sum(
+            F.when(F.col("best_quality") >= F.lit(quality_min), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_quality_pass"),
+    )
+    return raw.join(F.broadcast(ex)).join(F.broadcast(canon)).select(
+        "n_raw", "n_exact_unique", "n_canonical", "n_quality_pass"
+    )
