@@ -62,88 +62,83 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the back; local pytest still oracle-checks all of them every run, so
 #: rotation costs no coverage.
 _VERIFY_FIRST = [
-    # (a) never driver-sampled: the whole round-3 back half landed after
-    # the r03 50-slot sample filled (VERDICT r03 "What's missing" #1)
-    "index_delete",
-    "index_reindex",
-    "phrase_search",
-    "events_anomaly",
-    "order_value_percent_rank",
-    "per_source_topk_sample",
-    "asof_error_purchase",
-    "dup_spans",
-    "semantic_dedup",
-    "minhash_accuracy",
-    "dup_graph_stats",
-    "dedup_rate_by_source",
-    "cross_source_overlap",
-    "quality_by_source",
-    "streaming_quality_filter",
-    "streaming_static_enrich",
-    # (b) latest driver row is a round-1 TIMESTAMP(NANOS) error; the fix
-    # (session.py nanos normalization) landed in round 2 but these were
-    # never re-sampled (VERDICT r03 #2)
-    "events_tumbling",
-    "events_sliding",
-    "sessionize",
-    "events_json_stats",
-    "user_activity_pivot",
-    "purchasers_without_errors",
-    "asof_prior_purchase",
-    "streaming_tumbling",
-    "streaming_sessions",
-    # (c) fixed this round, need a green row to close the r03 findings:
-    # the tie-free quantization (hash_fail #1) and the new unrolled-SQL
-    # k-means oracle (the last no_oracle row)
+    # (a) the only never-driver-green query (hash_fail r03+r04, locally
+    # bit-exact both times): rewritten this round to BIGINT-only output
+    # columns + lowest-common-denominator oracle SQL (VERDICT r04 #1)
     "embedding_dim_stats",
-    "kmeans_embeddings",
-    # round-4 additions — first driver row
-    "shuffle_corpus",
-    "label_quality_profile",
-    "cms_hot_tokens",
-    "bm25_search",
-    "ivf_topk_trained",
-    "streaming_hot_tokens",
-    "events_resample",
-    "profile_orders",
-    "zorder_layout",
-    "zorder_skipping",
-    "join_hotspots",
-    "token_pagerank",
-    "curation_funnel",
-    # (d) high-value re-verifies: last green row is r01/r02 and the
-    # operators are the engine's most complex surfaces (pair search,
-    # components, ANN, flagship, heavy relational)
-    "inverted_index",
-    "inverted_index_salted",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "simhash",
-    "simhash_near_dups",
-    "near_dup_clusters",
-    "canonical_docs",
+    # (b) the five (d)-section re-verifies the r04 50-slot sample
+    # dropped (the list was 55 entries — ADVICE r04 #1 counted the
+    # overflow; cosine_topk was the fifth): promote per the r04 rotation
+    # note. All five have green r01/r02 rows.
     "cosine_topk",
     "ann_lsh_topk",
     "embedding_near_dups",
     "ivf_topk",
     "q1_pricing_summary",
-    # ROUND-5 ROTATION: once CORRECTNESS_r04 lands, move its green rows
-    # to the back and promote whatever (if anything) came back non-green
-    # plus any round-5 additions; sections (a)-(c) + the round-4 block
-    # above will then all have driver rows, leaving only re-verify
-    # cycling. The list is 54 entries, so the driver's 50-slot sample
-    # drops the final four (d) re-verifies (ann_lsh_topk,
-    # embedding_near_dups, ivf_topk, q1_pricing_summary — all with green
-    # r01/r02 rows); promote them in round 5. Local pytest
-    # oracle-checks all 145 every run regardless.
+    # (c) round-5 additions — first driver row
+    "profile_documents",
+    "streaming_asof_enrich",
+    "embedding_quantize",
+    "doc_minhash_dedup_pairs_stream",
+    # (d) re-verify cycling, oldest driver-green first. Last green r01:
+    "big_spenders_minus_mid",
+    "customer_order_profile",
+    "monthly_revenue_trend",
+    "order_counts_pivot",
+    "q17_small_qty_revenue",
+    "q18_big_order_customers",
+    "quantity_median",
+    "revenue_cube",
+    # last green r02 (the five promoted above excluded):
+    "bigram_counts",
+    "bloom_prefilter",
+    "boilerplate_score",
+    "brand_revenue",
+    "contamination_check",
+    "customers_without_orders",
+    "deterministic_sample",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_stats",
+    "domain_mixture",
+    "language_id",
+    "late_shipment_priority",
+    "length_histogram",
+    "lm_doc_scores",
+    "nation_segment_stats",
+    "pack_sequences",
+    "postings_size",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "quality_score",
+    "repetition_score",
+    "revenue_rollup",
+    "scrub_pii",
+    "search_all",
+    "search_any",
+    "sentence_chunks",
+    "split_by_hash",
+    "stratified_sample",
+    "tf_idf",
+    "token_counts_bpe",
+    "top_orders_per_customer",
+    "top_words_per_source",
+    "training_corpus",
+    "word_counts",
+    # ROUND-6 ROTATION: the list is 49 + round-5 additions entries; the
+    # driver samples the first 50, so with 4 additions the final 3 r02
+    # re-verifies above fall off this round's sample (top_orders_per_
+    # customer, top_words_per_source, training_corpus, word_counts are
+    # at the cut line) — promote whatever the r05 sample dropped plus
+    # any round-6 additions, cycling the remaining r02-last-green tail
+    # first, then the r03 block. Local pytest oracle-checks all
+    # registry queries every run regardless.
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {k: base[k] for k in _VERIFY_FIRST}
+    ordered = {k: base[k] for k in _VERIFY_FIRST if k in base}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
@@ -2659,17 +2654,22 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM embeddings
         """,
         "embedding_dim_stats": f"""
-            -- tie-free micro quantization on BOTH sides (exact.micro /
-            -- exact.micro_sql): engine-native round() resolves exact .5
-            -- boundaries per-version, which caused the r03 driver-only
-            -- hash_fail on this query
-            WITH e AS (
-              SELECT u.s.dim AS dim, u.s.x AS x
-              FROM (SELECT list_transform(range(1, len(embedding) + 1),
-                           i -> {{'dim': CAST(i - 1 AS BIGINT),
-                                 'x': CAST(embedding[i] AS DOUBLE)}}) AS es
-                    FROM embeddings) t,
-                   unnest(es) AS u(s)
+            -- BIGINT-only output (VERDICT r04 #1): tie-free micro
+            -- quantization on both sides, and no double columns at all
+            -- so the driver's value hash cannot depend on any engine's
+            -- float-string serialization. Array expansion is the
+            -- lowest-common-denominator shape — an uncorrelated literal
+            -- range() cross join + length filter (old DuckDB versions
+            -- reject lateral range bounds, list_transform lambdas, and
+            -- struct unnest).
+            WITH dims AS (
+              SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+            ), e AS (
+              SELECT d.dim AS dim,
+                     CAST(embedding[CAST(d.dim + 1 AS INT)] AS DOUBLE)
+                       AS x
+              FROM embeddings, dims d
+              WHERE d.dim < len(embedding)
             ), agg AS (
               SELECT dim,
                      count(*)::BIGINT AS n,
@@ -2679,9 +2679,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               FROM e GROUP BY dim
             )
             SELECT dim, n, sum_micro,
-                   {XQ.mean_of_micro_sql('sum_micro', 'n')} AS mean,
-                   {XQ.q6_sql('min_raw')} AS min_val,
-                   {XQ.q6_sql('max_raw')} AS max_val
+                   {XQ.mean_micro_int_sql('sum_micro', 'n')} AS mean_micro,
+                   {XQ.micro_sql('min_raw')} AS min_micro,
+                   {XQ.micro_sql('max_raw')} AS max_micro
             FROM agg
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),

@@ -58,6 +58,22 @@ def mean_of_micro(sum_micro_col: str, n_col: str) -> Column:
     )
 
 
+def mean_micro_int(sum_micro_col: str, n_col: str) -> Column:
+    """Exact micro-unit mean as a BIGINT (no scale-back): the integer
+    half-away-from-zero division of :func:`mean_of_micro` without the
+    final ``/1e6`` double conversion. Emitting the BIGINT directly makes
+    the driver's value hash independent of any engine's float *string*
+    serialization — small-magnitude doubles (~1e-5) cross scientific-
+    notation formatting thresholds differently per engine/version, the
+    suspected residual cause of the r04 ``embedding_dim_stats``
+    driver-only hash_fail (VERDICT r04 "What's wrong" #1)."""
+    s, n = sum_micro_col, n_col
+    return F.expr(
+        f"CASE WHEN {s} >= 0 THEN ({s}*2 + {n}) DIV ({n}*2) "
+        f"ELSE -(((-{s})*2 + {n}) DIV ({n}*2)) END"
+    ).cast("long")
+
+
 def micro_sql(x: str) -> str:
     """DuckDB twin of :func:`micro` (same tie-free formula, same BIGINT)."""
     return (
@@ -76,6 +92,15 @@ def mean_of_micro_sql(s: str, n: str) -> str:
     return (
         f"(CAST(CASE WHEN {s} >= 0 THEN ({s}*2 + {n}) // ({n}*2) "
         f"ELSE -(((-({s}))*2 + {n}) // ({n}*2)) END AS DOUBLE) / 1000000.0)"
+    )
+
+
+def mean_micro_int_sql(s: str, n: str) -> str:
+    """DuckDB twin of :func:`mean_micro_int` (BIGINT half-away division,
+    no scale-back)."""
+    return (
+        f"CAST(CASE WHEN {s} >= 0 THEN ({s}*2 + {n}) // ({n}*2) "
+        f"ELSE -(((-({s}))*2 + {n}) // ({n}*2)) END AS BIGINT)"
     )
 
 
