@@ -75,6 +75,10 @@ _VERIFY_FIRST = [
     "embedding_near_dups",
     "ivf_topk",
     "q1_pricing_summary",
+    # (b2) output schema changed this round (double pct_rank → BIGINT
+    # pct_rank_micro, the r04 #3 risk-class sweep's one hit): needs a
+    # fresh driver row under the new contract
+    "order_value_percent_rank",
     # (c) round-5 additions — first driver row
     "profile_documents",
     "streaming_asof_enrich",
@@ -533,8 +537,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": lambda s, d: TA.quality_by_source(
             _t(s, d, "documents")
         ),
-        # round 4: dataset profiler (schema-width output, one aggregate)
-        "profile_orders": lambda s, d: PF.profile_table(_t(s, d, "orders")),
+        # round 4: dataset profiler (schema-width output, one aggregate).
+        # exact=True is the oracle-checkable opt-in; the default is the
+        # Expand-free HLL plan (VERDICT r04 perf-weak #1)
+        "profile_orders": lambda s, d: PF.profile_table(
+            _t(s, d, "orders"), exact=True
+        ),
+        "profile_documents": lambda s, d: PF.profile_table(
+            _t(s, d, "documents"), exact=True
+        ),
         # round 4: physical layout planning — Z-order file boxes + join
         # skew scouting (operators/layout.py)
         "zorder_layout": lambda s, d: LY.zorder_layout(_t(s, d, "lineitem")),
@@ -1125,6 +1136,16 @@ _ORDERS_PROFILE_COLS = [
     ("o_totalprice", "double", "num"),
     ("o_orderdate", "timestamp_ntz", "time"),
     ("o_orderpriority", "string", "str"),
+]
+
+#: documents fixture schema (all-string + int columns — exercises the
+#: profiler's str branch and a text column with exotic content)
+_DOCUMENTS_PROFILE_COLS = [
+    ("doc_id", "bigint", "num"),
+    ("text", "string", "str"),
+    ("lang", "string", "str"),
+    ("source", "string", "str"),
+    ("n_chars", "bigint", "num"),
 ]
 
 
@@ -2686,6 +2707,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
         "profile_orders": _profile_sql("orders", _ORDERS_PROFILE_COLS),
+        "profile_documents": _profile_sql(
+            "documents", _DOCUMENTS_PROFILE_COLS
+        ),
         "zorder_layout": LY.zorder_layout_oracle_sql(),
         "token_pagerank": G.token_pagerank_oracle_sql(_words_sql()),
         "zorder_skipping": LY.zorder_skipping_oracle_sql(),
@@ -2875,14 +2899,26 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             WHERE trail_n > 0 AND n_events * trail_n > 2 * trail_sum
         """,
         "order_value_percent_rank": """
+            -- integer-exact micro percent_rank (the o_orderkey
+            -- tie-break makes the total order unique, so rank ==
+            -- row_number and (rk-1)/(n-1) is percent_rank exactly);
+            -- BIGINT output keeps the driver hash independent of float
+            -- serialization (VERDICT r04 #3 risk class)
             SELECT * FROM (
               SELECT o_orderkey, o_custkey,
                      o_totalprice::DOUBLE AS o_totalprice,
-                     round(percent_rank() OVER (
-                       ORDER BY o_totalprice DESC, o_orderkey ASC), 6)
-                       AS pct_rank
-              FROM orders
-            ) WHERE pct_rank <= 0.05
+                     CAST(CASE WHEN n > 1 THEN
+                       ((rk - 1) * 2000000 + (n - 1)) // ((n - 1) * 2)
+                     ELSE 0 END AS BIGINT) AS pct_rank_micro
+              FROM (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       row_number() OVER (
+                         ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rk,
+                       count(*) OVER () AS n
+                FROM orders
+              )
+            ) WHERE pct_rank_micro <= 50000
         """,
         "per_source_topk_sample": """
             SELECT doc_id, source, content_hash, rk FROM (

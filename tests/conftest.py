@@ -34,7 +34,19 @@ def assert_df_matches_oracle(spark_df, duck_con, sql, check_schema=True):
     the same contract the driver's CORRECTNESS gate applies."""
     import math
 
+    from mapreduceindex_spark.functions.floataudit import audit_pandas
+
     sdf = spark_df.toPandas()
+    fcols = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    ]
+    flagged = audit_pandas(sdf, fcols)
+    assert not flagged, (
+        f"float output columns in the driver hash-risk class (emit BIGINT "
+        f"micro units instead — see functions/floataudit.py): {flagged}"
+    )
     ddf = duck_con.sql(sql).df()
     assert sorted(sdf.columns) == sorted(ddf.columns), (
         f"column mismatch: {sorted(sdf.columns)} vs {sorted(ddf.columns)}"

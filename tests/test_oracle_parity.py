@@ -21,8 +21,17 @@ def test_every_query_has_callable():
 def test_query_vs_oracle(name, spark, duck):
     q = QUERIES[name]
     if name not in ORACLES:
+        from mapreduceindex_spark.functions.floataudit import audit_pandas
+
         df = q(spark, SF_SMALL)
-        assert df.count() >= 0  # rows-only check, mirrors the driver
+        fcols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("double", "float")
+        ]
+        pdf = df.toPandas()  # rows-only check, mirrors the driver
+        assert len(pdf) >= 0
+        assert not audit_pandas(pdf, fcols), "hash-risk float columns"
         return
     assert_df_matches_oracle(q(spark, SF_SMALL), duck, ORACLES[name])
 

@@ -220,7 +220,16 @@ def test_profile_table_semantics(spark):
         ],
         "id bigint, s string, x double, dead string",
     )
-    prof = {r["column"]: r for r in profile_table(df).collect()}
+    prof = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+    # default (approx) mode: same shape, HLL distincts exact at these
+    # tiny cardinalities, and identical non-distinct statistics
+    approx = {r["column"]: r for r in profile_table(df).collect()}
+    assert {c: r["n_distinct"] for c, r in approx.items()} == {
+        c: r["n_distinct"] for c, r in prof.items()
+    }
+    assert {c: r["n_nulls"] for c, r in approx.items()} == {
+        c: r["n_nulls"] for c, r in prof.items()
+    }
     assert prof["id"]["n_rows"] == 3
     assert (prof["id"]["n_nulls"], prof["id"]["n_distinct"]) == (0, 2)
     assert (prof["id"]["min_num"], prof["id"]["max_num"]) == (1.0, 2.0)

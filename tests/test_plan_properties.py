@@ -202,6 +202,22 @@ def test_bigram_lift_broadcasts_vocab_dims(spark):
     assert not re.findall(r"\) (?:SortMergeJoin|ShuffledHashJoin)", plan), plan
 
 
+def test_profile_table_default_mode_has_no_expand(spark):
+    """The default (approx) profiler plan must be a plain partial+final
+    aggregate — no Expand node multiplying the scan by the number of
+    distinct-counted columns (9× on orders; VERDICT r04 perf-weak #1).
+    The exact mode keeps its Expand deliberately: it exists only for
+    the DuckDB oracle gate."""
+    from mapreduceindex_spark.operators.profiling import profile_aggregate
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    default_plan = _plan(profile_aggregate(orders, exact=False)[0])
+    assert "Expand" not in default_plan, default_plan
+    assert "partial_" in default_plan, default_plan
+    exact_plan = _plan(profile_aggregate(orders, exact=True)[0])
+    assert "Expand" in exact_plan  # the opt-in oracle mode
+
+
 def test_embedding_dim_stats_partial_aggregates_before_exchange(spark):
     """The per-dimension aggregate must partial-aggregate map-side: 64·N
     exploded elements reduce to 64 rows per task before any shuffle."""
