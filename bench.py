@@ -211,15 +211,33 @@ def main() -> None:
     print(json.dumps(full))
     # Persist the full record too: the driver's tail window only carries
     # the compact line, so round-over-round per-query comparison needs a
-    # committed file. Round number = 1 + the highest recorded BENCH_r.
+    # committed file. Round number: SPARK_GRAFT_ROUND env var if set,
+    # else 1 + the highest existing BENCH_SELF_r (re-runs within a round
+    # overwrite the same record), else 1 + the highest driver BENCH_r.
+    # Inferring from BENCH_r alone mislabeled the self-record once the
+    # driver's file for the CURRENT round landed (ADVICE r04 #4).
     here = os.path.dirname(os.path.abspath(__file__))
     if only_set is None:  # subset iterations must not clobber the record
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(here)
-            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-        ]
-        n_round = (max(rounds) if rounds else 0) + 1
+        def _max_round(pattern: str) -> int:
+            found = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := re.match(pattern, f))
+            ]
+            return max(found) if found else 0
+
+        env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_round is not None:
+            n_round = int(env_round)
+        else:
+            # max(self, driver+1): repeat runs within a round overwrite
+            # the SAME self-record, and a previous round's record is
+            # never clobbered even after the driver's BENCH_r for the
+            # current round lands mid-window.
+            n_round = max(
+                _max_round(r"BENCH_SELF_r(\d+)\.json$"),
+                _max_round(r"BENCH_r(\d+)\.json$") + 1,
+            )
         path = os.path.join(here, f"BENCH_SELF_r{n_round:02d}.json")
         with open(path, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)

@@ -102,7 +102,8 @@ def _bounds_probe(base: DataFrame) -> dict:
 
 
 def _zorder_boxes(
-    base: DataFrame, b: dict, bits: int, rows_per_file: int
+    base: DataFrame, b: dict, bits: int, rows_per_file: int,
+    cache_key: str = "zorder_layout",
 ) -> DataFrame:
     M = (1 << bits) - 1
     keyed = caching.track(
@@ -123,7 +124,7 @@ def _zorder_boxes(
                 bits,
             ).cast("long").alias("zkey"),
         ).persist(StorageLevel.MEMORY_AND_DISK),
-        key="zorder_layout",
+        key=cache_key,
     )
     wz = Window.orderBy("zkey").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -213,10 +214,15 @@ def zorder_skipping(
     of boxes, on the append layout it hits nearly all of them — the
     measured gap IS the 100 TB scan-cost argument for Z-ordering.
     """
-    caching.release("zorder_layout")
+    # own cache key: releasing/tracking under zorder_layout's key here
+    # would void THAT operator's still-unmaterialized persisted frame
+    # whenever this one's plan is merely built (ADVICE r04 #3)
+    caching.release("zorder_skipping")
     base = _zorder_base(lineitem)
     b = _bounds_probe(base)
-    zboxes = _zorder_boxes(base, b, bits, rows_per_file)
+    zboxes = _zorder_boxes(
+        base, b, bits, rows_per_file, cache_key="zorder_skipping"
+    )
     # one probe feeds the layout AND the predicate/step arithmetic:
     # Python // on non-negative ints == Spark DIV == DuckDB //
     empty = b["nrows"] == 0
