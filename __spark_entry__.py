@@ -479,6 +479,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": lambda s, d: S.embedding_norms(
             _t(s, d, "embeddings")
         ),
+        "embedding_quantize": lambda s, d: S.embedding_quantize(
+            _t(s, d, "embeddings")
+        ),
         "embedding_dim_stats": lambda s, d: S.embedding_dim_stats(
             _t(s, d, "embeddings")
         ),
@@ -518,6 +521,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_hot_tokens": lambda s, d: STREAM.streaming_hot_tokens(
             s, d, k=20
+        ),
+        "streaming_asof_enrich": lambda s, d: (
+            STREAM.streaming_asof_enrich(s, d)
         ),
         "semantic_dedup": lambda s, d: S.semantic_dedup(
             _t(s, d, "embeddings"), threshold=0.95
@@ -2674,6 +2680,39 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    label::BIGINT AS label
             FROM embeddings
         """,
+        "embedding_quantize": f"""
+            -- int8 symmetric quantization, BIGINT-only output: q_i is
+            -- tie-free half-away rounding of x*127/max|x| (both engines
+            -- compute the identical IEEE double before the explicit
+            -- floor-based round)
+            WITH base AS (
+              SELECT vec_id,
+                     len(embedding)::BIGINT AS n_dims,
+                     embedding,
+                     list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id, n_dims,
+                     {XQ.micro_sql('(m / 127.0)')} AS scale_micro,
+                     CASE WHEN m > 0 THEN
+                       list_transform(embedding, x ->
+                         CAST(CASE WHEN CAST(x AS DOUBLE) >= 0
+                           THEN floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)
+                           ELSE -floor((-CAST(x AS DOUBLE)) * 127.0 / m
+                                       + 0.5)
+                         END AS BIGINT))
+                     ELSE list_transform(
+                       embedding, x -> CAST(0 AS BIGINT))
+                     END AS qvec
+              FROM base
+            )
+            SELECT vec_id, n_dims, scale_micro,
+                   array_to_string(qvec, ' ') AS qvec,
+                   COALESCE(list_max(list_transform(qvec, v -> abs(v))),
+                            0)::BIGINT AS q_max
+            FROM q
+        """,
         "embedding_dim_stats": f"""
             -- BIGINT-only output (VERDICT r04 #1): tie-free micro
             -- quantization on both sides, and no double columns at all
@@ -3161,6 +3200,25 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                      AS sum_value
             FROM events e JOIN customer c ON c.c_custkey = e.user_id
             GROUP BY 1, 2
+        """,
+        "streaming_asof_enrich": """
+            -- shared with asof_error_purchase: DuckDB native ASOF JOIN,
+            -- purchases pre-deduped to one canonical row per (user, ts)
+            WITH e AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'error'
+            ), p AS (
+              SELECT user_id, ts, min(event_id) AS purchase_id
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT e.user_id, e.event_id,
+                   CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS e_sec,
+                   p.purchase_id,
+                   CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS p_sec,
+                   CAST(FLOOR(epoch(e.ts)) - FLOOR(epoch(p.ts)) AS BIGINT)
+                     AS lag_sec
+            FROM e ASOF JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "revenue_moving_avg": """
             WITH m AS (

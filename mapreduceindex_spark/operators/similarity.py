@@ -523,6 +523,88 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of every embedding — the standard
+    serving-prep pass before shipping vectors to an ANN index (4×
+    smaller, SIMD-friendly dot products): per vector,
+    ``scale = max|x| / 127`` and ``q_i = round(x_i / scale)`` clipped
+    into [-127, 127] by construction (the max element maps to exactly
+    ±127).
+
+    Exactness contract: ``q_i`` is tie-free half-away rounding of
+    ``x_i·127 / max|x|`` — multiply and divide are correctly-rounded
+    IEEE ops, so both engines compute bit-identical doubles, and the
+    explicit floor-based rounding removes the engine-native tie
+    behavior (same discipline as ``exact.micro``). Zero vectors emit
+    all-zero codes and scale 0. Every output column is BIGINT or an
+    array of BIGINTs — no doubles, per the registry-wide hash-risk
+    contract (``functions/floataudit.py``); the float scale is carried
+    as ``scale_micro``. All Catalyst higher-order functions
+    (``transform``/``aggregate``) — JVM-side, no Python boundary, and
+    at 100 TB the op is embarrassingly parallel (zero shuffles).
+
+    ``q_max`` (max |q_i|) is emitted as a built-in calibration check:
+    127 for every nonzero vector, 0 for zero vectors.
+    """
+    xabs = F.transform(
+        F.col("embedding"), lambda x: F.abs(x.cast("double"))
+    )
+    max_abs = F.aggregate(
+        xabs, F.lit(0.0), lambda acc, v: F.greatest(acc, v)
+    )
+
+    def _tie_free(v):
+        return (
+            F.when(v >= 0, F.floor(v + F.lit(0.5)))
+            .otherwise(-F.floor(-v + F.lit(0.5)))
+            .cast("long")
+        )
+
+    base = embeddings.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.col("embedding").alias("_e"),
+        max_abs.alias("_m"),
+    )
+    qvec = F.when(
+        F.col("_m") > 0,
+        F.transform(
+            F.col("_e"),
+            lambda x: _tie_free(
+                x.cast("double") * F.lit(127.0) / F.col("_m")
+            ),
+        ),
+    ).otherwise(F.transform(F.col("_e"), lambda x: F.lit(0).cast("long")))
+    from mapreduceindex_spark.functions.exact import micro
+
+    return (
+        base.select(
+            "vec_id",
+            "n_dims",
+            micro(F.col("_m") / F.lit(127.0)).alias("scale_micro"),
+            qvec.alias("_q"),
+        )
+        .select(
+            "vec_id",
+            "n_dims",
+            "scale_micro",
+            # serialized as a space-joined string — the same canonical
+            # array form the flagship's doc_ids column uses, so the
+            # driver's sorted-column value hash handles it (raw list
+            # columns are unhashable in the pandas compare)
+            F.array_join(
+                F.transform(F.col("_q"), lambda q: q.cast("string")), " "
+            ).alias("qvec"),
+            F.aggregate(
+                F.transform(F.col("_q"), lambda q: F.abs(q)),
+                F.lit(0).cast("long"),
+                lambda acc, v: F.greatest(acc, v),
+            ).alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

@@ -512,3 +512,80 @@ def streaming_hot_tokens(
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(k)
     )
+
+
+def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATELESS streaming as-of enrichment: every error event in the
+    live stream is matched to the user's latest purchase at-or-before
+    its timestamp, against a static purchase-history table — the
+    feature-lookup shape ("join each event to the most recent reference
+    row") that batch ``asof_error_purchase`` serves offline.
+
+    Spark-first design: Structured Streaming has no stream-static as-of
+    join, and an aggregation formulation would hold one state row per
+    event. Instead the static side is collapsed ONCE per user into a
+    time-sorted ``array<struct<p_sec, purchase_id>>`` (canonical
+    min-event_id per timestamp, same tie rule as the batch twin), and
+    that per-user array broadcast-joins into each micro-batch; the
+    as-of lookup is then a per-row Catalyst higher-order
+    ``filter(arr, p -> p.p_sec <= e_sec)`` + ``element_at(-1)`` — pure
+    JVM expression work, NO state store, emits on arrival, no
+    watermark holdback. At 100 TB the broadcast is bounded by users ×
+    per-user history (the dimension, not the firehose); a history too
+    large to broadcast shuffles both sides on user_id instead — the
+    plan is a plain join either way. Inner-match semantics (errors
+    with no prior purchase drop) mirror the batch twin, so the DuckDB
+    ``ASOF JOIN`` oracle is shared verbatim.
+    """
+    from mapreduceindex_spark.session import load_table
+
+    ev = _stream_events(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    history = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_timestamp("ts").cast("long").alias("p_sec"),
+                F.col("purchase_id").alias("purchase_id"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("hist"))
+        .select(F.col("user_id").alias("h_user"), "hist")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("e_sec"),
+    )
+    prior = F.filter(
+        F.col("hist"), lambda p: p["p_sec"] <= F.col("e_sec")
+    )
+    enriched = (
+        errors.join(
+            F.broadcast(history), F.col("user_id") == F.col("h_user")
+        )
+        .withColumn("_prior", prior)
+        # ANSI mode (Spark 4 default) makes element_at(arr, -1) THROW on
+        # an empty array rather than return NULL — guard with size()
+        .withColumn(
+            "_m",
+            F.when(
+                F.size("_prior") > 0, F.element_at(F.col("_prior"), -1)
+            ),
+        )
+        .filter(F.col("_m").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "e_sec",
+            F.col("_m.purchase_id").alias("purchase_id"),
+            F.col("_m.p_sec").alias("p_sec"),
+            (F.col("e_sec") - F.col("_m.p_sec")).alias("lag_sec"),
+        )
+    )
+    out = _run_to_table(enriched, "append")
+    return out.orderBy("event_id")

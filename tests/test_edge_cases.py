@@ -377,6 +377,76 @@ def test_streaming_static_enrich_state_is_group_bounded(spark):
     assert state_ops[0]["numRowsTotal"] == n_groups, state_ops
 
 
+def test_streaming_asof_enrich_is_stateless(spark):
+    """The stream-static as-of must run with ZERO state stores: the
+    static side is a broadcast per-user sorted history array and the
+    lookup is per-row expression work, so nothing accumulates across
+    micro-batches (the design claim in its docstring). Also pins
+    result parity with the batch as-of twin."""
+    import uuid as _uuid
+
+    from mapreduceindex_spark.operators.events import asof_error_purchase
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming import pipelines as P
+    from tests.conftest import SF_SMALL
+
+    ev = P._stream_events(spark, SF_SMALL)
+    events = load_table(spark, SF_SMALL, "events")
+    history = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_timestamp("ts").cast("long").alias("p_sec"),
+                F.col("purchase_id").alias("purchase_id"),
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("hist"))
+        .select(F.col("user_id").alias("h_user"), "hist")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("e_sec"),
+    )
+    prior = F.filter(F.col("hist"), lambda p: p["p_sec"] <= F.col("e_sec"))
+    enriched = (
+        errors.join(F.broadcast(history), F.col("user_id") == F.col("h_user"))
+        .withColumn("_prior", prior)
+        .withColumn(
+            "_m",
+            F.when(F.size("_prior") > 0, F.element_at(F.col("_prior"), -1)),
+        )
+        .filter(F.col("_m").isNotNull())
+        .select("user_id", "event_id", F.col("_m.purchase_id").alias("pid"))
+    )
+    name = "s" + _uuid.uuid4().hex[:12]
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    assert progress["stateOperators"] == [], progress["stateOperators"]
+    got = sorted(
+        (r["event_id"], r["pid"]) for r in spark.table(name).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["purchase_id"])
+        for r in asof_error_purchase(events).collect()
+    )
+    assert got == want
+
+
 def test_streaming_hot_tokens_state_is_vocabulary_bounded(spark):
     """Grow the document stream 10× (ten copies of the same corpus file,
     streamed across five micro-batches) and assert the running-count
