@@ -83,7 +83,7 @@ _VERIFY_FIRST = [
     "profile_documents",
     "streaming_asof_enrich",
     "embedding_quantize",
-    "doc_minhash_dedup_pairs_stream",
+    "streaming_lsh_dedup_pairs",
     # (d) re-verify cycling, oldest driver-green first. Last green r01:
     "big_spenders_minus_mid",
     "customer_order_profile",
@@ -524,6 +524,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_asof_enrich": lambda s, d: (
             STREAM.streaming_asof_enrich(s, d)
+        ),
+        "streaming_lsh_dedup_pairs": lambda s, d: (
+            STREAM.streaming_lsh_dedup_pairs(
+                s, d, n=3, num_hashes=16, bands=4, threshold=0.5
+            )
         ),
         "semantic_dedup": lambda s, d: S.semantic_dedup(
             _t(s, d, "embeddings"), threshold=0.95
@@ -1685,6 +1690,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             LIMIT 100
         """,
         "minhash_lsh_pairs": _minhash_lsh_sql(16, 4),
+        # the streaming LSH index emits the same candidates and runs the
+        # same exact-Jaccard verifier, so the oracle is shared verbatim
+        "streaming_lsh_dedup_pairs": _minhash_lsh_sql(16, 4),
         "simhash": _simhash_sql(24),
         "simhash_near_dups": f"""
             -- brute-force verification of the banded Hamming search:

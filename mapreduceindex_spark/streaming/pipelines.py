@@ -589,3 +589,159 @@ def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(enriched, "append")
     return out.orderBy("event_id")
+
+
+def streaming_lsh_dedup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    source_dir: str | None = None,
+    source_glob: str = "documents.parquet",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-duplicate detection over the document
+    stream — the ingest-time form of batch ``minhash_lsh_pairs``: as each
+    document arrives, it is checked against every document seen so far
+    and candidate near-dup pairs are emitted immediately. This is the
+    "catch the dup before it lands in the corpus" operator an LLM-data
+    ingest pipeline runs at the front door.
+
+    Design (Spark-first, three stages):
+
+    1. **Stateless per-row signature** — shingles, 60-bit md5 hashes,
+       ``num_hashes`` affine MinHash lanes, and the ``bands`` band
+       buckets are all computed as Catalyst expression trees over the
+       streaming rows (``transform``/``array_min`` — the array form of
+       the shingle builder; per-document work, no shuffle, no state).
+       Zero-word documents are dropped exactly like the batch path.
+    2. **Stateful bucket index** — ``applyInPandasWithState`` keyed on
+       the band bucket: state is the sorted doc_id list seen in that
+       bucket; each arriving batch emits (old × new) + (new × new)
+       pairs. State grows with the LSH index itself (docs × bands
+       entries — that IS the operator: an in-memory dedup index); a
+       deployment bounds it with a retention timeout where "dup of a
+       6-month-old doc" stops mattering.
+    3. **Batch verification** — emitted candidates are exact-Jaccard
+       verified against the corpus table (the stream's source of
+       record), identical to the batch verifier, so the final output —
+       and the DuckDB oracle — is shared verbatim with
+       ``minhash_lsh_pairs`` on the bounded fixture.
+
+    Unlike the batch path there is no exact-clone pre-collapse (clones
+    must be caught one-by-one at ingest — that is the point); a clone
+    FLOOD would make the hot buckets quadratic, which is what the
+    upstream ``streaming_dedup`` exact gate removes first in a real
+    funnel.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mapreduceindex_spark.functions.text import (
+        shingles,
+        stable_hash64,
+        words,
+    )
+    from mapreduceindex_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _affine_coeffs,
+        _shingle_hashes,
+    )
+    from mapreduceindex_spark.session import ensure_session_confs, load_table
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # source_dir/source_glob let tests stream a SPLIT corpus (many files,
+    # one per trigger) so cross-micro-batch pair discovery is exercised;
+    # verification always runs against the canonical sf_dir table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", source_glob)
+        .parquet(source_dir or sf_dir)
+    )
+
+    P = MINHASH_PRIME
+    hs = F.transform(
+        F.array_distinct(shingles(F.col("text"), n)),
+        lambda s: stable_hash64(s) % P,
+    )
+    sig = stream.filter(F.size(words(F.col("text"))) > 0).select(
+        "doc_id", hs.alias("_hs")
+    )
+    def _lane(a: int, b: int):
+        # closure factory: PySpark derives the lambda's SQL arity from
+        # its Python signature, so default-arg captures would make it
+        # look ternary
+        return lambda x: (x * a + b) % P
+
+    for i, (a, b) in enumerate(_affine_coeffs(num_hashes)):
+        sig = sig.withColumn(
+            f"mh_{i}", F.array_min(F.transform(F.col("_hs"), _lane(a, b)))
+        )
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                *[
+                    F.col(f"mh_{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for bi in range(bands)
+    ]
+    stacked = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
+    )
+
+    def _bucket_pairs(key, pdfs, state: GroupState):
+        old = list(state.get[0]) if state.exists else []
+        new_ids = sorted(
+            {int(d) for pdf in pdfs for d in pdf["doc_id"]} - set(old)
+        )
+        pairs = [(min(a, b), max(a, b)) for a in old for b in new_ids]
+        pairs += [
+            (new_ids[i], new_ids[j])
+            for i in range(len(new_ids))
+            for j in range(i + 1, len(new_ids))
+        ]
+        state.update((sorted(old + new_ids),))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    cand_stream = stacked.groupBy("bucket").applyInPandasWithState(
+        _bucket_pairs,
+        outputStructType="doc_a bigint, doc_b bigint",
+        stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    cand = _run_to_table(cand_stream, "append", partitions=16).distinct()
+
+    # batch verification — byte-for-byte the batch verifier's formula
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(docs, n)
+    shsets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("hs"))
+    sa = shsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    sb = shsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter.cast("double")
+                / (F.size("ha") + F.size("hb") - inter),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -377,6 +377,60 @@ def test_streaming_static_enrich_state_is_group_bounded(spark):
     assert state_ops[0]["numRowsTotal"] == n_groups, state_ops
 
 
+def test_streaming_lsh_dedup_incremental_across_batches(spark):
+    """The streaming LSH index must find near-dup pairs whose two members
+    arrive in DIFFERENT micro-batches (the bucket state doing its job),
+    and the full run must equal the batch ``minhash_lsh_pairs`` result.
+    The corpus is split into 4 single-doc-group files streamed one file
+    per trigger, so ~every pair crosses a batch boundary."""
+    import shutil
+    import tempfile
+
+    from mapreduceindex_spark.operators.dedup import minhash_lsh_pairs
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_lsh_dedup_pairs,
+    )
+    from tests.conftest import SF_SMALL
+
+    import glob
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    tmp = tempfile.mkdtemp(prefix="lsh_stream_split_")
+    try:
+        # 8 single-slice parquet files, round-robin by doc_id; streamed
+        # one file per trigger below, so the corpus arrives in 8
+        # micro-batches and near-dup members land in different batches
+        for i in range(8):
+            (
+                docs.filter(F.col("doc_id") % 8 == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/part{i}")
+            )
+            (pf,) = glob.glob(f"{tmp}/part{i}/part-*.parquet")
+            shutil.move(pf, f"{tmp}/documents_{i}.parquet")
+            shutil.rmtree(f"{tmp}/part{i}")
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in streaming_lsh_dedup_pairs(
+                spark,
+                SF_SMALL,
+                source_dir=tmp,
+                source_glob="documents_*.parquet",
+                max_files_per_trigger=1,
+            ).collect()
+        )
+        want = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs).collect()
+        )
+        assert got == want
+        assert len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_asof_enrich_is_stateless(spark):
     """The stream-static as-of must run with ZERO state stores: the
     static side is a broadcast per-user sorted history array and the
