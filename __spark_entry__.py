@@ -129,14 +129,15 @@ _VERIFY_FIRST = [
     "top_words_per_source",
     "training_corpus",
     "word_counts",
-    # ROUND-6 ROTATION: the list is 49 + round-5 additions entries; the
-    # driver samples the first 50, so with 4 additions the final 3 r02
-    # re-verifies above fall off this round's sample (top_orders_per_
-    # customer, top_words_per_source, training_corpus, word_counts are
-    # at the cut line) — promote whatever the r05 sample dropped plus
-    # any round-6 additions, cycling the remaining r02-last-green tail
-    # first, then the r03 block. Local pytest oracle-checks all
-    # registry queries every run regardless.
+    # ROUND-6 ROTATION: this list is 54 entries (1 fix + 5 promotions +
+    # 1 schema change + 4 round-5 additions + 8 r01-green + 35
+    # r02-green); the driver samples the FIRST 50, so the final FOUR
+    # r02 re-verifies fall off this round's sample:
+    # top_orders_per_customer, top_words_per_source, training_corpus,
+    # word_counts (all r02-green). Promote exactly those four in round
+    # 6, plus any round-6 additions and any r05 non-greens, then cycle
+    # the r03-last-green block. Local pytest oracle-checks all registry
+    # queries every run regardless.
 ]
 
 

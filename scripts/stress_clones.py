@@ -129,6 +129,44 @@ def main():
         "zorder_layout_10x",
         lambda: LY.zorder_layout(li10),
     )
+    # round-5 tail (VERDICT r04 next-round #6):
+    # curation_funnel composes three aggregates over the SAME near-dup
+    # pipeline — the stress checks the pair front end is paid once per
+    # gate and never re-derived super-linearly across the composition.
+    timed(
+        "curation_funnel",
+        lambda: CP.curation_funnel(cloned, quality_min=0.5, n=3, threshold=0.5),
+    )
+    # profiler on 10× orders, both cardinality modes: the default HLL
+    # plan is one Expand-free pass (the shape a routine 100 TB health
+    # check must keep); exact mode pays the deliberate 9× Expand.
+    from mapreduceindex_spark.operators import profiling as PF
+
+    o10 = load_table(spark, "/root/testdata/sf0.1", "orders").select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(clones - 1))).alias("_c")
+    ).drop("_c")
+    timed("profile_orders_10x_default", lambda: PF.profile_table(o10))
+    timed(
+        "profile_orders_10x_exact", lambda: PF.profile_table(o10, exact=True)
+    )
+    # trained IVF on 10× embeddings: the k-means fit iterates over the
+    # full table (the one data-scaling pass) but its collect stays k×dim;
+    # the probe search remains candidate-bounded.
+    from mapreduceindex_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_emb = emb.count()
+    emb10 = emb.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(clones - 1))).alias("_c")
+    ).select(
+        (F.col("vec_id") + F.col("_c") * F.lit(n_emb * 10)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    timed(
+        "ivf_topk_trained_10x",
+        lambda: S.ivf_topk_trained(emb10),
+    )
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 
