@@ -84,6 +84,10 @@ _VERIFY_FIRST = [
     "streaming_asof_enrich",
     "embedding_quantize",
     "streaming_lsh_dedup_pairs",
+    "ann_recall",
+    "salted_affinity_join",
+    "top_event_paths",
+    "incremental_revenue_trend",
     # (d) re-verify cycling, oldest driver-green first. Last green r01:
     "big_spenders_minus_mid",
     "customer_order_profile",
@@ -129,15 +133,16 @@ _VERIFY_FIRST = [
     "top_words_per_source",
     "training_corpus",
     "word_counts",
-    # ROUND-6 ROTATION: this list is 54 entries (1 fix + 5 promotions +
-    # 1 schema change + 4 round-5 additions + 8 r01-green + 35
-    # r02-green); the driver samples the FIRST 50, so the final FOUR
+    # ROUND-6 ROTATION: this list is 58 entries (1 fix + 5 promotions +
+    # 1 schema change + 8 round-5 additions + 8 r01-green + 35
+    # r02-green); the driver samples the FIRST 50, so the final EIGHT
     # r02 re-verifies fall off this round's sample:
+    # stratified_sample, tf_idf, token_counts_bpe,
     # top_orders_per_customer, top_words_per_source, training_corpus,
-    # word_counts (all r02-green). Promote exactly those four in round
-    # 6, plus any round-6 additions and any r05 non-greens, then cycle
-    # the r03-last-green block. Local pytest oracle-checks all registry
-    # queries every run regardless.
+    # word_counts, split_by_hash (all r02-green). Promote exactly those
+    # eight in round 6, plus any round-6 additions and any r05
+    # non-greens, then cycle the r03-last-green block. Local pytest
+    # oracle-checks all registry queries every run regardless.
 ]
 
 
@@ -244,6 +249,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(
             _t(s, d, "embeddings"), n_queries=10, k=5, n_planes=8, dim=64
         ),
+        "ann_recall": lambda s, d: S.ann_recall(
+            _t(s, d, "embeddings"), n_queries=10, k=5, n_planes=8, dim=64
+        ),
         "embedding_near_dups": lambda s, d: S.embedding_near_dups(
             _t(s, d, "embeddings"), threshold=0.95
         ),
@@ -285,6 +293,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "customer_order_profile": lambda s, d: R.customer_order_profile(
             _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        "incremental_revenue_trend": lambda s, d: R.incremental_revenue_trend(
+            _t(s, d, "orders")
         ),
         "monthly_revenue_trend": lambda s, d: R.monthly_revenue_trend(
             _t(s, d, "orders")
@@ -411,6 +422,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events"), freq_sec=3600
         ),
         "funnel_conversion": lambda s, d: E.funnel_conversion(
+            _t(s, d, "events")
+        ),
+        "top_event_paths": lambda s, d: E.top_event_paths(
             _t(s, d, "events")
         ),
         "retention_cohorts": lambda s, d: E.retention_cohorts(
@@ -565,6 +579,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "lineitem")
         ),
         "join_hotspots": lambda s, d: LY.join_hotspots(
+            _t(s, d, "events"), _t(s, d, "orders")
+        ),
+        # round 5: the mitigation the scout triggers — hot keys salted,
+        # result provably identical to the plain join the oracle runs
+        "salted_affinity_join": lambda s, d: LY.salted_affinity_join(
             _t(s, d, "events"), _t(s, d, "orders")
         ),
         # round 4: iterative graph analytics — integer-micro PageRank
@@ -851,6 +870,51 @@ SELECT query_id, neighbor_id, cosine,
                           ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
 FROM scored
 QUALIFY rank <= {k}
+"""
+
+
+def _cosine_topk_sql(n_queries: int, k: int) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS emb
+  FROM embeddings WHERE vec_id < {n_queries}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS emb FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.neighbor_id, {_COSINE} AS cosine
+  FROM c CROSS JOIN q
+  WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def _ann_recall_sql(n_queries: int, k: int, n_planes: int, dim: int) -> str:
+    # composes the two already-verified oracles verbatim, so recall and
+    # the rankings it measures cannot drift (the curation_funnel pattern)
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({_cosine_topk_sql(n_queries, k)})
+), approx AS (
+  SELECT query_id, neighbor_id FROM ({_ann_lsh_sql(n_queries, k, n_planes, dim)})
+), qs AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {n_queries}
+), hits AS (
+  SELECT e.query_id, count(a.neighbor_id) AS n_hits
+  FROM exact e LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT qs.query_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       {k}::BIGINT AS k,
+       (coalesce(h.n_hits, 0) * 1000000 // {k})::BIGINT AS recall_ppm
+FROM qs LEFT JOIN hits h ON qs.query_id = h.query_id
+ORDER BY qs.query_id
 """
 
 
@@ -1704,24 +1768,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         """,
-        "cosine_topk": f"""
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding AS emb
-              FROM embeddings WHERE vec_id < 10
-            ), c AS (
-              SELECT vec_id AS neighbor_id, embedding AS emb FROM embeddings
-            ), scored AS (
-              SELECT q.query_id, c.neighbor_id, {_COSINE} AS cosine
-              FROM c CROSS JOIN q
-              WHERE c.neighbor_id <> q.query_id
-            )
-            SELECT query_id, neighbor_id, cosine,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
-            FROM scored
-            QUALIFY rank <= 5
-        """,
+        "cosine_topk": _cosine_topk_sql(10, 5),
         "ann_lsh_topk": _ann_lsh_sql(10, 5, 8, 64),
+        "ann_recall": _ann_recall_sql(10, 5, 8, 64),
         "ivf_topk": _ivf_sql(10, 5, 16, 4),
         "embedding_near_dups": f"""
             WITH q AS (
@@ -1856,6 +1905,17 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                      AS revenue,
                    count(*)::BIGINT AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "incremental_revenue_trend": """
+            -- the full-table trend: the incremental base+delta merge
+            -- must land on exactly this (merge happens pre-rounding)
+            SELECT CAST(FLOOR(epoch(date_trunc('month', o_orderdate)))
+                     AS BIGINT) AS month_start,
+                   round(sum(CAST(o_totalprice AS DECIMAL(15,2))), 2)::DOUBLE
+                     AS revenue,
+                   count(*)::BIGINT AS n_orders
+            FROM orders GROUP BY 1
+            ORDER BY month_start
         """,
         "revenue_cube": """
             SELECT l_returnflag, l_linestatus,
@@ -2779,6 +2839,49 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    CAST(out_rows * 1000000 // total AS BIGINT) AS share_ppm
             FROM j, t
             ORDER BY out_rows DESC, join_key
+            LIMIT 20
+        """,
+        "salted_affinity_join": """
+            -- the plain join: salting is plan-side only, the aggregate
+            -- is salt-blind, so the oracle never needs to model it
+            SELECT event_type, o_orderpriority,
+                   count(*)::BIGINT AS n_pairs,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+                     AS pair_price_cents
+            FROM events JOIN orders ON user_id = o_custkey
+            GROUP BY event_type, o_orderpriority
+            ORDER BY event_type, o_orderpriority
+        """,
+        "top_event_paths": """
+            -- same single ordering key everywhere: (user_id | ts, event_id)
+            WITH s AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                               - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT)
+                               > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sid AS (
+              SELECT user_id, event_id, ts, event_type,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS _sid
+              FROM s
+            ), led AS (
+              SELECT event_type, _sid,
+                     lead(event_type, 1) OVER w AS t1,
+                     lead(_sid, 1) OVER w AS s1,
+                     lead(event_type, 2) OVER w AS t2,
+                     lead(_sid, 2) OVER w AS s2
+              FROM sid
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type || '>' || t1 || '>' || t2 AS path,
+                   count(*)::BIGINT AS n_sequences
+            FROM led WHERE s1 = _sid AND s2 = _sid
+            GROUP BY 1
+            ORDER BY n_sequences DESC, path ASC
             LIMIT 20
         """,
         "events_resample": """

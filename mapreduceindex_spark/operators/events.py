@@ -613,3 +613,63 @@ def events_resample(events: DataFrame, freq_sec: int = 3600) -> DataFrame:
         )
         .orderBy("event_type", "bucket_start")
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    top_k: int = 20,
+) -> DataFrame:
+    """Sequential path mining: the ``top_k`` most frequent 3-step
+    ``event_type`` sequences occurring inside one session (gap-delimited
+    as in ``sessionize``) — the "what do users actually do" readout
+    behind funnel design, next-action models, and bot-pattern triage.
+
+    One exchange total for the sequence extraction: session ids AND the
+    two look-ahead steps all come from windows over the SAME
+    ``(user_id | ts, event_id)`` spec, so Catalyst plans a single hash
+    exchange + sort and evaluates the three window functions in one
+    pass — no per-session re-partition (a ``partitionBy(user, session)``
+    second window would pay a second shuffle for nothing: comparing
+    ``lead(session_id, i)`` against the row's own session id filters
+    cross-session trigrams identically). The trailing aggregate is
+    key-bounded (|event_type|³ paths at most) and the top-k order is
+    fully tied down (count DESC, path ASC).
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts", 1).over(by_user))
+            > gap_sec,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sid = (
+        F.sum("_new")
+        .over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+    )
+    steps = flagged.withColumn("_sid", sid).select(
+        "event_type",
+        "_sid",
+        F.lead("event_type", 1).over(by_user).alias("_t1"),
+        F.lead("_sid", 1).over(by_user).alias("_s1"),
+        F.lead("event_type", 2).over(by_user).alias("_t2"),
+        F.lead("_sid", 2).over(by_user).alias("_s2"),
+    )
+    paths = steps.filter(
+        (F.col("_s1") == F.col("_sid")) & (F.col("_s2") == F.col("_sid"))
+    ).select(F.concat_ws(">", "event_type", "_t1", "_t2").alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sequences"))
+        .orderBy(F.col("n_sequences").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

@@ -367,3 +367,76 @@ def join_hotspots(events: DataFrame, orders: DataFrame, top_k: int = 20) -> Data
         .orderBy(F.col("out_rows").desc(), F.col("join_key").asc())
         .limit(top_k)
     )
+
+
+def salted_affinity_join(
+    events: DataFrame,
+    orders: DataFrame,
+    salts: int = 8,
+    hot_top_k: int = 20,
+) -> DataFrame:
+    """Execute the ``events ⋈ orders`` join that ``join_hotspots``
+    scouts, with the scouted hot keys SALTED — the mitigation the
+    scout's readout exists to trigger, closing the plan-then-execute
+    loop: per (event_type, o_orderpriority), the number of co-occurring
+    (event, order) pairs for the same user and the exact cents sum of
+    the order prices over those pairs.
+
+    Salting (the standard skew spreader AQE generalizes): the fat
+    (events) side of a hot key gets a deterministic salt
+    ``xxhash64(event_id) mod S`` — pure row-local arithmetic, no state
+    — while the orders side replicates each hot row S× (one per salt)
+    via an exploded literal sequence; cold keys ride along with salt 0
+    and NO replication, so the replication cost is |hot orders|·S, not
+    |orders|·S. The join key becomes ``(user, salt)``: the hot key's
+    output rows now land on S reduce partitions instead of one, which
+    is the difference between a straggler-free stage and a single
+    reducer holding the whole stage hostage at 100 TB. The final
+    aggregate is salt-blind, so the result is provably identical to the
+    plain join (pinned by test), and the oracle runs the plain join.
+
+    The hot list comes from ``join_hotspots`` itself (top-k by join
+    output share) — a bounded ``top_k``-row collect embedded as
+    literals, the probe-then-plan pattern ``zorder_layout`` uses.
+    """
+    hot = [
+        r.join_key
+        for r in join_hotspots(events, orders, top_k=hot_top_k)
+        .select("join_key")
+        .collect()
+    ]
+    e_key = F.col("user_id").cast("long")
+    o_key = F.col("o_custkey").cast("long")
+    e = events.select(
+        e_key.alias("_k"),
+        "event_type",
+        F.when(
+            e_key.isin(hot) if hot else F.lit(False),
+            F.pmod(F.xxhash64("event_id"), F.lit(salts)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_salt"),
+    )
+    o = orders.select(
+        o_key.alias("_k"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_cents"),
+        F.explode(
+            F.when(
+                o_key.isin(hot) if hot else F.lit(False),
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(salts - 1).cast("long")
+                ),
+            ).otherwise(F.array(F.lit(0).cast("long")))
+        ).alias("_salt"),
+    )
+    return (
+        e.join(o, ["_k", "_salt"])
+        .groupBy("event_type", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_cents").alias("pair_price_cents"),
+        )
+        .orderBy("event_type", "o_orderpriority")
+    )

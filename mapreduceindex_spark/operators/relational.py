@@ -418,6 +418,70 @@ def monthly_revenue_trend(orders: DataFrame) -> DataFrame:
     )
 
 
+def _trend_state(orders: DataFrame) -> DataFrame:
+    """Mergeable partial state for ``monthly_revenue_trend``: per month,
+    the UNROUNDED decimal revenue sum and the order count. Decimal
+    addition is associative, so any partition of the fact table merges
+    back to the exact full-table state — the property incremental view
+    maintenance needs (a rounded double would drift on merge)."""
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    return orders.groupBy(F.unix_timestamp(month).alias("month_start")).agg(
+        F.sum(_dec2("o_totalprice")).alias("_sum"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+
+def merge_trend_state(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta batch's state into a materialized base state: full
+    outer join on the month key, component-wise addition. One shuffle of
+    two MONTH-CARDINALITY frames — the fact table is never rescanned,
+    so refresh cost tracks the delta (the ``merge_index`` invariant,
+    applied to aggregates)."""
+    d = delta.select(
+        "month_start",
+        F.col("_sum").alias("_dsum"),
+        F.col("_n").alias("_dn"),
+    )
+    zero = F.lit(0).cast("decimal(15,2)")
+    return base.join(d, "month_start", "full").select(
+        "month_start",
+        (F.coalesce("_sum", zero) + F.coalesce("_dsum", zero)).alias("_sum"),
+        (
+            F.coalesce("_n", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+        ).cast("long").alias("_n"),
+    )
+
+
+def incremental_revenue_trend(
+    orders: DataFrame, split_date: str = "1996-01-01"
+) -> DataFrame:
+    """Incremental materialized-view maintenance for
+    ``monthly_revenue_trend``: the pre-``split_date`` history plays the
+    materialized base state, the rest plays the newly arrived delta, and
+    the refresh merges states instead of rescanning the base — the
+    pattern that turns a 100 TB nightly full recompute into a
+    delta-sized upsert. Invariant (this query IS its proof, the oracle
+    runs the plain full-table trend): merge(state(A), state(B)) ≡
+    state(A ∪ B), exactly, because the merged quantity is the unrounded
+    decimal sum; rounding happens once, in the final projection.
+
+    At test scale both halves scan the same parquet; in production the
+    base state is a stored table and only the delta scan runs.
+    """
+    split = F.to_timestamp(F.lit(split_date))
+    base = _trend_state(orders.filter(F.col("o_orderdate") < split))
+    delta = _trend_state(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        merge_trend_state(base, delta)
+        .select(
+            "month_start",
+            F.round("_sum", 2).cast("double").alias("revenue"),
+            F.col("_n").alias("n_orders"),
+        )
+        .orderBy("month_start")
+    )
+
+
 def revenue_cube(lineitem: DataFrame) -> DataFrame:
     """CUBE (returnflag, linestatus): all 2^2 grouping combinations.
 

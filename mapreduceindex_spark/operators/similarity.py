@@ -729,3 +729,57 @@ def ivf_topk_trained(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k calibration of the LSH-bucketed ANN against the exact
+    brute-force ranking — the acceptance test every approximate index
+    needs before it replaces the exact scan in a retrieval pipeline
+    (FAISS/ScaNN publish exactly this curve per index config).
+
+    Per query: ``n_hits`` = |LSH top-k ∩ exact top-k|, and the integer
+    ``recall_ppm`` = n_hits·10⁶ / k — BIGINT-only output (the r04 #3
+    float-serialization contract). Queries whose LSH bucket misses every
+    true neighbor still appear, zero-filled, via the left join from the
+    query-id frame (scanned directly from ``embeddings``, NOT derived
+    from the exact top-k — re-deriving the O(|Q|·N) subtree for a list
+    of ids would double the dominant cost; see spark-plan re-execution
+    notes).
+
+    Scale: run as written on a stratified query SAMPLE (the |Q|·N exact
+    side is the calibration cost, identical to ``minhash_accuracy``'s
+    exact-Jaccard verifier); the measured recall then gates promoting
+    the LSH index for the full corpus, where only the sub-linear side
+    runs.
+    """
+    exact = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_lsh_topk(embeddings, n_queries, k, n_planes, dim).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    qids = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        qids.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(k).cast("long").alias("k"),
+            F.expr(f"CAST(coalesce(_hits, 0) * 1000000 DIV {k} AS BIGINT)")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -1,0 +1,139 @@
+"""Round-5 operator semantics: salting invariance, recall arithmetic,
+incremental-aggregate merge invariance, session-bounded path mining.
+
+These pin the properties the oracle comparison alone cannot see: the
+oracle runs the PLAIN formulation, so a salted/incremental plan that
+silently fell back to the plain one would still pass parity — the tests
+here force the interesting code path and compare against the in-engine
+plain result."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain(spark):
+    """Force EVERY key hot (top_k >> |keys|, salts=4): the salted path
+    must reproduce the plain join aggregate bit-for-bit."""
+    from mapreduceindex_spark.operators.layout import salted_affinity_join
+    from mapreduceindex_spark.session import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    orders = load_table(spark, SF_SMALL, "orders")
+    salted = salted_affinity_join(events, orders, salts=4, hot_top_k=10_000)
+    plain = (
+        events.select(F.col("user_id").cast("long").alias("_k"), "event_type")
+        .join(
+            orders.select(
+                F.col("o_custkey").cast("long").alias("_k"),
+                "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .alias("_cents"),
+            ),
+            "_k",
+        )
+        .groupBy("event_type", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_cents").alias("pair_price_cents"),
+        )
+    )
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_join_plan_joins_on_salt(spark):
+    """The physical join must key on (_k, _salt) — if the salt column
+    fell out of the equi-join keys the hot key would still melt one
+    reducer and the operator would be decorative."""
+    from mapreduceindex_spark.operators.layout import salted_affinity_join
+    from mapreduceindex_spark.session import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    orders = load_table(spark, SF_SMALL, "orders")
+    df = salted_affinity_join(events, orders, salts=4, hot_top_k=10_000)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert any("_salt" in l for l in join_lines), join_lines
+
+
+def test_ann_recall_matches_manual_intersection(spark):
+    from mapreduceindex_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_recall,
+        cosine_topk,
+    )
+    from mapreduceindex_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, n_queries=10, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(emb, n_queries=10, k=5).collect()
+    }
+    got = {r.query_id: r for r in ann_recall(emb, n_queries=10, k=5).collect()}
+    assert len(got) == 10  # zero-hit queries still present
+    for qid, row in got.items():
+        want = len({p for p in exact & approx if p[0] == qid})
+        assert row.n_hits == want
+        assert row.k == 5
+        assert row.recall_ppm == want * 1_000_000 // 5
+
+
+def test_incremental_trend_split_invariance(spark):
+    """merge(state(A), state(B)) == full trend for MULTIPLE split points,
+    including mid-month splits (a month straddling the split is the case
+    a rounded-state merge would get wrong)."""
+    from mapreduceindex_spark.operators.relational import (
+        incremental_revenue_trend,
+        monthly_revenue_trend,
+    )
+    from mapreduceindex_spark.session import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    full = _rows(monthly_revenue_trend(orders).orderBy("month_start"))
+    for split in ("1994-06-15", "1992-01-01", "2000-01-01"):
+        inc = _rows(incremental_revenue_trend(orders, split_date=split))
+        assert inc == full, f"split {split} drifted"
+
+
+def test_top_event_paths_session_bounded(spark):
+    """Synthetic stream with a known gap: trigrams must never span the
+    session break, and counts/tie-breaks are exact."""
+    from mapreduceindex_spark.operators.events import top_event_paths
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # user 1, session 0: A B C D  -> paths A>B>C, B>C>D
+        (1, 1, ts(0), "A"),
+        (2, 1, ts(10), "B"),
+        (3, 1, ts(20), "C"),
+        (4, 1, ts(30), "D"),
+        # gap > 1800s -> session 1: A B C -> path A>B>C
+        (5, 1, ts(30 + 1801 + 1), "A"),
+        (6, 1, ts(30 + 1801 + 11), "B"),
+        (7, 1, ts(30 + 1801 + 21), "C"),
+        # user 2, one session, only 2 events: no trigram
+        (8, 2, ts(0), "A"),
+        (9, 2, ts(5), "B"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = [(r.path, r.n_sequences) for r in top_event_paths(events).collect()]
+    assert got == [("A>B>C", 2), ("B>C>D", 1)]
