@@ -88,6 +88,7 @@ _VERIFY_FIRST = [
     "salted_affinity_join",
     "top_event_paths",
     "incremental_revenue_trend",
+    "snapshot_diff_orders",
     # (d) re-verify cycling, oldest driver-green first. Last green r01:
     "big_spenders_minus_mid",
     "customer_order_profile",
@@ -133,14 +134,14 @@ _VERIFY_FIRST = [
     "top_words_per_source",
     "training_corpus",
     "word_counts",
-    # ROUND-6 ROTATION: this list is 58 entries (1 fix + 5 promotions +
-    # 1 schema change + 8 round-5 additions + 8 r01-green + 35
-    # r02-green); the driver samples the FIRST 50, so the final EIGHT
+    # ROUND-6 ROTATION: this list is 59 entries (1 fix + 5 promotions +
+    # 1 schema change + 9 round-5 additions + 8 r01-green + 35
+    # r02-green); the driver samples the FIRST 50, so the final NINE
     # r02 re-verifies fall off this round's sample:
-    # stratified_sample, tf_idf, token_counts_bpe,
+    # split_by_hash, stratified_sample, tf_idf, token_counts_bpe,
     # top_orders_per_customer, top_words_per_source, training_corpus,
-    # word_counts, split_by_hash (all r02-green). Promote exactly those
-    # eight in round 6, plus any round-6 additions and any r05
+    # word_counts, sentence_chunks (all r02-green). Promote exactly
+    # those nine in round 6, plus any round-6 additions and any r05
     # non-greens, then cycle the r03-last-green block. Local pytest
     # oracle-checks all registry queries every run regardless.
 ]
@@ -571,6 +572,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "profile_documents": lambda s, d: PF.profile_table(
             _t(s, d, "documents"), exact=True
+        ),
+        # round 5: snapshot-to-snapshot diff (keys + fingerprints only
+        # cross the exchange; versions carved deterministically from the
+        # one shipped drop)
+        "snapshot_diff_orders": lambda s, d: PF.orders_snapshot_diff(
+            _t(s, d, "orders")
         ),
         # round 4: physical layout planning — Z-order file boxes + join
         # skew scouting (operators/layout.py)
@@ -2815,6 +2822,41 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
         "profile_orders": _profile_sql("orders", _ORDERS_PROFILE_COLS),
+        "snapshot_diff_orders": """
+            -- same canonical forms + md5 fingerprint mechanism; hashes
+            -- are only ever compared within one engine
+            WITH canon AS (
+              SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS price_cents,
+                     CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS date_sec,
+                     CAST(o_custkey AS BIGINT) AS custkey
+              FROM orders
+            ), v1 AS (
+              SELECT o_orderkey,
+                     md5(concat_ws(chr(31), o_orderstatus, o_orderpriority,
+                         CAST(price_cents AS VARCHAR),
+                         CAST(date_sec AS VARCHAR),
+                         CAST(custkey AS VARCHAR))) AS f
+              FROM canon WHERE o_orderkey % 7 <> 0
+            ), v2 AS (
+              SELECT o_orderkey,
+                     md5(concat_ws(chr(31), o_orderstatus, o_orderpriority,
+                         CAST(CASE WHEN o_orderkey % 3 = 0
+                                   THEN price_cents + 1
+                                   ELSE price_cents END AS VARCHAR),
+                         CAST(date_sec AS VARCHAR),
+                         CAST(custkey AS VARCHAR))) AS f
+              FROM canon WHERE o_orderkey % 5 <> 0
+            )
+            SELECT CASE WHEN v1.f IS NULL THEN 'added'
+                        WHEN v2.f IS NULL THEN 'removed'
+                        WHEN v1.f <> v2.f THEN 'changed'
+                        ELSE 'unchanged' END AS change_type,
+                   count(*)::BIGINT AS n_rows
+            FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
         "profile_documents": _profile_sql(
             "documents", _DOCUMENTS_PROFILE_COLS
         ),

@@ -123,3 +123,92 @@ def profile_table(df: DataFrame, exact: bool = False) -> DataFrame:
         "n_distinct bigint, min_num double, max_num double, "
         "min_str string, max_str string",
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same keyed table —
+    "what changed between drop N and drop N+1", the audit every
+    versioned training-data pipeline runs before promoting a refresh:
+    counts of ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    keys.
+
+    Plan: each side collapses to ``(key, fingerprint)`` — md5 over the
+    unit-separator-joined canonical column strings, computed inside the
+    scan stage — then ONE full-outer shuffle join on the key compares
+    fingerprints and a key-bounded 4-group aggregate counts outcomes.
+    Row width never crosses the exchange (only key + 32-char hash), so
+    the shuffle cost is O(|keys|), independent of column count — the
+    property that keeps a 100-column 100 TB snapshot diff affordable.
+
+    Callers must canonicalize value columns to engine-stable string
+    forms FIRST (integers/strings as-is; floats as scaled BIGINTs,
+    timestamps as epoch seconds): fingerprints are only ever compared
+    within one engine, but a float's ``cast(string)`` is not
+    deterministic across engines, and the oracle replays the same md5
+    on the same canonical forms.
+    """
+    sep = "\x1f"
+
+    def fp(df: DataFrame) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                sep,
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                    for c in cols
+                ],
+            )
+        )
+
+    o = old.select(F.col(key).alias("_k"), fp(old).alias("_fo"))
+    n = new.select(F.col(key).alias("_k"), fp(new).alias("_fn"))
+    change = (
+        F.when(F.col("_fo").isNull(), F.lit("added"))
+        .when(F.col("_fn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") != F.col("_fn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, "_k", "full")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change_type")
+    )
+
+
+def orders_snapshot_diff(orders: DataFrame) -> DataFrame:
+    """``snapshot_diff`` driven end-to-end on deterministic synthetic
+    versions of ``orders`` (the testdata ships one drop, so v1/v2 are
+    carved from it): v1 drops every 7th key (rows that "arrive later"),
+    v2 drops every 5th key (rows that "were deleted") and bumps the
+    price of every 3rd key by one cent (rows that "changed"). All value
+    columns ride in canonical integer/string form per the
+    ``snapshot_diff`` contract."""
+    canon = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "price_cents"
+        ),
+        F.unix_timestamp("o_orderdate").cast("long").alias("date_sec"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+    )
+    v1 = canon.filter(F.col("o_orderkey") % 7 != 0)
+    v2 = canon.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "price_cents",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("price_cents") + 1
+        ).otherwise(F.col("price_cents")),
+    )
+    value_cols = [
+        "o_orderstatus",
+        "o_orderpriority",
+        "price_cents",
+        "date_sec",
+        "custkey",
+    ]
+    return snapshot_diff(v1, v2, "o_orderkey", value_cols)

@@ -137,3 +137,48 @@ def test_top_event_paths_session_bounded(spark):
     )
     got = [(r.path, r.n_sequences) for r in top_event_paths(events).collect()]
     assert got == [("A>B>C", 2), ("B>C>D", 1)]
+
+
+def test_snapshot_diff_micro(spark):
+    """Synthetic 5-key diff exercising all four outcomes plus a NULL
+    value column (the coalesce placeholder path)."""
+    from mapreduceindex_spark.operators.profiling import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 30), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {
+        r.change_type: r.n_rows
+        for r in snapshot_diff(old, new, "k", ["s", "v"]).collect()
+    }
+    # 1 unchanged, 2 changed (s), 3 changed (NULL -> 30), 4 removed, 5 added
+    assert got == {"added": 1, "removed": 1, "changed": 2, "unchanged": 1}
+
+
+def test_orders_snapshot_diff_counts_match_direct(spark):
+    """The fingerprint diff must agree with a direct column-by-column
+    comparison (no hashing) of the same carved versions."""
+    from mapreduceindex_spark.operators.profiling import orders_snapshot_diff
+    from mapreduceindex_spark.session import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    got = {
+        r.change_type: r.n_rows for r in orders_snapshot_diff(orders).collect()
+    }
+    k = F.col("o_orderkey")
+    n_v1 = orders.filter(k % 7 != 0).count()
+    n_v2 = orders.filter(k % 5 != 0).count()
+    n_both = orders.filter((k % 7 != 0) & (k % 5 != 0)).count()
+    n_changed = orders.filter(
+        (k % 7 != 0) & (k % 5 != 0) & (k % 3 == 0)
+    ).count()
+    assert got.get("added", 0) == n_v2 - n_both
+    assert got.get("removed", 0) == n_v1 - n_both
+    assert got.get("changed", 0) == n_changed
+    assert got.get("unchanged", 0) == n_both - n_changed
+    assert sum(got.values()) == n_v1 + n_v2 - n_both
