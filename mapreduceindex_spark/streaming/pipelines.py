@@ -54,7 +54,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(
-    agg: DataFrame, mode: str = "complete", partitions: int = 4
+    agg: DataFrame,
+    mode: str = "complete",
+    partitions: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drive a finite streaming aggregation to completion into a memory
     sink; return the materialized result as a batch DataFrame.
@@ -92,13 +95,20 @@ def _run_to_table(
         # poll-until-idle loop (which costs extra no-data micro-batches
         # plus polling latency on a finite source). Result-identical on
         # bounded input; an unbounded deployment swaps the trigger line.
-        q = (
+        writer = (
             agg.writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
             .trigger(availableNow=True)
-            .start()
         )
+        # Durable restart point: with a checkpoint the SAME query can be
+        # stopped and relaunched and will recover its state store +
+        # processed-file log instead of recomputing — the property
+        # tests/test_streaming_recovery.py pins. The default in-memory
+        # harness skips it (each correctness run is a fresh query).
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
         try:
             q.awaitTermination()
         finally:
