@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     "top_event_paths",
     "incremental_revenue_trend",
     "snapshot_diff_orders",
+    "compaction_plan",
     # (d) re-verify cycling, oldest driver-green first. Last green r01:
     "big_spenders_minus_mid",
     "customer_order_profile",
@@ -134,16 +135,17 @@ _VERIFY_FIRST = [
     "top_words_per_source",
     "training_corpus",
     "word_counts",
-    # ROUND-6 ROTATION: this list is 59 entries (1 fix + 5 promotions +
-    # 1 schema change + 9 round-5 additions + 8 r01-green + 35
-    # r02-green); the driver samples the FIRST 50, so the final NINE
+    # ROUND-6 ROTATION: this list is 60 entries (1 fix + 5 promotions +
+    # 1 schema change + 10 round-5 additions + 8 r01-green + 35
+    # r02-green); the driver samples the FIRST 50, so the final TEN
     # r02 re-verifies fall off this round's sample:
-    # split_by_hash, stratified_sample, tf_idf, token_counts_bpe,
-    # top_orders_per_customer, top_words_per_source, training_corpus,
-    # word_counts, sentence_chunks (all r02-green). Promote exactly
-    # those nine in round 6, plus any round-6 additions and any r05
-    # non-greens, then cycle the r03-last-green block. Local pytest
-    # oracle-checks all registry queries every run regardless.
+    # search_any, sentence_chunks, split_by_hash, stratified_sample,
+    # tf_idf, token_counts_bpe, top_orders_per_customer,
+    # top_words_per_source, training_corpus, word_counts (all
+    # r02-green). Promote exactly those ten in round 6, plus any
+    # round-6 additions and any r05 non-greens, then cycle the
+    # r03-last-green block. Local pytest oracle-checks all registry
+    # queries every run regardless.
 ]
 
 
@@ -592,6 +594,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # result provably identical to the plain join the oracle runs
         "salted_affinity_join": lambda s, d: LY.salted_affinity_join(
             _t(s, d, "events"), _t(s, d, "orders")
+        ),
+        # round 5: small-file compaction planner (two-phase cumsum,
+        # cumulative-quota packing — Spark's own FilePartition rule)
+        "compaction_plan": lambda s, d: LY.docs_compaction_plan(
+            _t(s, d, "documents")
         ),
         # round 4: iterative graph analytics — integer-micro PageRank
         # over the bigram graph, oracle = unrolled CTE replay
@@ -2882,6 +2889,27 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM j, t
             ORDER BY out_rows DESC, join_key
             LIMIT 20
+        """,
+        "compaction_plan": """
+            -- single-window cumsum is fine at oracle/metadata scale;
+            -- the engine runs the two-phase bucket form of the same sum
+            WITH fs AS (
+              SELECT doc_id // 10 AS file_id, sum(n_chars)::BIGINT AS bytes
+              FROM documents GROUP BY 1
+            ), cum AS (
+              SELECT file_id, bytes,
+                     coalesce(sum(bytes) OVER (
+                       ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum_excl
+              FROM fs
+            )
+            SELECT (cum_excl // 8192)::BIGINT AS group_id,
+                   count(*)::BIGINT AS n_files,
+                   sum(bytes)::BIGINT AS group_bytes,
+                   min(file_id)::BIGINT AS first_file,
+                   max(file_id)::BIGINT AS last_file
+            FROM cum GROUP BY 1 ORDER BY 1
         """,
         "salted_affinity_join": """
             -- the plain join: salting is plan-side only, the aggregate

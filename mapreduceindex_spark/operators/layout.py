@@ -440,3 +440,86 @@ def salted_affinity_join(
         )
         .orderBy("event_type", "o_orderpriority")
     )
+
+
+def compaction_plan(
+    file_stats: DataFrame, target_bytes: int, bucket_width: int = 1024
+) -> DataFrame:
+    """Small-file compaction planner: assign files (ordered by
+    ``file_id``) to merge groups of ~``target_bytes`` each — the
+    maintenance job every long-lived table needs once streaming/
+    incremental writers have littered it with kilobyte files, and the
+    same cumulative-quota packing Spark's own scan uses to build
+    ``FilePartition``s under ``files.maxPartitionBytes``.
+
+    Assignment is ``group = exclusive_cumulative_bytes DIV target`` —
+    whole files only, each group overflowing by less than one file, and
+    every engine agrees because it is pure BIGINT arithmetic on an
+    explicit total order. The exclusive cumsum is built two-phase (the
+    ``zorder_layout`` rank pattern): per-bucket byte sums first
+    (``file_id DIV bucket_width`` — the only unpartitioned window runs
+    over THIS bounded bucket frame), then a bucket-partitioned window
+    adds the within-bucket prefix. File metadata is ~1 row per 100 MB
+    at 100 TB (≈10⁶ rows); the two-phase shape keeps even that off a
+    single task.
+
+    Input: ``(file_id, bytes)``. Output: one row per merge group with
+    file count, byte total, and the contiguous ``[first_file,
+    last_file]`` range it covers (contiguity is what lets the rewrite
+    job be expressed as a range scan per group).
+    """
+    fs = file_stats.select(
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("bytes").cast("long").alias("bytes"),
+        F.expr(f"CAST(file_id AS BIGINT) DIV {bucket_width}").alias("_b"),
+    )
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        fs.groupBy("_b")
+        .agg(F.sum("bytes").alias("_bb"))
+        .select(
+            "_b",
+            F.coalesce(F.sum("_bb").over(wb), F.lit(0)).alias("_boff"),
+        )
+    )
+    wl = (
+        Window.partitionBy("_b")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = fs.join(boff, "_b").select(
+        "file_id",
+        "bytes",
+        (
+            F.col("_boff") + F.coalesce(F.sum("bytes").over(wl), F.lit(0))
+        ).alias("_cum_excl"),
+    )
+    return (
+        cum.select(
+            "file_id",
+            "bytes",
+            F.expr(f"CAST(_cum_excl DIV {target_bytes} AS BIGINT)").alias(
+                "group_id"
+            ),
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("group_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("group_id")
+    )
+
+
+def docs_compaction_plan(
+    documents: DataFrame, docs_per_file: int = 10, target_bytes: int = 8192
+) -> DataFrame:
+    """``compaction_plan`` driven end-to-end: pseudo-files carved from
+    the documents table (``doc_id DIV docs_per_file``, byte size =
+    Σ ``n_chars``) stand in for a littered table's file listing."""
+    fs = documents.groupBy(
+        F.expr(f"CAST(doc_id AS BIGINT) DIV {docs_per_file}").alias("file_id")
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    return compaction_plan(fs, target_bytes)

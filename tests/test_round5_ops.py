@@ -182,3 +182,58 @@ def test_orders_snapshot_diff_counts_match_direct(spark):
     assert got.get("changed", 0) == n_changed
     assert got.get("unchanged", 0) == n_both - n_changed
     assert sum(got.values()) == n_v1 + n_v2 - n_both
+
+
+def test_compaction_plan_micro(spark):
+    """Hand-computed cumulative-quota packing, including a file bigger
+    than the target (it must keep its own group without disturbing the
+    arithmetic)."""
+    from mapreduceindex_spark.operators.layout import compaction_plan
+
+    fs = spark.createDataFrame(
+        [(0, 40), (1, 40), (2, 40), (3, 250), (4, 10), (5, 10)],
+        "file_id long, bytes long",
+    )
+    got = [tuple(r) for r in compaction_plan(fs, target_bytes=100).collect()]
+    # exclusive cumsums: 0,40,80,120,370,380 -> groups 0,0,0,1,3,3
+    assert got == [(0, 3, 120, 0, 2), (1, 1, 250, 3, 3), (3, 2, 20, 4, 5)]
+
+
+def test_compaction_plan_two_phase_equals_single_window(spark):
+    """The bucketed two-phase cumsum must equal the naive single-window
+    form — exercised with a bucket width smaller than the file count so
+    multiple buckets actually participate."""
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.operators.layout import compaction_plan
+
+    fs = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 10) for i in range(300)],
+        "file_id long, bytes long",
+    )
+    got = _rows(compaction_plan(fs, target_bytes=500, bucket_width=16))
+    w = Window.orderBy("file_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = _rows(
+        fs.select(
+            "file_id",
+            "bytes",
+            (F.coalesce(F.sum("bytes").over(w), F.lit(0)) / 500)
+            .cast("long")
+            .alias("group_id"),
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("group_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+    )
+    assert got == naive
+    # conservation + contiguous, ordered group ranges
+    assert sum(g[1] for g in got) == 300
+    ordered = sorted(got)
+    for prev, nxt in zip(ordered, ordered[1:]):
+        assert nxt[3] == prev[4] + 1
