@@ -151,7 +151,11 @@ _VERIFY_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {k: base[k] for k in _VERIFY_FIRST if k in base}
+    # fail fast on a misspelled rotation entry: silently skipping one
+    # would cost that query its front-of-list driver-verify slot
+    unknown = set(_VERIFY_FIRST) - set(base)
+    assert not unknown, f"_VERIFY_FIRST names unknown queries: {unknown}"
+    ordered = {k: base[k] for k in _VERIFY_FIRST}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
     return ordered
 
@@ -2772,8 +2776,10 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               SELECT vec_id,
                      len(embedding)::BIGINT AS n_dims,
                      embedding,
-                     list_max(list_transform(
-                       embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+                     -- COALESCE: an empty embedding must yield m = 0
+                     -- (Spark's aggregate fold starts at 0.0), not NULL
+                     COALESCE(list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE)))), 0) AS m
               FROM embeddings
             ), q AS (
               SELECT vec_id, n_dims,
@@ -2840,21 +2846,37 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                      CAST(o_custkey AS BIGINT) AS custkey
               FROM orders
             ), v1 AS (
+              -- length-prefixed injective encoding, mirroring snapshot_diff
               SELECT o_orderkey,
-                     md5(concat_ws(chr(31), o_orderstatus, o_orderpriority,
-                         CAST(price_cents AS VARCHAR),
-                         CAST(date_sec AS VARCHAR),
-                         CAST(custkey AS VARCHAR))) AS f
+                     md5(concat(
+                         length(o_orderstatus)::VARCHAR, ':', o_orderstatus,
+                         length(o_orderpriority)::VARCHAR, ':',
+                           o_orderpriority,
+                         length(price_cents::VARCHAR)::VARCHAR, ':',
+                           price_cents::VARCHAR,
+                         length(date_sec::VARCHAR)::VARCHAR, ':',
+                           date_sec::VARCHAR,
+                         length(custkey::VARCHAR)::VARCHAR, ':',
+                           custkey::VARCHAR)) AS f
               FROM canon WHERE o_orderkey % 7 <> 0
             ), v2 AS (
               SELECT o_orderkey,
-                     md5(concat_ws(chr(31), o_orderstatus, o_orderpriority,
-                         CAST(CASE WHEN o_orderkey % 3 = 0
-                                   THEN price_cents + 1
-                                   ELSE price_cents END AS VARCHAR),
-                         CAST(date_sec AS VARCHAR),
-                         CAST(custkey AS VARCHAR))) AS f
-              FROM canon WHERE o_orderkey % 5 <> 0
+                     md5(concat(
+                         length(o_orderstatus)::VARCHAR, ':', o_orderstatus,
+                         length(o_orderpriority)::VARCHAR, ':',
+                           o_orderpriority,
+                         length(bumped::VARCHAR)::VARCHAR, ':',
+                           bumped::VARCHAR,
+                         length(date_sec::VARCHAR)::VARCHAR, ':',
+                           date_sec::VARCHAR,
+                         length(custkey::VARCHAR)::VARCHAR, ':',
+                           custkey::VARCHAR)) AS f
+              FROM (
+                SELECT *, CASE WHEN o_orderkey % 3 = 0
+                               THEN price_cents + 1
+                               ELSE price_cents END AS bumped
+                FROM canon
+              ) WHERE o_orderkey % 5 <> 0
             )
             SELECT CASE WHEN v1.f IS NULL THEN 'added'
                         WHEN v2.f IS NULL THEN 'removed'

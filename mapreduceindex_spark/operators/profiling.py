@@ -148,19 +148,24 @@ def snapshot_diff(
     within one engine, but a float's ``cast(string)`` is not
     deterministic across engines, and the oracle replays the same md5
     on the same canonical forms.
+
+    The pre-hash encoding is injective for ANY value content: each
+    field serializes as ``<char_length>:<value>`` (NULL as ``#``), so
+    no separator collision can make two different row tuples concat to
+    the same string — a plain joined encoding would count
+    ``('a<sep>b', 'c')`` vs ``('a', 'b<sep>c')`` as unchanged.
     """
-    sep = "\x1f"
 
     def fp(df: DataFrame) -> F.Column:
-        return F.md5(
-            F.concat_ws(
-                sep,
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
-                    for c in cols
-                ],
+        parts = []
+        for c in cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("#")).otherwise(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                )
             )
-        )
+        return F.md5(F.concat(*parts))
 
     o = old.select(F.col(key).alias("_k"), fp(old).alias("_fo"))
     n = new.select(F.col(key).alias("_k"), fp(new).alias("_fn"))

@@ -524,33 +524,18 @@ def streaming_hot_tokens(
     )
 
 
-def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STATELESS streaming as-of enrichment: every error event in the
-    live stream is matched to the user's latest purchase at-or-before
-    its timestamp, against a static purchase-history table — the
-    feature-lookup shape ("join each event to the most recent reference
-    row") that batch ``asof_error_purchase`` serves offline.
+def asof_enrich_frame(ev: DataFrame, events: DataFrame) -> DataFrame:
+    """The (streaming errors) × (static purchase history) as-of plan
+    behind :func:`streaming_asof_enrich` — exposed as a function of its
+    input frames so the stateless-property test drives the PRODUCTION
+    construction rather than a copy that could silently drift.
 
-    Spark-first design: Structured Streaming has no stream-static as-of
-    join, and an aggregation formulation would hold one state row per
-    event. Instead the static side is collapsed ONCE per user into a
-    time-sorted ``array<struct<p_sec, purchase_id>>`` (canonical
-    min-event_id per timestamp, same tie rule as the batch twin), and
-    that per-user array broadcast-joins into each micro-batch; the
-    as-of lookup is then a per-row Catalyst higher-order
-    ``filter(arr, p -> p.p_sec <= e_sec)`` + ``element_at(-1)`` — pure
-    JVM expression work, NO state store, emits on arrival, no
-    watermark holdback. At 100 TB the broadcast is bounded by users ×
-    per-user history (the dimension, not the firehose); a history too
-    large to broadcast shuffles both sides on user_id instead — the
-    plan is a plain join either way. Inner-match semantics (errors
-    with no prior purchase drop) mirror the batch twin, so the DuckDB
-    ``ASOF JOIN`` oracle is shared verbatim.
+    Matches on FULL microsecond precision (the batch twin's
+    ``merge_asof`` and the oracle's ASOF ``e.ts >= p.ts`` both do) —
+    comparing second-truncated keys would admit a purchase that happens
+    AFTER the error within the same second; the output columns stay
+    second-granularity per the shared oracle contract.
     """
-    from mapreduceindex_spark.session import load_table
-
-    ev = _stream_events(spark, sf_dir)
-    events = load_table(spark, sf_dir, "events")
     history = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
@@ -558,8 +543,9 @@ def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.struct(
-                F.unix_timestamp("ts").cast("long").alias("p_sec"),
+                F.unix_micros("ts").alias("p_us"),
                 F.col("purchase_id").alias("purchase_id"),
+                F.unix_timestamp("ts").cast("long").alias("p_sec"),
             ).alias("p"),
         )
         .groupBy("user_id")
@@ -569,12 +555,13 @@ def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error").select(
         "user_id",
         "event_id",
+        F.unix_micros("ts").alias("e_us"),
         F.unix_timestamp("ts").cast("long").alias("e_sec"),
     )
     prior = F.filter(
-        F.col("hist"), lambda p: p["p_sec"] <= F.col("e_sec")
+        F.col("hist"), lambda p: p["p_us"] <= F.col("e_us")
     )
-    enriched = (
+    return (
         errors.join(
             F.broadcast(history), F.col("user_id") == F.col("h_user")
         )
@@ -596,6 +583,37 @@ def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_m.p_sec").alias("p_sec"),
             (F.col("e_sec") - F.col("_m.p_sec")).alias("lag_sec"),
         )
+    )
+
+
+def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATELESS streaming as-of enrichment: every error event in the
+    live stream is matched to the user's latest purchase at-or-before
+    its timestamp, against a static purchase-history table — the
+    feature-lookup shape ("join each event to the most recent reference
+    row") that batch ``asof_error_purchase`` serves offline.
+
+    Spark-first design: Structured Streaming has no stream-static as-of
+    join, and an aggregation formulation would hold one state row per
+    event. Instead the static side is collapsed ONCE per user into a
+    time-sorted ``array<struct<p_us, purchase_id, p_sec>>`` (canonical
+    min-event_id per timestamp, same tie rule as the batch twin), and
+    that per-user array broadcast-joins into each micro-batch; the
+    as-of lookup is then a per-row Catalyst higher-order
+    ``filter(arr, p -> p.p_us <= e_us)`` + ``element_at(-1)`` — pure
+    JVM expression work, NO state store, emits on arrival, no
+    watermark holdback. At 100 TB the broadcast is bounded by users ×
+    per-user history (the dimension, not the firehose); a history too
+    large to broadcast shuffles both sides on user_id instead — the
+    plan is a plain join either way. Inner-match semantics (errors
+    with no prior purchase drop) mirror the batch twin, so the DuckDB
+    ``ASOF JOIN`` oracle is shared verbatim. Plan construction lives in
+    :func:`asof_enrich_frame`.
+    """
+    from mapreduceindex_spark.session import load_table
+
+    enriched = asof_enrich_frame(
+        _stream_events(spark, sf_dir), load_table(spark, sf_dir, "events")
     )
     out = _run_to_table(enriched, "append")
     return out.orderBy("event_id")

@@ -446,37 +446,8 @@ def test_streaming_asof_enrich_is_stateless(spark):
 
     ev = P._stream_events(spark, SF_SMALL)
     events = load_table(spark, SF_SMALL, "events")
-    history = (
-        events.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.min("event_id").alias("purchase_id"))
-        .select(
-            "user_id",
-            F.struct(
-                F.unix_timestamp("ts").cast("long").alias("p_sec"),
-                F.col("purchase_id").alias("purchase_id"),
-            ).alias("p"),
-        )
-        .groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("p")).alias("hist"))
-        .select(F.col("user_id").alias("h_user"), "hist")
-    )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id",
-        "event_id",
-        F.unix_timestamp("ts").cast("long").alias("e_sec"),
-    )
-    prior = F.filter(F.col("hist"), lambda p: p["p_sec"] <= F.col("e_sec"))
-    enriched = (
-        errors.join(F.broadcast(history), F.col("user_id") == F.col("h_user"))
-        .withColumn("_prior", prior)
-        .withColumn(
-            "_m",
-            F.when(F.size("_prior") > 0, F.element_at(F.col("_prior"), -1)),
-        )
-        .filter(F.col("_m").isNotNull())
-        .select("user_id", "event_id", F.col("_m.purchase_id").alias("pid"))
-    )
+    # the PRODUCTION plan construction — not a copy that could drift
+    enriched = P.asof_enrich_frame(ev, events)
     name = "s" + _uuid.uuid4().hex[:12]
     q = (
         enriched.writeStream.outputMode("append")
@@ -492,7 +463,8 @@ def test_streaming_asof_enrich_is_stateless(spark):
         q.stop()
     assert progress["stateOperators"] == [], progress["stateOperators"]
     got = sorted(
-        (r["event_id"], r["pid"]) for r in spark.table(name).collect()
+        (r["event_id"], r["purchase_id"])
+        for r in spark.table(name).collect()
     )
     want = sorted(
         (r["event_id"], r["purchase_id"])
