@@ -17,22 +17,29 @@ findings instead of prose:
                           the plan; ~10-100× slower than Arrow-batched
                           Pandas stages and breaks whole-stage codegen.
 - ``global_window``       a window function whose spec has NO partition
-                          keys — Spark moves every row to one task
-                          (the WindowExec "No Partition Defined"
-                          warning, formalized). Bounded metadata frames
-                          are fine; flag carries the spec text so the
-                          caller can allowlist those.
-- ``unpushed_filter``     a parquet scan with data filters that did NOT
-                          reach the reader (``PushedFilters: []`` while
-                          ``DataFilters`` is non-empty) — the scan reads
-                          everything and filters late.
+                          keys — both the ordered form (rank over the
+                          whole table) and the unordered whole-table
+                          frame (sum over ``partitionBy()``) — Spark
+                          moves every row to one task (the WindowExec
+                          "No Partition Defined" warning, formalized).
+                          Bounded metadata frames are fine; the finding
+                          carries the spec text so callers can
+                          allowlist those.
+- ``unpushed_filter``     a parquet scan with selective data filters
+                          none of which reached the reader (Spark
+                          pushes derived IsNotNulls even when the real
+                          predicate cannot push, so IsNotNull noise is
+                          stripped from both lists before comparing) —
+                          the scan reads everything and filters late.
 
-The same regex probes back the repo's committed plan audit
-(``scripts/plan_report.py`` → PLANS.md); this module makes them a
-library call so pipelines can gate on them in CI. Detection is
-necessarily textual — Spark exposes finalized physical plans as
-strings — but every pattern is pinned by a positive AND a negative
-test against real plans (tests/test_plan_lint.py).
+``scripts/plan_report.py`` (→ the committed PLANS.md audit) builds on
+``stats_from_text`` from this module, so the CI gate and the committed
+audit cannot drift apart. Detection is necessarily textual — Spark
+exposes finalized physical plans as strings — but every pattern is
+pinned by a positive AND a negative test against real plans
+(tests/test_plan_lint.py), and the scan-metadata parse is line-scoped
+so Spark's ``maxMetadataStringLength`` truncation (which can eat a
+closing bracket) cannot make one field's regex swallow another's.
 """
 
 from __future__ import annotations
@@ -41,6 +48,14 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+
+#: Arrow-batched Python stages (the sanctioned kind — still worth
+#: counting: each is a JVM↔Arrow boundary and a codegen break).
+ARROW_STAGES = (
+    r"MapInPandas|FlatMapCoGroupsInPandas|FlatMapGroupsInPandasWithState"
+    r"|FlatMapGroupsInPandas|ApplyInPandasWithState|WindowInPandas"
+    r"|AggregateInPandas|ArrowEvalPython|MapInArrow|PythonMapInArrow"
+)
 
 
 @dataclass(frozen=True)
@@ -53,27 +68,44 @@ def _plan_text(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def plan_stats(df: DataFrame) -> dict:
+def stats_from_text(plan: str) -> dict:
     """Count the plan features that decide scale behavior (the
-    PLANS.md audit columns) for one DataFrame."""
-    plan = _plan_text(df)
+    PLANS.md audit columns) from a physical-plan string."""
     return {
         "exchanges": len(re.findall(r"Exchange hashpartitioning", plan)),
         "range_exchanges": len(
             re.findall(r"Exchange rangepartitioning", plan)
         ),
-        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "broadcast_joins": len(
+            re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)
+        ),
         "smj_or_shj": len(
             re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)
         ),
-        "python_stages": len(
-            re.findall(
-                r"MapInPandas|FlatMapCoGroupsInPandas"
-                r"|FlatMapGroupsInPandas|ArrowEvalPython",
-                plan,
-            )
-        ),
+        "python_stages": len(re.findall(ARROW_STAGES, plan)),
+        "python_udf_rows": len(re.findall(r"BatchEvalPython", plan)),
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
     }
+
+
+def plan_stats(df: DataFrame) -> dict:
+    """``stats_from_text`` over ``df``'s finalized physical plan."""
+    return stats_from_text(_plan_text(df))
+
+
+def _scan_fields(line: str, field: str) -> list[str] | None:
+    """Extract a FileScan metadata list from ONE plan line, tolerating
+    Spark's maxMetadataStringLength truncation (the closing ']' may
+    have been replaced by '...'). Returns None if the field is absent,
+    else the comma-split entries with IsNotNull noise removed."""
+    m = re.search(field + r": \[([^\]\n]*)(?:\]|\.\.\.)", line)
+    if m is None:
+        return None
+    return [
+        f.strip()
+        for f in m.group(1).split(",")
+        if f.strip() and not f.strip().lower().startswith("isnotnull")
+    ]
 
 
 def lint_plan(df: DataFrame) -> list[Finding]:
@@ -82,41 +114,35 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     plan = _plan_text(df)
     findings: list[Finding] = []
 
-    for m in re.finditer(r"CartesianProduct", plan):
-        findings.append(Finding("cartesian", m.group(0)))
-    for m in re.finditer(r"BatchEvalPython \[([^\]]*)", plan):
-        findings.append(Finding("row_python", m.group(1)))
+    for line in plan.splitlines():
+        stripped = line.strip(" :+-*(0123456789)")
+        if "CartesianProduct" in line:
+            findings.append(Finding("cartesian", stripped[:120]))
+        if "BatchEvalPython" in line:
+            findings.append(Finding("row_python", stripped[:120]))
+        if "FileScan" in line:
+            data = _scan_fields(line, "DataFilters")
+            pushed = _scan_fields(line, "PushedFilters")
+            if data and pushed is not None and not pushed:
+                findings.append(
+                    Finding("unpushed_filter", ", ".join(data)[:120])
+                )
 
-    # windowspecdefinition(<partition cols...,> <order> ASC|DESC ...):
-    # an unpartitioned spec starts with an ordered column immediately —
-    # i.e. the text between '(' and the first ASC/DESC marker contains
-    # exactly one expression. Partitioned specs list partition keys
-    # (no sort direction) before the ordered ones.
+    # windowspecdefinition(<partition cols...,> <order cols ASC|DESC...,>
+    # specifiedwindowframe(...)): partition keys carry no sort
+    # direction, ordered keys do, and the frame spec comes last. An
+    # unpartitioned spec therefore STARTS either with an ordered column
+    # (" ASC"/" DESC" in the first element — rank over the whole table)
+    # or with the frame itself (unordered whole-table aggregate,
+    # ``Window.partitionBy()`` with no orderBy).
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         first = spec.split(",")[0].strip()
-        if " ASC" in first or " DESC" in first:
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+        ):
             findings.append(Finding("global_window", spec[:120]))
-
-    # scans where no SELECTIVE predicate reached the parquet reader:
-    # Spark pushes the derived IsNotNull even when the real predicate
-    # (an expression over a column) cannot push, so "PushedFilters
-    # non-empty" is not evidence of pushdown — strip the IsNotNull noise
-    # from both lists before comparing.
-    for m in re.finditer(
-        r"DataFilters: \[([^\]]*)\].*?PushedFilters: \[([^\]]*)\]", plan
-    ):
-        data = [
-            f.strip()
-            for f in m.group(1).split(",")
-            if f.strip() and not f.strip().lower().startswith("isnotnull")
-        ]
-        pushed = [
-            f.strip()
-            for f in m.group(2).split(",")
-            if f.strip() and not f.strip().startswith("IsNotNull")
-        ]
-        if data and not pushed:
-            findings.append(Finding("unpushed_filter", m.group(1)[:120]))
 
     return findings

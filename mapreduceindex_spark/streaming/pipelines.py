@@ -731,58 +731,37 @@ def streaming_lsh_dedup_pairs(
         )
         for bi in range(bands)
     ]
-    # State is keyed on a SHARD of the bucket space, not the raw bucket:
-    # applyInPandasWithState pays one Python invocation + Arrow
-    # round-trip PER GROUP per micro-batch, and at sf0.1 the raw keying
-    # meant ~20k bucket groups (docs × bands) — the same per-group
-    # Python tax the cogrouped as-of join removed by bucketing
-    # (20.8 s → 1.2 s there; 14.0 s → ~4 s here). Per-bucket index
-    # semantics are preserved exactly: the shard's state holds a
-    # bucket → sorted-ids map (two parallel arrays — state schemas are
-    # flat structs), and pair emission still happens strictly within a
-    # bucket.
-    n_shards = 64
-    stacked = (
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
-        .withColumn("_shard", F.pmod(F.xxhash64("bucket"), F.lit(n_shards)))
+    # State stays keyed on the RAW bucket: only buckets with arrivals
+    # pay any state I/O in a micro-batch, so per-batch cost tracks
+    # BATCH size, not accumulated index size. (A shard-keyed variant —
+    # 64 shards, bucket→ids map per shard — was measured and reverted:
+    # it saved only ~5% here because per-group Python overhead is not
+    # the bottleneck, while making every touched shard round-trip its
+    # ENTIRE accumulated index each batch — quadratic total work over a
+    # long-running stream. The actual win was the repartition above.)
+    stacked = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
     )
 
     def _bucket_pairs(key, pdfs, state: GroupState):
-        index: dict[str, list[int]] = {}
-        if state.exists:
-            buckets, idlists = state.get
-            index = {
-                b: [int(x) for x in ids.split(" ")]
-                for b, ids in zip(buckets, idlists)
-            }
-        arriving: dict[str, set[int]] = {}
-        for pdf in pdfs:
-            for b, d in zip(pdf["bucket"], pdf["doc_id"]):
-                arriving.setdefault(b, set()).add(int(d))
-        pairs = []
-        for b, ids in arriving.items():
-            old = index.get(b, [])
-            new_ids = sorted(ids - set(old))
-            pairs += [(min(a, c), max(a, c)) for a in old for c in new_ids]
-            pairs += [
-                (new_ids[i], new_ids[j])
-                for i in range(len(new_ids))
-                for j in range(i + 1, len(new_ids))
-            ]
-            index[b] = sorted(old + new_ids)
-        state.update(
-            (
-                list(index.keys()),
-                [" ".join(str(x) for x in v) for v in index.values()],
-            )
+        old = list(state.get[0]) if state.exists else []
+        new_ids = sorted(
+            {int(d) for pdf in pdfs for d in pdf["doc_id"]} - set(old)
         )
+        pairs = [(min(a, b), max(a, b)) for a in old for b in new_ids]
+        pairs += [
+            (new_ids[i], new_ids[j])
+            for i in range(len(new_ids))
+            for j in range(i + 1, len(new_ids))
+        ]
+        state.update((sorted(old + new_ids),))
         if pairs:
             yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
 
-    cand_stream = stacked.groupBy("_shard").applyInPandasWithState(
+    cand_stream = stacked.groupBy("bucket").applyInPandasWithState(
         _bucket_pairs,
         outputStructType="doc_a bigint, doc_b bigint",
-        stateStructType="buckets array<string>, idlists array<string>",
+        stateStructType="ids array<bigint>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -66,6 +66,18 @@ def test_global_window_flagged_and_partitioned_not(spark):
     assert "global_window" not in _rules(
         lint_plan(df.select(F.row_number().over(w_part).alias("r")))
     )
+    # the UNORDERED whole-table frame is the same single-task plan
+    # (sum over Window.partitionBy() with no orderBy) — rule must
+    # catch it even though no ASC/DESC marker appears in the spec
+    w_frame = Window.partitionBy()
+    assert "global_window" in _rules(
+        lint_plan(df.select(F.sum("id").over(w_frame).alias("t")))
+    )
+    assert "global_window" not in _rules(
+        lint_plan(
+            df.select(F.sum("id").over(Window.partitionBy("k")).alias("t"))
+        )
+    )
 
 
 def test_unpushed_filter_flagged_and_pushed_not(spark):
@@ -117,6 +129,7 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "quantity_median",
         "price_quantiles",
         "revenue_moving_avg",  # frame over the ~80-row monthly rollup
+        "domain_mixture",  # whole-frame total over source-cardinality agg
     }
     bad = {}
     for name, fn in entrymod.queries().items():
