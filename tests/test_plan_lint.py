@@ -83,6 +83,9 @@ def test_global_window_flagged_and_partitioned_not(spark):
 def test_unpushed_filter_flagged_and_pushed_not(spark):
     from mapreduceindex_spark.session import load_table
 
+    # rule needs a real FileScan: an earlier test may have left the
+    # table persisted, which plans InMemoryTableScan instead
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_SMALL, "documents")
     # a filter on a computed expression cannot reach the parquet reader
     unpushed = docs.filter(F.length("text") % 7 == 3)
