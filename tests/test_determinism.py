@@ -46,6 +46,16 @@ NAMES = [
     # leak join/aggregation order into ranks
     "zorder_layout",
     "token_pagerank",
+    # round-5 additions: salting must not leak salt placement into the
+    # aggregate; the two-phase bucketed cumsum must equal the global
+    # one at any partitioning; fingerprint diffs and path mining ride
+    # windows/hashes that must not see partition boundaries
+    "salted_affinity_join",
+    "ann_recall",
+    "top_event_paths",
+    "incremental_revenue_trend",
+    "snapshot_diff_orders",
+    "compaction_plan",
 ]
 
 
