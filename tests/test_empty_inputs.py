@@ -51,6 +51,14 @@ EMPTY_SAFE = [
     "zorder_layout",
     "join_hotspots",
     "token_pagerank",
+    # round 5: probes/collects inside these must tolerate empty inputs
+    # (hot-key list empty, no state rows, zero files to pack)
+    "salted_affinity_join",
+    "ann_recall",
+    "top_event_paths",
+    "incremental_revenue_trend",
+    "snapshot_diff_orders",
+    "compaction_plan",
 ]
 
 
