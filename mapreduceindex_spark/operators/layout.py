@@ -332,7 +332,22 @@ def join_hotspots(events: DataFrame, orders: DataFrame, top_k: int = 20) -> Data
     re-running the aggregates per referencing branch. All arithmetic
     is BIGINT (``DIV``), so the oracle comparison is exact.
     """
-    caching.release("join_hotspots")
+    return _join_hotspots_cached(
+        events, orders, top_k, cache_key="join_hotspots"
+    )
+
+
+def _join_hotspots_cached(
+    events: DataFrame, orders: DataFrame, top_k: int, cache_key: str
+) -> DataFrame:
+    """Body of :func:`join_hotspots`, parameterized on the cache key so
+    internal callers (``salted_affinity_join``) track the probe frame
+    under their OWN key — running the salted join must not unpersist a
+    live ``join_hotspots`` frame another caller holds (ADVICE r05 #1,
+    the same cross-operator cache-voiding class fixed for
+    ``zorder_skipping`` in round 5).
+    """
+    caching.release(cache_key)
     left = (
         events.groupBy(F.col("user_id").cast("long").alias("join_key"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -350,7 +365,7 @@ def join_hotspots(events: DataFrame, orders: DataFrame, top_k: int = 20) -> Data
             (F.col("n_events") * F.col("n_orders")).alias("out_rows"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK),
-        key="join_hotspots",
+        key=cache_key,
     )
     total = j.agg(F.sum("out_rows").alias("_total"))
     return (
@@ -401,10 +416,15 @@ def salted_affinity_join(
     """
     hot = [
         r.join_key
-        for r in join_hotspots(events, orders, top_k=hot_top_k)
+        for r in _join_hotspots_cached(
+            events, orders, hot_top_k, cache_key="salted_affinity_join"
+        )
         .select("join_key")
         .collect()
     ]
+    # the probe is fully consumed into literals — drop its cache now
+    # rather than holding it until the next salted-join entry
+    caching.release("salted_affinity_join")
     e_key = F.col("user_id").cast("long")
     o_key = F.col("o_custkey").cast("long")
     e = events.select(

@@ -135,8 +135,10 @@ def snapshot_diff(
     keys.
 
     Plan: each side collapses to ``(key, fingerprint)`` — md5 over the
-    unit-separator-joined canonical column strings, computed inside the
-    scan stage — then ONE full-outer shuffle join on the key compares
+    length-prefixed (``<len>:<value>``, NULL encoded as ``#``)
+    concatenation of the canonical column strings (injective, no
+    separator), computed inside the scan stage — then ONE full-outer
+    shuffle join on the key compares
     fingerprints and a key-bounded 4-group aggregate counts outcomes.
     Row width never crosses the exchange (only key + 32-char hash), so
     the shuffle cost is O(|keys|), independent of column count — the

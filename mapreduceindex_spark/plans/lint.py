@@ -134,10 +134,13 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     # unpartitioned spec therefore STARTS either with an ordered column
     # (" ASC"/" DESC" in the first element — rank over the whole table)
     # or with the frame itself (unordered whole-table aggregate,
-    # ``Window.partitionBy()`` with no orderBy).
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        spec = m.group(1)
-        first = spec.split(",")[0].strip()
+    # ``Window.partitionBy()`` with no orderBy). Both the spec extraction
+    # and the first-element split are paren-BALANCED: a naive [^)]* regex
+    # truncates at the first ')' inside an expression-typed key (e.g.
+    # ``unix_timestamp(ts#1) ASC``), silently missing its ' ASC' marker —
+    # a lint false negative (ADVICE r05 #2).
+    for spec in _window_specs(plan):
+        first = _split_top_level(spec)[0]
         if (
             " ASC" in first
             or " DESC" in first
@@ -146,3 +149,50 @@ def lint_plan(df: DataFrame) -> list[Finding]:
             findings.append(Finding("global_window", spec[:120]))
 
     return findings
+
+
+def _window_specs(plan: str) -> list[str]:
+    """All ``windowspecdefinition(...)`` argument strings in ``plan``,
+    extracted with paren balancing so nested calls in partition/order
+    keys don't truncate the spec."""
+    marker = "windowspecdefinition("
+    specs: list[str] = []
+    pos = 0
+    while True:
+        start = plan.find(marker, pos)
+        if start < 0:
+            return specs
+        i = start + len(marker) - 1  # index of the opening paren
+        depth = 0
+        for j in range(i, len(plan)):
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    specs.append(plan[i + 1 : j])
+                    pos = j + 1
+                    break
+        else:  # unbalanced tail (truncated plan line): take what's there
+            specs.append(plan[i + 1 :])
+            return specs
+
+
+def _split_top_level(spec: str) -> list[str]:
+    """Split ``spec`` on commas at paren depth 0 (stripped)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for c in spec:
+        if c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        cur.append(c)
+    parts.append("".join(cur).strip())
+    return parts

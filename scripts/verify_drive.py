@@ -47,6 +47,21 @@ def compare(sdf, ddf, name):
     if sorted(sdf.columns) != sorted(ddf.columns):
         return f"schema: {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
     cols = sorted(sdf.columns)
+    # dtype gate: a dtype divergence (e.g. DuckDB HUGEINT -> float64 vs
+    # Spark int64) hashes differently at the driver even when values
+    # compare equal — the r03-r05 embedding_dim_stats failure class.
+    # Nullable int columns legitimately arrive as float64/object on one
+    # side only when NULLs are present, so only flag the int-vs-float
+    # shape when neither side has nulls in that column.
+    for c in cols:
+        sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if (
+            sk != dk
+            and {sk, dk} <= {"i", "f"}
+            and not sdf[c].isna().any()
+            and not ddf[c].isna().any()
+        ):
+            return f"dtype col={c}: spark {sdf[c].dtype} vs oracle {ddf[c].dtype}"
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = ddf[cols].sort_values(cols).reset_index(drop=True)
     if len(a) != len(b):

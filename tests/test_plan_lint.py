@@ -80,6 +80,27 @@ def test_global_window_flagged_and_partitioned_not(spark):
     )
 
 
+def test_global_window_expression_order_key(spark):
+    """ADVICE r05 #2: a global window whose FIRST ordered key is a
+    parenthesized expression (nested call in the spec) must still be
+    flagged — the old [^)]* regex truncated the spec at the inner ')'
+    and missed its ' ASC' marker."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).select(
+        "id", (F.col("id") % 7).alias("k")
+    )
+    w_expr = Window.orderBy(F.pmod(F.col("id"), F.lit(13)))
+    assert "global_window" in _rules(
+        lint_plan(df.select(F.row_number().over(w_expr).alias("r")))
+    )
+    # partitioned twin with the same expression key stays clean
+    w_part = Window.partitionBy("k").orderBy(F.pmod(F.col("id"), F.lit(13)))
+    assert "global_window" not in _rules(
+        lint_plan(df.select(F.row_number().over(w_part).alias("r")))
+    )
+
+
 def test_unpushed_filter_flagged_and_pushed_not(spark):
     from mapreduceindex_spark.session import load_table
 
