@@ -83,20 +83,11 @@ _VERIFY_FIRST = [
     "top_words_per_source",
     "training_corpus",
     "word_counts",
-    # (c) round-6 additions — first driver row (uncommented as each
-    # lands; the planned dozen is the round-6 worklist)
-    # "asof_join_general",
-    # "minhash_dedup_dataset",
-    # "window_dedup_spans",
-    # "doc_embedding_join_quality",
-    # "tokenizer_fertility",
-    # "dataset_card_stats",
-    # "decontaminate_ngram",
-    # "rolling_corpus_freshness",
-    # "groupwise_quantile_filter",
-    # "interleave_mixture",
-    # "streaming_session_funnel",
-    # "bucketed_join_audit",
+    # (c) round-6 additions — first driver row (extended as each lands)
+    "tokenizer_fertility",
+    "groupwise_quantile_filter",
+    "mixture_resample",
+    "decontaminated_corpus",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. 27 slots remain of the
     # driver's 50 after (a)+(b)+(c)=23, so the first 27 here are
@@ -616,6 +607,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: small-file compaction planner (two-phase cumsum,
         # cumulative-quota packing — Spark's own FilePartition rule)
         "compaction_plan": lambda s, d: LY.docs_compaction_plan(
+            _t(s, d, "documents")
+        ),
+        # round 6: per-source tokenizer cost/drift readout (one scan,
+        # sources-sized aggregate, BIGINT-micro ratios)
+        "tokenizer_fertility": lambda s, d: TA.tokenizer_fertility(
+            _t(s, d, "documents")
+        ),
+        # round 6: exact per-group percentile band via counting
+        # histogram — no row-level window at any scale
+        "groupwise_quantile_filter": lambda s, d: (
+            C.groupwise_quantile_filter(_t(s, d, "documents"))
+        ),
+        # round 6: probe-then-plan mixture construction to target
+        # source proportions (scan-stage hash filter, zero data shuffle)
+        "mixture_resample": lambda s, d: C.mixture_resample(
+            _t(s, d, "documents")
+        ),
+        # round 6: the removal step contamination_check scores —
+        # per-source decontamination audit
+        "decontaminated_corpus": lambda s, d: C.decontaminated_corpus(
             _t(s, d, "documents")
         ),
         # round 4: iterative graph analytics — integer-micro PageRank
@@ -2953,6 +2964,133 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    min(file_id)::BIGINT AS first_file,
                    max(file_id)::BIGINT AS last_file
             FROM cum GROUP BY 1 ORDER BY 1
+        """,
+        "tokenizer_fertility": """
+            WITH per AS (
+              SELECT source,
+                     length(text)::BIGINT AS c,
+                     len(regexp_extract_all(text,
+                         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS b,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> len(t) > 0))::BIGINT AS w
+              FROM documents
+            )
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(c)::BIGINT AS n_chars,
+                   sum(w)::BIGINT AS n_words,
+                   sum(b)::BIGINT AS n_bpe_tokens,
+                   (CASE WHEN sum(c) > 0
+                         THEN sum(b) * 1000000 // sum(c)
+                         ELSE 0 END)::BIGINT AS tokens_per_char_micro,
+                   (CASE WHEN sum(w) > 0
+                         THEN sum(b) * 1000000 // sum(w)
+                         ELSE 0 END)::BIGINT AS tokens_per_word_micro
+            FROM per GROUP BY source ORDER BY source
+        """,
+        "groupwise_quantile_filter": """
+            -- nearest-rank percentile band per source off a counting
+            -- histogram (the engine's exact two-pass plan, replayed)
+            WITH hist AS (
+              SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+              FROM documents GROUP BY 1, 2
+            ), cum AS (
+              SELECT source, v,
+                     sum(c) OVER (PARTITION BY source ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM hist
+            ), bounds AS (
+              SELECT source,
+                     min(CASE WHEN cum >= (n * 5 + 99) // 100
+                              THEN v END)::BIGINT AS lo,
+                     min(CASE WHEN cum >= (n * 95 + 99) // 100
+                              THEN v END)::BIGINT AS hi
+              FROM cum GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars::BIGINT AS value,
+                   b.lo AS band_lo, b.hi AS band_hi
+            FROM documents d JOIN bounds b ON d.source = b.source
+            WHERE d.n_chars BETWEEN b.lo AND b.hi
+            ORDER BY d.doc_id
+        """,
+        "mixture_resample": f"""
+            -- same BIGINT probe arithmetic the engine collects, inlined
+            -- as CTEs; acceptance is the shared portable content hash
+            WITH wts AS (
+              SELECT * FROM (VALUES ('src0', 300000), ('src1', 300000),
+                                    ('src2', 200000), ('src3', 200000))
+                     AS t(source, w)
+            ), cnt AS (
+              SELECT w.source, w.w, count(d.doc_id)::BIGINT AS n
+              FROM wts w LEFT JOIN documents d ON d.source = w.source
+              GROUP BY w.source, w.w
+            ), tot AS (
+              SELECT min(n * 1000000 // w)::BIGINT AS t FROM cnt
+            ), rates AS (
+              SELECT c.source, c.w, c.n,
+                     (CASE WHEN c.n > 0
+                           THEN least(1000000,
+                                      (SELECT t FROM tot) * c.w // c.n)
+                           ELSE 0 END)::BIGINT AS rate
+              FROM cnt c
+            ), kept AS (
+              SELECT d.source, count(*)::BIGINT AS n_kept
+              FROM documents d JOIN rates r ON d.source = r.source
+              WHERE {_hash60_sql('d.text')} % 1000000 < r.rate
+              GROUP BY d.source
+            ), tk AS (
+              SELECT coalesce(sum(n_kept), 0)::BIGINT AS tk FROM kept
+            )
+            SELECT r.source, r.n AS n_total, r.w::BIGINT AS target_ppm,
+                   r.rate AS rate_ppm,
+                   coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+                   (CASE WHEN (SELECT tk FROM tk) > 0
+                         THEN coalesce(k.n_kept, 0) * 1000000
+                              // (SELECT tk FROM tk)
+                         ELSE 0 END)::BIGINT AS mix_ppm
+            FROM rates r LEFT JOIN kept k ON r.source = k.source
+            ORDER BY r.source
+        """,
+        "decontaminated_corpus": """
+            -- contamination_check's verified shingle probe, aggregated
+            -- to the per-source removal audit; shingle-less docs are
+            -- clean on both sides
+            WITH ws AS (
+              SELECT doc_id, list_filter(list_transform(
+                       string_split_regex(text, '\\s+'),
+                       t -> lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))),
+                     w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, u.shingle
+              FROM ws, unnest(CASE WHEN len(w) <= 3
+                     THEN [array_to_string(w, ' ')]
+                     ELSE list_transform(range(1, len(w) - 3 + 2),
+                          i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                     END) AS u(shingle)
+              WHERE u.shingle <> ''
+            ), bench AS (
+              SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+            ), scored AS (
+              SELECT s.doc_id, count(b.shingle)::BIGINT AS n_overlap
+              FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+              WHERE s.doc_id % 97 <> 0
+              GROUP BY s.doc_id
+            ), cand AS (
+              SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0
+            )
+            SELECT c.source,
+                   count(*)::BIGINT AS n_candidates,
+                   sum(CASE WHEN coalesce(sc.n_overlap, 0) > 0
+                            THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+                   (count(*) - sum(CASE WHEN coalesce(sc.n_overlap, 0) > 0
+                                        THEN 1 ELSE 0 END))::BIGINT AS n_kept,
+                   (sum(CASE WHEN coalesce(sc.n_overlap, 0) > 0
+                             THEN 1 ELSE 0 END) * 1000000
+                    // count(*))::BIGINT AS removed_ppm
+            FROM cand c LEFT JOIN scored sc ON c.doc_id = sc.doc_id
+            GROUP BY c.source ORDER BY c.source
         """,
         "salted_affinity_join": """
             -- the plain join: salting is plan-side only, the aggregate

@@ -877,3 +877,213 @@ def curation_funnel(
     return raw.join(F.broadcast(ex)).join(F.broadcast(canon)).select(
         "n_raw", "n_exact_unique", "n_canonical", "n_quality_pass"
     )
+
+
+def groupwise_quantile_filter(
+    documents: DataFrame,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    col: str = "n_chars",
+) -> DataFrame:
+    """Per-group outlier trim: keep documents whose ``col`` lies within
+    the group's [``lo_pct``, ``hi_pct``] percentile band — "drop the
+    shortest 5% and longest 5% of each source", the standard length
+    gate before training (truncated boilerplate below, concatenation
+    artifacts above), applied PER SOURCE so a long-form source isn't
+    judged by a short-form source's distribution.
+
+    Exact quantiles without a full-table window: the distribution is
+    collapsed to a per-(source, value) COUNTING HISTOGRAM first (output
+    bounded by groups × distinct values, not rows), the nearest-rank
+    cutoffs ``k = ceil(n·pct/100)`` are read off its running sum, and
+    the bounds broadcast-join back onto the corpus as a scan-stage
+    filter. Two passes over the data, zero row-level windows, zero
+    row-level shuffles — at 100 TB the window runs over a histogram a
+    million times smaller than the table (``approxQuantile`` trades
+    exactness for one pass; a keyed training gate wants the exact
+    band). Nearest-rank on BIGINT values is engine-exact, so the kept
+    set is deterministic.
+    """
+    v = F.col(col).cast("long")
+    hist = documents.groupBy(F.col("source"), v.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy("source").orderBy("_v")
+    cum = hist.select(
+        "source",
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("source")).alias("_n"),
+    )
+    # BIGINT DIV, not `/`: Spark's `/` is double division, which loses
+    # exactness once group counts pass 2^53/100 — real at 100 TB
+    k_lo = F.expr(f"(_n * {int(lo_pct)} + 99) DIV 100")
+    k_hi = F.expr(f"(_n * {int(hi_pct)} + 99) DIV 100")
+    bounds = (
+        cum.groupBy("source")
+        .agg(
+            F.min(F.when(F.col("_cum") >= k_lo, F.col("_v"))).alias("_lo"),
+            F.min(F.when(F.col("_cum") >= k_hi, F.col("_v"))).alias("_hi"),
+        )
+    )
+    return (
+        documents.join(F.broadcast(bounds), "source")
+        .filter(v.between(F.col("_lo"), F.col("_hi")))
+        .select(
+            "doc_id",
+            "source",
+            v.alias("value"),
+            F.col("_lo").alias("band_lo"),
+            F.col("_hi").alias("band_hi"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def mixture_resample(
+    documents: DataFrame, weights_ppm: dict[str, int] | None = None
+) -> DataFrame:
+    """Build a training mixture with TARGET source proportions from
+    whatever proportions the corpus actually has — "the mix should be
+    30% src0, 30% src1, 20% src2, 20% src3" — by downsampling every
+    source to the largest total that satisfies all targets without
+    upsampling any source (the standard mixture-construction step
+    between curation and sharding).
+
+    Probe-then-plan: one tiny per-source count aggregate is collected
+    (bounded by the number of sources), the feasible mixture total
+    ``T = min_s floor(n_s·1e6 / w_s)`` and each source's acceptance
+    rate are computed in BIGINT on the driver, and the rates return to
+    the cluster as literals in a scan-stage hash filter — the full
+    corpus is read exactly once, with no shuffle at all on the data
+    path. Acceptance is the portable content-hash bucket
+    (``stable_hash64(text) mod 1e6 < rate_ppm``), so the kept set is
+    deterministic across runs/engines/partitionings and monotone in
+    the rate, and exact duplicates sample together.
+
+    Output: one row per mixture source — corpus count, target ppm,
+    planned rate, kept count, and the achieved mix share in ppm (kept
+    as a fraction of all kept) to audit against the target. All BIGINT.
+    """
+    weights_ppm = weights_ppm or {
+        "src0": 300000,
+        "src1": 300000,
+        "src2": 200000,
+        "src3": 200000,
+    }
+    counts = {
+        r["source"]: r["n"]
+        for r in documents.filter(
+            F.col("source").isin(list(weights_ppm))
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # feasible total: no source may need more rows than it has
+    total = min(
+        counts.get(s, 0) * 1_000_000 // w for s, w in weights_ppm.items()
+    )
+    rate_ppm = {
+        s: (
+            min(1_000_000, total * w // counts[s])
+            if counts.get(s)
+            else 0
+        )
+        for s, w in weights_ppm.items()
+    }
+    rate = F.lit(0)
+    for s, r in sorted(rate_ppm.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    kept = (
+        documents.filter(F.col("source").isin(list(weights_ppm)))
+        .select(
+            "source",
+            (stable_hash64("text") % 1_000_000).alias("_b"),
+            rate.alias("_rate"),
+        )
+        .filter(F.col("_b") < F.col("_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    tgt = F.lit(0)
+    for s, w in sorted(weights_ppm.items()):
+        tgt = F.when(F.col("source") == s, F.lit(w)).otherwise(tgt)
+    n_tot = F.lit(0)
+    for s in sorted(weights_ppm):
+        n_tot = F.when(
+            F.col("source") == s, F.lit(counts.get(s, 0))
+        ).otherwise(n_tot)
+    r_lit = F.lit(0)
+    for s, r in sorted(rate_ppm.items()):
+        r_lit = F.when(F.col("source") == s, F.lit(r)).otherwise(r_lit)
+    sources = documents.sparkSession.createDataFrame(
+        [(s,) for s in sorted(weights_ppm)], "source string"
+    )
+    total_kept = kept.agg(F.sum("n_kept").alias("_tk"))
+    return (
+        sources.join(kept, "source", "left")
+        .join(F.broadcast(total_kept))
+        .select(
+            "source",
+            n_tot.cast("long").alias("n_total"),
+            tgt.cast("long").alias("target_ppm"),
+            r_lit.cast("long").alias("rate_ppm"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.when(
+                F.col("_tk") > 0,
+                F.expr(
+                    "CAST(coalesce(n_kept, 0) * 1000000 DIV _tk AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mix_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def decontaminated_corpus(
+    documents: DataFrame, n: int = 3, benchmark_mod: int = 97
+) -> DataFrame:
+    """The removal step ``contamination_check`` scores: per source, how
+    many training candidates survive dropping every document that
+    shares ANY word ``n``-gram with the held-out benchmark set — the
+    audit row a decontamination run reports per corpus slice before
+    the clean shards ship.
+
+    Pure composition over the verified ``contamination_check``
+    (broadcast benchmark-shingle probe — the corpus is never shuffled
+    by shingle key), plus one broadcast join back to ``documents`` for
+    the source label and a per-source aggregate bounded by source
+    count. Documents with no shingles at all (empty after
+    normalization) carry no contamination evidence and count as clean.
+    Removal share is reported in exact BIGINT ppm.
+    """
+    scored = contamination_check(documents, n=n, benchmark_mod=benchmark_mod)
+    cand = documents.filter(
+        F.col("doc_id") % benchmark_mod != 0
+    ).select("doc_id", "source")
+    return (
+        cand.join(scored.select("doc_id", "n_overlap"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(
+                F.when(F.coalesce("n_overlap", F.lit(0)) > 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_candidates",
+            "n_removed",
+            (F.col("n_candidates") - F.col("n_removed")).alias("n_kept"),
+            F.expr(
+                "CAST(n_removed * 1000000 DIV n_candidates AS BIGINT)"
+            ).alias("removed_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -533,3 +533,64 @@ def quality_by_source(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Per-source tokenizer-fertility readout: how many (BPE-ish) tokens
+    the pre-tokenizer produces per character and per whitespace word —
+    THE number that decides how much compute a source actually costs to
+    train on (a 1.4×-fertility source eats 40% more sequence budget per
+    byte of text) and the first drift alarm when a new crawl snapshot
+    tokenizes differently.
+
+    One scan: token counts are computed row-local inside whole-stage
+    codegen (``regexp_extract_all`` sizes, no explode — counting needs
+    lengths, not token rows), then a single map-side-combined aggregate
+    bounded by source count. Ratios are exact BIGINT micro-units
+    (tokens·1e6 DIV denominator), so the output is engine-deterministic
+    and hash-stable. At 100 TB: embarrassingly parallel scan + a
+    sources-sized shuffle.
+    """
+    per_doc = documents.select(
+        "source",
+        F.length("text").cast("long").alias("_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0))
+        .cast("long")
+        .alias("_bpe"),
+        F.size(
+            F.filter(
+                F.split("text", r"\s+"), lambda t: F.length(t) > 0
+            )
+        )
+        .cast("long")
+        .alias("_words"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+            F.sum("_words").cast("long").alias("n_words"),
+            F.sum("_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "n_words",
+            "n_bpe_tokens",
+            F.when(
+                F.col("n_chars") > 0,
+                F.expr("CAST(n_bpe_tokens * 1000000 DIV n_chars AS BIGINT)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("tokens_per_char_micro"),
+            F.when(
+                F.col("n_words") > 0,
+                F.expr("CAST(n_bpe_tokens * 1000000 DIV n_words AS BIGINT)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("tokens_per_word_micro"),
+        )
+        .orderBy("source")
+    )

@@ -56,6 +56,13 @@ NAMES = [
     "incremental_revenue_trend",
     "snapshot_diff_orders",
     "compaction_plan",
+    # round-6 additions: histogram-cumsum band bounds, probe-then-plan
+    # mixture rates, and the broadcast shingle probe must all be
+    # partition-count-blind
+    "tokenizer_fertility",
+    "groupwise_quantile_filter",
+    "mixture_resample",
+    "decontaminated_corpus",
 ]
 
 

@@ -59,6 +59,13 @@ EMPTY_SAFE = [
     "incremental_revenue_trend",
     "snapshot_diff_orders",
     "compaction_plan",
+    # round 6: empty probe collects (band bounds) and the shingle
+    # anti-probe must tolerate 0-row inputs. mixture_resample is a
+    # REPORT query (one row per configured source even when empty) and
+    # has its own zero-report test below.
+    "tokenizer_fertility",
+    "groupwise_quantile_filter",
+    "decontaminated_corpus",
 ]
 
 
@@ -84,3 +91,17 @@ def empty_tables(spark, monkeypatch):
 def test_query_survives_empty_input(spark, empty_tables, name):
     df = entrymod._all_queries()[name](spark, SF_SMALL)
     assert df.count() == 0
+
+
+def test_mixture_resample_empty_is_zero_report(spark, empty_tables):
+    """mixture_resample reports one row per configured source even on
+    an empty corpus — every count and rate pinned to zero (the empty
+    probe must not divide by zero or drop sources)."""
+    rows = entrymod._all_queries()["mixture_resample"](
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 4
+    assert all(
+        (r.n_total, r.rate_ppm, r.n_kept, r.mix_ppm) == (0, 0, 0, 0)
+        for r in rows
+    )
