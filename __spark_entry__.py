@@ -88,9 +88,13 @@ _VERIFY_FIRST = [
     "groupwise_quantile_filter",
     "mixture_resample",
     "decontaminated_corpus",
+    "dataset_card_stats",
+    "corpus_freshness",
+    "incremental_dedup",
+    "hybrid_search",
     # (d) re-verify cycling, oldest driver-green first — the
-    # r03-last-green block, alphabetical. 27 slots remain of the
-    # driver's 50 after (a)+(b)+(c)=23, so the first 27 here are
+    # r03-last-green block, alphabetical. The driver samples the first
+    # 50 entries, so after (a)+(b)+(c) the leading slots here are
     # sampled this round; the rest queue for round 7:
     "bigram_lift",
     "customer_running_revenue",
@@ -629,6 +633,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_corpus": lambda s, d: C.decontaminated_corpus(
             _t(s, d, "documents")
         ),
+        # round 6: per-source dataset-card report (volume, dup rate,
+        # dominant language, nearest-rank median length)
+        "dataset_card_stats": lambda s, d: C.dataset_card_stats(
+            _t(s, d, "documents")
+        ),
+        # round 6: per-ingestion-batch content novelty curve (one
+        # content-hash exchange, snapshot-bounded output)
+        "corpus_freshness": lambda s, d: C.corpus_freshness(
+            _t(s, d, "documents")
+        ),
+        # round 6: new-batch-vs-corpus dedup — exact tier + LSH-vs-base
+        # verdict per delta doc; base×base pairing never happens
+        "incremental_dedup": lambda s, d: D.incremental_dedup(
+            _t(s, d, "documents")
+        ),
+        # round 6: BM25 ⊕ cosine reciprocal-rank fusion — integer RRF
+        # over the two verified legs' top-k candidate lists
+        "hybrid_search": lambda s, d: S.hybrid_search(
+            _t(s, d, "documents"), _t(s, d, "embeddings")
+        ),
         # round 4: iterative graph analytics — integer-micro PageRank
         # over the bigram graph, oracle = unrolled CTE replay
         "token_pagerank": lambda s, d: G.token_pagerank(
@@ -818,6 +842,127 @@ FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 WHERE j.jaccard >= 0.5
 """
     )
+
+
+def _incremental_dedup_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    delta_mod: int = 10,
+    threshold_ppm: int = 500_000,
+) -> str:
+    """Replay of operators.dedup.incremental_dedup: md5 exact tier over
+    the base's distinct-content map, then delta-bands × base-rep-bands
+    candidates verified at integer cross-multiplied Jaccard. Set math
+    runs over the distinct 60-bit shingle hashes — byte-for-byte the
+    engine's verification sets."""
+    rows = num_hashes // bands
+    band_exprs = ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(
+            [str(bi)] + [f"mh_{bi * rows + r}::VARCHAR" for r in range(rows)]
+        )
+        + f")) AS band_{bi}"
+        for bi in range(bands)
+    )
+    band_list = ", ".join(f"band_{bi}" for bi in range(bands))
+    d = int(delta_mod)
+    return (
+        _minhash_sig_cte(num_hashes)
+        + f""",
+hset AS (
+  SELECT DISTINCT doc_id, h FROM hashed
+), bmap AS (
+  SELECT md5(text) AS m, min(doc_id) AS base_id
+  FROM documents WHERE doc_id % {d} <> {d - 1} GROUP BY 1
+), ex AS (
+  SELECT dd.doc_id, b.base_id
+  FROM documents dd JOIN bmap b ON md5(dd.text) = b.m
+  WHERE dd.doc_id % {d} = {d - 1}
+), banded AS (
+  SELECT doc_id, {band_exprs} FROM sig
+), stacked AS (
+  SELECT doc_id, u.bucket FROM banded, unnest([{band_list}]) AS u(bucket)
+), dstack AS (
+  SELECT s.doc_id AS d, s.bucket FROM stacked s
+  WHERE s.doc_id % {d} = {d - 1}
+    AND s.doc_id NOT IN (SELECT doc_id FROM ex)
+), bstack AS (
+  SELECT s.doc_id AS b, s.bucket FROM stacked s
+  JOIN bmap m ON s.doc_id = m.base_id
+), cand AS (
+  SELECT DISTINCT d, b FROM dstack JOIN bstack USING (bucket)
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS ns FROM hset GROUP BY doc_id
+), inter AS (
+  SELECT c.d, c.b, count(*)::BIGINT AS i
+  FROM cand c
+  JOIN hset x ON x.doc_id = c.d
+  JOIN hset y ON y.doc_id = c.b AND y.h = x.h
+  GROUP BY c.d, c.b
+), scored AS (
+  SELECT i.d, i.b, (i.i * 1000000) // (sa.ns + sb.ns - i.i) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.d
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.i * 1000000 >= {int(threshold_ppm)} * (sa.ns + sb.ns - i.i)
+), best AS (
+  SELECT d AS doc_id, j AS near_j, b AS near_id FROM (
+    SELECT d, j, b,
+           row_number() OVER (PARTITION BY d ORDER BY j DESC, b ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT dd.doc_id,
+       CASE WHEN e.base_id IS NOT NULL THEN 'exact_dup'
+            WHEN bst.near_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       coalesce(e.base_id, bst.near_id, -1)::BIGINT AS match_id,
+       (CASE WHEN e.base_id IS NOT NULL THEN 1000000
+             ELSE coalesce(bst.near_j, 0) END)::BIGINT AS jaccard_micro
+FROM documents dd
+LEFT JOIN ex e ON dd.doc_id = e.doc_id
+LEFT JOIN best bst ON dd.doc_id = bst.doc_id
+WHERE dd.doc_id % {d} = {d - 1}
+ORDER BY dd.doc_id
+"""
+    )
+
+
+def _hybrid_search_sql(
+    query: str = "vector hash join",
+    k_each: int = 20,
+    top_k: int = 10,
+    rrf_k: int = 60,
+) -> str:
+    """Replay of similarity.hybrid_search: the verified BM25 and cosine
+    leg oracles nest as subqueries, fusion is exact BIGINT RRF."""
+    kk = int(rrf_k)
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM ({_bm25_sql(query, top_k=k_each)}) bm
+), sem AS (
+  SELECT neighbor_id AS doc_id, rank AS sem_rank
+  FROM ({_cosine_topk_sql(1, k_each)}) cs
+), fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0)::BIGINT AS lex_rank,
+         coalesce(s.sem_rank, 0)::BIGINT AS sem_rank,
+         ((CASE WHEN l.lex_rank IS NULL THEN 0
+                ELSE 1000000 // ({kk} + l.lex_rank) END)
+          + (CASE WHEN s.sem_rank IS NULL THEN 0
+                  ELSE 1000000 // ({kk} + s.sem_rank) END))::BIGINT
+           AS rrf_micro
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_micro, rank FROM (
+  SELECT *,
+         row_number() OVER (ORDER BY rrf_micro DESC, doc_id)::BIGINT AS rank
+  FROM fused
+) WHERE rank <= {int(top_k)}
+ORDER BY rank
+"""
 
 
 def _simhash_sql(n_bits: int = 24) -> str:
@@ -1798,6 +1943,8 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             LIMIT 100
         """,
         "minhash_lsh_pairs": _minhash_lsh_sql(16, 4),
+        "incremental_dedup": _incremental_dedup_sql(16, 4),
+        "hybrid_search": _hybrid_search_sql(),
         # the streaming LSH index emits the same candidates and runs the
         # same exact-Jaccard verifier, so the oracle is shared verbatim
         "streaming_lsh_dedup_pairs": _minhash_lsh_sql(16, 4),
@@ -3091,6 +3238,76 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                     // count(*))::BIGINT AS removed_ppm
             FROM cand c LEFT JOIN scored sc ON c.doc_id = sc.doc_id
             GROUP BY c.source ORDER BY c.source
+        """,
+        "dataset_card_stats": """
+            WITH base AS (
+              SELECT source,
+                     count(*)::BIGINT AS n_docs,
+                     sum(length(text))::BIGINT AS n_chars,
+                     sum(len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> len(t) > 0)))::BIGINT AS n_words
+              FROM documents GROUP BY source
+            ), dist AS (
+              SELECT source,
+                     count(DISTINCT md5(text))::BIGINT AS n_distinct_texts
+              FROM documents GROUP BY source
+            ), lc AS (
+              SELECT source, lang, count(*)::BIGINT AS c
+              FROM documents GROUP BY 1, 2
+            ), top AS (
+              SELECT source, lang AS top_lang, c FROM (
+                SELECT source, lang, c,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY c DESC, lang) AS rn
+                FROM lc
+              ) WHERE rn = 1
+            ), hist AS (
+              SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS hc
+              FROM documents GROUP BY 1, 2
+            ), cum AS (
+              SELECT source, v,
+                     sum(hc) OVER (PARTITION BY source ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(hc) OVER (PARTITION BY source) AS n
+              FROM hist
+            ), med AS (
+              SELECT source,
+                     min(CASE WHEN cum >= (n * 50 + 99) // 100
+                              THEN v END)::BIGINT AS p50_chars
+              FROM cum GROUP BY source
+            )
+            SELECT b.source, b.n_docs, b.n_chars, b.n_words,
+                   d.n_distinct_texts,
+                   ((b.n_docs - d.n_distinct_texts) * 1000000
+                    // b.n_docs)::BIGINT AS dup_ppm,
+                   t.top_lang,
+                   (t.c * 1000000 // b.n_docs)::BIGINT AS top_lang_ppm,
+                   m.p50_chars
+            FROM base b
+            JOIN dist d USING (source)
+            JOIN top t USING (source)
+            JOIN med m USING (source)
+            ORDER BY b.source
+        """,
+        "corpus_freshness": f"""
+            WITH d AS (
+              SELECT (doc_id // 50)::BIGINT AS snapshot,
+                     {_hash60_sql('text')} AS h
+              FROM documents
+            ), per AS (
+              SELECT snapshot, h, count(*)::BIGINT AS c FROM d GROUP BY 1, 2
+            ), fst AS (
+              SELECT h, min(snapshot) AS first FROM d GROUP BY h
+            )
+            SELECT p.snapshot,
+                   sum(p.c)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_distinct,
+                   sum(CASE WHEN f.first = p.snapshot
+                            THEN 1 ELSE 0 END)::BIGINT AS n_new,
+                   (sum(CASE WHEN f.first = p.snapshot THEN 1 ELSE 0 END)
+                    * 1000000 // count(*))::BIGINT AS novel_ppm
+            FROM per p JOIN fst f USING (h)
+            GROUP BY p.snapshot ORDER BY p.snapshot
         """,
         "salted_affinity_join": """
             -- the plain join: salting is plan-side only, the aggregate

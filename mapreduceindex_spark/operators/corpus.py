@@ -1087,3 +1087,146 @@ def decontaminated_corpus(
         )
         .orderBy("source")
     )
+
+
+def dataset_card_stats(documents: DataFrame) -> DataFrame:
+    """Per-source "dataset card" row: the composition summary a corpus
+    release ships alongside the shards — volume (docs/chars/words),
+    exact-duplication rate, dominant language and its share, and the
+    median document length.
+
+    Everything is one scan plus source-keyed (i.e. tiny) aggregates:
+
+    - volume sums come from a single map-side-combined ``groupBy(source)``;
+    - the exact-distinct count pre-aggregates ``(source, md5(text))`` and
+      counts per source — two narrow-key exchanges instead of the 2×
+      Expand a mixed ``countDistinct`` would plan into the volume scan;
+    - the dominant language ranks the ``(source, lang)`` count frame with
+      a window PARTITIONED BY source over at most |sources|×|langs| rows;
+    - the median is nearest-rank off the same counting-histogram cumsum
+      ``groupwise_quantile_filter`` uses — exact, and never a row-level
+      window.
+
+    All shares are exact BIGINT ppm; every joined frame is bounded by
+    source count, so the final assembly broadcasts. At 100 TB: three
+    passes over the scan columns, no wide shuffle anywhere.
+    """
+    n_words = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
+    ).cast("long")
+    base = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text").cast("long")).cast("long").alias("n_chars"),
+        F.sum(n_words).cast("long").alias("n_words"),
+    )
+    dist = (
+        documents.select("source", F.md5("text").alias("_h"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_texts"))
+    )
+    lc = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    rank_w = Window.partitionBy("source").orderBy(
+        F.col("_c").desc(), F.col("lang").asc()
+    )
+    top = (
+        lc.withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("_c"))
+    )
+    hist = documents.groupBy(
+        "source", F.col("n_chars").cast("long").alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_hc"))
+    cum_w = Window.partitionBy("source").orderBy("_v")
+    med = (
+        hist.select(
+            "source",
+            "_v",
+            F.sum("_hc").over(cum_w).alias("_cum"),
+            F.sum("_hc").over(Window.partitionBy("source")).alias("_n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(_n * 50 + 99) DIV 100"),
+                    F.col("_v"),
+                )
+            )
+            .cast("long")
+            .alias("p50_chars")
+        )
+    )
+    return (
+        base.join(F.broadcast(dist), "source")
+        .join(F.broadcast(top), "source")
+        .join(F.broadcast(med), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "n_words",
+            "n_distinct_texts",
+            F.expr(
+                "CAST((n_docs - n_distinct_texts) * 1000000 DIV n_docs"
+                " AS BIGINT)"
+            ).alias("dup_ppm"),
+            "top_lang",
+            F.expr("CAST(_c * 1000000 DIV n_docs AS BIGINT)").alias(
+                "top_lang_ppm"
+            ),
+            "p50_chars",
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_freshness(documents: DataFrame, batch: int = 50) -> DataFrame:
+    """Novelty trend across ingestion batches: split the corpus into
+    arrival snapshots (``doc_id DIV batch`` — ids are the ingestion
+    order) and report, per snapshot, how much of its content is NEW
+    versus already seen in any earlier snapshot — the freshness curve
+    that tells a crawl pipeline when a source has gone stale (novelty
+    decaying toward zero means re-crawling the same pages).
+
+    Content identity is the portable 60-bit text hash. One pass builds
+    the (snapshot, hash) count frame; a window partitioned by hash reads
+    each content's FIRST snapshot off that frame (no self-join, and the
+    window runs over hash groups whose size is the content's snapshot
+    count, never the corpus); a final snapshot-keyed aggregate emits the
+    bounded report. At 100 TB: one wide exchange on the content hash —
+    the same key exact dedup already shuffles on — and nothing else.
+    """
+    d = documents.select(
+        F.expr(f"CAST(doc_id DIV {int(batch)} AS BIGINT)").alias("snapshot"),
+        stable_hash64("text").alias("_h"),
+    )
+    per = d.groupBy("snapshot", "_h").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    first_w = Window.partitionBy("_h")
+    return (
+        per.withColumn("_first", F.min("snapshot").over(first_w))
+        .groupBy("snapshot")
+        .agg(
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("_first") == F.col("snapshot"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            "snapshot",
+            "n_docs",
+            "n_distinct",
+            "n_new",
+            F.expr("CAST(n_new * 1000000 DIV n_distinct AS BIGINT)").alias(
+                "novel_ppm"
+            ),
+        )
+        .orderBy("snapshot")
+    )

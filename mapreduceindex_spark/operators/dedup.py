@@ -1117,3 +1117,149 @@ def dup_graph_stats(
         .select(F.col("degree").cast("long").alias("degree"), "n_docs")
         .orderBy("degree")
     )
+
+
+def incremental_dedup(
+    documents: DataFrame,
+    delta_mod: int = 10,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the shape a 100 TB
+    pipeline actually runs on every crawl drop: never re-pair the base
+    corpus with itself, only score the delta against it. Docs with
+    ``doc_id % delta_mod == delta_mod - 1`` play the incoming batch; the
+    rest are the established corpus.
+
+    Verdict per delta doc, with precedence:
+
+    - ``exact_dup``  — byte-identical to a base doc (md5 join against the
+      base's distinct-content map; match is the group's min base doc_id);
+    - ``near_dup``   — shares a MinHash LSH band with a base
+      representative and verifies at Jaccard ≥ ``threshold_ppm``/1e6
+      (integer cross-multiplied, no float threshold); match is the
+      best-Jaccard base rep, ties to the lower doc_id;
+    - ``novel``      — neither (including shingle-less docs, which carry
+      no near-dup evidence; byte-identical empties are still caught by
+      the exact tier).
+
+    Scale shape: the base side is pre-collapsed to one representative per
+    distinct content (clone groups share identical signatures — banding
+    them all would only multiply candidates, never change a verdict), the
+    band join's candidate space is |delta| × collisions — base × base
+    never happens — and in production the base's signature/band table is
+    the persisted index this computes once and reuses per drop. One
+    shingle front end feeds both sides' signatures AND the verification
+    sets (persisted, released via the operator cache registry). Output:
+    ``(doc_id, status, match_id, jaccard_micro)``, all BIGINT but the
+    status; ``match_id`` is −1 and ``jaccard_micro`` 0 for novel docs
+    (1e6 for exact dups).
+    """
+    from mapreduceindex_spark.functions.caching import release, track
+
+    is_delta = F.col("doc_id") % delta_mod == delta_mod - 1
+    delta = documents.filter(is_delta)
+    base = documents.filter(~is_delta)
+
+    bmap = base.groupBy(F.md5("text").alias("_m")).agg(
+        F.min("doc_id").alias("_base_id")
+    )
+    exact = (
+        delta.select("doc_id", F.md5("text").alias("_m"))
+        .join(bmap, "_m")
+        .select("doc_id", F.col("_base_id").alias("_ex_id"))
+    )
+
+    release("incremental_dedup")
+    sh = track(
+        _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK),
+        key="incremental_dedup",
+    )
+    sig = _signatures_from_hashes(sh, num_hashes)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                *[
+                    F.col(f"mh_{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{bi}")
+        for bi in range(bands)
+    ]
+    stacked = sig.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"band_{bi}") for bi in range(bands)])
+        ).alias("bucket"),
+    )
+    # delta side: exact dups are already decided — keep them out of the
+    # band join (a delta clone of a hot base doc would only re-derive
+    # the verdict the md5 tier already gave, through the widest join)
+    d_stack = (
+        stacked.filter(is_delta)
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
+        .select(F.col("doc_id").alias("_d"), "bucket")
+    )
+    reps = bmap.select(F.col("_base_id").alias("doc_id"))
+    b_stack = stacked.join(reps, "doc_id").select(
+        F.col("doc_id").alias("_b"), "bucket"
+    )
+    cand = (
+        d_stack.join(b_stack, "bucket")
+        .select("_d", "_b")
+        .distinct()
+    )
+    shsets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("hs"))
+    da = shsets.select(F.col("doc_id").alias("_d"), F.col("hs").alias("ha"))
+    db = shsets.select(F.col("doc_id").alias("_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("long")
+    union = (F.size("ha") + F.size("hb")).cast("long") - inter
+    scored = (
+        cand.join(da, "_d")
+        .join(db, "_b")
+        .select(
+            "_d",
+            "_b",
+            inter.alias("_i"),
+            union.alias("_u"),
+        )
+        .filter(F.col("_i") * 1_000_000 >= F.lit(threshold_ppm) * F.col("_u"))
+        .select(
+            "_d",
+            "_b",
+            F.expr("CAST(_i * 1000000 DIV _u AS BIGINT)").alias("_j"),
+        )
+    )
+    best = scored.groupBy("_d").agg(
+        F.max(F.struct(F.col("_j"), (-F.col("_b")).alias("_nb"))).alias("_t")
+    ).select(
+        F.col("_d").alias("doc_id"),
+        F.col("_t._j").alias("_near_j"),
+        (-F.col("_t._nb")).alias("_near_id"),
+    )
+    return (
+        delta.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_ex_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_near_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("_ex_id", "_near_id", F.lit(-1))
+            .cast("long")
+            .alias("match_id"),
+            F.when(F.col("_ex_id").isNotNull(), F.lit(1_000_000))
+            .otherwise(F.coalesce("_near_j", F.lit(0)))
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+        .orderBy("doc_id")
+    )

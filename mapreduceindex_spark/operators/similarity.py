@@ -783,3 +783,62 @@ def ann_recall(
         )
         .orderBy("query_id")
     )
+
+
+def hybrid_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query: str = "vector hash join",
+    k_each: int = 20,
+    top_k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical (BM25) and semantic (cosine)
+    rankings with Reciprocal Rank Fusion — the standard two-tower search
+    surface where keyword precision and embedding recall cover each
+    other's misses. The semantic query is embedding ``vec_id = 0`` (the
+    corpus convention: vec_id aligns with doc_id), the lexical query is
+    ``query``.
+
+    RRF in exact integer micro-units: each leg contributes
+    ``1e6 DIV (rrf_k + rank)`` for its top ``k_each`` candidates, 0 when
+    a doc appears in only one leg — BIGINT end to end, so fusion is
+    engine-exact and tie-free (final ties broken by doc_id).
+
+    Scale shape: both legs end at top-``k_each`` candidate lists, so
+    everything after them — the full-outer fusion join and the two rank
+    windows — runs over ≤ 2·k_each rows (the windows are bounded-frame
+    by construction, never corpus-sized; they're on the plan-lint
+    allowlist for exactly that reason). The heavy lifting stays inside
+    the verified legs: BM25's single-exchange token front end and
+    cosine_topk's broadcast scoring.
+    """
+    from mapreduceindex_spark.operators.inverted_index import bm25_search
+
+    lex_w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = (
+        bm25_search(documents, query, top_k=k_each)
+        .select("doc_id", "score")
+        .withColumn("lex_rank", F.row_number().over(lex_w).cast("long"))
+        .drop("score")
+    )
+    sem = cosine_topk(embeddings, n_queries=1, k=k_each).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    leg = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(),
+        F.expr(f"CAST(1000000 DIV ({int(rrf_k)} + {c}) AS BIGINT)"),
+    ).otherwise(F.lit(0))
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+        (leg("lex_rank") + leg("sem_rank")).cast("long").alias("rrf_micro"),
+    )
+    final_w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(final_w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .orderBy("rank")
+    )

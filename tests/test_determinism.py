@@ -63,6 +63,10 @@ NAMES = [
     "groupwise_quantile_filter",
     "mixture_resample",
     "decontaminated_corpus",
+    "dataset_card_stats",
+    "corpus_freshness",
+    "incremental_dedup",
+    "hybrid_search",
 ]
 
 

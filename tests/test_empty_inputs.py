@@ -66,6 +66,10 @@ EMPTY_SAFE = [
     "tokenizer_fertility",
     "groupwise_quantile_filter",
     "decontaminated_corpus",
+    "dataset_card_stats",
+    "corpus_freshness",
+    "incremental_dedup",
+    "hybrid_search",
 ]
 
 

@@ -129,3 +129,113 @@ def test_decontaminated_consistent_with_contamination_check(spark):
     assert all(
         r.n_candidates == r.n_kept + r.n_removed for r in out.collect()
     )
+
+
+def test_dataset_card_stats_hand_computed(spark):
+    """3 docs in one source, 2 distinct texts, langs en/en/de: dup_ppm =
+    1e6 DIV 3, top lang en at 2/3, median = 2nd smallest length
+    (nearest-rank k = ceil(3*50/100) = 2)."""
+    from mapreduceindex_spark.operators.corpus import dataset_card_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "en", "s", 3),
+            (2, "a b", "en", "s", 3),
+            (3, "c d e", "de", "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    (r,) = dataset_card_stats(docs).collect()
+    assert (r.n_docs, r.n_chars, r.n_words) == (3, 11, 7)
+    assert r.n_distinct_texts == 2
+    assert r.dup_ppm == 1_000_000 // 3
+    assert (r.top_lang, r.top_lang_ppm) == ("en", 2_000_000 // 3)
+    assert r.p50_chars == 3
+
+
+def test_dataset_card_top_lang_tie_breaks_alphabetically(spark):
+    from mapreduceindex_spark.operators.corpus import dataset_card_stats
+
+    docs = _docs(
+        spark,
+        [(1, "x", "fr", "s", 1), (2, "y", "de", "s", 1)],
+    )
+    (r,) = dataset_card_stats(docs).collect()
+    assert r.top_lang == "de"
+
+
+def test_corpus_freshness_first_seen_semantics(spark):
+    """batch=2 over ids 0..5: snapshot 0 is all-new, snapshot 1 re-sees
+    'x' (1 of 2 distinct new), snapshot 2 is pure repeats (novelty 0)."""
+    from mapreduceindex_spark.operators.corpus import corpus_freshness
+
+    docs = _docs(
+        spark,
+        [
+            (0, "x", "en", "s", 1),
+            (1, "y", "en", "s", 1),
+            (2, "x", "en", "s", 1),
+            (3, "z", "en", "s", 1),
+            (4, "x", "en", "s", 1),
+            (5, "x", "en", "s", 1),
+        ],
+    )
+    rows = {r.snapshot: r for r in corpus_freshness(docs, batch=2).collect()}
+    assert (rows[0].n_docs, rows[0].n_distinct, rows[0].n_new) == (2, 2, 2)
+    assert (rows[1].n_docs, rows[1].n_distinct, rows[1].n_new) == (2, 2, 1)
+    assert (rows[2].n_docs, rows[2].n_distinct, rows[2].n_new) == (2, 1, 0)
+    assert rows[2].novel_ppm == 0 and rows[0].novel_ppm == 1_000_000
+
+
+def test_incremental_dedup_three_tiers(spark):
+    """Delta ids (≡9 mod 10) against the base: a byte-identical doc is
+    exact_dup (matched to the clone group's min id), a normalization-
+    equal doc (same words, different bytes) has the IDENTICAL shingle
+    set — so band recall is deterministic — and verifies at Jaccard 1.0
+    as near_dup, a unique doc is novel, and a shingle-less doc is novel
+    (no near evidence). Delta docs are never matched to each other."""
+    from mapreduceindex_spark.operators.dedup import incremental_dedup
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (3, "other corpus content entirely unrelated", "en", "s", 40),
+            (9, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (19, "Alpha, BETA gamma! delta epsilon.", "en", "s", 33),
+            (29, "zeta eta theta iota kappa", "en", "s", 25),
+            (39, "!!!", "en", "s", 3),
+            (49, "zeta eta theta iota kappa", "en", "s", 25),
+        ],
+    )
+    rows = {r.doc_id: r for r in incremental_dedup(docs).collect()}
+    assert set(rows) == {9, 19, 29, 39, 49}
+    assert tuple(rows[9])[1:] == ("exact_dup", 1, 1_000_000)
+    assert tuple(rows[19])[1:] == ("near_dup", 1, 1_000_000)
+    assert tuple(rows[29])[1:] == ("novel", -1, 0)
+    assert tuple(rows[39])[1:] == ("novel", -1, 0)
+    assert tuple(rows[49])[1:] == ("novel", -1, 0)
+
+
+def test_hybrid_search_rrf_fusion(spark):
+    """RRF invariants on real sf0.001 tables: ≤ top_k rows, rank is
+    1..n dense, rrf_micro is non-increasing, every row carries at least
+    one leg, and a doc ranked by BOTH legs outscores the same ranks
+    alone (fusion actually fuses)."""
+    from mapreduceindex_spark.operators.similarity import hybrid_search
+    from mapreduceindex_spark.session import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = hybrid_search(docs, emb).collect()
+    assert 0 < len(rows) <= 10
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    micros = [r.rrf_micro for r in rows]
+    assert micros == sorted(micros, reverse=True)
+    for r in rows:
+        assert r.lex_rank > 0 or r.sem_rank > 0
+        expect = (1_000_000 // (60 + r.lex_rank) if r.lex_rank else 0) + (
+            1_000_000 // (60 + r.sem_rank) if r.sem_rank else 0
+        )
+        assert r.rrf_micro == expect
