@@ -92,6 +92,7 @@ _VERIFY_FIRST = [
     "corpus_freshness",
     "incremental_dedup",
     "hybrid_search",
+    "streaming_session_funnel",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -552,6 +553,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_hot_tokens": lambda s, d: STREAM.streaming_hot_tokens(
             s, d, k=20
+        ),
+        "streaming_session_funnel": lambda s, d: (
+            STREAM.streaming_session_funnel(s, d)
         ),
         "streaming_asof_enrich": lambda s, d: (
             STREAM.streaming_asof_enrich(s, d)
@@ -2651,6 +2655,58 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    CAST(FLOOR(epoch(max(ts))) AS BIGINT)
                      - CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec
             FROM sids GROUP BY user_id, sid
+        """,
+        "streaming_session_funnel": """
+            -- gap sessionizer (the proven streaming_sessions replay),
+            -- then first-touch stage ordering at FULL microsecond
+            -- precision within each session
+            WITH flagged AS (
+              SELECT user_id, event_type, ts, epoch_us(ts) AS mic,
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sids AS (
+              SELECT user_id, event_type, mic,
+                sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            ), s0 AS (
+              SELECT user_id, sid,
+                     min(CASE WHEN event_type = 'view' THEN mic END) AS v
+              FROM sids GROUP BY 1, 2
+            ), s1 AS (
+              SELECT e.user_id, e.sid,
+                     min(CASE WHEN e.event_type = 'click' AND e.mic > s.v
+                              THEN e.mic END) AS c
+              FROM sids e JOIN s0 s USING (user_id, sid) GROUP BY 1, 2
+            ), s2 AS (
+              SELECT e.user_id, e.sid,
+                     min(CASE WHEN e.event_type = 'purchase' AND e.mic > s.c
+                              THEN e.mic END) AS p
+              FROM sids e JOIN s1 s USING (user_id, sid) GROUP BY 1, 2
+            ), j AS (
+              SELECT s0.v, s1.c, s2.p
+              FROM s0
+              JOIN s1 USING (user_id, sid)
+              JOIN s2 USING (user_id, sid)
+            )
+            SELECT stage_idx, stage, n_sessions FROM (
+              SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+                     coalesce(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END),
+                              0)::BIGINT AS n_sessions
+              FROM j
+              UNION ALL
+              SELECT 1::BIGINT, 'click',
+                     coalesce(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END),
+                              0)::BIGINT
+              FROM j
+              UNION ALL
+              SELECT 2::BIGINT, 'purchase',
+                     coalesce(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END),
+                              0)::BIGINT
+              FROM j
+            ) ORDER BY stage_idx
         """,
         "streaming_first_seen": """
             SELECT user_id, event_type,

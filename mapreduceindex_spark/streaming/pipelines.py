@@ -789,3 +789,81 @@ def streaming_lsh_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def streaming_session_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_sec: int = 1800,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Per-SESSION ordered funnel over the live event stream: within each
+    gap-based user session, did the user view → click → purchase in that
+    order? Reports sessions reaching each stage — the conversion readout
+    per visit, where the batch ``funnel_conversion`` reports it per user
+    lifetime.
+
+    Streaming shape: the stateful step is one ``session_window``
+    aggregate whose state per open session is the session's per-stage
+    event-time lists — bounded by SESSION size (a user's burst), evicted
+    by the watermark, never stream-length state. Funnel progression is
+    deliberately NOT computed in the stateful operator: first-touch
+    ordering (stage k counts only strictly after the qualifying stage
+    k−1 time) folds over the closed session's lists as plain Catalyst
+    array expressions batch-side, where it's a pure projection.
+    Comparisons are full-microsecond (``unix_micros``) — second
+    truncation would fake ties. The 3-row report explodes from ONE
+    aggregate row (no union re-execution of the session scan).
+    """
+    events = _stream_events(spark, sf_dir)
+    mic = F.unix_micros("ts")
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{gap_sec} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col("event_type") == s, mic)
+                ).alias(f"_t{i}")
+                for i, s in enumerate(stages)
+            ]
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    reached = out.select(F.array_min("_t0").alias("_s0"), "_t1", "_t2")
+    reached = reached.select(
+        "_s0",
+        F.array_min(
+            F.filter("_t1", lambda x: x > F.col("_s0"))
+        ).alias("_s1"),
+        "_t2",
+    )
+    reached = reached.select(
+        "_s0",
+        "_s1",
+        F.array_min(
+            F.filter("_t2", lambda x: x > F.col("_s1"))
+        ).alias("_s2"),
+    )
+    hit = lambda c: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+    tot = reached.agg(*[hit(f"_s{i}").alias(f"_n{i}") for i in range(3)])
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"_n{i}").alias("n_sessions"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return (
+        tot.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("stage_idx")
+    )

@@ -239,3 +239,22 @@ def test_hybrid_search_rrf_fusion(spark):
             1_000_000 // (60 + r.sem_rank) if r.sem_rank else 0
         )
         assert r.rrf_micro == expect
+
+
+def test_streaming_session_funnel_monotone_and_bounded(spark):
+    """Funnel counts are non-increasing across stages (a session can't
+    click-after-view without viewing) and stage 0 can't exceed the
+    session count the proven sessionizer reports."""
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_session_counts,
+        streaming_session_funnel,
+    )
+
+    rows = sorted(
+        streaming_session_funnel(spark, SF_SMALL).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == ["view", "click", "purchase"]
+    ns = [r.n_sessions for r in rows]
+    assert ns == sorted(ns, reverse=True) and ns[0] > 0
+    assert ns[0] <= streaming_session_counts(spark, SF_SMALL).count()
