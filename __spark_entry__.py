@@ -93,6 +93,8 @@ _VERIFY_FIRST = [
     "incremental_dedup",
     "hybrid_search",
     "streaming_session_funnel",
+    "index_merge",
+    "timeseries_gap_fill",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -416,6 +418,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
+        # round 6: tumbling series with empty buckets zero-filled from a
+        # probe-then-plan dense grid (types × buckets — metadata-sized)
+        "timeseries_gap_fill": lambda s, d: E.timeseries_gap_fill(
+            _t(s, d, "events")
+        ),
         "events_tumbling": lambda s, d: E.tumbling_counts(_t(s, d, "events")),
         "events_sliding": lambda s, d: E.sliding_counts(_t(s, d, "events")),
         "sessionize": lambda s, d: E.sessionize(_t(s, d, "events")),
@@ -527,6 +534,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t(s, d, "documents")
                 .filter("doc_id % 7 = 0")
                 .select("doc_id"),
+            )
+        ),
+        # round 6: incremental index update — merge(index(A), B) is
+        # checked against index(A ∪ B); maintenance cost tracks the delta
+        "index_merge": lambda s, d: II.flatten_index(
+            II.merge_index(
+                II.inverted_index(
+                    _t(s, d, "documents").filter("doc_id % 5 != 0"),
+                    ordered=False,
+                ),
+                _t(s, d, "documents").filter("doc_id % 5 = 0"),
+                ordered=False,
             )
         ),
         "phrase_search": lambda s, d: II.phrase_search(
@@ -2507,6 +2526,29 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               ON rn = CAST(ceiling(CAST(p AS DOUBLE) * n) AS BIGINT)
             ORDER BY p
         """,
+        "timeseries_gap_fill": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS w,
+                     count(*)::BIGINT AS n,
+                     round(sum(CAST(value AS DECIMAL(15,2))), 4)::DOUBLE
+                       AS sv
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT min(w) AS lo, max(w) AS hi FROM b
+            ), grid AS (
+              SELECT t.event_type, g.w
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                   (SELECT unnest(range(lo, hi + 600, 600)) AS w
+                    FROM bounds WHERE lo IS NOT NULL) g
+            )
+            SELECT g.event_type, g.w AS window_start,
+                   coalesce(b.n, 0)::BIGINT AS n_events,
+                   coalesce(b.sv, 0.0)::DOUBLE AS sum_value
+            FROM grid g
+            LEFT JOIN b ON b.event_type = g.event_type AND b.w = g.w
+            ORDER BY g.event_type, g.w
+        """,
         "events_tumbling": """
             SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
                    event_type,
@@ -3533,6 +3575,19 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               SELECT doc_id, u.word
               FROM documents, unnest({ws}) AS u(word)
               WHERE doc_id % 7 != 0
+            )
+            SELECT word,
+                   count(DISTINCT doc_id)::BIGINT AS df,
+                   array_to_string(list_sort(list(DISTINCT doc_id)), ' ')
+                     AS doc_ids
+            FROM toks GROUP BY word
+        """,
+        "index_merge": f"""
+            -- merge(index(A), B) == index(A ∪ B): the oracle rebuilds
+            -- from the whole corpus, the engine folds the delta in
+            WITH toks AS (
+              SELECT doc_id, u.word
+              FROM documents, unnest({ws}) AS u(word)
             )
             SELECT word,
                    count(DISTINCT doc_id)::BIGINT AS df,

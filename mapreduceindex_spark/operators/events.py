@@ -673,3 +673,72 @@ def top_event_paths(
         .orderBy(F.col("n_sequences").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def timeseries_gap_fill(
+    events: DataFrame, width_sec: int = 600
+) -> DataFrame:
+    """Dense per-type time series: ``tumbling_counts`` with the EMPTY
+    buckets materialized as zero rows — the gap-fill every downstream
+    moving-average / anomaly / charting consumer needs (a missing bucket
+    and a zero bucket mean different things only until someone computes
+    a rate over the series).
+
+    Probe-then-plan: the global [min, max] bucket range is one scalar
+    aggregate collected to the driver and re-planted as literals, so the
+    dense grid is ``sequence(lo, hi, width)`` exploded against the
+    (tiny, broadcast) distinct event-type frame — grid size is
+    ``types × buckets``, a METADATA quantity independent of row count.
+    The actual per-bucket aggregate joins onto the grid by (type,
+    bucket); gaps coalesce to exact zeros. At 100 TB the data path is
+    exactly ``tumbling_counts``' one aggregate — the grid costs nothing.
+
+    Output: (event_type, window_start, n_events, sum_value), zero-filled.
+    """
+    bucket = F.expr(
+        f"CAST(FLOOR(unix_timestamp(ts) / {int(width_sec)})"
+        f" * {int(width_sec)} AS BIGINT)"
+    )
+    actual = (
+        events.groupBy(F.col("event_type"), bucket.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            _sum_value4().alias("_sv"),
+        )
+    )
+    lo_hi = actual.agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    ).collect()[0]
+    if lo_hi["lo"] is None:
+        return events.sparkSession.createDataFrame(
+            [],
+            "event_type string, window_start long, n_events long,"
+            " sum_value double",
+        )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                events.sparkSession.range(1).select(
+                    F.explode(
+                        F.sequence(
+                            F.lit(int(lo_hi["lo"])),
+                            F.lit(int(lo_hi["hi"])),
+                            F.lit(int(width_sec)),
+                        )
+                    ).alias("window_start")
+                )
+            )
+        )
+    )
+    return (
+        grid.join(actual, ["event_type", "window_start"], "left")
+        .select(
+            "event_type",
+            "window_start",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("_sv", F.lit(0.0)).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type", "window_start")
+    )

@@ -67,6 +67,8 @@ NAMES = [
     "corpus_freshness",
     "incremental_dedup",
     "hybrid_search",
+    "index_merge",
+    "timeseries_gap_fill",
 ]
 
 

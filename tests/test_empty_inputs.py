@@ -70,6 +70,8 @@ EMPTY_SAFE = [
     "corpus_freshness",
     "incremental_dedup",
     "hybrid_search",
+    "index_merge",
+    "timeseries_gap_fill",
 ]
 
 

@@ -258,3 +258,28 @@ def test_streaming_session_funnel_monotone_and_bounded(spark):
     ns = [r.n_sessions for r in rows]
     assert ns == sorted(ns, reverse=True) and ns[0] > 0
     assert ns[0] <= streaming_session_counts(spark, SF_SMALL).count()
+
+
+def test_timeseries_gap_fill_dense_and_consistent(spark):
+    """The filled series is DENSE (every type × every bucket in the
+    global range), zero rows are exact zeros, and non-gap buckets carry
+    exactly tumbling_counts' numbers."""
+    from mapreduceindex_spark.operators.events import (
+        timeseries_gap_fill,
+        tumbling_counts,
+    )
+    from mapreduceindex_spark.session import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    filled = timeseries_gap_fill(ev).collect()
+    types = {r.event_type for r in filled}
+    starts = sorted({r.window_start for r in filled})
+    assert len(filled) == len(types) * len(starts)
+    assert starts == list(range(starts[0], starts[-1] + 600, 600))
+    base = {
+        (r.event_type, r.window_start): (r.n_events, r.sum_value)
+        for r in tumbling_counts(ev).collect()
+    }
+    for r in filled:
+        expect = base.get((r.event_type, r.window_start), (0, 0.0))
+        assert (r.n_events, r.sum_value) == expect
