@@ -95,6 +95,7 @@ _VERIFY_FIRST = [
     "streaming_session_funnel",
     "index_merge",
     "timeseries_gap_fill",
+    "quantized_topk",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -519,6 +520,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "embedding_quantize": lambda s, d: S.embedding_quantize(
+            _t(s, d, "embeddings")
+        ),
+        # round 6: int8-scan ANN + exact rerank — the quantized tier of
+        # the family; candidate key is pure BIGINT (qdot · scale_micro)
+        "quantized_topk": lambda s, d: S.quantized_topk(
             _t(s, d, "embeddings")
         ),
         "embedding_dim_stats": lambda s, d: S.embedding_dim_stats(
@@ -985,6 +991,64 @@ SELECT doc_id, lex_rank, sem_rank, rrf_micro, rank FROM (
   FROM fused
 ) WHERE rank <= {int(top_k)}
 ORDER BY rank
+"""
+
+
+def _quantized_topk_sql(
+    n_queries: int = 10, k: int = 5, k_cand: int = 20
+) -> str:
+    """Replay of similarity.quantized_topk: embedding_quantize's exact
+    quantization CTE, BIGINT int8-dot candidate ranking by
+    qdot·scale_micro, float-cosine rerank of the top k_cand."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         COALESCE(list_max(list_transform(
+           embedding, x -> abs(CAST(x AS DOUBLE)))), 0) AS m
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, {XQ.micro_sql('(m / 127.0)')} AS scale_micro,
+         CASE WHEN m > 0 THEN
+           list_transform(embedding, x ->
+             CAST(CASE WHEN CAST(x AS DOUBLE) >= 0
+               THEN floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)
+               ELSE -floor((-CAST(x AS DOUBLE)) * 127.0 / m + 0.5)
+             END AS BIGINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+         END AS qvec
+  FROM base
+), qq AS (
+  SELECT vec_id AS query_id, qvec AS a FROM qz WHERE vec_id < {n_queries}
+), cc AS (
+  SELECT vec_id AS neighbor_id, scale_micro AS sc, qvec AS b FROM qz
+), scored AS (
+  SELECT query_id, neighbor_id, sc,
+         CAST(COALESCE(list_sum(list_transform(range(1, len(a) + 1),
+              i -> a[i] * b[i])), 0) AS BIGINT) AS qdot
+  FROM qq, cc WHERE neighbor_id <> query_id
+), cands AS (
+  SELECT query_id, neighbor_id, qdot FROM (
+    SELECT query_id, neighbor_id, qdot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY qdot * sc DESC, neighbor_id) AS r1
+    FROM scored
+  ) WHERE r1 <= {k_cand}
+), rer AS (
+  SELECT cd.query_id, cd.neighbor_id, cd.qdot, {_COSINE} AS cosine
+  FROM cands cd
+  JOIN (SELECT vec_id, embedding AS emb FROM embeddings) q
+    ON q.vec_id = cd.query_id
+  JOIN (SELECT vec_id, embedding AS emb FROM embeddings) c
+    ON c.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, qdot, cosine, rank FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id)::BIGINT
+           AS rank
+  FROM rer
+) WHERE rank <= {k}
+ORDER BY query_id, rank
 """
 
 
@@ -1968,6 +2032,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "minhash_lsh_pairs": _minhash_lsh_sql(16, 4),
         "incremental_dedup": _incremental_dedup_sql(16, 4),
         "hybrid_search": _hybrid_search_sql(),
+        "quantized_topk": _quantized_topk_sql(),
         # the streaming LSH index emits the same candidates and runs the
         # same exact-Jaccard verifier, so the oracle is shared verbatim
         "streaming_lsh_dedup_pairs": _minhash_lsh_sql(16, 4),

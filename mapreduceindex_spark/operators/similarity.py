@@ -523,29 +523,15 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def embedding_quantize(embeddings: DataFrame) -> DataFrame:
-    """Symmetric int8 quantization of every embedding — the standard
-    serving-prep pass before shipping vectors to an ANN index (4×
-    smaller, SIMD-friendly dot products): per vector,
-    ``scale = max|x| / 127`` and ``q_i = round(x_i / scale)`` clipped
-    into [-127, 127] by construction (the max element maps to exactly
-    ±127).
+def _quantized_codes(embeddings: DataFrame) -> DataFrame:
+    """The int8 symmetric-quantization core shared by
+    ``embedding_quantize`` (which serializes it) and ``quantized_topk``
+    (which searches in it): per vector ``scale = max|x| / 127`` and
+    ``q_i`` the tie-free half-away rounding of ``x_i · 127 / max|x|``.
+    Returns ``(vec_id, n_dims, scale_micro, _q array<long>)`` — one
+    embarrassingly parallel projection, zero shuffles."""
+    from mapreduceindex_spark.functions.exact import micro
 
-    Exactness contract: ``q_i`` is tie-free half-away rounding of
-    ``x_i·127 / max|x|`` — multiply and divide are correctly-rounded
-    IEEE ops, so both engines compute bit-identical doubles, and the
-    explicit floor-based rounding removes the engine-native tie
-    behavior (same discipline as ``exact.micro``). Zero vectors emit
-    all-zero codes and scale 0. Every output column is BIGINT or an
-    array of BIGINTs — no doubles, per the registry-wide hash-risk
-    contract (``functions/floataudit.py``); the float scale is carried
-    as ``scale_micro``. All Catalyst higher-order functions
-    (``transform``/``aggregate``) — JVM-side, no Python boundary, and
-    at 100 TB the op is embarrassingly parallel (zero shuffles).
-
-    ``q_max`` (max |q_i|) is emitted as a built-in calibration check:
-    127 for every nonzero vector, 0 for zero vectors.
-    """
     xabs = F.transform(
         F.col("embedding"), lambda x: F.abs(x.cast("double"))
     )
@@ -575,15 +561,39 @@ def embedding_quantize(embeddings: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.transform(F.col("_e"), lambda x: F.lit(0).cast("long")))
-    from mapreduceindex_spark.functions.exact import micro
+    return base.select(
+        "vec_id",
+        "n_dims",
+        micro(F.col("_m") / F.lit(127.0)).alias("scale_micro"),
+        qvec.alias("_q"),
+    )
 
+
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of every embedding — the standard
+    serving-prep pass before shipping vectors to an ANN index (4×
+    smaller, SIMD-friendly dot products): per vector,
+    ``scale = max|x| / 127`` and ``q_i = round(x_i / scale)`` clipped
+    into [-127, 127] by construction (the max element maps to exactly
+    ±127).
+
+    Exactness contract: ``q_i`` is tie-free half-away rounding of
+    ``x_i·127 / max|x|`` — multiply and divide are correctly-rounded
+    IEEE ops, so both engines compute bit-identical doubles, and the
+    explicit floor-based rounding removes the engine-native tie
+    behavior (same discipline as ``exact.micro``). Zero vectors emit
+    all-zero codes and scale 0. Every output column is BIGINT or an
+    array of BIGINTs — no doubles, per the registry-wide hash-risk
+    contract (``functions/floataudit.py``); the float scale is carried
+    as ``scale_micro``. All Catalyst higher-order functions
+    (``transform``/``aggregate``) — JVM-side, no Python boundary, and
+    at 100 TB the op is embarrassingly parallel (zero shuffles).
+
+    ``q_max`` (max |q_i|) is emitted as a built-in calibration check:
+    127 for every nonzero vector, 0 for zero vectors.
+    """
     return (
-        base.select(
-            "vec_id",
-            "n_dims",
-            micro(F.col("_m") / F.lit(127.0)).alias("scale_micro"),
-            qvec.alias("_q"),
-        )
+        _quantized_codes(embeddings)
         .select(
             "vec_id",
             "n_dims",
@@ -841,4 +851,88 @@ def hybrid_search(
         fused.withColumn("rank", F.row_number().over(final_w).cast("long"))
         .filter(F.col("rank") <= top_k)
         .orderBy("rank")
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    k_cand: int = 20,
+) -> DataFrame:
+    """Quantized-scan ANN with exact rerank — the memory-bandwidth tier
+    of the family (brute ``cosine_topk`` / LSH / IVF): candidates are
+    ranked by the int8 dot product over ``_quantized_codes``' vectors
+    (4× smaller scan, SIMD dots in a real serving engine), the top
+    ``k_cand`` per query are then re-scored with TRUE float cosine, and
+    the final top ``k`` come from the rerank — quantization error can
+    reorder the candidate list but never survives into the reported
+    scores.
+
+    Everything stays engine-exact: the candidate ranking key is
+    ``qdot · scale_micro`` — pure BIGINT (within a query the query
+    scale is constant, so candidate order only needs the candidate-side
+    scale) — and the rerank is the family's shared q6 cosine. At scale
+    the quantized codes are what lives inside IVF cells
+    (``ivf_topk_trained``); this operator is the per-cell scan + rerank
+    contract, verified end to end.
+
+    Output: (query_id, neighbor_id, qdot, cosine, rank).
+    """
+    codes = _quantized_codes(embeddings)
+    qq = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_q").alias("_qa")
+    )
+    cc = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("scale_micro").alias("_sc"),
+        F.col("_q").alias("_qb"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cc.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "_sc",
+            qdot.alias("qdot"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        (F.col("qdot") * F.col("_sc")).desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k_cand)
+        .select("query_id", "neighbor_id", "qdot")
+    )
+    eq = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_ea")
+    )
+    ec = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_eb"),
+    )
+    rer = (
+        cands.join(F.broadcast(eq), "query_id")
+        .join(ec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qdot",
+            q6(cosine_similarity("_ea", "_eb")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
     )

@@ -167,6 +167,15 @@ def main():
         "ivf_topk_trained_10x",
         lambda: S.ivf_topk_trained(emb10),
     )
+    # round-6: incremental (delta-vs-base) dedup on the clone corpus —
+    # the adversarial shape for it: ~90% of delta docs are exact clones
+    # of base docs (md5 tier must absorb them before the band join),
+    # and every base clone group must collapse to ONE representative or
+    # the candidate space multiplies by the clone factor.
+    timed(
+        "incremental_dedup_10x",
+        lambda: D.incremental_dedup(cloned),
+    )
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 

@@ -69,6 +69,7 @@ NAMES = [
     "hybrid_search",
     "index_merge",
     "timeseries_gap_fill",
+    "quantized_topk",
 ]
 
 

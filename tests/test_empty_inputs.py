@@ -72,6 +72,7 @@ EMPTY_SAFE = [
     "hybrid_search",
     "index_merge",
     "timeseries_gap_fill",
+    "quantized_topk",
 ]
 
 

@@ -283,3 +283,34 @@ def test_timeseries_gap_fill_dense_and_consistent(spark):
     for r in filled:
         expect = base.get((r.event_type, r.window_start), (0, 0.0))
         assert (r.n_events, r.sum_value) == expect
+
+
+def test_quantized_topk_rerank_quality(spark):
+    """The quantized scan + exact rerank must agree with exact brute
+    force on most of the top-5 (int8 error is small at dim 64), report
+    TRUE cosines for whatever it returns (each reported cosine equals
+    the exact operator's score for that same pair), and rank 1..k
+    densely per query."""
+    from mapreduceindex_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+    from mapreduceindex_spark.session import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    approx = quantized_topk(emb).collect()
+    exact = cosine_topk(emb, n_queries=10, k=5).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.query_id for r in exact}
+    overlap = hits = 0
+    for q, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        for r in rows:
+            hits += 1
+            if (q, r.neighbor_id) in exact_pairs:
+                overlap += 1
+                assert r.cosine == exact_pairs[(q, r.neighbor_id)]
+    assert overlap / hits >= 0.8
