@@ -1108,8 +1108,11 @@ def dataset_card_stats(documents: DataFrame) -> DataFrame:
       window.
 
     All shares are exact BIGINT ppm; every joined frame is bounded by
-    source count, so the final assembly broadcasts. At 100 TB: three
-    passes over the scan columns, no wide shuffle anywhere.
+    source count, so the final assembly broadcasts. At 100 TB: four
+    column-pruned passes over the scan (volume, distinct, language,
+    histogram — each needs a different key shape), no wide shuffle
+    anywhere; a single-pass variant would trade them for the 2× Expand
+    this plan exists to avoid.
     """
     n_words = F.size(
         F.filter(F.split("text", r"\s+"), lambda t: F.length(t) > 0)
