@@ -96,6 +96,7 @@ _VERIFY_FIRST = [
     "index_merge",
     "timeseries_gap_fill",
     "quantized_topk",
+    "typo_pairs",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -540,6 +541,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t(s, d, "documents")
                 .filter("doc_id % 7 = 0")
                 .select("doc_id"),
+            )
+        ),
+        # round 6: SymSpell deletion-neighborhood fuzzy match — every
+        # vocabulary pair at Levenshtein 1, vocab-bounded join. The
+        # synthetic vocabulary has NO distance-1 pairs, so the fixture
+        # seeds them: every 97th doc re-enters with an 'x' prepended to
+        # its first word (an insertion typo), exactly like
+        # contamination_check seeds its benchmark split
+        "typo_pairs": lambda s, d: TA.typo_pairs(
+            _t(s, d, "documents").unionAll(
+                _t(s, d, "documents")
+                .filter("doc_id % 97 = 0")
+                .selectExpr(
+                    "doc_id + 1000000 AS doc_id",
+                    "concat('x', text) AS text",
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
             )
         ),
         # round 6: incremental index update — merge(index(A), B) is
@@ -3646,6 +3666,39 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    array_to_string(list_sort(list(DISTINCT doc_id)), ' ')
                      AS doc_ids
             FROM toks GROUP BY word
+        """,
+        "typo_pairs": f"""
+            -- deletion-neighborhood candidates (a Levenshtein-1 pair
+            -- provably shares a single-deletion variant), then exact
+            -- levenshtein verification — identical built-in semantics
+            -- on both engines
+            WITH seeded AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, 'x' || text AS text
+              FROM documents WHERE doc_id % 97 = 0
+            ), toks AS (
+              SELECT DISTINCT doc_id, u.word
+              FROM seeded, unnest({ws}) AS u(word)
+            ), vocab AS (
+              SELECT word, count(*)::BIGINT AS df
+              FROM toks WHERE len(word) >= 4 GROUP BY word
+            ), vars AS (
+              SELECT word, df, word AS variant FROM vocab
+              UNION ALL
+              SELECT word, df,
+                     substr(word, 1, i - 1) || substr(word, i + 1,
+                         len(word)) AS variant
+              FROM vocab, unnest(range(1, len(word) + 1)) AS t(i)
+            ), cand AS (
+              SELECT DISTINCT a.word AS word_a, a.df AS df_a,
+                              b.word AS word_b, b.df AS df_b
+              FROM vars a
+              JOIN vars b ON a.variant = b.variant AND a.word < b.word
+            )
+            SELECT word_a, word_b, df_a, df_b
+            FROM cand WHERE levenshtein(word_a, word_b) = 1
+            ORDER BY word_a, word_b
         """,
         "index_merge": f"""
             -- merge(index(A), B) == index(A ∪ B): the oracle rebuilds

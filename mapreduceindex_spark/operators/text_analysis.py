@@ -594,3 +594,71 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def typo_pairs(documents: DataFrame, min_len: int = 4) -> DataFrame:
+    """Vocabulary noise mining: every pair of corpus words at edit
+    distance exactly 1 — the typo/variant detector behind spelling
+    normalization and OCR cleanup (the low-df member of a pair is
+    almost always the corruption of the high-df one).
+
+    SymSpell-style deletion-neighborhood join, never all-pairs: each
+    vocabulary word emits itself plus its |w| single-deletion variants;
+    two words at Levenshtein 1 (one insertion, deletion, or
+    substitution) PROVABLY share a variant key, so the candidate join
+    runs inside variant buckets only, and exact ``levenshtein`` (a
+    built-in on both engines) verifies each candidate — no false
+    positives survive, and transposition-class matches are correctly
+    excluded (distance 2). Words shorter than ``min_len`` are skipped
+    (their neighborhoods are dense with real words, not typos).
+
+    Scale shape: everything after the token scan is VOCABULARY-bounded
+    (Heaps' law), the variant frame ≤ (maxlen+1)·|vocab| short strings,
+    and the join key is the variant string — hot buckets are bounded by
+    how many real words share a deletion, a language property
+    independent of corpus size. Output: (word_a, word_b, df_a, df_b),
+    df = document frequency, so the correction direction is readable
+    off the row.
+    """
+    from mapreduceindex_spark.operators.inverted_index import doc_words
+
+    vocab = (
+        doc_words(documents)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.length("word") >= min_len)
+    )
+    # variants = the word itself plus word-with-char-i-deleted for
+    # i in 1..len (substr with column bounds needs the SQL form)
+    variants = vocab.select(
+        "word",
+        "df",
+        F.explode(
+            F.concat(
+                F.array(F.col("word")),
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> concat(substr(word, 1, i - 1),"
+                    " substr(word, i + 1)))"
+                ),
+            )
+        ).alias("variant"),
+    ).select("word", "df", "variant")
+    a = variants.select(
+        F.col("word").alias("word_a"),
+        F.col("df").alias("df_a"),
+        "variant",
+    )
+    b = variants.select(
+        F.col("word").alias("word_b"),
+        F.col("df").alias("df_b"),
+        "variant",
+    )
+    return (
+        a.join(b, "variant")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b", "df_a", "df_b")
+        .distinct()
+        .filter(F.levenshtein("word_a", "word_b") == 1)
+        .orderBy("word_a", "word_b")
+    )

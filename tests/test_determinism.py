@@ -70,6 +70,7 @@ NAMES = [
     "index_merge",
     "timeseries_gap_fill",
     "quantized_topk",
+    "typo_pairs",
 ]
 
 

@@ -73,6 +73,7 @@ EMPTY_SAFE = [
     "index_merge",
     "timeseries_gap_fill",
     "quantized_topk",
+    "typo_pairs",
 ]
 
 

@@ -314,3 +314,20 @@ def test_quantized_topk_rerank_quality(spark):
                 overlap += 1
                 assert r.cosine == exact_pairs[(q, r.neighbor_id)]
     assert overlap / hits >= 0.8
+
+
+def test_typo_pairs_deletion_neighborhood(spark):
+    """Deletion (hello/helo) and substitution pairs are found with
+    correct doc frequencies; transpositions (distance 2) and short
+    words are excluded."""
+    from mapreduceindex_spark.operators.text_analysis import typo_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (1, "hello helo world wrld transposed trnasposed cat cta", "en", "s", 1),
+            (2, "hello world again", "en", "s", 1),
+        ],
+    )
+    rows = {(r.word_a, r.word_b): (r.df_a, r.df_b) for r in typo_pairs(docs).collect()}
+    assert rows == {("hello", "helo"): (2, 1), ("world", "wrld"): (2, 1)}
