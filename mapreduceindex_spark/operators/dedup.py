@@ -1172,9 +1172,24 @@ def incremental_dedup(
         .select("doc_id", F.col("_base_id").alias("_ex_id"))
     )
 
+    # the shingle/signature front end runs ONLY over docs that can
+    # still matter: delta docs not already decided by the exact tier,
+    # plus one base representative per distinct content — on a
+    # clone-heavy corpus that's a small fraction of the rows (banding
+    # non-reps would also only multiply candidates without ever
+    # changing a verdict, and their signatures would be discarded)
+    live_delta = delta.join(exact.select("doc_id"), "doc_id", "left_anti")
+    rep_base = base.join(
+        bmap.select(F.col("_base_id").alias("doc_id")), "doc_id"
+    )
     release("incremental_dedup")
     sh = track(
-        _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK),
+        _shingle_hashes(
+            live_delta.select("doc_id", "text").unionAll(
+                rep_base.select("doc_id", "text")
+            ),
+            n,
+        ).persist(StorageLevel.MEMORY_AND_DISK),
         key="incremental_dedup",
     )
     sig = _signatures_from_hashes(sh, num_hashes)
@@ -1198,16 +1213,12 @@ def incremental_dedup(
             F.array(*[F.col(f"band_{bi}") for bi in range(bands)])
         ).alias("bucket"),
     )
-    # delta side: exact dups are already decided — keep them out of the
-    # band join (a delta clone of a hot base doc would only re-derive
-    # the verdict the md5 tier already gave, through the widest join)
-    d_stack = (
-        stacked.filter(is_delta)
-        .join(exact.select("doc_id"), "doc_id", "left_anti")
-        .select(F.col("doc_id").alias("_d"), "bucket")
+    # every sig row is already a live delta doc or a base rep — split
+    # the banded frame by side, nothing to discard
+    d_stack = stacked.filter(is_delta).select(
+        F.col("doc_id").alias("_d"), "bucket"
     )
-    reps = bmap.select(F.col("_base_id").alias("doc_id"))
-    b_stack = stacked.join(reps, "doc_id").select(
+    b_stack = stacked.filter(~is_delta).select(
         F.col("doc_id").alias("_b"), "bucket"
     )
     cand = (
