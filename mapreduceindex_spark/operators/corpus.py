@@ -879,6 +879,44 @@ def curation_funnel(
     )
 
 
+def _nearest_rank_values(
+    documents: DataFrame, col: str, pcts: dict[str, int]
+) -> DataFrame:
+    """Per-source nearest-rank percentile values off a counting
+    histogram: for each ``name → pct`` entry, the smallest value whose
+    running count reaches ``ceil(n·pct/100)``. Output ``(source,
+    <name>…)``, all BIGINT. The one implementation of the rank
+    arithmetic shared by ``groupwise_quantile_filter`` (band bounds)
+    and ``dataset_card_stats`` (median) — histogram size bounds the
+    window, never row count; BIGINT DIV keeps the rank exact past
+    2^53/100 group counts."""
+    v = F.col(col).cast("long")
+    hist = documents.groupBy(F.col("source"), v.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy("source").orderBy("_v")
+    cum = hist.select(
+        "source",
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("source")).alias("_n"),
+    )
+    return cum.groupBy("source").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.expr(f"(_n * {int(p)} + 99) DIV 100"),
+                    F.col("_v"),
+                )
+            )
+            .cast("long")
+            .alias(name)
+            for name, p in pcts.items()
+        ]
+    )
+
+
 def groupwise_quantile_filter(
     documents: DataFrame,
     lo_pct: int = 5,
@@ -905,26 +943,8 @@ def groupwise_quantile_filter(
     set is deterministic.
     """
     v = F.col(col).cast("long")
-    hist = documents.groupBy(F.col("source"), v.alias("_v")).agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    w = Window.partitionBy("source").orderBy("_v")
-    cum = hist.select(
-        "source",
-        "_v",
-        F.sum("_c").over(w).alias("_cum"),
-        F.sum("_c").over(Window.partitionBy("source")).alias("_n"),
-    )
-    # BIGINT DIV, not `/`: Spark's `/` is double division, which loses
-    # exactness once group counts pass 2^53/100 — real at 100 TB
-    k_lo = F.expr(f"(_n * {int(lo_pct)} + 99) DIV 100")
-    k_hi = F.expr(f"(_n * {int(hi_pct)} + 99) DIV 100")
-    bounds = (
-        cum.groupBy("source")
-        .agg(
-            F.min(F.when(F.col("_cum") >= k_lo, F.col("_v"))).alias("_lo"),
-            F.min(F.when(F.col("_cum") >= k_hi, F.col("_v"))).alias("_hi"),
-        )
+    bounds = _nearest_rank_values(
+        documents, col, {"_lo": lo_pct, "_hi": hi_pct}
     )
     return (
         documents.join(F.broadcast(bounds), "source")
@@ -992,43 +1012,35 @@ def mixture_resample(
         )
         for s, w in weights_ppm.items()
     }
+    # the acceptance filter keeps the rates as a literal CASE chain
+    # (scan-stage, no join on the data path); everything REPORT-side
+    # comes from one plan frame built from the same driver-side dicts,
+    # so the filter and the report cannot drift
     rate = F.lit(0)
     for s, r in sorted(rate_ppm.items()):
         rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
     kept = (
         documents.filter(F.col("source").isin(list(weights_ppm)))
-        .select(
-            "source",
-            (stable_hash64("text") % 1_000_000).alias("_b"),
-            rate.alias("_rate"),
-        )
-        .filter(F.col("_b") < F.col("_rate"))
+        .filter((stable_hash64("text") % 1_000_000) < rate)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
-    tgt = F.lit(0)
-    for s, w in sorted(weights_ppm.items()):
-        tgt = F.when(F.col("source") == s, F.lit(w)).otherwise(tgt)
-    n_tot = F.lit(0)
-    for s in sorted(weights_ppm):
-        n_tot = F.when(
-            F.col("source") == s, F.lit(counts.get(s, 0))
-        ).otherwise(n_tot)
-    r_lit = F.lit(0)
-    for s, r in sorted(rate_ppm.items()):
-        r_lit = F.when(F.col("source") == s, F.lit(r)).otherwise(r_lit)
-    sources = documents.sparkSession.createDataFrame(
-        [(s,) for s in sorted(weights_ppm)], "source string"
+    plan = documents.sparkSession.createDataFrame(
+        [
+            (s, counts.get(s, 0), w, rate_ppm[s])
+            for s, w in sorted(weights_ppm.items())
+        ],
+        "source string, n_total long, target_ppm long, rate_ppm long",
     )
     total_kept = kept.agg(F.sum("n_kept").alias("_tk"))
     return (
-        sources.join(kept, "source", "left")
+        plan.join(kept, "source", "left")
         .join(F.broadcast(total_kept))
         .select(
             "source",
-            n_tot.cast("long").alias("n_total"),
-            tgt.cast("long").alias("target_ppm"),
-            r_lit.cast("long").alias("rate_ppm"),
+            "n_total",
+            "target_ppm",
+            "rate_ppm",
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.when(
                 F.col("_tk") > 0,
@@ -1131,37 +1143,17 @@ def dataset_card_stats(documents: DataFrame) -> DataFrame:
     lc = documents.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
+    # asc_nulls_last: DuckDB's bare ORDER BY lang sorts NULLs last —
+    # Spark's default NULLS FIRST would diverge on a NULL-lang tie
     rank_w = Window.partitionBy("source").orderBy(
-        F.col("_c").desc(), F.col("lang").asc()
+        F.col("_c").desc(), F.col("lang").asc_nulls_last()
     )
     top = (
         lc.withColumn("_rn", F.row_number().over(rank_w))
         .filter(F.col("_rn") == 1)
         .select("source", F.col("lang").alias("top_lang"), F.col("_c"))
     )
-    hist = documents.groupBy(
-        "source", F.col("n_chars").cast("long").alias("_v")
-    ).agg(F.count(F.lit(1)).alias("_hc"))
-    cum_w = Window.partitionBy("source").orderBy("_v")
-    med = (
-        hist.select(
-            "source",
-            "_v",
-            F.sum("_hc").over(cum_w).alias("_cum"),
-            F.sum("_hc").over(Window.partitionBy("source")).alias("_n"),
-        )
-        .groupBy("source")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("_cum") >= F.expr("(_n * 50 + 99) DIV 100"),
-                    F.col("_v"),
-                )
-            )
-            .cast("long")
-            .alias("p50_chars")
-        )
-    )
+    med = _nearest_rank_values(documents, "n_chars", {"p50_chars": 50})
     return (
         base.join(F.broadcast(dist), "source")
         .join(F.broadcast(top), "source")

@@ -1163,13 +1163,23 @@ def incremental_dedup(
     delta = documents.filter(is_delta)
     base = documents.filter(~is_delta)
 
-    bmap = base.groupBy(F.md5("text").alias("_m")).agg(
-        F.min("doc_id").alias("_base_id")
+    # bmap feeds the exact tier AND the rep filter, exact feeds the
+    # live-delta filter AND the final verdict join — persist both
+    # (tracked, released on the next call) or each plan branch re-runs
+    # the base corpus' md5 aggregate: a second full base pass at scale
+    release("incremental_dedup")
+    bmap = track(
+        base.groupBy(F.md5("text").alias("_m"))
+        .agg(F.min("doc_id").alias("_base_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        key="incremental_dedup",
     )
-    exact = (
+    exact = track(
         delta.select("doc_id", F.md5("text").alias("_m"))
         .join(bmap, "_m")
         .select("doc_id", F.col("_base_id").alias("_ex_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        key="incremental_dedup",
     )
 
     # the shingle/signature front end runs ONLY over docs that can
@@ -1182,7 +1192,6 @@ def incremental_dedup(
     rep_base = base.join(
         bmap.select(F.col("_base_id").alias("doc_id")), "doc_id"
     )
-    release("incremental_dedup")
     sh = track(
         _shingle_hashes(
             live_delta.select("doc_id", "text").unionAll(

@@ -695,16 +695,14 @@ def timeseries_gap_fill(
 
     Output: (event_type, window_start, n_events, sum_value), zero-filled.
     """
-    bucket = F.expr(
-        f"CAST(FLOOR(unix_timestamp(ts) / {int(width_sec)})"
-        f" * {int(width_sec)} AS BIGINT)"
-    )
-    actual = (
-        events.groupBy(F.col("event_type"), bucket.alias("window_start"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("_n"),
-            _sum_value4().alias("_sv"),
-        )
+    # the sparse series IS tumbling_counts — one source of truth for
+    # the bucketing and the exact-decimal sum, so the densified series
+    # can never diverge from the operator it claims to fill
+    actual = tumbling_counts(events, width_sec).select(
+        "event_type",
+        "window_start",
+        F.col("n_events").alias("_n"),
+        F.col("sum_value").alias("_sv"),
     )
     lo_hi = actual.agg(
         F.min("window_start").alias("lo"), F.max("window_start").alias("hi")

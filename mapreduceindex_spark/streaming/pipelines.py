@@ -804,9 +804,15 @@ def streaming_session_funnel(
     lifetime.
 
     Streaming shape: the stateful step is one ``session_window``
-    aggregate whose state per open session is the session's per-stage
-    event-time lists — bounded by SESSION size (a user's burst), evicted
-    by the watermark, never stream-length state. Funnel progression is
+    aggregate whose state PER SESSION is the session's per-stage
+    event-time lists — bounded by session size (a user's burst). This
+    runs in complete mode to match the bounded-fixture oracle, so
+    closed sessions are retained for re-emission (state tracks total
+    sessions seen); the production deployment is the same aggregate in
+    append mode, where the 1-hour watermark finalizes and EVICTS each
+    session — the batch-side fold below is output-mode-agnostic, and
+    the watermark-eviction contract itself is pinned by
+    ``test_streaming_watermark_drops_late_rows``. Funnel progression is
     deliberately NOT computed in the stateful operator: first-touch
     ordering (stage k counts only strictly after the qualifying stage
     k−1 time) folds over the closed session's lists as plain Catalyst
@@ -833,25 +839,25 @@ def streaming_session_funnel(
         )
     )
     out = _run_to_table(agg, "complete")
-    reached = out.select(F.array_min("_t0").alias("_s0"), "_t1", "_t2")
-    reached = reached.select(
-        "_s0",
-        F.array_min(
-            F.filter("_t1", lambda x: x > F.col("_s0"))
-        ).alias("_s1"),
-        "_t2",
+    n_stages = len(stages)
+    reached = out.select(
+        F.array_min("_t0").alias("_s0"),
+        *[f"_t{i}" for i in range(1, n_stages)],
     )
-    reached = reached.select(
-        "_s0",
-        "_s1",
-        F.array_min(
-            F.filter("_t2", lambda x: x > F.col("_s1"))
-        ).alias("_s2"),
-    )
+    for i in range(1, n_stages):
+        reached = reached.select(
+            *[f"_s{j}" for j in range(i)],
+            F.array_min(
+                F.filter(F.col(f"_t{i}"), lambda x: x > F.col(f"_s{i - 1}"))
+            ).alias(f"_s{i}"),
+            *[f"_t{j}" for j in range(i + 1, n_stages)],
+        )
     hit = lambda c: F.coalesce(  # noqa: E731
         F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)), F.lit(0)
     ).cast("long")
-    tot = reached.agg(*[hit(f"_s{i}").alias(f"_n{i}") for i in range(3)])
+    tot = reached.agg(
+        *[hit(f"_s{i}").alias(f"_n{i}") for i in range(n_stages)]
+    )
     rows = F.array(
         *[
             F.struct(

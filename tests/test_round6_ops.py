@@ -51,9 +51,12 @@ def test_quantile_filter_bands_are_per_group(spark):
 
 
 def test_mixture_resample_feasibility_invariants(spark):
-    """No rate exceeds 1e6 (never upsamples); the binding source — the
-    one whose count/weight ratio is smallest — gets rate 1e6 (fully
-    consumed target); kept counts never exceed totals."""
+    """No rate exceeds 1e6 (never upsamples); every planned rate equals
+    the BIGINT plan arithmetic recomputed from the row's own counts
+    (rate = min(1e6, T·w/n) with T the feasible total — the binding
+    source's rate is the maximum, but floor division means even it
+    saturates at exactly 1e6 only when n·1e6 divides by w); kept counts
+    never exceed totals."""
     from mapreduceindex_spark.operators.corpus import mixture_resample
     from mapreduceindex_spark.session import load_table
 
@@ -61,13 +64,19 @@ def test_mixture_resample_feasibility_invariants(spark):
     weights = {"src0": 500000, "src1": 300000, "src2": 200000}
     out = {r.source: r for r in mixture_resample(docs, weights).collect()}
     assert set(out) == set(weights)
+    total = min(
+        r.n_total * 1_000_000 // r.target_ppm for r in out.values()
+    )
     for r in out.values():
         assert 0 <= r.rate_ppm <= 1_000_000
         assert r.n_kept <= r.n_total
+        assert r.rate_ppm == min(
+            1_000_000, total * r.target_ppm // r.n_total
+        )
     binding = min(
         out.values(), key=lambda r: r.n_total * 1_000_000 // r.target_ppm
     )
-    assert binding.rate_ppm == 1_000_000
+    assert binding.rate_ppm == max(r.rate_ppm for r in out.values())
     # mix shares sum to ~1e6 (integer floor division loses < n sources)
     tot = sum(r.mix_ppm for r in out.values())
     assert 1_000_000 - len(out) <= tot <= 1_000_000
