@@ -97,6 +97,7 @@ _VERIFY_FIRST = [
     "timeseries_gap_fill",
     "quantized_topk",
     "typo_pairs",
+    "merge_upsert_orders",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -698,6 +699,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": lambda s, d: D.incremental_dedup(
             _t(s, d, "documents")
         ),
+        # round 6: MERGE INTO semantics — the CDC-apply step next to
+        # snapshot_diff's detect; one full outer join on the key
+        "merge_upsert_orders": lambda s, d: PF.merge_upsert(
+            _t(s, d, "orders"), _orders_changes(_t(s, d, "orders"))
+        ).selectExpr(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " AS price_cents",
+            "CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)"
+            " AS order_epoch",
+            "o_orderpriority",
+        ),
         # round 6: BM25 ⊕ cosine reciprocal-rank fusion — integer RRF
         # over the two verified legs' top-k candidate lists
         "hybrid_search": lambda s, d: S.hybrid_search(
@@ -976,6 +991,34 @@ WHERE dd.doc_id % {d} = {d - 1}
 ORDER BY dd.doc_id
 """
     )
+
+
+def _orders_changes(o):
+    """Deterministic CDC batch for merge_upsert_orders: keys %7 get a
+    +100.00 price update, keys %11 (and not %7) are deleted, keys %13
+    re-enter as inserts under key+10M with a new priority."""
+    upd = o.filter("o_orderkey % 7 = 0").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice + 100.0 AS o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        "'upsert' AS _op",
+    )
+    dele = o.filter(
+        "o_orderkey % 11 = 0 AND o_orderkey % 7 != 0"
+    ).selectExpr("*", "'delete' AS _op")
+    ins = o.filter("o_orderkey % 13 = 0").selectExpr(
+        "o_orderkey + 10000000 AS o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "'URGENT-NEW' AS o_orderpriority",
+        "'upsert' AS _op",
+    )
+    return upd.unionByName(dele).unionByName(ins)
 
 
 def _hybrid_search_sql(
@@ -2054,6 +2097,43 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "incremental_dedup": _incremental_dedup_sql(16, 4),
         "hybrid_search": _hybrid_search_sql(),
         "quantized_topk": _quantized_topk_sql(),
+        "merge_upsert_orders": """
+            WITH ch AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 100.0 AS o_totalprice, o_orderdate,
+                     o_orderpriority, 'upsert' AS _op
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority, 'delete'
+              FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 != 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, 'URGENT-NEW', 'upsert'
+              FROM orders WHERE o_orderkey % 13 = 0
+            ), merged AS (
+              SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+                     CASE WHEN c._op IS NOT NULL THEN c.o_custkey
+                          ELSE b.o_custkey END AS o_custkey,
+                     CASE WHEN c._op IS NOT NULL THEN c.o_orderstatus
+                          ELSE b.o_orderstatus END AS o_orderstatus,
+                     CASE WHEN c._op IS NOT NULL THEN c.o_totalprice
+                          ELSE b.o_totalprice END AS o_totalprice,
+                     CASE WHEN c._op IS NOT NULL THEN c.o_orderdate
+                          ELSE b.o_orderdate END AS o_orderdate,
+                     CASE WHEN c._op IS NOT NULL THEN c.o_orderpriority
+                          ELSE b.o_orderpriority END AS o_orderpriority
+              FROM orders b FULL OUTER JOIN ch c
+                ON b.o_orderkey = c.o_orderkey
+              WHERE c._op IS NULL OR c._op != 'delete'
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS price_cents,
+                   epoch(o_orderdate)::BIGINT AS order_epoch,
+                   o_orderpriority
+            FROM merged ORDER BY o_orderkey
+        """,
         # the streaming LSH index emits the same candidates and runs the
         # same exact-Jaccard verifier, so the oracle is shared verbatim
         "streaming_lsh_dedup_pairs": _minhash_lsh_sql(16, 4),

@@ -219,3 +219,42 @@ def orders_snapshot_diff(orders: DataFrame) -> DataFrame:
         "custkey",
     ]
     return snapshot_diff(v1, v2, "o_orderkey", value_cols)
+
+
+def merge_upsert(
+    base: DataFrame, changes: DataFrame, key: str = "o_orderkey"
+) -> DataFrame:
+    """MERGE INTO semantics — the CDC-apply step between
+    ``snapshot_diff`` (detect what changed) and the next snapshot:
+    ``changes`` carries the base's payload columns plus ``_op``
+    (``'delete'`` removes the keyed row; anything else upserts —
+    update when the key matches, insert when it doesn't).
+
+    One full outer join on the key is the whole plan — cost tracks
+    |base| + |changes| with the join's single exchange, exactly the
+    shape a lakehouse MERGE compiles to before file rewriting, and at
+    100 TB the join key partitioning is what bucketing/Z-order on the
+    key turns into a pruned rewrite. Unmatched base rows pass through
+    untouched; change payloads win on match. Output: the merged table,
+    ordered by key.
+    """
+    payload = [c for c in base.columns if c != key]
+    ch = changes.select(
+        key,
+        "_op",
+        *[F.col(c).alias(f"_c_{c}") for c in payload],
+    )
+    merged = (
+        base.join(ch, key, "full")
+        .filter(F.col("_op").isNull() | (F.col("_op") != "delete"))
+        .select(
+            key,
+            *[
+                F.when(F.col("_op").isNotNull(), F.col(f"_c_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in payload
+            ],
+        )
+    )
+    return merged.orderBy(key)

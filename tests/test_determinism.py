@@ -71,6 +71,7 @@ NAMES = [
     "timeseries_gap_fill",
     "quantized_topk",
     "typo_pairs",
+    "merge_upsert_orders",
 ]
 
 

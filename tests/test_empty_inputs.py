@@ -74,6 +74,7 @@ EMPTY_SAFE = [
     "timeseries_gap_fill",
     "quantized_topk",
     "typo_pairs",
+    "merge_upsert_orders",
 ]
 
 

@@ -340,3 +340,23 @@ def test_typo_pairs_deletion_neighborhood(spark):
     )
     rows = {(r.word_a, r.word_b): (r.df_a, r.df_b) for r in typo_pairs(docs).collect()}
     assert rows == {("hello", "helo"): (2, 1), ("world", "wrld"): (2, 1)}
+
+
+def test_merge_upsert_semantics(spark):
+    """Update wins on match, insert lands on no-match, delete removes,
+    untouched rows pass through — checked row-by-row on a tiny table."""
+    from mapreduceindex_spark.operators.profiling import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "o_orderkey long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "upsert"),   # update
+            (3, "c", "delete"),   # delete
+            (9, "Z", "upsert"),   # insert
+        ],
+        "o_orderkey long, v string, _op string",
+    )
+    rows = {r.o_orderkey: r.v for r in merge_upsert(base, changes).collect()}
+    assert rows == {1: "a", 2: "B", 9: "Z"}
