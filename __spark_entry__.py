@@ -98,6 +98,7 @@ _VERIFY_FIRST = [
     "quantized_topk",
     "typo_pairs",
     "merge_upsert_orders",
+    "skyline_orders",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -698,6 +699,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verdict per delta doc; base×base pairing never happens
         "incremental_dedup": lambda s, d: D.incremental_dedup(
             _t(s, d, "documents")
+        ),
+        # round 6: 2D Pareto frontier — two-phase bucketed exclusive
+        # running max, never a whole-table window
+        "skyline_orders": lambda s, d: R.skyline_orders(
+            _t(s, d, "orders")
         ),
         # round 6: MERGE INTO semantics — the CDC-apply step next to
         # snapshot_diff's detect; one full outer join on the key
@@ -2097,6 +2103,35 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "incremental_dedup": _incremental_dedup_sql(16, 4),
         "hybrid_search": _hybrid_search_sql(),
         "quantized_topk": _quantized_topk_sql(),
+        "skyline_orders": """
+            -- 2D dominance collapses to group arithmetic: per price,
+            -- only the max-recency group can survive, and it survives
+            -- iff it strictly beats every higher price's max recency
+            -- (one exclusive running max over prices descending)
+            WITH r AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                     epoch(o_orderdate)::BIGINT AS order_epoch
+              FROM orders
+            ), g AS (
+              SELECT price_cents, max(order_epoch) AS me
+              FROM r GROUP BY price_cents
+            ), h AS (
+              SELECT price_cents, me,
+                     max(me) OVER (ORDER BY price_cents DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS hh
+              FROM g
+            )
+            SELECT r.o_orderkey, r.price_cents, r.order_epoch
+            FROM r
+            JOIN (SELECT price_cents, me FROM h
+                  WHERE hh IS NULL OR me > hh) sk
+              ON r.price_cents = sk.price_cents
+             AND r.order_epoch = sk.me
+            ORDER BY r.o_orderkey
+        """,
         "merge_upsert_orders": """
             WITH ch AS (
               SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -1422,3 +1422,79 @@ def order_value_percent_rank(orders: DataFrame, top_pct: float = 0.05) -> DataFr
     return ranked.filter(F.col("pct_rank_micro") <= top_micro).orderBy(
         "pct_rank_micro", "o_orderkey"
     )
+
+
+def skyline_orders(orders: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """2D skyline (Pareto frontier) of orders over (price, recency):
+    the orders no other order beats on BOTH axes (≥ on both, > on at
+    least one) — the classic multi-criteria "best tradeoffs" operator
+    relational engines ship as SKYLINE OF and Spark lacks.
+
+    Dominance collapses to group arithmetic in 2D: per distinct price
+    ``pc``, only the max-recency row group can survive (an equal-price,
+    later order strictly dominates), and that group survives iff its
+    recency strictly beats ``H(pc) = max recency over any higher
+    price``. ``H`` is an EXCLUSIVE running max over prices descending —
+    the same shape as a global cumsum, so it gets the same two-phase
+    treatment as ``order_value_percent_rank``/``compaction_plan``
+    instead of a whole-table window: (1) prices hash into
+    ``n_buckets`` range buckets off a collected [min, max] probe;
+    (2) one bucket-level exclusive running max runs over ≤
+    ``n_buckets`` METADATA rows (the one unpartitioned window —
+    bounded by construction, on the lint allowlist); (3) a window
+    PARTITIONED by bucket finishes the price-level exclusive max
+    locally, and the pointwise max of the two is exactly ``H``.
+    Survivor (price, recency) pairs broadcast back onto the table as a
+    semi-filter. Ties on both axes are mutually non-dominating and all
+    survive — pinned by test.
+
+    Output: (o_orderkey, price_cents, order_epoch), BIGINT, key-ordered.
+    """
+    from pyspark.sql.window import Window
+
+    r = orders.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("price_cents"),
+        F.expr(
+            "CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)"
+        ).alias("order_epoch"),
+    )
+    bounds = r.agg(
+        F.min("price_cents").alias("lo"), F.max("price_cents").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return r
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(hi - lo + 1, 1)
+    g = r.groupBy("price_cents").agg(F.max("order_epoch").alias("_me"))
+    g = g.withColumn(
+        "_bk",
+        F.expr(f"CAST(({int(n_buckets)} * (price_cents - {lo})) DIV {span}"
+               " AS BIGINT)"),
+    )
+    bstat = g.groupBy("_bk").agg(F.max("_me").alias("_bmax"))
+    wb = Window.orderBy(F.col("_bk").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bh = bstat.select(
+        "_bk", F.max("_bmax").over(wb).alias("_hb")
+    )
+    wp = Window.partitionBy("_bk").orderBy(F.col("price_cents").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    h = (
+        g.join(F.broadcast(bh), "_bk")
+        .withColumn("_hl", F.max("_me").over(wp))
+        .withColumn("_h", F.greatest(F.coalesce("_hl", F.lit(-1)),
+                                     F.coalesce("_hb", F.lit(-1))))
+    )
+    sk = h.filter(F.col("_me") > F.col("_h")).select(
+        "price_cents", F.col("_me").alias("order_epoch")
+    )
+    return (
+        r.join(F.broadcast(sk), ["price_cents", "order_epoch"])
+        .select("o_orderkey", "price_cents", "order_epoch")
+        .orderBy("o_orderkey")
+    )

@@ -72,6 +72,7 @@ NAMES = [
     "quantized_topk",
     "typo_pairs",
     "merge_upsert_orders",
+    "skyline_orders",
 ]
 
 

@@ -75,6 +75,7 @@ EMPTY_SAFE = [
     "quantized_topk",
     "typo_pairs",
     "merge_upsert_orders",
+    "skyline_orders",
 ]
 
 

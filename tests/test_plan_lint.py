@@ -155,6 +155,7 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "revenue_moving_avg",  # frame over the ~80-row monthly rollup
         "domain_mixture",  # whole-frame total over source-cardinality agg
         "hybrid_search",  # rank frames over ≤ 2·k_each fused candidates
+        "skyline_orders",  # exclusive cummax over ≤ n_buckets metadata rows
     }
     bad = {}
     for name, fn in entrymod.queries().items():

@@ -360,3 +360,28 @@ def test_merge_upsert_semantics(spark):
     )
     rows = {r.o_orderkey: r.v for r in merge_upsert(base, changes).collect()}
     assert rows == {1: "a", 2: "B", 9: "Z"}
+
+
+def test_skyline_orders_dominance(spark):
+    """Hand-computed frontier: a row survives iff no other row is >= on
+    both (price, recency) with one strict; duplicates on both axes are
+    mutually non-dominating and BOTH survive."""
+    from mapreduceindex_spark.operators.relational import skyline_orders
+
+    rows = [
+        (1, 1.00, "2024-01-10"),  # frontier (max price, with dup 4)
+        (2, 0.90, "2024-01-20"),  # frontier (cheaper but newest)
+        (3, 0.80, "2024-01-15"),  # dominated by 2
+        (4, 1.00, "2024-01-10"),  # exact duplicate of 1 — survives
+        (5, 0.95, "2024-01-05"),  # dominated by 1
+        (6, 1.00, "2024-01-09"),  # equal price, older than 1 — out
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, d string"
+    ).selectExpr(
+        "o_orderkey",
+        "o_totalprice",
+        "CAST(d AS TIMESTAMP) AS o_orderdate",
+    )
+    got = {r.o_orderkey for r in skyline_orders(orders).collect()}
+    assert got == {1, 2, 4}
