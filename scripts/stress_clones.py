@@ -176,6 +176,39 @@ def main():
         "incremental_dedup_10x",
         lambda: D.incremental_dedup(cloned),
     )
+    # round-6 tail: the Pareto frontier's windows must stay bounded by
+    # bucket metadata (never 10× rows), MERGE's cost is the one keyed
+    # join, and typo mining must stay vocabulary-bounded (clones add
+    # ZERO new vocabulary — near-flat cost is the proof)
+    from mapreduceindex_spark.operators import profiling as PR
+    from mapreduceindex_spark.operators import relational as RL
+    from mapreduceindex_spark.operators import text_analysis as TX
+
+    timed("skyline_orders_10x", lambda: RL.skyline_orders(o10))
+    # MERGE needs unique keys (o10 has 10 copies of each — a keyed
+    # join over that measures key duplication, not MERGE): remap
+    o10m = li.sparkSession.read.parquet(
+        "/root/testdata/sf0.1/orders.parquet"
+    ).selectExpr("*").select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(clones - 1))).alias("_c")
+    ).selectExpr(
+        "o_orderkey + _c * 10000000 AS o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    timed(
+        "merge_upsert_10x",
+        lambda: PR.merge_upsert(
+            o10m,
+            o10m.filter("o_orderkey % 7 = 0").selectExpr(
+                "*", "'upsert' AS _op"
+            ),
+        ),
+    )
+    timed("typo_pairs_10x", lambda: TX.typo_pairs(cloned))
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 
