@@ -99,6 +99,7 @@ _VERIFY_FIRST = [
     "typo_pairs",
     "merge_upsert_orders",
     "skyline_orders",
+    "q4_order_priority",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -403,6 +404,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "lineitem"),
         ),
         "q12_delay_priority": lambda s, d: R.shipping_delay_priority(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "q4_order_priority": lambda s, d: R.order_priority_checking(
             _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
         "q16_supplier_part_counts": lambda s, d: R.supplier_part_counts(
@@ -2600,6 +2604,16 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
             GROUP BY 1
         """,
         "q16_supplier_part_counts": """

@@ -1045,6 +1045,47 @@ def shipping_delay_priority(
     )
 
 
+def order_priority_checking(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    slow_days: int = 30,
+) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of one quarter's orders that
+    had at least one late lineitem. The fixture has no commit/receipt
+    dates, so "late" is the same reshaped predicate Q12/Q21 use —
+    shipped more than ``slow_days`` after ``o_orderdate``.
+
+    The EXISTS subquery is a LEFT SEMI join: each order counts once no
+    matter how many of its lines were late, with no distinct needed —
+    the semi join stops probing a build key after the first match. The
+    non-equi lateness conjunct rides the equi join as a post-join
+    filter, so this stays a hash semi join (never a broadcast
+    nested-loop). The quarter filter prunes the orders scan before the
+    join, and at 100 TB both sides shuffle once on orderkey; output is
+    priority-bounded (5 rows).
+    """
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    late = window.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {slow_days} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def supplier_part_counts(
     supplier: DataFrame,
     part: DataFrame,

@@ -385,3 +385,40 @@ def test_skyline_orders_dominance(spark):
     )
     got = {r.o_orderkey for r in skyline_orders(orders).collect()}
     assert got == {1, 2, 4}
+
+
+def test_q4_semi_join_counts_each_order_once(spark):
+    """The EXISTS semantics Q4 exists to test: an order with THREE late
+    lines counts once; an order with only on-time lines counts zero;
+    an order outside the quarter never appears even if late."""
+    from mapreduceindex_spark.operators.relational import (
+        order_priority_checking,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1996-02-01", "1-URGENT"),   # 3 late lines -> counts once
+            (2, "1996-02-01", "1-URGENT"),   # on-time only -> not counted
+            (3, "1996-03-01", "5-LOW"),      # 1 late line -> counts
+            (4, "1995-06-01", "1-URGENT"),   # late, but outside quarter
+        ],
+        "o_orderkey long, d string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "CAST(d AS TIMESTAMP) AS o_orderdate", "o_orderpriority"
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, "1996-03-15"),
+            (1, "1996-03-16"),
+            (1, "1996-03-17"),
+            (2, "1996-02-10"),
+            (3, "1996-04-20"),
+            (4, "1995-08-01"),
+        ],
+        "l_orderkey long, d string",
+    ).selectExpr("l_orderkey", "CAST(d AS TIMESTAMP) AS l_shipdate")
+    got = {
+        r.o_orderpriority: r.order_count
+        for r in order_priority_checking(orders, lineitem).collect()
+    }
+    assert got == {"1-URGENT": 1, "5-LOW": 1}
