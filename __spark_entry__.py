@@ -100,6 +100,7 @@ _VERIFY_FIRST = [
     "merge_upsert_orders",
     "skyline_orders",
     "q4_order_priority",
+    "rare_token_ratio",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -199,6 +200,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: TA.quality_score(_t(s, d, "documents")),
         "doc_fingerprint": lambda s, d: TA.doc_fingerprint(_t(s, d, "documents")),
         "tf_idf": lambda s, d: TA.tf_idf(_t(s, d, "documents")),
+        "rare_token_ratio": lambda s, d: TA.rare_token_ratio(
+            _t(s, d, "documents")
+        ),
         "lm_doc_scores": lambda s, d: TA.lm_doc_scores(_t(s, d, "documents")),
         "bloom_prefilter": lambda s, d: SK.bloom_prefilter_stats(
             _t(s, d, "events")
@@ -1697,6 +1701,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.word, tf.tf, df.df,
                    round(tf.tf * ln(total.n_docs::DOUBLE / df.df), 6) AS tfidf
             FROM tf JOIN df USING (word) CROSS JOIN total
+        """,
+        "rare_token_ratio": f"""
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, u.word
+              FROM documents, unnest({ws}) AS u(word)
+              WHERE len(u.word) > 0
+            ), per_doc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_distinct_words
+              FROM pairs GROUP BY doc_id
+            ), wstats AS (
+              SELECT word, count(*) AS df, min(doc_id) AS only_doc
+              FROM pairs GROUP BY word
+            ), rare AS (
+              SELECT only_doc AS doc_id, count(*)::BIGINT AS n_rare_words
+              FROM wstats WHERE df = 1 GROUP BY only_doc
+            )
+            SELECT p.doc_id, p.n_distinct_words,
+                   COALESCE(r.n_rare_words, 0)::BIGINT AS n_rare_words,
+                   ((COALESCE(r.n_rare_words, 0) * 1000000)
+                    // p.n_distinct_words)::BIGINT AS rare_ppm
+            FROM per_doc p LEFT JOIN rare r USING (doc_id)
         """,
         "lm_doc_scores": f"""
             -- self-trained add-one bigram LM; per-bigram log-probs are

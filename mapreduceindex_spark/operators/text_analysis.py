@@ -662,3 +662,62 @@ def typo_pairs(documents: DataFrame, min_len: int = 4) -> DataFrame:
         .filter(F.levenshtein("word_a", "word_b") == 1)
         .orderBy("word_a", "word_b")
     )
+
+
+def rare_token_ratio(documents: DataFrame) -> DataFrame:
+    """Per-document doc-unique-vocabulary ratio: of a document's
+    distinct words, how many appear in NO other document (corpus
+    document-frequency 1). High ratios flag gibberish, OCR noise, and
+    boilerplate serial numbers; near-zero ratios flag templated text —
+    the standard tail-quality signal next to ``quality_score``.
+
+    Scale shape: a df-1 word lives in exactly one document, so its home
+    doc is ``min(doc_id)`` of the SAME aggregate that computes df — the
+    rare-word census comes back keyed on doc_id with no vocabulary-wide
+    join or broadcast at all (tf_idf broadcasts the full df table; this
+    deliberately doesn't need to). Three key-bounded hash aggregates
+    (doc-keyed, word-keyed, doc-keyed) plus one doc-keyed left join;
+    the ratio is BIGINT ppm via floor division — no floats anywhere.
+    """
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("rare_token_ratio")
+    pairs = caching.track(
+        _tokens(documents)
+        .filter(F.length("word") > 0)
+        .select("doc_id", "word")
+        .distinct()
+        .persist(),
+        "rare_token_ratio",
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words")
+    )
+    word_stats = pairs.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
+    )
+    rare = (
+        word_stats.filter(F.col("df") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rare_words"))
+    )
+    out = (
+        per_doc.join(rare, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_words",
+            F.coalesce(F.col("n_rare_words"), F.lit(0))
+            .cast("long")
+            .alias("n_rare_words"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_words",
+            "n_rare_words",
+            F.expr("(n_rare_words * 1000000) DIV n_distinct_words")
+            .cast("long")
+            .alias("rare_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+    return out

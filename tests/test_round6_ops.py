@@ -422,3 +422,29 @@ def test_q4_semi_join_counts_each_order_once(spark):
         for r in order_priority_checking(orders, lineitem).collect()
     }
     assert got == {"1-URGENT": 1, "5-LOW": 1}
+
+
+def test_rare_token_ratio_hand_computed(spark):
+    """Doc 1 owns two words nobody else has ('aардvark' variants out of
+    scope — plain distinct words), doc 2 shares everything, doc 3 is
+    half-unique. Within-doc repeats of a unique word still count it once
+    (distinct-vocabulary semantics), and repeats across docs disqualify."""
+    from mapreduceindex_spark.operators.text_analysis import rare_token_ratio
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple banana zebra zebra quokka", "en", "s", 30),
+            (2, "apple banana", "en", "s", 12),
+            (3, "apple mango", "en", "s", 11),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_distinct_words, r.n_rare_words, r.rare_ppm)
+        for r in rare_token_ratio(docs).collect()
+    }
+    # doc 1 vocab {apple,banana,zebra,quokka}: zebra+quokka are df-1
+    assert got[1] == (4, 2, 500000)
+    assert got[2] == (2, 0, 0)
+    # doc 3 vocab {apple,mango}: mango is df-1
+    assert got[3] == (2, 1, 500000)
