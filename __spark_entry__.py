@@ -101,6 +101,7 @@ _VERIFY_FIRST = [
     "skyline_orders",
     "q4_order_priority",
     "rare_token_ratio",
+    "embedding_covariance_topk",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -540,6 +541,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "embedding_dim_stats": lambda s, d: S.embedding_dim_stats(
+            _t(s, d, "embeddings")
+        ),
+        "embedding_covariance_topk": lambda s, d: S.embedding_covariance_topk(
             _t(s, d, "embeddings")
         ),
         "revenue_moving_avg": lambda s, d: R.revenue_moving_avg(
@@ -3349,6 +3353,35 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    {XQ.micro_sql('min_raw')} AS min_micro,
                    {XQ.micro_sql('max_raw')} AS max_micro
             FROM agg
+        """,
+        "embedding_covariance_topk": f"""
+            -- oracle does the N·d² exploded self-join the Spark side
+            -- deliberately avoids (partial outer products, d²-bounded
+            -- shuffle); identical tie-free micro quantization, exact
+            -- integer |n·S_ij − S_i·S_j| ranking (HUGEINT internal
+            -- only — every OUTPUT column is BIGINT), (i, j) tie-break
+            WITH dims AS (
+              SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+            ), e AS (
+              SELECT vec_id, d.dim AS i,
+                     {XQ.micro_sql(
+                         "CAST(embedding[CAST(d.dim + 1 AS INT)]"
+                         " AS DOUBLE)"
+                     )} AS v
+              FROM embeddings, dims d
+              WHERE d.dim < len(embedding)
+            ), p AS (
+              SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
+                     sum(a.v)::BIGINT AS s_i, sum(b.v)::BIGINT AS s_j,
+                     sum(a.v * b.v)::BIGINT AS s_ij
+              FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i < b.i
+              GROUP BY a.i, b.i
+            )
+            SELECT i, j, n, s_i, s_j, s_ij
+            FROM p
+            ORDER BY abs(n::HUGEINT * s_ij - s_i::HUGEINT * s_j) DESC,
+                     i, j
+            LIMIT 20
         """,
         "kmeans_embeddings": _kmeans_sql(k=8, max_iter=5),
         "profile_orders": _profile_sql("orders", _ORDERS_PROFILE_COLS),

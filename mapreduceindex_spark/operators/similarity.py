@@ -936,3 +936,74 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_covariance_topk(embeddings: DataFrame, top_k: int = 20) -> DataFrame:
+    """Top-``top_k`` most-covarying dimension pairs of the embedding
+    table — the redundancy scan behind dimensionality reduction and
+    dead-feature pruning (a pair moving in lockstep means one dimension
+    is not paying for its storage).
+
+    Scale shape: the d×d Gram matrix is accumulated as **per-batch
+    partial outer products** — one Arrow-batched numpy ``Vᵀ·V`` per scan
+    batch emits d(d−1)/2 partial rows, so the only shuffle carries
+    d²-bounded rows per task (d=64 → 2016) regardless of N; never a
+    self-join of the exploded elements (that shuffle is N·d² rows — the
+    oracle does it that way precisely because the oracle doesn't need to
+    scale). Exactness: elements are tie-free micro-quantized
+    (``exact.micro``'s floor(|x|·1e6+0.5) formula in numpy), so every
+    partial sum is BIGINT and associative; ranking uses the exact
+    integer |n·S_ij − S_i·S_j| (the covariance numerator ×n² — no
+    division, no floats) computed in DECIMAL(38,0), with (i, j) as the
+    deterministic tie-break. Outputs are the BIGINT sufficient
+    statistics, not derived floats. Bounds: |element| ≤ ~1e3 keeps
+    S_ij ≤ 1e12/row, so BIGINT partials hold to ~9M rows per batch and
+    the global sum to ~9e9 rows; past that the partial columns swap to
+    DECIMAL(38,0) accumulators (noted, not needed at fixture scale).
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = "i long, j long, n long, s_i long, s_j long, s_ij long"
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vi = np.where(
+                mat >= 0,
+                np.floor(mat * 1e6 + 0.5),
+                -np.floor(-mat * 1e6 + 0.5),
+            ).astype(np.int64)
+            gram = vi.T @ vi
+            sums = vi.sum(axis=0)
+            iu, ju = np.triu_indices(vi.shape[1], k=1)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int64),
+                    "j": ju.astype(np.int64),
+                    "n": np.full(len(iu), len(pdf), dtype=np.int64),
+                    "s_i": sums[iu],
+                    "s_j": sums[ju],
+                    "s_ij": gram[iu, ju],
+                }
+            )
+
+    parts = embeddings.select("embedding").mapInPandas(_partials, schema)
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s_i").cast("long").alias("s_i"),
+        F.sum("s_j").cast("long").alias("s_j"),
+        F.sum("s_ij").cast("long").alias("s_ij"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    score = F.abs(dec("n") * dec("s_ij") - dec("s_i") * dec("s_j"))
+    return (
+        agg.select("i", "j", "n", "s_i", "s_j", "s_ij", score.alias("_score"))
+        .orderBy(F.col("_score").desc(), "i", "j")
+        .limit(top_k)
+        .drop("_score")
+    )

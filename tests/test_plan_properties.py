@@ -249,6 +249,9 @@ PYTHON_ALLOWED = {
     # hyperplane sign-bit projection: one Arrow-batched numpy matmul in
     # the scan stage (similarity._embedding_near_dups_lsh)
     "embedding_near_dups",
+    # per-batch partial outer products (numpy Vᵀ·V in the scan stage) —
+    # the d²-bounded-shuffle alternative to an N·d² exploded self-join
+    "embedding_covariance_topk",
 }
 
 _PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

@@ -448,3 +448,46 @@ def test_rare_token_ratio_hand_computed(spark):
     assert got[2] == (2, 0, 0)
     # doc 3 vocab {apple,mango}: mango is df-1
     assert got[3] == (2, 1, 500000)
+
+
+def test_covariance_topk_hand_computed_and_partition_invariant(spark):
+    """3-dim vectors engineered so dims (0,1) are perfectly correlated,
+    (0,2) anti-correlated, (1,2) mixed: the exact integer score
+    |n·S_ij − S_i·S_j| ranks (0,1) and (0,2) (equal magnitude, tie-broken
+    by (i,j)) above (1,2). Re-running with 1 vs 7 shuffle partitions and
+    a 2-row Arrow batch cap must give identical rows — the associativity
+    the partial-outer-product formulation claims."""
+    from mapreduceindex_spark.operators.similarity import (
+        embedding_covariance_topk,
+    )
+
+    rows = [(1, [1.0, 1.0, -1.0]), (2, [2.0, 2.0, -2.0]), (3, [3.0, 3.0, -3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_covariance_topk(emb, top_k=3).collect()
+    assert [(r.i, r.j) for r in out] == [(0, 1), (0, 2), (1, 2)]
+    r01 = out[0]
+    # micro units: s_0 = s_1 = 6e6, s_01 = 14e12, n = 3
+    assert (r01.n, r01.s_i, r01.s_j) == (3, 6_000_000, 6_000_000)
+    assert r01.s_ij == 14 * 10**12
+    base = [tuple(r) for r in out]
+    for parts, batch in ((1, 2), (7, 2)):
+        s2 = spark
+        old_parts = s2.conf.get("spark.sql.shuffle.partitions")
+        old_batch = s2.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        try:
+            s2.conf.set("spark.sql.shuffle.partitions", str(parts))
+            s2.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch)
+            )
+            again = [
+                tuple(r)
+                for r in embedding_covariance_topk(
+                    emb.repartition(3), top_k=3
+                ).collect()
+            ]
+            assert again == base
+        finally:
+            s2.conf.set("spark.sql.shuffle.partitions", old_parts)
+            s2.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+            )
