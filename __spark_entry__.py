@@ -134,8 +134,10 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: q12_delay_priority (pushed to slot 51 by the
-    # 13th round-6 addition), q13_order_count_distribution,
+    # promote in round 7: ngram_novelty, order_gaps, price_quantiles,
+    # q10_returned_items, q11_important_stock (each pushed past slot 50
+    # by the 16th-18th round-6 additions), q12_delay_priority,
+    # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
     # q19_disjunctive_revenue, q20_promotable_suppliers,
     # q21_waiting_suppliers, q22_idle_customers, q2_min_cost_supplier,

@@ -209,6 +209,16 @@ def main():
         ),
     )
     timed("typo_pairs_10x", lambda: TX.typo_pairs(cloned))
+    # round-6 tail: cloning makes every word df ≥ clone_factor, so the
+    # rare census is EMPTY — cost must track the one distinct-pairs
+    # aggregation (linear), with the doc-keyed join on an empty side.
+    timed("rare_token_ratio_10x", lambda: TX.rare_token_ratio(cloned))
+    # covariance partials are d²-bounded per batch no matter how many
+    # rows — 10× embeddings must cost ~10× scan, never 10× shuffle.
+    timed(
+        "embedding_covariance_topk_10x",
+        lambda: S.embedding_covariance_topk(emb10),
+    )
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 
