@@ -944,22 +944,26 @@ def embedding_covariance_topk(embeddings: DataFrame, top_k: int = 20) -> DataFra
     dead-feature pruning (a pair moving in lockstep means one dimension
     is not paying for its storage).
 
-    Scale shape: the d×d Gram matrix is accumulated as **per-batch
-    partial outer products** — one Arrow-batched numpy ``Vᵀ·V`` per scan
-    batch emits d(d−1)/2 partial rows, so the only shuffle carries
-    d²-bounded rows per task (d=64 → 2016) regardless of N; never a
-    self-join of the exploded elements (that shuffle is N·d² rows — the
-    oracle does it that way precisely because the oracle doesn't need to
-    scale). Exactness: elements are tie-free micro-quantized
+    Scale shape: the d×d Gram matrix is accumulated as **per-partition
+    partial outer products** — numpy ``Vᵀ·V`` accumulates across the
+    partition's whole Arrow-batch iterator and emits ONE d(d−1)/2-row
+    frame per task, so the only shuffle carries d²-bounded rows per
+    task (d=64 → 2016) regardless of N; never a self-join of the
+    exploded elements (that shuffle is N·d² rows — the oracle does it
+    that way precisely because the oracle doesn't need to scale).
+    Exactness: elements are tie-free micro-quantized
     (``exact.micro``'s floor(|x|·1e6+0.5) formula in numpy), so every
     partial sum is BIGINT and associative; ranking uses the exact
     integer |n·S_ij − S_i·S_j| (the covariance numerator ×n² — no
     division, no floats) computed in DECIMAL(38,0), with (i, j) as the
     deterministic tie-break. Outputs are the BIGINT sufficient
-    statistics, not derived floats. Bounds: |element| ≤ ~1e3 keeps
-    S_ij ≤ 1e12/row, so BIGINT partials hold to ~9M rows per batch and
-    the global sum to ~9e9 rows; past that the partial columns swap to
-    DECIMAL(38,0) accumulators (noted, not needed at fixture scale).
+    statistics, not derived floats. Bounds: embeddings live in the
+    |element| ≲ 1 regime (micro ≤ ~1e6, products ≤ ~1e12/row), where
+    int64 partials hold to ~9M rows per partition and the global sum
+    to ~9e9 rows; numpy int64 overflow is SILENT, so the builder
+    guards the per-partition worst case at runtime and raises instead
+    of wrapping — past those bounds the accumulators swap to
+    DECIMAL(38,0) (noted, not needed at fixture scale).
     """
     import numpy as np
     import pandas as pd
@@ -967,6 +971,13 @@ def embedding_covariance_topk(embeddings: DataFrame, top_k: int = 20) -> DataFra
     schema = "i long, j long, n long, s_i long, s_j long, s_ij long"
 
     def _partials(batches):
+        # accumulate across the WHOLE partition iterator, emit once —
+        # per-batch emission would make the shuffle d²·(N/batch) rows,
+        # linear in N, the exact scaling this operator exists to avoid
+        gram = None
+        sums = None
+        n = 0
+        max_abs = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -978,19 +989,41 @@ def embedding_covariance_topk(embeddings: DataFrame, top_k: int = 20) -> DataFra
                 np.floor(mat * 1e6 + 0.5),
                 -np.floor(-mat * 1e6 + 0.5),
             ).astype(np.int64)
-            gram = vi.T @ vi
-            sums = vi.sum(axis=0)
-            iu, ju = np.triu_indices(vi.shape[1], k=1)
-            yield pd.DataFrame(
-                {
-                    "i": iu.astype(np.int64),
-                    "j": ju.astype(np.int64),
-                    "n": np.full(len(iu), len(pdf), dtype=np.int64),
-                    "s_i": sums[iu],
-                    "s_j": sums[ju],
-                    "s_ij": gram[iu, ju],
-                }
-            )
+            n += len(pdf)
+            max_abs = max(max_abs, int(np.abs(vi).max(initial=0)))
+            # silent-wrap guard: worst-case Σ|v_i·v_j| accumulated so
+            # far must stay inside int64
+            if max_abs and max_abs * max_abs > (2**62) // n:
+                raise ValueError(
+                    "embedding_covariance_topk: int64 partial overflow "
+                    f"risk (max |micro|={max_abs}, rows={n}); rescale "
+                    "inputs or switch to DECIMAL accumulators"
+                )
+            g = vi.T @ vi
+            s = vi.sum(axis=0)
+            if gram is None:
+                gram, sums = g, s
+            elif g.shape != gram.shape:
+                raise ValueError(
+                    "embedding_covariance_topk: ragged embedding dims "
+                    f"{g.shape[0]} vs {gram.shape[0]}"
+                )
+            else:
+                gram += g
+                sums += s
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(gram.shape[0], k=1)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype(np.int64),
+                "j": ju.astype(np.int64),
+                "n": np.full(len(iu), n, dtype=np.int64),
+                "s_i": sums[iu],
+                "s_j": sums[ju],
+                "s_ij": gram[iu, ju],
+            }
+        )
 
     parts = embeddings.select("embedding").mapInPandas(_partials, schema)
     agg = parts.groupBy("i", "j").agg(

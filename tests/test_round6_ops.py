@@ -451,24 +451,32 @@ def test_rare_token_ratio_hand_computed(spark):
 
 
 def test_covariance_topk_hand_computed_and_partition_invariant(spark):
-    """3-dim vectors engineered so dims (0,1) are perfectly correlated,
-    (0,2) anti-correlated, (1,2) mixed: the exact integer score
-    |n·S_ij − S_i·S_j| ranks (0,1) and (0,2) (equal magnitude, tie-broken
-    by (i,j)) above (1,2). Re-running with 1 vs 7 shuffle partitions and
-    a 2-row Arrow batch cap must give identical rows — the associativity
-    the partial-outer-product formulation claims."""
+    """3-dim vectors with three DISTINCT pair scores (micro units of
+    1e6; n = 3): S_01 = 28e12, S_02 = 2.2e12, S_12 = 4.4e12, so
+    |n·S_ij − S_i·S_j| gives (0,1) = 12e12, (0,2) = |6.6−9| = 2.4e12,
+    (1,2) = |13.2−18| = 4.8e12 — expected order (0,1), (1,2), (0,2),
+    which is NOT the (i,j) tie-break order, so a constant/broken score
+    fails; the last two scores come from NEGATIVE covariance numerators,
+    so a dropped abs() reorders them and fails too. Re-running with 1 vs
+    7 shuffle partitions and a 2-row Arrow batch cap must give identical
+    rows — the cross-batch accumulation and associativity the
+    partial-outer-product formulation claims."""
     from mapreduceindex_spark.operators.similarity import (
         embedding_covariance_topk,
     )
 
-    rows = [(1, [1.0, 1.0, -1.0]), (2, [2.0, 2.0, -2.0]), (3, [3.0, 3.0, -3.0])]
+    rows = [
+        (1, [1.0, 2.0, 0.9]),
+        (2, [2.0, 4.0, 0.5]),
+        (3, [3.0, 6.0, 0.1]),
+    ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = embedding_covariance_topk(emb, top_k=3).collect()
-    assert [(r.i, r.j) for r in out] == [(0, 1), (0, 2), (1, 2)]
+    assert [(r.i, r.j) for r in out] == [(0, 1), (1, 2), (0, 2)]
     r01 = out[0]
-    # micro units: s_0 = s_1 = 6e6, s_01 = 14e12, n = 3
-    assert (r01.n, r01.s_i, r01.s_j) == (3, 6_000_000, 6_000_000)
-    assert r01.s_ij == 14 * 10**12
+    # micro sums: s_0 = 6e6, s_1 = 12e6, S_01 = (2 + 8 + 18)e12
+    assert (r01.n, r01.s_i, r01.s_j) == (3, 6_000_000, 12_000_000)
+    assert r01.s_ij == 28 * 10**12
     base = [tuple(r) for r in out]
     for parts, batch in ((1, 2), (7, 2)):
         s2 = spark
