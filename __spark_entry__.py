@@ -102,6 +102,7 @@ _VERIFY_FIRST = [
     "q4_order_priority",
     "rare_token_ratio",
     "embedding_covariance_topk",
+    "vocab_coverage",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -134,9 +135,10 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: ngram_novelty, order_gaps, price_quantiles,
-    # q10_returned_items, q11_important_stock (each pushed past slot 50
-    # by the 16th-18th round-6 additions), q12_delay_priority,
+    # promote in round 7: nation_revenue_share, ngram_novelty,
+    # order_gaps, price_quantiles, q10_returned_items,
+    # q11_important_stock (each pushed past slot 50 by the 16th-19th
+    # round-6 additions), q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
     # q19_disjunctive_revenue, q20_promotable_suppliers,
@@ -204,6 +206,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: TA.doc_fingerprint(_t(s, d, "documents")),
         "tf_idf": lambda s, d: TA.tf_idf(_t(s, d, "documents")),
         "rare_token_ratio": lambda s, d: TA.rare_token_ratio(
+            _t(s, d, "documents")
+        ),
+        "vocab_coverage": lambda s, d: TA.vocab_coverage(
             _t(s, d, "documents")
         ),
         "lm_doc_scores": lambda s, d: TA.lm_doc_scores(_t(s, d, "documents")),
@@ -1707,6 +1712,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.word, tf.tf, df.df,
                    round(tf.tf * ln(total.n_docs::DOUBLE / df.df), 6) AS tfidf
             FROM tf JOIN df USING (word) CROSS JOIN total
+        """,
+        "vocab_coverage": f"""
+            WITH toks AS (
+              SELECT doc_id, source, u.word
+              FROM documents, unnest({ws}) AS u(word)
+              WHERE len(u.word) > 0
+            ), df AS (
+              SELECT word, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY word
+            ), vocab AS (
+              SELECT word FROM df ORDER BY df DESC, word ASC LIMIT 16
+            ), agg AS (
+              SELECT source, count(*)::BIGINT AS n_tokens,
+                     (count(*) FILTER (
+                        WHERE word NOT IN (SELECT word FROM vocab)
+                     ))::BIGINT AS n_oov
+              FROM toks GROUP BY source
+            )
+            SELECT source, n_tokens, n_oov,
+                   ((n_oov * 1000000) // n_tokens)::BIGINT AS oov_ppm
+            FROM agg
         """,
         "rare_token_ratio": f"""
             WITH pairs AS (

@@ -721,3 +721,57 @@ def rare_token_ratio(documents: DataFrame) -> DataFrame:
         .orderBy("doc_id")
     )
     return out
+
+
+def vocab_coverage(documents: DataFrame, vocab_size: int = 16) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-
+    ``vocab_size`` vocabulary (by document frequency, ties broken by
+    word) — the tokenizer-coverage readout: a source whose token mass
+    falls outside the shared vocabulary will fragment into long BPE
+    tails and deserves its own vocab budget or a cleanup pass. (The
+    fixture corpus has a ~31-word synthetic vocabulary, so the default
+    budget of 16 keeps the OOV side non-degenerate; real corpora pass
+    32k+.)
+
+    Scale shape: the vocabulary is df-ranked with one vocab-keyed
+    aggregate + TakeOrdered (never a global row sort), then BROADCAST
+    into the token scan — vocabulary ≪ corpus at any scale, and the
+    in/out flag rides the scan stage, so the per-source readout is one
+    partial-aggregated exchange on source. OOV share is BIGINT ppm via
+    floor division — no floats.
+    """
+    toks = (
+        _tokens(documents, "source")
+        .filter(F.length("word") > 0)
+        .select("doc_id", "source", "word")
+    )
+    df = (
+        toks.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = (
+        df.orderBy(F.col("df").desc(), F.col("word").asc())
+        .limit(vocab_size)
+        .select("word", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000) DIV n_tokens")
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )

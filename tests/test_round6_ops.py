@@ -499,3 +499,29 @@ def test_covariance_topk_hand_computed_and_partition_invariant(spark):
             s2.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
             )
+
+
+def test_vocab_coverage_tie_break_and_occurrence_counting(spark):
+    """vocab_size=2 over df = {aa:3, bb:2, cc:2, dd:1}: the df-2 tie
+    breaks alphabetically, so vocab = {aa, bb} and cc is OOV despite
+    equal df. Counting is over OCCURRENCES (cc appears twice in doc 20
+    and both count), not distinct words."""
+    from mapreduceindex_spark.operators.text_analysis import vocab_coverage
+
+    docs = _docs(
+        spark,
+        [
+            (10, "aa bb", "s1", "s1", 5),
+            (20, "aa cc cc", "s1", "s1", 8),
+            (30, "aa bb cc dd", "s2", "s2", 11),
+        ],
+    )
+    # _docs schema is (doc_id, text, lang, source, n_chars)
+    got = {
+        r.source: (r.n_tokens, r.n_oov, r.oov_ppm)
+        for r in vocab_coverage(docs, vocab_size=2).collect()
+    }
+    # s1: tokens aa,bb,aa,cc,cc -> 5 total, cc twice OOV
+    assert got["s1"] == (5, 2, 400000)
+    # s2: tokens aa,bb,cc,dd -> 4 total, cc+dd OOV
+    assert got["s2"] == (4, 2, 500000)
