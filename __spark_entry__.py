@@ -103,6 +103,7 @@ _VERIFY_FIRST = [
     "rare_token_ratio",
     "embedding_covariance_topk",
     "vocab_coverage",
+    "rfm_segments",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -135,10 +136,11 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: nation_revenue_share, ngram_novelty,
-    # order_gaps, price_quantiles, q10_returned_items,
-    # q11_important_stock (each pushed past slot 50 by the 16th-19th
-    # round-6 additions), q12_delay_priority,
+    # promote in round 7: media_resize, nation_revenue_share,
+    # ngram_novelty, order_gaps, price_quantiles, q10_returned_items,
+    # q11_important_stock (each pushed past slot 50 by the 16th-20th
+    # round-6 additions; slot 50 = media_metadata_stats),
+    # q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
     # q19_disjunctive_revenue, q20_promotable_suppliers,
@@ -421,6 +423,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": lambda s, d: R.order_priority_checking(
             _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
+        "rfm_segments": lambda s, d: R.rfm_segments(_t(s, d, "orders")),
         "q16_supplier_part_counts": lambda s, d: R.supplier_part_counts(
             _t(s, d, "supplier"), _t(s, d, "part"), _t(s, d, "lineitem")
         ),
@@ -2662,6 +2665,33 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "rfm_segments": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     max(o_orderdate) AS last_ts,
+                     count(*) AS freq,
+                     sum(CAST(round(
+                         CAST(o_totalprice AS DECIMAL(15,2)) * 100, 0)
+                         AS BIGINT)) AS cents
+              FROM orders GROUP BY o_custkey
+            ), scored AS (
+              SELECT cents,
+                     ntile(5) OVER (ORDER BY last_ts DESC, o_custkey ASC)
+                       AS r_bucket,
+                     ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC)
+                       AS f_bucket,
+                     ntile(5) OVER (ORDER BY cents DESC, o_custkey ASC)
+                       AS m_bucket
+              FROM per_cust
+            )
+            SELECT r_bucket::BIGINT AS r_bucket,
+                   f_bucket::BIGINT AS f_bucket,
+                   m_bucket::BIGINT AS m_bucket,
+                   count(*)::BIGINT AS n_customers,
+                   sum(cents)::BIGINT AS total_cents
+            FROM scored
+            GROUP BY 1, 2, 3
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*)::BIGINT AS order_count

@@ -1539,3 +1539,54 @@ def skyline_orders(orders: DataFrame, n_buckets: int = 1024) -> DataFrame:
         .select("o_orderkey", "price_cents", "order_epoch")
         .orderBy("o_orderkey")
     )
+
+
+def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
+    """RFM segmentation: every purchasing customer scored into
+    recency/frequency/monetary quintiles, reported as segment-level
+    counts and exact spend — the classic marketing-analytics cube
+    (5×5×5 = at most 125 output rows).
+
+    Scale shape: all three NTILE windows run over the PER-CUSTOMER
+    aggregate — dimension cardinality, same documented bound as
+    ``customer_spend_quartiles`` — never the orders fact table; the one
+    data-scale operation is the single custkey hash aggregate.
+    Determinism: each quintile orders by (metric desc, custkey asc), so
+    bucket boundaries are engine- and partitioning-independent even
+    with tied metrics, and NTILE's remainder-to-first-buckets rule is
+    SQL-standard on both engines. Exactness: monetary is BIGINT cents
+    (lossless decimal→cents), recency keys on the raw timestamp —
+    every output column BIGINT.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum(F.round(_dec2("o_totalprice") * 100, 0).cast("long")).alias(
+            "_cents"
+        ),
+    )
+    tile = lambda col: F.ntile(n_buckets).over(  # noqa: E731
+        Window.orderBy(F.col(col).desc(), F.col("o_custkey").asc())
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "_cents",
+        tile("_last").alias("r_bucket"),
+        tile("_freq").alias("f_bucket"),
+        tile("_cents").alias("m_bucket"),
+    )
+    return (
+        scored.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("_cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            F.col("r_bucket").cast("long").alias("r_bucket"),
+            F.col("f_bucket").cast("long").alias("f_bucket"),
+            F.col("m_bucket").cast("long").alias("m_bucket"),
+            "n_customers",
+            "total_cents",
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )

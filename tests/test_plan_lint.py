@@ -156,6 +156,7 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "domain_mixture",  # whole-frame total over source-cardinality agg
         "hybrid_search",  # rank frames over ≤ 2·k_each fused candidates
         "skyline_orders",  # exclusive cummax over ≤ n_buckets metadata rows
+        "rfm_segments",  # three NTILEs over the per-customer (dim) agg
     }
     bad = {}
     for name, fn in entrymod.queries().items():

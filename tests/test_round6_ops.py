@@ -525,3 +525,32 @@ def test_vocab_coverage_tie_break_and_occurrence_counting(spark):
     assert got["s1"] == (5, 2, 400000)
     # s2: tokens aa,bb,cc,dd -> 4 total, cc+dd OOV
     assert got["s2"] == (4, 2, 500000)
+
+
+def test_rfm_segments_ntile_remainder_and_tie_break(spark):
+    """5 single-order customers, n_buckets=2: NTILE's remainder rule
+    puts 3 in bucket 1, 2 in bucket 2 on every axis. Frequency is tied
+    at 1 everywhere, so the custkey tie-break alone decides F buckets —
+    c1..c3 land in f=1 deterministically. Monetary is exact cents."""
+    from mapreduceindex_spark.operators.relational import rfm_segments
+
+    rows = [
+        (1, 1, "2024-05-01", 500.00),
+        (2, 2, "2024-04-01", 400.00),
+        (3, 3, "2024-03-01", 300.00),
+        (4, 4, "2024-02-01", 200.00),
+        (5, 5, "2024-01-01", 100.00),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, d string, o_totalprice double"
+    ).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "CAST(d AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice",
+    )
+    got = {
+        (r.r_bucket, r.f_bucket, r.m_bucket): (r.n_customers, r.total_cents)
+        for r in rfm_segments(orders, n_buckets=2).collect()
+    }
+    assert got == {(1, 1, 1): (3, 120000), (2, 2, 2): (2, 30000)}
