@@ -104,6 +104,7 @@ _VERIFY_FIRST = [
     "embedding_covariance_topk",
     "vocab_coverage",
     "rfm_segments",
+    "token_entropy",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -136,10 +137,10 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: media_resize, nation_revenue_share,
-    # ngram_novelty, order_gaps, price_quantiles, q10_returned_items,
-    # q11_important_stock (each pushed past slot 50 by the 16th-20th
-    # round-6 additions; slot 50 = media_metadata_stats),
+    # promote in round 7: media_metadata_stats, media_resize,
+    # nation_revenue_share, ngram_novelty, order_gaps, price_quantiles,
+    # q10_returned_items, q11_important_stock (each pushed past slot 50
+    # by the 16th-21st round-6 additions; slot 50 = media_frame_sample),
     # q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
@@ -211,6 +212,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "vocab_coverage": lambda s, d: TA.vocab_coverage(
+            _t(s, d, "documents")
+        ),
+        "token_entropy": lambda s, d: TA.token_entropy(
             _t(s, d, "documents")
         ),
         "lm_doc_scores": lambda s, d: TA.lm_doc_scores(_t(s, d, "documents")),
@@ -1715,6 +1719,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.word, tf.tf, df.df,
                    round(tf.tf * ln(total.n_docs::DOUBLE / df.df), 6) AS tfidf
             FROM tf JOIN df USING (word) CROSS JOIN total
+        """,
+        "token_entropy": f"""
+            -- lm_doc_scores discipline: per-word log quantized to
+            -- tie-free integer micro-units BEFORE the sum; the BIGINT
+            -- cast on sum() is load-bearing (DuckDB widens to HUGEINT)
+            WITH toks AS (
+              SELECT doc_id, source, u.word
+              FROM documents, unnest({ws}) AS u(word)
+              WHERE len(u.word) > 0
+            ), counts AS (
+              SELECT source, word, count(*) AS c
+              FROM toks GROUP BY source, word
+            ), totals AS (
+              SELECT source, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd
+              FROM counts GROUP BY source
+            ), terms AS (
+              SELECT c.source, t.n, t.nd,
+                     c.c * {XQ.micro_sql('ln(c.c::DOUBLE / t.n::DOUBLE)')}
+                       AS contrib
+              FROM counts c JOIN totals t USING (source)
+            )
+            SELECT source, n AS n_tokens, nd AS n_distinct_words,
+                   ((-sum(contrib)::BIGINT) // n)::BIGINT AS entropy_micro
+            FROM terms GROUP BY source, n, nd
         """,
         "vocab_coverage": f"""
             WITH toks AS (

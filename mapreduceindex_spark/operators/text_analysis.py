@@ -775,3 +775,60 @@ def vocab_coverage(documents: DataFrame, vocab_size: int = 16) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-source unigram (Shannon) entropy of the word distribution in
+    micro-nats — the corpus-diversity readout next to ``vocab_stats``'
+    raw counts: near-zero entropy means a template farm, entropy near
+    ln(vocab) means a uniform mix; mixture designers weight by it.
+
+    Exactness: each word's contribution ``c·micro(ln(c/N))`` quantizes
+    the log to tie-free integer micro-units BEFORE the per-source sum
+    (the ``lm_doc_scores`` discipline — integer sums are associative,
+    so any partitioning agrees), and the final ``(−Σ)/N`` is BIGINT
+    floor division of non-negatives, identical on both engines. Every
+    output column is BIGINT.
+
+    Scale: one token scan → (source, word) hash aggregate; the term
+    table is vocabulary×sources-bounded, the totals side is broadcast
+    (source-bounded), and the final aggregate is source-keyed. No
+    driver materialization.
+    """
+    from mapreduceindex_spark.functions.exact import micro
+
+    toks = (
+        _tokens(documents, "source")
+        .filter(F.length("word") > 0)
+        .select("source", "word")
+    )
+    counts = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_nd")
+    )
+    terms = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "_n",
+        "_nd",
+        (
+            F.col("_c")
+            * micro(
+                F.log(
+                    F.col("_c").cast("double") / F.col("_n").cast("double")
+                )
+            )
+        ).alias("_contrib"),
+    )
+    return (
+        terms.groupBy("source", "_n", "_nd")
+        .agg(F.sum("_contrib").alias("_s"))
+        .select(
+            "source",
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.col("_nd").cast("long").alias("n_distinct_words"),
+            F.expr("(-_s) DIV _n").cast("long").alias("entropy_micro"),
+        )
+        .orderBy("source")
+    )

@@ -554,3 +554,35 @@ def test_rfm_segments_ntile_remainder_and_tie_break(spark):
         for r in rfm_segments(orders, n_buckets=2).collect()
     }
     assert got == {(1, 1, 1): (3, 120000), (2, 2, 2): (2, 30000)}
+
+
+def test_token_entropy_hand_computed(spark):
+    """Uniform 2-word source: H = ln 2 exactly (micro(ln 0.5) = -693147,
+    so entropy_micro = (2*693147) DIV 4... careful: 4 tokens, two words
+    twice each: contrib = 2*micro(ln(2/4)) per word = 2*(-693147);
+    H_micro = (4*693147) DIV 4 = 693147). Single-word source: H = 0.
+    Distribution (3,1): H = -(3/4)ln(3/4) - (1/4)ln(1/4), assembled from
+    the same floor-div arithmetic the operator commits to."""
+    from mapreduceindex_spark.operators.text_analysis import token_entropy
+
+    import math
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb aa bb", "en", "uniform", 11),
+            (2, "zz zz zz", "en", "constant", 8),
+            (3, "cc cc cc dd", "en", "skewed", 11),
+        ],
+    )
+    got = {
+        r.source: (r.n_tokens, r.n_distinct_words, r.entropy_micro)
+        for r in token_entropy(docs).collect()
+    }
+    def micro(x):
+        return math.floor(x * 1e6 + 0.5) if x >= 0 else -math.floor(-x * 1e6 + 0.5)
+    assert got["uniform"] == (4, 2, (-(2 * micro(math.log(0.5)) + 2 * micro(math.log(0.5)))) // 4)
+    assert got["uniform"][2] == 693147  # ln 2 in micro-nats
+    assert got["constant"] == (3, 1, 0)
+    expect_skewed = (-(3 * micro(math.log(3 / 4)) + 1 * micro(math.log(1 / 4)))) // 4
+    assert got["skewed"] == (4, 2, expect_skewed)
