@@ -105,6 +105,8 @@ _VERIFY_FIRST = [
     "vocab_coverage",
     "rfm_segments",
     "token_entropy",
+    "events_markov_transitions",
+    "shard_skew_report",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -137,10 +139,11 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: media_metadata_stats, media_resize,
-    # nation_revenue_share, ngram_novelty, order_gaps, price_quantiles,
-    # q10_returned_items, q11_important_stock (each pushed past slot 50
-    # by the 16th-21st round-6 additions; slot 50 = media_frame_sample),
+    # promote in round 7: media_features, media_frame_sample,
+    # media_metadata_stats, media_resize, nation_revenue_share,
+    # ngram_novelty, order_gaps, price_quantiles, q10_returned_items,
+    # q11_important_stock (each pushed past slot 50 by the 16th-23rd
+    # round-6 additions; slot 50 = media_dup_clusters),
     # q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
@@ -476,6 +479,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": lambda s, d: E.funnel_conversion(
             _t(s, d, "events")
         ),
+        "events_markov_transitions": lambda s, d: E.events_markov_transitions(
+            _t(s, d, "events")
+        ),
         "top_event_paths": lambda s, d: E.top_event_paths(
             _t(s, d, "events")
         ),
@@ -777,6 +783,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), depth=4, width=1024, k=20
         ),
         # round 4: seeded training shuffle + cross-modal curation join
+        "shard_skew_report": lambda s, d: C.shard_skew_report(
+            _t(s, d, "documents")
+        ),
         "shuffle_corpus": lambda s, d: C.shuffle_corpus(
             _t(s, d, "documents"), seed=42, n_shards=16
         ),
@@ -1719,6 +1728,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.word, tf.tf, df.df,
                    round(tf.tf * ln(total.n_docs::DOUBLE / df.df), 6) AS tfidf
             FROM tf JOIN df USING (word) CROSS JOIN total
+        """,
+        "shard_skew_report": f"""
+            WITH b AS (
+              SELECT ({_hash60_sql('text')} % 64) AS shard FROM documents
+            ), per AS (
+              SELECT shard, count(*)::BIGINT AS n FROM b GROUP BY shard
+            ), grid AS (
+              SELECT CAST(range AS BIGINT) AS shard FROM range(0, 64)
+            ), tot AS (
+              SELECT count(*)::BIGINT AS t FROM documents
+            )
+            SELECT g.shard,
+                   COALESCE(p.n, 0)::BIGINT AS n_docs,
+                   ((COALESCE(p.n, 0) * 64 * 1000000) // tot.t)::BIGINT
+                     AS load_ppm
+            FROM grid g LEFT JOIN per p USING (shard) CROSS JOIN tot
         """,
         "token_entropy": f"""
             -- lm_doc_scores discipline: per-word log quantized to
@@ -3776,6 +3801,42 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM events JOIN orders ON user_id = o_custkey
             GROUP BY event_type, o_orderpriority
             ORDER BY event_type, o_orderpriority
+        """,
+        "events_markov_transitions": """
+            -- top_event_paths' session logic, single look-ahead; the
+            -- conditional ppm is BIGINT floor division on both engines
+            WITH s AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                               - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT)
+                               > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sid AS (
+              SELECT user_id, event_id, ts, event_type,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS _sid
+              FROM s
+            ), led AS (
+              SELECT event_type AS from_type, _sid,
+                     lead(event_type, 1) OVER w AS to_type,
+                     lead(_sid, 1) OVER w AS s1
+              FROM sid
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), counts AS (
+              SELECT from_type, to_type, count(*)::BIGINT AS n
+              FROM led WHERE s1 = _sid
+              GROUP BY from_type, to_type
+            ), totals AS (
+              SELECT from_type, sum(n)::BIGINT AS row_n
+              FROM counts GROUP BY from_type
+            )
+            SELECT c.from_type, c.to_type,
+                   c.n::BIGINT AS n_transitions,
+                   ((c.n * 1000000) // t.row_n)::BIGINT AS prob_ppm
+            FROM counts c JOIN totals t USING (from_type)
         """,
         "top_event_paths": """
             -- same single ordering key everywhere: (user_id | ts, event_id)

@@ -1225,3 +1225,47 @@ def corpus_freshness(documents: DataFrame, batch: int = 50) -> DataFrame:
         )
         .orderBy("snapshot")
     )
+
+
+def shard_skew_report(documents: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Pre-write balance check for a planned ``n_shards`` content-hash
+    sharding (the layout ``shuffle_corpus``/``split_by_hash`` commit
+    to): per-shard document count and relative load in ppm of the
+    balanced share (1 000 000 = perfectly even; a hot shard shows as
+    >1e6) — run this BEFORE burning a 100 TB write on a layout that
+    one pathological shard would straggle.
+
+    Empty shards are reported explicitly (a ``range(n_shards)``
+    metadata grid left-joins the counts — absent-is-zero is the one
+    thing a balance report must not hide). One scan + one
+    shard-bounded aggregate; the total is a broadcast scalar; load is
+    BIGINT floor division. Content-keyed hashing means exact dupes
+    land together — this report shows that skew honestly.
+    """
+    from mapreduceindex_spark.functions.text import stable_hash64
+
+    per = (
+        documents.select(
+            (stable_hash64("text") % n_shards).alias("shard")
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    grid = documents.sparkSession.range(n_shards).select(
+        F.col("id").cast("long").alias("shard")
+    )
+    total = documents.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        grid.join(per, "shard", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_docs"),
+            F.expr(
+                f"(coalesce(_n, 0) * {n_shards} * 1000000) DIV _t"
+            )
+            .cast("long")
+            .alias("load_ppm"),
+        )
+        .orderBy("shard")
+    )

@@ -740,3 +740,67 @@ def timeseries_gap_fill(
         )
         .orderBy("event_type", "window_start")
     )
+
+
+def events_markov_transitions(
+    events: DataFrame, gap_sec: int = 1800
+) -> DataFrame:
+    """First-order Markov transition matrix of ``event_type`` within
+    sessions: for every (from, to) pair, the transition count and its
+    row-conditional probability in ppm — the next-action model readout
+    behind ``top_event_paths``' raw trigram mining (paths tell you what
+    sequences exist; this tells you the per-step conditional model).
+
+    Same one-exchange shape as ``top_event_paths``: session ids and the
+    single look-ahead both come from windows over the SAME
+    ``(user_id | ts, event_id)`` spec — one hash exchange + sort, with
+    cross-session transitions filtered by comparing the lead's session
+    id (never a second partitioning). The trailing aggregate is
+    |event_type|²-bounded, the per-from totals join is broadcast
+    (type-bounded), and prob_ppm is BIGINT floor division — exact on
+    both engines.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts", 1).over(by_user))
+            > gap_sec,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sid = (
+        F.sum("_new")
+        .over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+    )
+    steps = flagged.withColumn("_sid", sid).select(
+        F.col("event_type").alias("from_type"),
+        "_sid",
+        F.lead("event_type", 1).over(by_user).alias("to_type"),
+        F.lead("_sid", 1).over(by_user).alias("_s1"),
+    )
+    counts = (
+        steps.filter(F.col("_s1") == F.col("_sid"))
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("_n").alias("_row_n"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("_n").cast("long").alias("n_transitions"),
+            F.expr("(_n * 1000000) DIV _row_n")
+            .cast("long")
+            .alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -586,3 +586,58 @@ def test_token_entropy_hand_computed(spark):
     assert got["constant"] == (3, 1, 0)
     expect_skewed = (-(3 * micro(math.log(3 / 4)) + 1 * micro(math.log(1 / 4)))) // 4
     assert got["skewed"] == (4, 2, expect_skewed)
+
+
+def test_markov_transitions_session_bounded_and_conditional(spark):
+    """User does A,B,A,B tightly, then a >gap pause, then C,A: the
+    B->C hop spans the session break and must NOT count; conditionals
+    are per-FROM row: from A = {A->B: 2 of 3... no — A->B twice within
+    s1, C->A once in s2 gives from-C row}, all ppm exact."""
+    from mapreduceindex_spark.operators.events import (
+        events_markov_transitions,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        (1, 10, base + 0, "A"),
+        (2, 10, base + 10, "B"),
+        (3, 10, base + 20, "A"),
+        (4, 10, base + 30, "B"),
+        (5, 10, base + 30 + 3600, "C"),  # new session
+        (6, 10, base + 30 + 3610, "A"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob_ppm)
+        for r in events_markov_transitions(events).collect()
+    }
+    # session 1: A->B, B->A, A->B; session 2: C->A. B->C NEVER appears.
+    assert got == {
+        ("A", "B"): (2, 1_000_000),
+        ("B", "A"): (1, 1_000_000),
+        ("C", "A"): (1, 1_000_000),
+    }
+
+
+def test_shard_skew_report_dupes_colocate_and_zeros_reported(spark):
+    """Exact-duplicate texts MUST land in one shard (content-keyed),
+    every shard 0..n-1 is present even when empty, counts conserve,
+    and load_ppm is the committed floor-div arithmetic."""
+    from mapreduceindex_spark.operators.corpus import shard_skew_report
+
+    docs = _docs(
+        spark,
+        [(i, "same text", "en", "s", 9) for i in range(6)]
+        + [(100, "another doc", "en", "s", 11)],
+    )
+    out = shard_skew_report(docs, n_shards=4).collect()
+    assert [r.shard for r in out] == [0, 1, 2, 3]
+    assert sum(r.n_docs for r in out) == 7
+    # the 6 clones share one shard
+    assert max(r.n_docs for r in out) >= 6
+    for r in out:
+        assert r.load_ppm == (r.n_docs * 4 * 1_000_000) // 7
