@@ -107,6 +107,8 @@ _VERIFY_FIRST = [
     "token_entropy",
     "events_markov_transitions",
     "shard_skew_report",
+    "domain_divergence",
+    "positional_index",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -139,12 +141,12 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: media_features, media_frame_sample,
-    # media_metadata_stats, media_resize, nation_revenue_share,
-    # ngram_novelty, order_gaps, price_quantiles, q10_returned_items,
-    # q11_important_stock (each pushed past slot 50 by the 16th-23rd
-    # round-6 additions; slot 50 = media_dup_clusters),
-    # q12_delay_priority,
+    # promote in round 7: media_dhash_near_dups, media_dup_clusters,
+    # media_features, media_frame_sample, media_metadata_stats,
+    # media_resize, nation_revenue_share, ngram_novelty, order_gaps,
+    # price_quantiles, q10_returned_items, q11_important_stock (each
+    # pushed past slot 50 by the 16th-25th round-6 additions; slot 50
+    # = media_dhash), q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
     # q19_disjunctive_revenue, q20_promotable_suppliers,
@@ -784,6 +786,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # round 4: seeded training shuffle + cross-modal curation join
         "shard_skew_report": lambda s, d: C.shard_skew_report(
+            _t(s, d, "documents")
+        ),
+        "domain_divergence": lambda s, d: C.domain_divergence(
+            _t(s, d, "documents")
+        ),
+        "positional_index": lambda s, d: II.positional_index(
             _t(s, d, "documents")
         ),
         "shuffle_corpus": lambda s, d: C.shuffle_corpus(
@@ -1728,6 +1736,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.word, tf.tf, df.df,
                    round(tf.tf * ln(total.n_docs::DOUBLE / df.df), 6) AS tfidf
             FROM tf JOIN df USING (word) CROSS JOIN total
+        """,
+        "positional_index": f"""
+            -- positions are 0-based indexes into the normalized
+            -- non-empty word sequence (the ws macro pre-filters); the
+            -- 8192 literal range bound is 60x the fixture's longest
+            -- doc, same uncorrelated-range shape as embedding_dim_stats
+            WITH base AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), e AS (
+              SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,
+                     w[CAST(t.i AS INT)] AS word
+              FROM base, range(1, 8193) t(i)
+              WHERE t.i <= len(w)
+            )
+            SELECT word, doc_id, count(*)::BIGINT AS n_occurrences,
+                   string_agg(pos::VARCHAR, ' ' ORDER BY pos)
+                     AS positions
+            FROM e WHERE len(word) > 0
+            GROUP BY word, doc_id
+        """,
+        "domain_divergence": f"""
+            -- term-by-term the SAME double expression tree as Spark:
+            -- one division for p_a, the ratio as
+            -- (c_a+1)(n_b+V)/((c_b+1)(n_a+V)) in that literal order,
+            -- micro-quantized BEFORE the per-pair sum; the ::BIGINT on
+            -- sum() undoes DuckDB's HUGEINT widening
+            WITH toks AS (
+              SELECT source, u.word
+              FROM documents, unnest({ws}) AS u(word)
+              WHERE len(u.word) > 0
+            ), counts AS (
+              SELECT source, word, count(*)::BIGINT AS c
+              FROM toks GROUP BY source, word
+            ), totals AS (
+              SELECT source, sum(c)::BIGINT AS n FROM counts
+              GROUP BY source
+            ), vocab AS (
+              SELECT DISTINCT word FROM counts
+            ), vv AS (
+              SELECT count(*)::BIGINT AS v FROM vocab
+            ), dense AS (
+              SELECT vocab.word, totals.source, totals.n,
+                     COALESCE(counts.c, 0)::BIGINT AS c
+              FROM vocab CROSS JOIN totals
+              LEFT JOIN counts ON counts.source = totals.source
+                              AND counts.word = vocab.word
+            ), terms AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     {XQ.micro_sql(
+                         "((a.c + 1)::DOUBLE / (a.n + vv.v)::DOUBLE)"
+                         " * ln(((a.c + 1)::DOUBLE"
+                         "       * (b.n + vv.v)::DOUBLE)"
+                         "      / ((b.c + 1)::DOUBLE"
+                         "         * (a.n + vv.v)::DOUBLE))"
+                     )} AS t
+              FROM dense a
+              JOIN dense b ON a.word = b.word AND a.source <> b.source
+              CROSS JOIN vv
+            )
+            SELECT source_a, source_b,
+                   sum(t)::BIGINT AS kl_micro
+            FROM terms GROUP BY source_a, source_b
         """,
         "shard_skew_report": f"""
             WITH b AS (

@@ -1269,3 +1269,84 @@ def shard_skew_report(documents: DataFrame, n_shards: int = 64) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def domain_divergence(documents: DataFrame) -> DataFrame:
+    """Pairwise KL divergence KL(P_a ‖ P_b) between every ordered pair
+    of sources' unigram distributions, add-one smoothed over the global
+    vocabulary — the domain-similarity matrix behind mixture design and
+    drift triage (a source whose divergence from everything else jumps
+    between crawls changed its content pipeline).
+
+    Exactness: every (pair, word) term ``p_a·ln(p_a/p_b)`` is built
+    from the SAME double expression tree on both engines — integer
+    counts cast to double, one division for p_a, the ratio as
+    (c_a+1)(n_b+V) / (c_b+1)(n_a+V) in that literal order — then
+    tie-free micro-quantized BEFORE the per-pair sum (associative, so
+    any partitioning agrees). Output is BIGINT micro-nats.
+
+    Scale shape: the dense (source × vocab) frame left-joins counts so
+    absent words still contribute their smoothed mass; everything
+    downstream is sources²×vocab-bounded, never corpus-bounded — and
+    like ``vocab_coverage`` the vocab side takes a top-K budget at real
+    scale (full vocab here; the fixture vocabulary is ~31 words).
+    """
+    from mapreduceindex_spark.functions.exact import micro
+
+    toks = (
+        documents.select(
+            "source", F.explode(words(F.col("text"))).alias("word")
+        )
+        .filter(F.length("word") > 0)
+    )
+    counts = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("_c").alias("_n"))
+    vocab = counts.select("word").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("_v"))
+    dense = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(counts, ["source", "word"], "left")
+        .select(
+            "word",
+            "source",
+            "_n",
+            F.coalesce("_c", F.lit(0)).alias("_c"),
+        )
+    )
+    a = dense.select(
+        "word",
+        F.col("source").alias("source_a"),
+        F.col("_n").alias("_na"),
+        F.col("_c").alias("_ca"),
+    )
+    b = dense.select(
+        "word",
+        F.col("source").alias("source_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_c").alias("_cb"),
+    )
+    pa = (F.col("_ca") + 1).cast("double") / (
+        (F.col("_na") + F.col("_v")).cast("double")
+    )
+    ratio = (
+        (F.col("_ca") + 1).cast("double")
+        * (F.col("_nb") + F.col("_v")).cast("double")
+    ) / (
+        (F.col("_cb") + 1).cast("double")
+        * (F.col("_na") + F.col("_v")).cast("double")
+    )
+    return (
+        a.join(b, "word")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source_a",
+            "source_b",
+            micro(pa * F.log(ratio)).alias("_t"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("_t").cast("long").alias("kl_micro"))
+        .orderBy("source_a", "source_b")
+    )

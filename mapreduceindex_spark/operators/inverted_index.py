@@ -484,3 +484,45 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(top_k)
     )
+
+
+def positional_index(documents: DataFrame) -> DataFrame:
+    """Positional inverted index: for every (word, doc) posting, the
+    occurrence count and the ascending token positions — the artifact
+    ``phrase_search`` implicitly rebuilds per query, materialized once
+    so phrase/proximity queries become posting-list merges instead of
+    corpus scans (the standard IR trade: ~|tokens| index rows buy
+    O(postings) phrase lookup).
+
+    Positions are 0-based indexes into the normalized NON-EMPTY word
+    sequence (``functions.text.words`` drops empty-normalized tokens
+    before positions exist) — exactly the basis ``phrase_search``'s
+    windows walk, so consecutive positions mean an exact quote.
+    One posexplode → one (word, doc_id) hash aggregate —
+    the flagship's exchange with positions riding along; positions are
+    sorted in-group and serialized to a space-joined string (driver
+    arrays are unhashable; the string is also the compact wire form).
+    """
+    from mapreduceindex_spark.functions.text import words
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    ).filter(F.length("w") > 0)
+    return (
+        toks.groupBy("w", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("pos").cast("long"))),
+                " ",
+            ).alias("positions"),
+        )
+        .select(
+            F.col("w").alias("word"),
+            "doc_id",
+            "n_occurrences",
+            "positions",
+        )
+        .orderBy("word", "doc_id")
+    )

@@ -641,3 +641,55 @@ def test_shard_skew_report_dupes_colocate_and_zeros_reported(spark):
     assert max(r.n_docs for r in out) >= 6
     for r in out:
         assert r.load_ppm == (r.n_docs * 4 * 1_000_000) // 7
+
+
+def test_domain_divergence_zero_identity_and_asymmetry(spark):
+    """Identical word distributions give EXACTLY 0 micro-nats (every
+    term is micro(p*ln 1) = 0 — no quantization drift); a genuinely
+    different source diverges positively in both directions, and KL's
+    asymmetry is visible in the raw micro values."""
+    from mapreduceindex_spark.operators.corpus import domain_divergence
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb cc aa", "en", "s1", 11),
+            (2, "aa bb cc aa", "en", "s2", 11),   # identical dist to s1
+            (3, "zz zz zz yy", "en", "s3", 11),   # disjoint-heavy
+        ],
+    )
+    got = {
+        (r.source_a, r.source_b): r.kl_micro
+        for r in domain_divergence(docs).collect()
+    }
+    assert got[("s1", "s2")] == 0 and got[("s2", "s1")] == 0
+    assert got[("s1", "s3")] > 0 and got[("s3", "s1")] > 0
+    assert len(got) == 6
+
+
+def test_positional_index_slots_and_phrase_adjacency(spark):
+    """'Foo 123 foo-bar' normalizes to the non-empty word sequence
+    [foo, foobar] — the all-digit token normalizes to empty and is
+    dropped BEFORE positions exist (words() semantics), so foobar sits
+    at 1, directly adjacent: the same basis phrase_search's windows
+    walk. Repeats list every position ascending."""
+    from mapreduceindex_spark.operators.inverted_index import (
+        positional_index,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "Foo 123 foo-bar", "en", "s", 15),
+            (2, "x x y x", "en", "s", 7),
+        ],
+    )
+    got = {
+        (r.word, r.doc_id): (r.n_occurrences, r.positions)
+        for r in positional_index(docs).collect()
+    }
+    assert got[("foo", 1)] == (1, "0")
+    assert got[("foobar", 1)] == (1, "1")
+    assert ("", 1) not in {(w, d) for (w, d) in got}
+    assert got[("x", 2)] == (3, "0 1 3")
+    assert got[("y", 2)] == (1, "2")
