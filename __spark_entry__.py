@@ -109,6 +109,7 @@ _VERIFY_FIRST = [
     "shard_skew_report",
     "domain_divergence",
     "positional_index",
+    "phrase_search_indexed",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -141,12 +142,13 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: media_dhash_near_dups, media_dup_clusters,
-    # media_features, media_frame_sample, media_metadata_stats,
-    # media_resize, nation_revenue_share, ngram_novelty, order_gaps,
-    # price_quantiles, q10_returned_items, q11_important_stock (each
-    # pushed past slot 50 by the 16th-25th round-6 additions; slot 50
-    # = media_dhash), q12_delay_priority,
+    # promote in round 7: media_dhash, media_dhash_near_dups,
+    # media_dup_clusters, media_features, media_frame_sample,
+    # media_metadata_stats, media_resize, nation_revenue_share,
+    # ngram_novelty, order_gaps, price_quantiles, q10_returned_items,
+    # q11_important_stock (each pushed past slot 50 by the 16th-26th
+    # round-6 additions; slot 50 = media_decode_wav),
+    # q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
     # q19_disjunctive_revenue, q20_promotable_suppliers,
@@ -612,6 +614,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "phrase_search": lambda s, d: II.phrase_search(
+            _t(s, d, "documents"), phrase="order fast"
+        ),
+        "phrase_search_indexed": lambda s, d: II.phrase_search_indexed(
             _t(s, d, "documents"), phrase="order fast"
         ),
         "events_anomaly": lambda s, d: E.anomaly_windows(_t(s, d, "events")),
@@ -4451,6 +4456,10 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
     }
+    # phrase_search_indexed is the posting-list-merge plan for the SAME
+    # question phrase_search answers by window scan — one ground truth,
+    # two physical strategies, both driver-verified against it
+    d["phrase_search_indexed"] = d["phrase_search"]
     # curation_funnel composes three already-verified oracle queries as
     # subqueries (each parenthesized block carries its own WITH), so the
     # funnel's oracle is definitionally consistent with its parts

@@ -503,26 +503,75 @@ def positional_index(documents: DataFrame) -> DataFrame:
     sorted in-group and serialized to a space-joined string (driver
     arrays are unhashable; the string is also the compact wire form).
     """
+    post = _positional_postings(documents)
+    return (
+        post.select(
+            F.col("w").alias("word"),
+            "doc_id",
+            F.size("positions").cast("long").alias("n_occurrences"),
+            F.array_join("positions", " ").alias("positions"),
+        )
+        .orderBy("word", "doc_id")
+    )
+
+
+def _positional_postings(documents: DataFrame) -> DataFrame:
+    """(w, doc_id, positions array<long> ascending) — the in-plan
+    postings frame behind ``positional_index`` (serialized artifact)
+    and ``phrase_search_indexed`` (posting-list merge consumer)."""
     from mapreduceindex_spark.functions.text import words
 
     base = documents.select("doc_id", words(F.col("text")).alias("ws"))
     toks = base.select(
         "doc_id", F.posexplode("ws").alias("pos", "w")
     ).filter(F.length("w") > 0)
-    return (
-        toks.groupBy("w", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.array_join(
-                F.array_sort(F.collect_list(F.col("pos").cast("long"))),
-                " ",
-            ).alias("positions"),
-        )
-        .select(
-            F.col("w").alias("word"),
-            "doc_id",
-            "n_occurrences",
-            "positions",
-        )
-        .orderBy("word", "doc_id")
+    return toks.groupBy("w", "doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.col("pos").cast("long"))
+        ).alias("positions")
     )
+
+
+def phrase_search_indexed(documents: DataFrame, phrase: str) -> DataFrame:
+    """``phrase_search`` answered from the positional index instead of
+    a window scan: each phrase term selects its posting list, and
+    adjacency is a chain of ``array_intersect(positions+1, next)``
+    merges — the payoff ``positional_index`` exists for (term-selected
+    postings ≪ corpus; the scan variant re-walks every token of every
+    document per query). Identical output contract to ``phrase_search``
+    — the driver verifies BOTH against the same oracle SQL.
+
+    The postings subtree feeds one join per phrase term, so it is
+    persisted under the operator's cache key (Spark has no cross-branch
+    reuse); each join is doc-keyed with the probe side term-filtered
+    first. Candidate positions stay array-typed and per-doc-bounded.
+    """
+    from mapreduceindex_spark.functions import caching
+
+    terms = [t for t in (normalize_token_py(x) for x in phrase.split()) if t]
+    if not terms:
+        raise ValueError("phrase_search_indexed: phrase has no words")
+    caching.release("phrase_search_indexed")
+    post = caching.track(
+        _positional_postings(documents).persist(), "phrase_search_indexed"
+    )
+    cand = post.filter(F.col("w") == terms[0]).select(
+        "doc_id", F.col("positions").alias("_cand")
+    )
+    for term in terms[1:]:
+        nxt = post.filter(F.col("w") == term).select(
+            "doc_id", F.col("positions").alias("_next")
+        )
+        cand = (
+            cand.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("_cand", lambda x: x + 1), F.col("_next")
+                ).alias("_cand"),
+            )
+            .filter(F.size("_cand") > 0)
+        )
+    return cand.select(
+        "doc_id", F.size("_cand").cast("long").alias("n_hits")
+    ).orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())

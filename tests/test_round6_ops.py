@@ -693,3 +693,27 @@ def test_positional_index_slots_and_phrase_adjacency(spark):
     assert ("", 1) not in {(w, d) for (w, d) in got}
     assert got[("x", 2)] == (3, "0 1 3")
     assert got[("y", 2)] == (1, "2")
+
+
+def test_phrase_search_indexed_equals_scan_variant(spark):
+    """Two physical strategies, one answer: the posting-list-merge plan
+    must reproduce the window-scan plan's full output frame on real
+    fixture data — including overlapping self-adjacent phrases
+    ('batch batch' inside 'batch batch batch' hits twice)."""
+    from mapreduceindex_spark.operators.inverted_index import (
+        phrase_search,
+        phrase_search_indexed,
+    )
+    from mapreduceindex_spark.session import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    for phrase in ("order fast", "batch batch", "the spark"):
+        a = sorted(
+            tuple(r) for r in phrase_search(docs, phrase).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in phrase_search_indexed(docs, phrase).collect()
+        )
+        assert a == b, phrase
+        assert a, f"degenerate fixture: no hits for {phrase!r}"
