@@ -1816,8 +1816,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g.shard,
                    COALESCE(p.n, 0)::BIGINT AS n_docs,
-                   ((COALESCE(p.n, 0) * 64 * 1000000) // tot.t)::BIGINT
-                     AS load_ppm
+                   (CASE WHEN tot.t = 0 THEN NULL ELSE
+                      (COALESCE(p.n, 0) * 64 * 1000000) // tot.t
+                    END)::BIGINT AS load_ppm
             FROM grid g LEFT JOIN per p USING (shard) CROSS JOIN tot
         """,
         "token_entropy": f"""

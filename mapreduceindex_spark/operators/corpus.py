@@ -1261,8 +1261,11 @@ def shard_skew_report(documents: DataFrame, n_shards: int = 64) -> DataFrame:
         .select(
             "shard",
             F.coalesce("_n", F.lit(0)).cast("long").alias("n_docs"),
+            # ANSI mode: DIV by zero throws — an empty corpus has no
+            # balanced share, so load is NULL there, never a fake 1e6
             F.expr(
-                f"(coalesce(_n, 0) * {n_shards} * 1000000) DIV _t"
+                f"CASE WHEN _t = 0 THEN NULL ELSE "
+                f"(coalesce(_n, 0) * {n_shards} * 1000000) DIV _t END"
             )
             .cast("long")
             .alias("load_ppm"),

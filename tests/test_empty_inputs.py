@@ -76,6 +76,21 @@ EMPTY_SAFE = [
     "typo_pairs",
     "merge_upsert_orders",
     "skyline_orders",
+    # round 6 tail: semi join, doc-keyed rare census, 0-batch Arrow
+    # partials (the n==0 early return), vocab TakeOrdered on nothing,
+    # dim-frame NTILEs, log terms, session windows, dense-grid KL,
+    # postings and their merge. shard_skew_report is a REPORT query
+    # (one row per shard even when empty) with its own test below.
+    "q4_order_priority",
+    "rare_token_ratio",
+    "embedding_covariance_topk",
+    "vocab_coverage",
+    "rfm_segments",
+    "token_entropy",
+    "events_markov_transitions",
+    "domain_divergence",
+    "positional_index",
+    "phrase_search_indexed",
 ]
 
 
@@ -115,3 +130,14 @@ def test_mixture_resample_empty_is_zero_report(spark, empty_tables):
         (r.n_total, r.rate_ppm, r.n_kept, r.mix_ppm) == (0, 0, 0, 0)
         for r in rows
     )
+
+
+def test_shard_skew_report_empty_is_zero_report(spark, empty_tables):
+    """shard_skew_report reports every shard even on an empty corpus —
+    64 rows, zero counts, NULL load (0/0 has no balanced share; NULL is
+    honest where 1e6 would claim perfect balance)."""
+    rows = entrymod._all_queries()["shard_skew_report"](
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 64
+    assert all(r.n_docs == 0 and r.load_ppm is None for r in rows)
