@@ -73,6 +73,22 @@ NAMES = [
     "typo_pairs",
     "merge_upsert_orders",
     "skyline_orders",
+    # round-6 tail: semi-join dedup, min-doc rare census, cross-batch
+    # Arrow partials (the covariance test also pins batch size), NTILE
+    # boundaries, micro-log sums, session-window transitions, dense-
+    # grid KL terms, in-group position sorts and their merge — all
+    # partition-count-blind by construction
+    "q4_order_priority",
+    "rare_token_ratio",
+    "embedding_covariance_topk",
+    "vocab_coverage",
+    "rfm_segments",
+    "token_entropy",
+    "events_markov_transitions",
+    "shard_skew_report",
+    "domain_divergence",
+    "positional_index",
+    "phrase_search_indexed",
 ]
 
 
