@@ -1242,8 +1242,6 @@ def shard_skew_report(documents: DataFrame, n_shards: int = 64) -> DataFrame:
     BIGINT floor division. Content-keyed hashing means exact dupes
     land together — this report shows that skew honestly.
     """
-    from mapreduceindex_spark.functions.text import stable_hash64
-
     per = (
         documents.select(
             (stable_hash64("text") % n_shards).alias("shard")
@@ -1294,6 +1292,7 @@ def domain_divergence(documents: DataFrame) -> DataFrame:
     like ``vocab_coverage`` the vocab side takes a top-K budget at real
     scale (full vocab here; the fixture vocabulary is ~31 words).
     """
+    from mapreduceindex_spark.functions import caching
     from mapreduceindex_spark.functions.exact import micro
 
     toks = (
@@ -1302,8 +1301,14 @@ def domain_divergence(documents: DataFrame) -> DataFrame:
         )
         .filter(F.length("word") > 0)
     )
-    counts = toks.groupBy("source", "word").agg(
-        F.count(F.lit(1)).alias("_c")
+    # counts feeds totals, the vocab census, AND both sides of the pair
+    # join — unpersisted, Spark re-runs the token scan + aggregate 7x
+    caching.release("domain_divergence")
+    counts = caching.track(
+        toks.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist(),
+        "domain_divergence",
     )
     totals = counts.groupBy("source").agg(F.sum("_c").alias("_n"))
     vocab = counts.select("word").distinct()
