@@ -110,6 +110,7 @@ _VERIFY_FIRST = [
     "domain_divergence",
     "positional_index",
     "phrase_search_indexed",
+    "streaming_markov_transitions",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -142,12 +143,12 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: media_dhash, media_dhash_near_dups,
-    # media_dup_clusters, media_features, media_frame_sample,
-    # media_metadata_stats, media_resize, nation_revenue_share,
-    # ngram_novelty, order_gaps, price_quantiles, q10_returned_items,
-    # q11_important_stock (each pushed past slot 50 by the 16th-26th
-    # round-6 additions; slot 50 = media_decode_wav),
+    # promote in round 7: media_decode_wav, media_dhash,
+    # media_dhash_near_dups, media_dup_clusters, media_features,
+    # media_frame_sample, media_metadata_stats, media_resize,
+    # nation_revenue_share, ngram_novelty, order_gaps, price_quantiles,
+    # q10_returned_items, q11_important_stock (each pushed past slot 50
+    # by the 16th-27th round-6 additions; slot 50 = media_decode_png),
     # q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
@@ -637,6 +638,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_static_enrich": lambda s, d: (
             STREAM.streaming_static_enrich(s, d)
+        ),
+        "streaming_markov_transitions": lambda s, d: (
+            STREAM.streaming_markov_transitions(s, d)
         ),
         "streaming_hot_tokens": lambda s, d: STREAM.streaming_hot_tokens(
             s, d, k=20
@@ -4461,6 +4465,10 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
     # question phrase_search answers by window scan — one ground truth,
     # two physical strategies, both driver-verified against it
     d["phrase_search_indexed"] = d["phrase_search"]
+    # the streaming Markov matrix shares the batch operator's ground
+    # truth on the bounded fixture (same ordering key, same
+    # second-truncated gap discipline)
+    d["streaming_markov_transitions"] = d["events_markov_transitions"]
     # curation_funnel composes three already-verified oracle queries as
     # subqueries (each parenthesized block carries its own WITH), so the
     # funnel's oracle is definitionally consistent with its parts

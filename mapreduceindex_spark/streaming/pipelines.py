@@ -873,3 +873,101 @@ def streaming_session_funnel(
         .select("r.*")
         .orderBy("stage_idx")
     )
+
+
+def streaming_markov_transitions(
+    spark: SparkSession, sf_dir: str, gap_sec: int = 1800
+) -> DataFrame:
+    """Streaming twin of ``events_markov_transitions``: the per-user
+    state is ONE row — the last seen (event time, type) — carried across
+    micro-batches by ``applyInPandasWithState``, so the transition
+    matrix streams with state bounded by user cardinality, never stream
+    length (the canonical "online Markov model" shape). Each batch
+    emits partial (from, to) counts; totals and the conditional ppm are
+    a |types|²-bounded batch aggregate over the sink.
+
+    Semantics mirror the batch operator exactly: events ordered by
+    (ts, event_id), second-truncated gaps (``unix_timestamp``
+    discipline), transitions crossing a > ``gap_sec`` pause dropped —
+    on the bounded fixture the result equals the batch matrix, which is
+    what the shared oracle checks.
+    """
+    events = _stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    partials = _markov_partials(events, gap_sec)
+    sunk = _run_to_table(partials, "append", partitions=16)
+    return _markov_finalize(sunk)
+
+
+def _markov_partials(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """The stateful core of ``streaming_markov_transitions``, split out
+    so tests can drive it with their own multi-file (multi-batch)
+    sources; ``events`` is any stream of (user_id, event_id, ts,
+    event_type)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _chain(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        # normalize to nanos first — Arrow may hand back datetime64[us],
+        # where a bare int64 view would be off by 1000 on the gap math
+        secs = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        ).tolist()
+        types = pdf["event_type"].tolist()
+        if state.exists:
+            last_sec, last_type = state.get
+            secs = [last_sec] + secs
+            types = [last_type] + types
+        counts: dict = {}
+        for i in range(1, len(types)):
+            if secs[i] - secs[i - 1] <= gap_sec:
+                k = (types[i - 1], types[i])
+                counts[k] = counts.get(k, 0) + 1
+        state.update((int(secs[-1]), types[-1]))
+        if counts:
+            yield pd.DataFrame(
+                [(f, t, n) for (f, t), n in counts.items()],
+                columns=["from_type", "to_type", "n"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _chain,
+        outputStructType="from_type string, to_type string, n bigint",
+        stateStructType="last_sec bigint, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _markov_finalize(sunk: DataFrame) -> DataFrame:
+    """Total the per-batch partial counts and attach conditional ppm —
+    a |types|²-bounded batch aggregate over the sink."""
+    counts = sunk.groupBy("from_type", "to_type").agg(
+        F.sum("n").alias("_n")
+    )
+    # rename the regrouped key: both frames descend from the one
+    # memory-sink view, and a same-name join on shared lineage trips
+    # Spark's conflicting-attribute check
+    totals = counts.groupBy(
+        F.col("from_type").alias("_ft")
+    ).agg(F.sum("_n").alias("_row_n"))
+    return (
+        counts.join(
+            F.broadcast(totals), F.col("from_type") == F.col("_ft")
+        )
+        .select(
+            "from_type",
+            "to_type",
+            F.col("_n").cast("long").alias("n_transitions"),
+            F.expr("(_n * 1000000) DIV _row_n")
+            .cast("long")
+            .alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -717,3 +717,55 @@ def test_phrase_search_indexed_equals_scan_variant(spark):
         )
         assert a == b, phrase
         assert a, f"degenerate fixture: no hits for {phrase!r}"
+
+
+def test_streaming_markov_stitches_across_micro_batches(spark, tmp_path):
+    """The per-user carried state must stitch transitions ACROSS
+    micro-batch boundaries: 8 ts-range part files at maxFilesPerTrigger
+    = 4 force two batches in time order, and the streamed matrix must
+    still equal the batch operator's on the same data — every boundary-
+    crossing transition counted exactly once via the (last_ts, last_type)
+    state row."""
+    from mapreduceindex_spark.operators.events import (
+        events_markov_transitions,
+    )
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_markov_transitions,
+    )
+
+    import shutil
+
+    from mapreduceindex_spark.streaming.pipelines import (
+        _markov_finalize,
+        _markov_partials,
+        _run_to_table,
+    )
+
+    src = load_table(spark, SF_SMALL, "events")
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    half_a = src.filter("ts < TIMESTAMP '2024-01-15 00:00:00'")
+    half_b = src.filter("ts >= TIMESTAMP '2024-01-15 00:00:00'")
+    # stage each ts-half as one file; maxFilesPerTrigger=1 forces two
+    # micro-batches in lexicographic (= time) order
+    for tag, df in (("a", half_a), ("b", half_b)):
+        stage = tmp_path / f"stage_{tag}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, srcdir / f"{tag}.parquet")
+    assert half_a.count() and half_b.count(), "split must be two-sided"
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    sunk = _run_to_table(_markov_partials(stream), "append", partitions=16)
+    got = sorted(
+        tuple(r) for r in _markov_finalize(sunk).collect()
+    )
+    want = sorted(
+        tuple(r) for r in events_markov_transitions(src).collect()
+    )
+    assert got == want and got
