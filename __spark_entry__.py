@@ -111,6 +111,8 @@ _VERIFY_FIRST = [
     "positional_index",
     "phrase_search_indexed",
     "streaming_markov_transitions",
+    "abc_analysis",
+    "containment_pairs",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -143,12 +145,13 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: media_decode_wav, media_dhash,
-    # media_dhash_near_dups, media_dup_clusters, media_features,
-    # media_frame_sample, media_metadata_stats, media_resize,
-    # nation_revenue_share, ngram_novelty, order_gaps, price_quantiles,
-    # q10_returned_items, q11_important_stock (each pushed past slot 50
-    # by the 16th-27th round-6 additions; slot 50 = media_decode_png),
+    # promote in round 7: media_decode_bmp, media_decode_png,
+    # media_decode_wav, media_dhash, media_dhash_near_dups,
+    # media_dup_clusters, media_features, media_frame_sample,
+    # media_metadata_stats, media_resize, nation_revenue_share,
+    # ngram_novelty, order_gaps, price_quantiles, q10_returned_items,
+    # q11_important_stock (each pushed past slot 50 by the 16th-29th
+    # round-6 additions; slot 50 = lang_id_confusion),
     # q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
@@ -436,6 +439,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
         "rfm_segments": lambda s, d: R.rfm_segments(_t(s, d, "orders")),
+        "abc_analysis": lambda s, d: R.abc_analysis(_t(s, d, "lineitem")),
+        "containment_pairs": lambda s, d: D.containment_pairs(
+            _t(s, d, "documents")
+        ),
         "q16_supplier_part_counts": lambda s, d: R.supplier_part_counts(
             _t(s, d, "supplier"), _t(s, d, "part"), _t(s, d, "lineitem")
         ),
@@ -2798,6 +2805,59 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "abc_analysis": f"""
+            -- exact 1e-4-dollar BIGINT units (decimal*10000 is
+            -- integral, no rounding step); ppm on floored cents
+            -- mirrors the Spark overflow guard exactly
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(CAST(({_REV}) * 10000 AS BIGINT)) AS u4
+              FROM lineitem GROUP BY l_partkey
+            ), cum AS (
+              SELECT u4,
+                     sum(u4) OVER (ORDER BY u4 DESC, l_partkey ASC
+                                   ROWS UNBOUNDED PRECEDING) AS c,
+                     (SELECT sum(u4) FROM per_part) AS total
+              FROM per_part
+            ), classed AS (
+              SELECT u4, total,
+                     CASE WHEN c * 100 <= total * 80 THEN 'A'
+                          WHEN c * 100 <= total * 95 THEN 'B'
+                          ELSE 'C' END AS abc_class
+              FROM cum
+            )
+            SELECT abc_class,
+                   count(*)::BIGINT AS n_parts,
+                   sum(u4)::BIGINT AS revenue_u4,
+                   (((sum(u4)::BIGINT // 100) * 1000000)
+                    // (max(total) // 100))::BIGINT AS share_ppm
+            FROM classed GROUP BY abc_class
+        """,
+        "containment_pairs": f"""
+            -- same shingle CTEs as the Jaccard base, ordered pairs,
+            -- containment = n_common / |S_a| as BIGINT ppm
+            WITH ws AS (
+              SELECT doc_id, {_words_sql()} AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, u.shingle
+              FROM ws, unnest({_shingles_sql('w', 3)}) AS u(shingle)
+              WHERE u.shingle <> ''
+            ), sizes AS (
+              SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh
+              GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*)::BIGINT AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                 AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   ((n_common * 1000000) // sa.n_sh)::BIGINT
+                     AS containment_ppm
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+            WHERE (n_common * 1000000) // sa.n_sh >= 600000
         """,
         "rfm_segments": """
             WITH per_cust AS (

@@ -1283,3 +1283,70 @@ def incremental_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 600_000,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric shingle containment C(a→b) = |S_a ∩ S_b| / |S_a| ≥
+    threshold — the near-dup lens Jaccard is blind to: a short document
+    wholly quoted inside a long one has tiny Jaccard (union is huge)
+    but containment ≈ 1. Output is ORDERED pairs (both directions when
+    both clear the bar) with the exact intersection count and BIGINT
+    ppm — the quote/extraction/subset detector next to the symmetric
+    ``ngram_jaccard_pairs``.
+
+    Same scale discipline as the Jaccard direct tier: the shared
+    ``_shingle_hashes`` front end (16-byte shuffle rows), the
+    ``max_shingle_df`` hot-shingle cap (a shingle in more docs is
+    discrimination-free Σdf² fuel; the oracle brute-forces uncapped —
+    identical under fixture dfs, same documented relationship the
+    Jaccard family has), intersection counts from one hash-join, and
+    a doc-keyed sizes join. At clone-heavy scale this composes with
+    the same exact-dup pre-collapse the Jaccard path uses.
+    """
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("containment_pairs")
+    sh = caching.track(
+        _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK),
+        "containment_pairs",
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_sh"))
+    live = sh.join(
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("sh"),
+        "sh",
+        "left_semi",
+    )
+    a = live.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = live.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("_n_sh")
+            ),
+            "doc_a",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_common").cast("long").alias("n_common"),
+            F.expr("(_common * 1000000) DIV _n_sh")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1590,3 +1590,61 @@ def rfm_segments(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
         )
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     )
+
+
+def abc_analysis(lineitem: DataFrame) -> DataFrame:
+    """ABC (Pareto) classification of parts by discounted revenue:
+    class A = parts covering the first 80% of cumulative revenue,
+    B = the next 15%, C = the tail — the inventory-prioritization
+    readout ("which 20% of SKUs earn 80% of the money").
+
+    Scale shape: revenue aggregates per partkey FIRST (the one
+    fact-scale exchange, dim-cardinality output), and the cumulative
+    window runs over that part-dimension frame — the documented
+    ``customer_spend_quartiles`` bound, never the fact table. Revenue
+    is carried in exact 1e-4-dollar BIGINT units (decimal(20,4)·10000
+    is integral — no rounding step exists to disagree on half cases);
+    class cuts cross-multiply against the broadcast total
+    (cum·100 ≤ total·80 — no percentages, no floats), with
+    (revenue desc, partkey asc) ordering so boundaries are
+    engine-deterministic. Output: 3 BIGINT rows.
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum((_revenue() * 10000).cast("long")).alias("_u4")
+    )
+    w = Window.orderBy(F.col("_u4").desc(), F.col("l_partkey").asc())
+    total = per_part.agg(F.sum("_u4").alias("_total"))
+    classed = (
+        per_part.select(
+            "_u4",
+            F.sum("_u4")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_cum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_u4",
+            F.when(F.col("_cum") * 100 <= F.col("_total") * 80, "A")
+            .when(F.col("_cum") * 100 <= F.col("_total") * 95, "B")
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            "_total",
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("_u4").cast("long").alias("revenue_u4"),
+            # ppm on floored CENTS, not u4: sum_u4·1e6 would overflow
+            # BIGINT past ~9e12 u4 (≈ $1B per class); cents·1e6 holds
+            # to ~$90T — same floor chain on both engines
+            F.expr(
+                "((sum(_u4) DIV 100) * 1000000)"
+                " DIV (first(_total) DIV 100)"
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("abc_class")
+    )

@@ -157,6 +157,7 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "hybrid_search",  # rank frames over ≤ 2·k_each fused candidates
         "skyline_orders",  # exclusive cummax over ≤ n_buckets metadata rows
         "rfm_segments",  # three NTILEs over the per-customer (dim) agg
+        "abc_analysis",  # cumsum over the per-part (dim) agg
     }
     bad = {}
     for name, fn in entrymod.queries().items():

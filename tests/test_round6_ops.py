@@ -769,3 +769,49 @@ def test_streaming_markov_stitches_across_micro_batches(spark, tmp_path):
         tuple(r) for r in events_markov_transitions(src).collect()
     )
     assert got == want and got
+
+
+def test_abc_analysis_hand_computed_boundaries(spark):
+    """Five parts with revenue 50/20/15/10/5: cumulative shares hit
+    50, 70, 85, 95, 100 — A takes the first two (≤80%), B the next two
+    (≤95%, including the exact-95 boundary), C the tail. Exact u4
+    revenue and floor-div ppm."""
+    from mapreduceindex_spark.operators.relational import abc_analysis
+
+    rows = []
+    for pk, (price, n) in enumerate(
+        [(50.0, 1), (20.0, 1), (15.0, 1), (10.0, 1), (5.0, 1)]
+    ):
+        rows.append((pk, price, 0.0))
+    li = spark.createDataFrame(
+        rows, "l_partkey long, l_extendedprice double, l_discount double"
+    )
+    got = {
+        r.abc_class: (r.n_parts, r.revenue_u4, r.share_ppm)
+        for r in abc_analysis(li).collect()
+    }
+    assert got["A"] == (2, 700000, 700000)
+    assert got["B"] == (2, 250000, 250000)
+    assert got["C"] == (1, 50000, 50000)
+
+
+def test_containment_is_asymmetric_where_jaccard_is_blind(spark):
+    """Doc 1's shingle set is wholly contained in doc 2's (quote-in-
+    larger-doc): containment 1→2 is exactly 1e6 while 2→1 (500000)
+    misses the 600000 bar — and symmetric Jaccard (0.5) would treat
+    both directions identically, which is the blindness this operator
+    exists to fix."""
+    from mapreduceindex_spark.operators.dedup import containment_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb cc dd", "en", "s", 11),
+            (2, "aa bb cc dd ee ff", "en", "s", 17),
+        ],
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment_ppm)
+        for r in containment_pairs(docs).collect()
+    }
+    assert got == {(1, 2): (2, 1_000_000)}
