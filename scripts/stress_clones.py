@@ -219,6 +219,10 @@ def main():
         "embedding_covariance_topk_10x",
         lambda: S.embedding_covariance_topk(emb10),
     )
+    # asymmetric containment under maximal clone pressure: the
+    # adaptive pre-collapse must keep the self-join at unique-content
+    # level, with the half-million-pair output the honest cost
+    timed("containment_pairs_10x", lambda: D.containment_pairs(cloned))
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 

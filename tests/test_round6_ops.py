@@ -815,3 +815,30 @@ def test_containment_is_asymmetric_where_jaccard_is_blind(spark):
         for r in containment_pairs(docs).collect()
     }
     assert got == {(1, 2): (2, 1_000_000)}
+
+
+def test_containment_clone_collapse_expands_exactly(spark):
+    """With byte-identical clones present the pre-collapse path runs:
+    intra-group ordered pairs re-expand at exactly 1e6 with n_common =
+    |S| and cross-group pairs fan out over every member — identical to
+    the brute-force ordered join."""
+    from mapreduceindex_spark.operators.dedup import containment_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb cc dd", "en", "s", 11),
+            (11, "aa bb cc dd", "en", "s", 11),   # clone of 1
+            (2, "aa bb cc dd ee ff", "en", "s", 17),
+        ],
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment_ppm)
+        for r in containment_pairs(docs).collect()
+    }
+    assert got == {
+        (1, 11): (2, 1_000_000),
+        (11, 1): (2, 1_000_000),
+        (1, 2): (2, 1_000_000),
+        (11, 2): (2, 1_000_000),
+    }
