@@ -113,6 +113,8 @@ _VERIFY_FIRST = [
     "streaming_markov_transitions",
     "abc_analysis",
     "containment_pairs",
+    "price_outliers",
+    "inactivity_churn",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -145,13 +147,14 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: media_decode_bmp, media_decode_png,
+    # promote in round 7: kmv_distinct_tokens, kmv_distinct_users,
+    # lang_id_confusion, media_decode_bmp, media_decode_png,
     # media_decode_wav, media_dhash, media_dhash_near_dups,
     # media_dup_clusters, media_features, media_frame_sample,
     # media_metadata_stats, media_resize, nation_revenue_share,
     # ngram_novelty, order_gaps, price_quantiles, q10_returned_items,
-    # q11_important_stock (each pushed past slot 50 by the 16th-29th
-    # round-6 additions; slot 50 = lang_id_confusion),
+    # q11_important_stock (each pushed past slot 50 by the 16th-31st
+    # round-6 additions; slot 50 = funnel_conversion),
     # q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
@@ -440,6 +443,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rfm_segments": lambda s, d: R.rfm_segments(_t(s, d, "orders")),
         "abc_analysis": lambda s, d: R.abc_analysis(_t(s, d, "lineitem")),
+        "price_outliers": lambda s, d: R.price_outliers(_t(s, d, "orders")),
+        "inactivity_churn": lambda s, d: E.inactivity_churn(
+            _t(s, d, "events")
+        ),
         "containment_pairs": lambda s, d: D.containment_pairs(
             _t(s, d, "documents")
         ),
@@ -2805,6 +2812,52 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "price_outliers": """
+            -- same cross-multiplied integer condition, HUGEINT
+            -- internal (squares reach ~1e26), BIGINT-only output
+            WITH base AS (
+              SELECT CAST(round(
+                  CAST(o_totalprice AS DECIMAL(15,2)) * 100, 0)
+                AS BIGINT) AS x
+              FROM orders
+            ), st AS (
+              SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+                     sum(x::HUGEINT * x) AS sxx
+              FROM base
+            ), flags AS (
+              SELECT x, n, s, sxx,
+                     ((x::HUGEINT * n - s) * (x::HUGEINT * n - s))
+                       > (9::HUGEINT * (n::HUGEINT * sxx - s::HUGEINT * s))
+                       AS is_out
+              FROM base CROSS JOIN st
+            )
+            SELECT max(n)::BIGINT AS n_orders,
+                   (max(s) // max(n))::BIGINT AS mean_cents,
+                   ((max(n)::HUGEINT * max(sxx)
+                     - max(s)::HUGEINT * max(s))
+                    // (max(n)::HUGEINT * max(n)))::BIGINT AS var_cents2,
+                   (count(*) FILTER (is_out))::BIGINT AS n_outliers,
+                   min(CASE WHEN is_out THEN x END)::BIGINT
+                     AS min_outlier_cents,
+                   max(CASE WHEN is_out THEN x END)::BIGINT
+                     AS max_outlier_cents
+            FROM flags
+        """,
+        "inactivity_churn": """
+            WITH last AS (
+              SELECT user_id, max(ts) AS last_ts FROM events
+              GROUP BY user_id
+            ), h AS (SELECT max(ts) AS horizon FROM events)
+            SELECT ((CAST(FLOOR(epoch(h.horizon)) AS BIGINT)
+                     - CAST(FLOOR(epoch(last.last_ts)) AS BIGINT))
+                    // 86400)::BIGINT AS days_inactive,
+                   count(*)::BIGINT AS n_users,
+                   (((CAST(FLOOR(epoch(h.horizon)) AS BIGINT)
+                      - CAST(FLOOR(epoch(last.last_ts)) AS BIGINT))
+                     // 86400) >= 7) AS churn_risk
+            FROM last CROSS JOIN h
+            GROUP BY 1, 3
         """,
         "abc_analysis": f"""
             -- exact 1e-4-dollar BIGINT units (decimal*10000 is

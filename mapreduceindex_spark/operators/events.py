@@ -804,3 +804,39 @@ def events_markov_transitions(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def inactivity_churn(
+    events: DataFrame, churn_days: int = 7
+) -> DataFrame:
+    """Days-since-last-activity distribution with a churn-risk flag:
+    per whole-day inactivity bucket (measured back from the stream's
+    own horizon = max event time), how many users last acted there —
+    the retention team's "who is going quiet" curve, bucket count
+    bounded by the stream's day span.
+
+    One user-keyed aggregate (the only data-scale exchange), the
+    horizon as a broadcast single-row aggregate, and integer day
+    arithmetic on second-truncated timestamps (the registry's
+    ``unix_timestamp`` discipline) — no floats, no windows.
+    """
+    last = events.groupBy("user_id").agg(F.max("ts").alias("_last"))
+    horizon = events.agg(F.max("ts").alias("_h"))
+    return (
+        last.crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr(
+                "(unix_timestamp(_h) - unix_timestamp(_last)) DIV 86400"
+            )
+            .cast("long")
+            .alias("days_inactive"),
+        )
+        .groupBy("days_inactive")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "days_inactive",
+            "n_users",
+            (F.col("days_inactive") >= churn_days).alias("churn_risk"),
+        )
+        .orderBy("days_inactive")
+    )

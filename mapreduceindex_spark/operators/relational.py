@@ -1648,3 +1648,59 @@ def abc_analysis(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def price_outliers(orders: DataFrame, k_sigma: int = 3) -> DataFrame:
+    """Exact distributed z-score outlier census of order values: one
+    row — n, mean, population variance, and how many orders sit more
+    than ``k_sigma`` standard deviations out, with the extreme outlier
+    values. The routine "did a corrupt feed land" check.
+
+    Exactness without division or roots: |x−μ| > kσ cross-multiplies to
+    (x·n − S)² > k²·(n·Σx² − S²) — every term an exact integer in
+    cents, compared in DECIMAL(38,0) (x·n reaches ~1e13 at sf0.1, its
+    square ~1e26 — BIGINT would wrap, HUGEINT/decimal(38) both hold to
+    ~1e38). Two passes: one aggregate for (n, S, Σx²) broadcast as a
+    single row, one scan for the flag census. Variance is emitted as
+    the exact integer FLOOR((nΣx²−S²)/n²) in cents² and the mean as
+    floor cents — no float output anywhere.
+    """
+    cents = F.round(_dec2("o_totalprice") * 100, 0).cast("long")
+    base = orders.select(cents.alias("_x"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x")).alias(
+            "_sxx"
+        ),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lhs = (d("_x") * d("_n") - d("_s")) * (d("_x") * d("_n") - d("_s"))
+    rhs = (
+        F.lit(k_sigma * k_sigma).cast("decimal(38,0)")
+        * (d("_n") * d("_sxx") - d("_s") * d("_s"))
+    )
+    flagged = base.crossJoin(F.broadcast(stats)).select(
+        "_x", "_n", "_s", "_sxx", (lhs > rhs).alias("_out")
+    )
+    return flagged.groupBy("_n", "_s", "_sxx").agg(
+        F.count(F.when(F.col("_out"), 1)).cast("long").alias("n_outliers"),
+        F.min(F.when(F.col("_out"), F.col("_x")))
+        .cast("long")
+        .alias("min_outlier_cents"),
+        F.max(F.when(F.col("_out"), F.col("_x")))
+        .cast("long")
+        .alias("max_outlier_cents"),
+    ).select(
+        F.col("_n").cast("long").alias("n_orders"),
+        F.expr("_s DIV _n").cast("long").alias("mean_cents"),
+        F.expr(
+            "CAST((CAST(_n AS DECIMAL(38,0)) * _sxx"
+            " - CAST(_s AS DECIMAL(38,0)) * CAST(_s AS DECIMAL(38,0)))"
+            " DIV (CAST(_n AS DECIMAL(38,0)) * CAST(_n AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("var_cents2"),
+        "n_outliers",
+        "min_outlier_cents",
+        "max_outlier_cents",
+    )

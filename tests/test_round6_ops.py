@@ -842,3 +842,51 @@ def test_containment_clone_collapse_expands_exactly(spark):
         (1, 2): (2, 1_000_000),
         (11, 2): (2, 1_000_000),
     }
+
+
+def test_price_outliers_cross_multiplied_condition(spark):
+    """One $100 spike among 19 zero-value orders: z = sqrt(19) > 3 so
+    exactly the spike flags ((x*n-S)^2 = 3.61e10 > 9*(n*Sxx-S^2) =
+    1.71e10), while a 1-in-10 spike would sit at z = 3 exactly and must
+    NOT flag (strict inequality) — both checked, plus the exact integer
+    mean and population variance."""
+    from mapreduceindex_spark.operators.relational import price_outliers
+
+    rows20 = [(i, 0.0) for i in range(19)] + [(99, 100.0)]
+    o20 = spark.createDataFrame(rows20, "o_orderkey long, o_totalprice double")
+    (r,) = price_outliers(o20).collect()
+    assert (r.n_orders, r.mean_cents, r.var_cents2) == (20, 500, 4_750_000)
+    assert (r.n_outliers, r.min_outlier_cents, r.max_outlier_cents) == (
+        1,
+        10000,
+        10000,
+    )
+    rows10 = [(i, 0.0) for i in range(9)] + [(99, 100.0)]
+    o10 = spark.createDataFrame(rows10, "o_orderkey long, o_totalprice double")
+    (r10,) = price_outliers(o10).collect()
+    assert r10.n_outliers == 0 and r10.min_outlier_cents is None
+
+
+def test_inactivity_churn_buckets_and_flag(spark):
+    """Users whose last events sit 0, 1.5, and 8 days before the
+    stream horizon land in day buckets 0, 1, 8 — only the 8-day bucket
+    carries churn_risk at the 7-day default."""
+    from mapreduceindex_spark.operators.events import inactivity_churn
+
+    base = 1_700_000_000
+    rows = [
+        (1, 10, base, "A"),
+        (2, 20, base - int(1.5 * 86400), "A"),
+        (3, 30, base - 8 * 86400, "A"),
+        (4, 30, base - 9 * 86400, "A"),  # older event, same user 30
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(sec AS TIMESTAMP) AS ts", "event_type"
+    )
+    got = {
+        r.days_inactive: (r.n_users, r.churn_risk)
+        for r in inactivity_churn(events).collect()
+    }
+    assert got == {0: (1, False), 1: (1, False), 8: (1, True)}
