@@ -115,6 +115,8 @@ _VERIFY_FIRST = [
     "containment_pairs",
     "price_outliers",
     "inactivity_churn",
+    "spend_gini",
+    "token_zipf_fit",
     # (d) re-verify cycling, oldest driver-green first — the
     # r03-last-green block, alphabetical. The driver samples the first
     # 50 entries, so after (a)+(b)+(c) the leading slots here are
@@ -147,14 +149,14 @@ _VERIFY_FIRST = [
     "q11_important_stock",
     "q12_delay_priority",
     # ROUND-7 ROTATION NOTE: slots 51+ fall off this round's sample —
-    # promote in round 7: kmv_distinct_tokens, kmv_distinct_users,
-    # lang_id_confusion, media_decode_bmp, media_decode_png,
-    # media_decode_wav, media_dhash, media_dhash_near_dups,
-    # media_dup_clusters, media_features, media_frame_sample,
-    # media_metadata_stats, media_resize, nation_revenue_share,
-    # ngram_novelty, order_gaps, price_quantiles, q10_returned_items,
-    # q11_important_stock (each pushed past slot 50 by the 16th-31st
-    # round-6 additions; slot 50 = funnel_conversion),
+    # promote in round 7: funnel_conversion, kmv_distinct_tokens,
+    # kmv_distinct_users, lang_id_confusion, media_decode_bmp,
+    # media_decode_png, media_decode_wav, media_dhash,
+    # media_dhash_near_dups, media_dup_clusters, media_features,
+    # media_frame_sample, media_metadata_stats, media_resize,
+    # nation_revenue_share, ngram_novelty, order_gaps, price_quantiles,
+    # q10_returned_items, q11_important_stock (each pushed past slot 50
+    # by the 16th-33rd round-6 additions; slot 50 = events_range_join),
     # q12_delay_priority,
     # q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
@@ -444,6 +446,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": lambda s, d: R.rfm_segments(_t(s, d, "orders")),
         "abc_analysis": lambda s, d: R.abc_analysis(_t(s, d, "lineitem")),
         "price_outliers": lambda s, d: R.price_outliers(_t(s, d, "orders")),
+        "spend_gini": lambda s, d: R.spend_gini(_t(s, d, "orders")),
+        "token_zipf_fit": lambda s, d: TA.token_zipf_fit(
+            _t(s, d, "documents")
+        ),
         "inactivity_churn": lambda s, d: E.inactivity_churn(
             _t(s, d, "events")
         ),
@@ -2812,6 +2818,61 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
+        """,
+        "spend_gini": """
+            -- HUGEINT internal for the cross-products; ppm by floor
+            -- division; rank ties broken by custkey on both engines
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     sum(CAST(round(
+                         CAST(o_totalprice AS DECIMAL(15,2)) * 100, 0)
+                       AS BIGINT)) AS x
+              FROM orders GROUP BY o_custkey
+            ), ranked AS (
+              SELECT x,
+                     row_number() OVER (ORDER BY x ASC, o_custkey ASC)
+                       AS i
+              FROM per_cust
+            ), s AS (
+              SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS st,
+                     sum(i::HUGEINT * x) AS six
+              FROM ranked
+            )
+            SELECT n AS n_customers, st AS total_cents,
+                   (CASE WHEN st > 0 THEN
+                      (2 * six - (n::HUGEINT + 1) * st) * 1000000
+                      // (n::HUGEINT * st)
+                    END)::BIGINT AS gini_ppm
+            FROM s
+        """,
+        "token_zipf_fit": f"""
+            WITH freqs AS (
+              SELECT u.word, count(*)::BIGINT AS f
+              FROM documents, unnest({ws}) AS u(word)
+              WHERE len(u.word) > 0
+              GROUP BY u.word
+            ), xy AS (
+              SELECT
+                {XQ.micro_sql(
+                    "ln((row_number() OVER "
+                    "(ORDER BY f DESC, word ASC))::DOUBLE)"
+                )} AS x,
+                {XQ.micro_sql('ln(f::DOUBLE)')} AS y
+              FROM freqs
+            ), s AS (
+              SELECT count(*)::BIGINT AS v,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x::HUGEINT * y) AS sxy,
+                     sum(x::HUGEINT * x) AS sxx
+              FROM xy
+            )
+            SELECT v AS n_words, sx AS sx_micro, sy AS sy_micro,
+                   sxy::BIGINT AS sxy_micro2, sxx::BIGINT AS sxx_micro2,
+                   (CASE WHEN v > 1 THEN
+                      (sx::HUGEINT * sy - v::HUGEINT * sxy) * 1000
+                      // (v::HUGEINT * sxx - sx::HUGEINT * sx)
+                    END)::BIGINT AS neg_slope_milli
+            FROM s
         """,
         "price_outliers": """
             -- same cross-multiplied integer condition, HUGEINT

@@ -1704,3 +1704,45 @@ def price_outliers(orders: DataFrame, k_sigma: int = 3) -> DataFrame:
         "min_outlier_cents",
         "max_outlier_cents",
     )
+
+
+def spend_gini(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer spend in exact integer arithmetic —
+    the revenue-concentration number next to ``abc_analysis``' class
+    cuts: 0 = every customer spends alike, →1 = one whale funds
+    everything.
+
+    Closed form over spend sorted ascending with ranks 1..n:
+    G = (2·Σ(i·xᵢ) − (n+1)·S) / (n·S), emitted as BIGINT ppm via one
+    DECIMAL(38,0) floor division (Σ i·x reaches ~1e18 at sf0.1 and
+    grows quadratically in customers — decimal carries it). The rank
+    window runs over the per-customer aggregate (dim-bounded,
+    ``customer_spend_quartiles``' documented justification, custkey
+    tie-break), and spend is exact cents.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(_dec2("o_totalprice") * 100, 0).cast("long")).alias(
+            "_x"
+        )
+    )
+    w = Window.orderBy(F.col("_x").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        "_x",
+        F.row_number().over(w).cast("long").alias("_i"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_i").cast("decimal(38,0)") * F.col("_x")).alias("_six"),
+    )
+    return sums.select(
+        F.col("_n").cast("long").alias("n_customers"),
+        F.col("_s").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(CASE WHEN _s > 0 THEN "
+            "(2 * _six - (CAST(_n AS DECIMAL(38,0)) + 1)"
+            " * CAST(_s AS DECIMAL(38,0))) * 1000000 DIV "
+            "(CAST(_n AS DECIMAL(38,0)) * CAST(_s AS DECIMAL(38,0)))"
+            " END AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

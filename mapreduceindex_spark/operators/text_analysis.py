@@ -832,3 +832,61 @@ def token_entropy(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_zipf_fit(documents: DataFrame) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency distribution: the
+    least-squares slope of ln(freq) against ln(rank) — natural language
+    sits near −1; templated/generated text drifts shallow, key-value
+    spam drifts steep. The one-row "does this corpus look like
+    language" diagnostic.
+
+    Exactness: per-word logs are tie-free micro-quantized, the four
+    regression sums are exact BIGINTs over the vocabulary, and the
+    slope's closed form (V·Σxy − Σx·Σy) / (V·Σxx − Σx²) is evaluated
+    as one DECIMAL(38,0) floor division (the cross-products overflow
+    BIGINT somewhere past ~100k vocab; decimal carries to 1e38).
+    Output is BIGINT-only: the sufficient statistics plus the slope in
+    milli units, negated so the canonical Zipf value reads +1000.
+    Rank's window runs over the vocabulary aggregate — dim-bounded,
+    the ``customer_spend_quartiles`` justification.
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.exact import micro
+
+    freqs = (
+        _tokens(documents)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    w = Window.orderBy(F.col("_f").desc(), F.col("word").asc())
+    xy = freqs.select(
+        micro(F.log(F.row_number().over(w).cast("double"))).alias("_x"),
+        micro(F.log(F.col("_f").cast("double"))).alias("_y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("_v"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x")).alias("_sxx"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num_neg = d("_sx") * d("_sy") - d("_v") * F.col("_sxy")
+    den = d("_v") * F.col("_sxx") - d("_sx") * d("_sx")
+    return sums.select(
+        F.col("_v").cast("long").alias("n_words"),
+        F.col("_sx").cast("long").alias("sx_micro"),
+        F.col("_sy").cast("long").alias("sy_micro"),
+        F.col("_sxy").cast("long").alias("sxy_micro2"),
+        F.col("_sxx").cast("long").alias("sxx_micro2"),
+        F.expr(
+            "CAST(CASE WHEN _v > 1 THEN "
+            "(CAST(_sx AS DECIMAL(38,0)) * _sy - CAST(_v AS DECIMAL(38,0))"
+            " * _sxy) * 1000 DIV "
+            "(CAST(_v AS DECIMAL(38,0)) * _sxx - CAST(_sx AS DECIMAL(38,0))"
+            " * _sx) END AS BIGINT)"
+        ).alias("neg_slope_milli"),
+    )

@@ -158,6 +158,8 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "skyline_orders",  # exclusive cummax over ≤ n_buckets metadata rows
         "rfm_segments",  # three NTILEs over the per-customer (dim) agg
         "abc_analysis",  # cumsum over the per-part (dim) agg
+        "spend_gini",  # rank over the per-customer (dim) agg
+        "token_zipf_fit",  # rank over the vocabulary agg
     }
     bad = {}
     for name, fn in entrymod.queries().items():
