@@ -3289,7 +3289,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         """,
         "streaming_sessions": """
             WITH flagged AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                      THEN 1 ELSE 0 END AS new_session
               FROM events
@@ -3297,7 +3297,8 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             ), sids AS (
               SELECT user_id, ts,
                 sum(new_session) OVER (PARTITION BY user_id
-                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
               FROM flagged
             )
             SELECT user_id,
@@ -3312,7 +3313,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             -- then first-touch stage ordering at FULL microsecond
             -- precision within each session
             WITH flagged AS (
-              SELECT user_id, event_type, ts, epoch_us(ts) AS mic,
+              SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS mic,
                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                      THEN 1 ELSE 0 END AS new_session
               FROM events
@@ -3320,7 +3321,8 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             ), sids AS (
               SELECT user_id, event_type, mic,
                 sum(new_session) OVER (PARTITION BY user_id
-                    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
               FROM flagged
             ), s0 AS (
               SELECT user_id, sid,

@@ -1304,20 +1304,24 @@ def containment_pairs(
     one representative before any shingling (a clone-heavy corpus
     otherwise inflates every shingle df by the clone factor and the
     self-join quadratically), then intra-group ordered pairs re-expand
-    at containment exactly 1e6 and cross-group pairs fan out over
-    members — clone members carry identical shingle sets, so the
-    expansion equals the brute-force all-docs join. The core is the
-    Jaccard direct tier's shape: the shared ``_shingle_hashes``
-    16-byte front end, the ``max_shingle_df`` hot-shingle cap (the
-    oracle brute-forces uncapped — identical under fixture dfs, the
-    family's documented relationship), one hash-join for
-    intersections, one doc-keyed sizes join.
+    from the representative's CAPPED live-shingle count and cross-group
+    pairs fan out over members — clone members carry identical shingle
+    sets, so the expansion equals the brute-force all-docs join. Both
+    tiers share ONE df/cap basis: shingle df counts **unique contents**
+    (one vote per clone group, via the md5 group map), so a shingle's
+    live/capped status — and therefore every pair's ``n_common`` and
+    ppm — is identical whichever tier the adaptive probe picks. The
+    core is the Jaccard direct tier's shape: the shared
+    ``_shingle_hashes`` 16-byte front end, the ``max_shingle_df``
+    hot-shingle cap (the oracle brute-forces uncapped — identical under
+    fixture dfs, the family's documented relationship), one hash-join
+    for intersections, one doc-keyed sizes join.
     """
     from mapreduceindex_spark.functions import caching
 
     caching.release("containment_pairs")
 
-    def _core(docs):
+    def _core(docs, rep_map):
         sh = caching.track(
             _shingle_hashes(docs, n).persist(StorageLevel.MEMORY_AND_DISK),
             "containment_pairs",
@@ -1325,8 +1329,15 @@ def containment_pairs(
         sizes = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("_n_sh")
         )
+        # df over UNIQUE CONTENTS: clone copies of a document must not
+        # inflate a shingle's df past the cap in one tier but not the
+        # other — both tiers route df through the clone-group map so
+        # the cap decision is tier-independent.
         live = sh.join(
-            sh.groupBy("sh")
+            sh.join(rep_map, "doc_id")
+            .select("sh", "rep")
+            .distinct()
+            .groupBy("sh")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_shingle_df)
             .select("sh"),
@@ -1356,7 +1367,10 @@ def containment_pairs(
             )
             .filter(F.col("containment_ppm") >= threshold_ppm)
         )
-        return pairs, sizes
+        live_sizes = live.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("_n_live")
+        )
+        return pairs, sizes, live_sizes
 
     groups = caching.track(
         documents.select("doc_id", F.md5("text").alias("_h"))
@@ -1368,41 +1382,53 @@ def containment_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK),
         "containment_pairs",
     )
+    rep_map = groups.select(F.explode("members").alias("doc_id"), "rep")
     stats = groups.agg(
         F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
     ).collect()[0]
     # adaptive tier (same probe the Jaccard family pays): the direct
     # core is exact WITH dupes present — clones share every shingle and
-    # pair at 1e6 naturally — so collapse+expand machinery (an extra
-    # aggregate, two explodes, a union) only pays once duplicate mass
-    # is material; measured at sf0.1 (8 dupes/5000): direct 2.4 s vs
-    # collapsed 4.9 s, while at 10x clones the collapse is the
-    # difference between Σdf²·100 and output-proportional (4.6 s).
+    # pair from their shared live set naturally — so collapse+expand
+    # machinery (an extra aggregate, two explodes, a union) only pays
+    # once duplicate mass is material; measured at sf0.1 (8 dupes/5000):
+    # direct 2.4 s vs collapsed 4.9 s, while at 10x clones the collapse
+    # is the difference between Σdf²·100 and output-proportional (4.6 s).
     if stats["_d"] - stats["_g"] <= stats["_g"] // 20:
-        pairs, _ = _core(documents)
+        pairs, _, _ = _core(documents, rep_map)
         return pairs.orderBy("doc_a", "doc_b")
     rep_docs = documents.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )
-    pairs, sizes = _core(rep_docs)
+    pairs, sizes, live_sizes = _core(rep_docs, rep_map)
     # intra-group: every ordered member pair shares the identical set —
-    # containment exactly 1e6 both ways, n_common = |S_rep|; groups
-    # whose rep has no shingles join out (zero-word docs pair with
-    # nothing, matching the brute-force join)
+    # n_common is the rep's LIVE (cap-surviving) shingle count and ppm
+    # is live/total, exactly what the direct tier's hash-join would
+    # produce for the clone pair; groups whose rep has no live shingles
+    # join out (zero-word or fully-capped docs pair with nothing,
+    # matching the direct tier)
     intra = (
         groups.filter(F.size("members") > 1)
         .join(sizes.withColumnRenamed("doc_id", "rep"), "rep")
-        .select(F.explode("members").alias("doc_a"), "members", "_n_sh")
+        .join(live_sizes.withColumnRenamed("doc_id", "rep"), "rep")
         .select(
-            "doc_a", F.explode("members").alias("doc_b"), "_n_sh"
+            F.explode("members").alias("doc_a"),
+            "members",
+            "_n_sh",
+            "_n_live",
+        )
+        .select(
+            "doc_a", F.explode("members").alias("doc_b"), "_n_sh", "_n_live"
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
-            F.col("_n_sh").cast("long").alias("n_common"),
-            F.lit(1_000_000).cast("long").alias("containment_ppm"),
+            F.col("_n_live").cast("long").alias("n_common"),
+            F.expr("(_n_live * 1000000) DIV _n_sh")
+            .cast("long")
+            .alias("containment_ppm"),
         )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
     )
     ga = groups.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ma"))
     gb = groups.select(F.col("rep").alias("doc_b"), F.col("members").alias("_mb"))

@@ -91,6 +91,17 @@ def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     lag → gap flag → running sum = session index: one shuffle on user_id,
     per-user sorted state. Mirrors ``F.session_window`` semantics
     (used by the streaming variant) for gap-delimited sessions.
+
+    Boundary convention (registry-wide note): the lag-based batch
+    sessionizers — this one, ``top_event_paths``,
+    ``events_markov_transitions``, and the streaming Markov replay —
+    keep an event at a gap of EXACTLY ``gap_sec`` in the same session
+    (split on ``> gap_sec``). The ``session_window``-based streaming
+    ops (``streaming_sessions``, ``streaming_session_funnel``) split at
+    exactly ``gap_sec``, because Spark's session window is the
+    half-open ``[t, t+gap)`` — an event landing exactly ``gap`` later
+    does not overlap. Each operator's oracle pins its own convention;
+    the off-by-one only differs on boundary-gap events.
     """
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.select(

@@ -235,14 +235,43 @@ def merge_upsert(
     shape a lakehouse MERGE compiles to before file rewriting, and at
     100 TB the join key partitioning is what bucketing/Z-order on the
     key turns into a pruned rewrite. Unmatched base rows pass through
-    untouched; change payloads win on match. Output: the merged table,
-    ordered by key.
+    untouched; change payloads win on match. A malformed CDC batch with
+    DUPLICATE keys fails loudly at execution (SQL MERGE's
+    multiple-matches error) instead of silently fanning the snapshot
+    out one merged row per duplicate — a per-key window count feeding
+    ``raise_error``, piggybacking on the join's own key partitioning so
+    the guard adds no exchange. Output: the merged table, ordered by
+    key.
     """
+    from pyspark.sql.window import Window
+
     payload = [c for c in base.columns if c != key]
     ch = changes.select(
         key,
         "_op",
         *[F.col(c).alias(f"_c_{c}") for c in payload],
+    )
+    ch = (
+        ch.withColumn(
+            "_n_key", F.count(F.lit(1)).over(Window.partitionBy(key))
+        )
+        .withColumn(
+            "_guard",
+            F.when(
+                F.col("_n_key") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "merge_upsert: changes batch carries duplicate"
+                            f" rows for {key}="
+                        ),
+                        F.col(key).cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.lit(1)),
+        )
+        .filter(F.col("_guard") == 1)
+        .drop("_n_key", "_guard")
     )
     merged = (
         base.join(ch, key, "full")

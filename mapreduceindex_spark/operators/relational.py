@@ -1525,15 +1525,17 @@ def skyline_orders(orders: DataFrame, n_buckets: int = 1024) -> DataFrame:
     wp = Window.partitionBy("_bk").orderBy(F.col("price_cents").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # greatest() ignores NULLs (NULL only when both sides are NULL), so
+    # "no higher price exists" stays an explicit NULL rather than a -1
+    # sentinel that a pre-1970 order_epoch could legitimately undercut
     h = (
         g.join(F.broadcast(bh), "_bk")
         .withColumn("_hl", F.max("_me").over(wp))
-        .withColumn("_h", F.greatest(F.coalesce("_hl", F.lit(-1)),
-                                     F.coalesce("_hb", F.lit(-1))))
+        .withColumn("_h", F.greatest("_hl", "_hb"))
     )
-    sk = h.filter(F.col("_me") > F.col("_h")).select(
-        "price_cents", F.col("_me").alias("order_epoch")
-    )
+    sk = h.filter(
+        F.col("_h").isNull() | (F.col("_me") > F.col("_h"))
+    ).select("price_cents", F.col("_me").alias("order_epoch"))
     return (
         r.join(F.broadcast(sk), ["price_cents", "order_epoch"])
         .select("o_orderkey", "price_cents", "order_epoch")

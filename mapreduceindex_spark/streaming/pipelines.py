@@ -801,7 +801,11 @@ def streaming_session_funnel(
     gap-based user session, did the user view → click → purchase in that
     order? Reports sessions reaching each stage — the conversion readout
     per visit, where the batch ``funnel_conversion`` reports it per user
-    lifetime.
+    lifetime. Boundary convention: ``session_window`` splits at a gap of
+    EXACTLY ``gap_sec`` (half-open ``[t, t+gap)`` windows), where the
+    lag-based sessionizers (``sessionize``, the Markov ops) keep an
+    exact-gap event in-session — see ``sessionize``'s registry-wide
+    note; this oracle pins the ``>= gap_sec`` split.
 
     Streaming shape: the stateful step is one ``session_window``
     aggregate whose state PER SESSION is the session's per-stage
