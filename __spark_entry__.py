@@ -72,6 +72,10 @@ _VERIFY_FIRST = [
     "streaming_sessions",
     "streaming_session_funnel",
     # (b) round-7 additions — first driver row (extended as each lands)
+    "revenue_cube",
+    "order_status_pivot",
+    "fk_integrity_audit",
+    "benford_prices",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
     # block pushed past slot 50 by the round-6 additions (r06 sampled
     # slots 1-50 = the 44 r06-priority entries + bigram_lift,
@@ -387,6 +391,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "containment_pairs": lambda s, d: D.containment_pairs(
             _t(s, d, "documents")
+        ),
+        # round 7: grouping-sets surface — one Expand-planned CUBE,
+        # sentinel-keyed rollup rows, engine-pinned grp_id bit order
+        "revenue_cube": lambda s, d: R.revenue_cube(_t(s, d, "orders")),
+        # round 7: PIVOT surface — explicit status domain, one hash agg
+        "order_status_pivot": lambda s, d: R.order_status_pivot(
+            _t(s, d, "orders")
+        ),
+        # round 7: referential-integrity audit over all 7 FK edges —
+        # per-edge anti-join counts, 7-row output
+        "fk_integrity_audit": lambda s, d: PF.fk_integrity_audit(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
+            _t(s, d, "nation"), _t(s, d, "region"), _t(s, d, "supplier"),
+            _t(s, d, "part"),
+        ),
+        # round 7: Benford first-digit screen — string-derived leading
+        # digit (no float log10), shared integer expectation literals
+        "benford_prices": lambda s, d: PF.benford_prices(
+            _t(s, d, "orders")
         ),
         "q16_supplier_part_counts": lambda s, d: R.supplier_part_counts(
             _t(s, d, "supplier"), _t(s, d, "part"), _t(s, d, "lineitem")
@@ -2879,6 +2902,129 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    (((sum(u4)::BIGINT // 100) * 1000000)
                     // (max(total) // 100))::BIGINT AS share_ppm
             FROM classed GROUP BY abc_class
+        """,
+        "revenue_cube": """
+            -- grp_id pinned explicitly (GROUPING(col) per column), never
+            -- an engine's GROUPING_ID bit convention; sentinel keys keep
+            -- the output dtype-stable across rollup rows
+            SELECT coalesce(CAST(year(o_orderdate) AS BIGINT), -1)
+                     AS order_year,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   (GROUPING(year(o_orderdate)) * 2
+                    + GROUPING(o_orderstatus))::BIGINT AS grp_id,
+                   count(*)::BIGINT AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       )::BIGINT AS revenue_cents
+            FROM orders
+            GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+            ORDER BY grp_id, order_year, o_orderstatus
+        """,
+        "order_status_pivot": """
+            -- the conditional-aggregation form Spark's explicit-domain
+            -- pivot compiles to; empty cells are 0, never NULL
+            SELECT strftime(o_orderdate, '%Y-%m') AS month_key,
+                   coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END),
+                     0)::BIGINT AS rev_F_cents,
+                   coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END),
+                     0)::BIGINT AS rev_O_cents,
+                   coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END),
+                     0)::BIGINT AS rev_P_cents
+            FROM orders GROUP BY month_key ORDER BY month_key
+        """,
+        "fk_integrity_audit": """
+            -- orphan = non-null FK with no parent; NULL FKs are not
+            -- violations (SQL FK semantics)
+            WITH e AS (
+              SELECT 'customer.c_nationkey->nation.n_nationkey' AS fk_edge,
+                     count(*)::BIGINT AS n_child,
+                     sum(CASE WHEN c.c_nationkey IS NOT NULL
+                              AND p.n_nationkey IS NULL
+                         THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+              FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey
+                   FROM nation) p ON c.c_nationkey = p.n_nationkey
+              UNION ALL
+              SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+                     count(*)::BIGINT,
+                     sum(CASE WHEN c.l_orderkey IS NOT NULL
+                              AND p.o_orderkey IS NULL
+                         THEN 1 ELSE 0 END)::BIGINT
+              FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey
+                   FROM orders) p ON c.l_orderkey = p.o_orderkey
+              UNION ALL
+              SELECT 'lineitem.l_partkey->part.p_partkey',
+                     count(*)::BIGINT,
+                     sum(CASE WHEN c.l_partkey IS NOT NULL
+                              AND p.p_partkey IS NULL
+                         THEN 1 ELSE 0 END)::BIGINT
+              FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey
+                   FROM part) p ON c.l_partkey = p.p_partkey
+              UNION ALL
+              SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+                     count(*)::BIGINT,
+                     sum(CASE WHEN c.l_suppkey IS NOT NULL
+                              AND p.s_suppkey IS NULL
+                         THEN 1 ELSE 0 END)::BIGINT
+              FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey
+                   FROM supplier) p ON c.l_suppkey = p.s_suppkey
+              UNION ALL
+              SELECT 'nation.n_regionkey->region.r_regionkey',
+                     count(*)::BIGINT,
+                     sum(CASE WHEN c.n_regionkey IS NOT NULL
+                              AND p.r_regionkey IS NULL
+                         THEN 1 ELSE 0 END)::BIGINT
+              FROM nation c LEFT JOIN (SELECT DISTINCT r_regionkey
+                   FROM region) p ON c.n_regionkey = p.r_regionkey
+              UNION ALL
+              SELECT 'orders.o_custkey->customer.c_custkey',
+                     count(*)::BIGINT,
+                     sum(CASE WHEN c.o_custkey IS NOT NULL
+                              AND p.c_custkey IS NULL
+                         THEN 1 ELSE 0 END)::BIGINT
+              FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey
+                   FROM customer) p ON c.o_custkey = p.c_custkey
+              UNION ALL
+              SELECT 'supplier.s_nationkey->nation.n_nationkey',
+                     count(*)::BIGINT,
+                     sum(CASE WHEN c.s_nationkey IS NOT NULL
+                              AND p.n_nationkey IS NULL
+                         THEN 1 ELSE 0 END)::BIGINT
+              FROM supplier c LEFT JOIN (SELECT DISTINCT n_nationkey
+                   FROM nation) p ON c.s_nationkey = p.n_nationkey
+            )
+            SELECT * FROM e ORDER BY fk_edge
+        """,
+        "benford_prices": """
+            -- leading digit from the cents value's decimal string (no
+            -- float log10); expected ppm are the shared literals
+            -- floor(log10(1 + 1/d)*1e6 + 0.5)
+            WITH d AS (
+              SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM orders
+            ), c AS (
+              SELECT digit, count(*)::BIGINT AS n_orders
+              FROM d WHERE digit >= 1 GROUP BY digit
+            )
+            SELECT digit, n_orders,
+                   ((n_orders * 1000000)
+                    // (SELECT sum(n_orders) FROM c))::BIGINT
+                     AS observed_ppm,
+                   (CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                     WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                     WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                     WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                     WHEN 9 THEN 45757 END)::BIGINT AS benford_ppm,
+                   (((n_orders * 1000000)
+                     // (SELECT sum(n_orders) FROM c))
+                    - CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                      WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                      WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                      WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                      WHEN 9 THEN 45757 END)::BIGINT AS delta_ppm
+            FROM c ORDER BY digit
         """,
         "containment_pairs": f"""
             -- same shingle CTEs as the Jaccard base, ordered pairs,

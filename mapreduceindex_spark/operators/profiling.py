@@ -287,3 +287,133 @@ def merge_upsert(
         )
     )
     return merged.orderBy(key)
+
+
+def fk_integrity_audit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit across every foreign-key edge of the
+    star schema: per edge, the child row count and how many child rows
+    point at a parent key that does not exist — the data-quality gate a
+    platform runs after every ingest (a nonzero orphan count means the
+    drop is unjoinable and every downstream join silently loses rows).
+
+    Scale shape: each edge is one left join of the child's key column
+    against the parent's DISTINCT key (AQE broadcasts genuinely small
+    parents; fact-fact edges shuffle on the key with partial aggregates
+    on both sides), folded to a single row — the union is 7 one-row
+    subtrees over different tables, so no subtree re-execution is
+    possible. Per SQL FK semantics a NULL foreign key is NOT a
+    violation: orphans count only non-null keys with no parent. Output:
+    7 rows, edge-ordered.
+    """
+
+    def _edge(name, child, fk, parent, pk):
+        c = child.select(F.col(fk).cast("long").alias("_k"))
+        p = (
+            parent.select(F.col(pk).cast("long").alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            c.join(p, "_k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(
+                    F.when(
+                        F.col("_k").isNotNull() & F.col("_hit").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+
+    edges = [
+        _edge("customer.c_nationkey->nation.n_nationkey",
+              customer, "c_nationkey", nation, "n_nationkey"),
+        _edge("lineitem.l_orderkey->orders.o_orderkey",
+              lineitem, "l_orderkey", orders, "o_orderkey"),
+        _edge("lineitem.l_partkey->part.p_partkey",
+              lineitem, "l_partkey", part, "p_partkey"),
+        _edge("lineitem.l_suppkey->supplier.s_suppkey",
+              lineitem, "l_suppkey", supplier, "s_suppkey"),
+        _edge("nation.n_regionkey->region.r_regionkey",
+              nation, "n_regionkey", region, "r_regionkey"),
+        _edge("orders.o_custkey->customer.c_custkey",
+              orders, "o_custkey", customer, "c_custkey"),
+        _edge("supplier.s_nationkey->nation.n_nationkey",
+              supplier, "s_nationkey", nation, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.union(e)
+    return out.orderBy("fk_edge")
+
+
+# floor(log10(1 + 1/d) * 1e6 + 0.5) for d = 1..9 — precomputed so both
+# engines compare against the SAME integer literals (no runtime log10)
+_BENFORD_PPM = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757
+)
+
+
+def benford_prices(orders: DataFrame) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic fabricated-data / broken-generator screen: digit
+    counts, observed ppm, the Benford-expected ppm, and the signed
+    deviation. TPC-H's uniform price generator is NOT Benford-shaped,
+    which is exactly what the readout shows.
+
+    Exactness: the leading digit comes from the CENTS value's decimal
+    string (substr of a BIGINT cast — no float log10 whose libm could
+    disagree across engines), expected ppm are shared integer literals,
+    observed ppm is integer cross-multiplication against the broadcast
+    total. One fact scan, 9-row output, no window.
+    """
+    digits = orders.select(
+        F.substring(
+            F.expr(
+                "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                " AS STRING)"
+            ),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").alias("_total"))
+    expected = F.create_map(
+        *[
+            x
+            for d, ppm in enumerate(_BENFORD_PPM, start=1)
+            for x in (F.lit(d), F.lit(ppm))
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("(n_orders * 1000000) DIV _total")
+            .cast("long")
+            .alias("observed_ppm"),
+            expected[F.col("digit")].cast("long").alias("benford_ppm"),
+        )
+        .withColumn(
+            "delta_ppm",
+            (F.col("observed_ppm") - F.col("benford_ppm")).cast("long"),
+        )
+        .orderBy("digit")
+    )

@@ -1748,3 +1748,88 @@ def spend_gini(orders: DataFrame) -> DataFrame:
             " END AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+def revenue_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (order year × order status): every subtotal combination
+    — per (year, status), per year, per status, and the grand total —
+    in ONE aggregate, the OLAP drill-across readout BI layers issue
+    constantly. Exercises the grouping-sets surface (``cube`` +
+    ``grouping``) the rest of the registry doesn't touch.
+
+    Scale shape: Spark plans CUBE as a single Expand (4 grouping sets →
+    4× the input rows) feeding one partial+final hash aggregate — the
+    amplification is the number of grouping sets (fixed, 4), never data
+    cardinality, and map-side combine collapses each set to its group
+    count before the exchange. Rollup rows carry sentinel keys (-1 /
+    'ALL') instead of NULL so the output is dtype-stable and the
+    explicit ``grp_id = grouping(year)*2 + grouping(status)`` works
+    identically on both engines (bit order pinned, not inherited from
+    engine-specific GROUPING_ID conventions). Money is exact BIGINT
+    cents. Output: ≤ (years+1) × (statuses+1) rows, BIGINT-keyed.
+    """
+    base = orders.select(
+        F.year("o_orderdate").cast("long").alias("_yr"),
+        "o_orderstatus",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("_c"),
+    )
+    return (
+        base.cube("_yr", "o_orderstatus")
+        .agg(
+            (F.grouping("_yr") * 2 + F.grouping("o_orderstatus"))
+            .cast("long")
+            .alias("grp_id"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("_c").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("_yr", F.lit(-1)).cast("long").alias("order_year"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "grp_id",
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("grp_id", "order_year", "o_orderstatus")
+    )
+
+
+def order_status_pivot(
+    orders: DataFrame, statuses: tuple[str, ...] = ("F", "O", "P")
+) -> DataFrame:
+    """Month × order-status revenue crosstab via the PIVOT operator:
+    one row per month, one exact-cents revenue column per status — the
+    wide report shape downstream spreadsheets/BI expect, and the
+    ``pivot`` API surface's registry entry.
+
+    Scale shape: the status domain is passed EXPLICITLY, so Spark skips
+    the extra distinct-values collection pass and plans the pivot as a
+    single hash aggregate with one ``sum(CASE WHEN …)`` per status —
+    identical to the conditional-aggregation SQL the oracle runs, one
+    fact-table scan, month-cardinality output. Missing (month, status)
+    cells are 0 (never NULL) so the wide row is total-able. Month keys
+    are 'yyyy-MM' strings — portable across engines, order-correct
+    lexicographically.
+    """
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_key"),
+        "o_orderstatus",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("_c"),
+    )
+    wide = (
+        base.groupBy("month_key")
+        .pivot("o_orderstatus", list(statuses))
+        .agg(F.sum("_c"))
+    )
+    return wide.select(
+        "month_key",
+        *[
+            F.coalesce(F.col(f"`{s}`"), F.lit(0))
+            .cast("long")
+            .alias(f"rev_{s}_cents")
+            for s in statuses
+        ],
+    ).orderBy("month_key")

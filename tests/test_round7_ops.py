@@ -1,0 +1,147 @@
+"""Round-7 operator semantics, pinned on hand-computed fixtures."""
+
+from tests.conftest import spark  # noqa: F401
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, d string"
+    ).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "CAST(d AS TIMESTAMP) AS o_orderdate",
+    )
+
+
+def test_revenue_cube_all_grouping_sets(spark):
+    """2 years × 2 statuses: the cube must emit the 3 detail cells that
+    exist, 2 year rollups, 2 status rollups, and one grand total, with
+    grp_id = grouping(year)*2 + grouping(status) and sentinel keys."""
+    from mapreduceindex_spark.operators.relational import revenue_cube
+
+    orders = _orders(
+        spark,
+        [
+            (1, 1, "F", 1.00, "2023-03-01"),
+            (2, 1, "O", 2.00, "2023-06-01"),
+            (3, 1, "F", 4.00, "2024-01-01"),
+        ],
+    )
+    got = {
+        (r.order_year, r.o_orderstatus, r.grp_id): (
+            r.n_orders,
+            r.revenue_cents,
+        )
+        for r in revenue_cube(orders).collect()
+    }
+    assert got == {
+        (2023, "F", 0): (1, 100),
+        (2023, "O", 0): (1, 200),
+        (2024, "F", 0): (1, 400),
+        (2023, "ALL", 1): (2, 300),
+        (2024, "ALL", 1): (1, 400),
+        (-1, "F", 2): (2, 500),
+        (-1, "O", 2): (1, 200),
+        (-1, "ALL", 3): (3, 700),
+    }
+
+
+def test_order_status_pivot_zero_fills_missing_cells(spark):
+    """A month with only F orders must report 0 (not NULL) for O and P,
+    and the explicit status domain keeps unseen statuses out."""
+    from mapreduceindex_spark.operators.relational import order_status_pivot
+
+    orders = _orders(
+        spark,
+        [
+            (1, 1, "F", 1.50, "2023-03-05"),
+            (2, 1, "F", 2.00, "2023-03-09"),
+            (3, 1, "P", 4.00, "2023-04-01"),
+        ],
+    )
+    got = {
+        r.month_key: (r.rev_F_cents, r.rev_O_cents, r.rev_P_cents)
+        for r in order_status_pivot(orders).collect()
+    }
+    assert got == {"2023-03": (350, 0, 0), "2023-04": (0, 0, 400)}
+
+
+def test_fk_integrity_audit_counts_orphans_not_nulls(spark):
+    """An orders row pointing at a missing customer is an orphan; a NULL
+    foreign key is NOT (SQL FK semantics) — checked on the
+    orders->customer edge with the other six edges intact."""
+    from mapreduceindex_spark.operators.profiling import fk_integrity_audit
+
+    customer = spark.createDataFrame(
+        [(1, "a", 1, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "F", 1.0, "2023-01-01"),
+         (11, 99, "F", 1.0, "2023-01-01"),   # orphan: customer 99 absent
+         (12, None, "F", 1.0, "2023-01-01")],  # NULL FK: not a violation
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, d string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(d AS TIMESTAMP) AS o_orderdate",
+    )
+    nation = spark.createDataFrame(
+        [(1, "N", 1)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    region = spark.createDataFrame([(1, "R")], "r_regionkey int, r_name string")
+    supplier = spark.createDataFrame(
+        [(5, "s", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    part = spark.createDataFrame(
+        [(7, "p", "B", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 7, 5, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2023-01-02")],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, d string",
+    ).selectExpr("* except (d)", "CAST(d AS TIMESTAMP) AS l_shipdate")
+    got = {
+        r.fk_edge: (r.n_child, r.n_orphans)
+        for r in fk_integrity_audit(
+            lineitem, orders, customer, nation, region, supplier, part
+        ).collect()
+    }
+    assert got["orders.o_custkey->customer.c_custkey"] == (3, 1)
+    assert got["lineitem.l_orderkey->orders.o_orderkey"] == (1, 0)
+    assert len(got) == 7
+    assert all(v == 0 for e, (_, v) in got.items()
+               if e != "orders.o_custkey->customer.c_custkey")
+
+
+def test_benford_prices_digit_from_cents_string(spark):
+    """$0.95 -> cents 95 -> digit 9 (the leading digit of the CENTS
+    integer, not the dollar part); ppm cross-multiplication exact."""
+    from mapreduceindex_spark.operators.profiling import benford_prices
+
+    orders = _orders(
+        spark,
+        [
+            (1, 1, "F", 0.95, "2023-01-01"),   # 95 cents  -> digit 9
+            (2, 1, "F", 1.23, "2023-01-01"),   # 123 cents -> digit 1
+            (3, 1, "F", 19.00, "2023-01-01"),  # 1900      -> digit 1
+            (4, 1, "F", 2.00, "2023-01-01"),   # 200       -> digit 2
+        ],
+    )
+    got = {
+        r.digit: (r.n_orders, r.observed_ppm, r.benford_ppm, r.delta_ppm)
+        for r in benford_prices(orders).collect()
+    }
+    assert got == {
+        1: (2, 500_000, 301_030, 198_970),
+        2: (1, 250_000, 176_091, 73_909),
+        9: (1, 250_000, 45_757, 204_243),
+    }
