@@ -76,6 +76,8 @@ _VERIFY_FIRST = [
     "order_status_pivot",
     "fk_integrity_audit",
     "benford_prices",
+    "active_user_rollup",
+    "events_ohlc",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
     # block pushed past slot 50 by the round-6 additions (r06 sampled
     # slots 1-50 = the 44 r06-priority entries + bigram_lift,
@@ -392,6 +394,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": lambda s, d: D.containment_pairs(
             _t(s, d, "documents")
         ),
+        # round 7: sliding distinct counts via constant-offset emission
+        # (38x the DEDUPED user-day frame, never a day x activity join)
+        "active_user_rollup": lambda s, d: E.active_user_rollup(
+            _t(s, d, "events")
+        ),
+        # round 7: daily OHLC downsample — one (day,type) hash agg,
+        # min_by/max_by on the (ts,event_id) total order, no window
+        "events_ohlc": lambda s, d: E.events_ohlc(_t(s, d, "events")),
         # round 7: grouping-sets surface — one Expand-planned CUBE,
         # sentinel-keyed rollup rows, engine-pinned grp_id bit order
         "revenue_cube": lambda s, d: R.revenue_cube(_t(s, d, "orders")),
@@ -2902,6 +2912,57 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    (((sum(u4)::BIGINT // 100) * 1000000)
                     // (max(total) // 100))::BIGINT AS share_ppm
             FROM classed GROUP BY abc_class
+        """,
+        "active_user_rollup": """
+            -- same constant-offset emission the Spark plan uses: each
+            -- deduped (user, day) membership lands in every window it
+            -- affects; phantom trailing days semi-joined away
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d
+              FROM events
+            ), em AS (
+              SELECT user_id, d AS day_num, 'd' AS w FROM ud
+              UNION ALL
+              SELECT user_id, d + t.k, 'w' FROM ud, range(0, 7) t(k)
+              UNION ALL
+              SELECT user_id, d + t.k, 'm' FROM ud, range(0, 30) t(k)
+            )
+            SELECT day_num,
+              count(DISTINCT CASE WHEN w = 'd' THEN user_id END)::BIGINT
+                AS dau,
+              count(DISTINCT CASE WHEN w = 'w' THEN user_id END)::BIGINT
+                AS wau,
+              count(DISTINCT CASE WHEN w = 'm' THEN user_id END)::BIGINT
+                AS mau
+            FROM em
+            WHERE day_num IN (SELECT d FROM ud)
+            GROUP BY day_num ORDER BY day_num
+        """,
+        "events_ohlc": """
+            -- open/close via row_number on the (ts, event_id) total
+            -- order — the window replay of Spark's min_by/max_by
+            WITH b AS (
+              SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+                     event_type, ts, event_id,
+                     CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+              FROM events
+            ), r AS (
+              SELECT day_num, event_type, v4,
+                     row_number() OVER (PARTITION BY day_num, event_type
+                       ORDER BY ts, event_id) AS ra,
+                     row_number() OVER (PARTITION BY day_num, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rd
+              FROM b
+            )
+            SELECT day_num, event_type,
+                   max(CASE WHEN ra = 1 THEN v4 END)::BIGINT AS open_u4,
+                   max(v4)::BIGINT AS high_u4,
+                   min(v4)::BIGINT AS low_u4,
+                   max(CASE WHEN rd = 1 THEN v4 END)::BIGINT AS close_u4,
+                   count(*)::BIGINT AS n_events
+            FROM r GROUP BY day_num, event_type
+            ORDER BY day_num, event_type
         """,
         "revenue_cube": """
             -- grp_id pinned explicitly (GROUPING(col) per column), never

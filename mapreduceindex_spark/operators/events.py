@@ -851,3 +851,101 @@ def inactivity_churn(
         )
         .orderBy("days_inactive")
     )
+
+
+def active_user_rollup(events: DataFrame) -> DataFrame:
+    """Per-day DAU / trailing-7-day WAU / trailing-30-day MAU distinct
+    user counts — the engagement rollup every product dashboard leads
+    with, and the canonical "sliding distinct count" problem.
+
+    Scale shape: a sliding DISTINCT can't be windowed (distinct doesn't
+    decompose over frames), so each deduped (user, day) membership is
+    EMITTED into every window it affects — ``explode`` of a constant
+    38-element offset array (1 DAU + 7 WAU + 30 MAU tags) over the
+    (user, day)-DISTINCT frame, then one (day, tag) count-distinct.
+    Amplification is the constant window-size sum, never data-shaped;
+    the alternative day×activity range join re-scans the activity set
+    per day. Leading days report partial windows (standard dashboard
+    semantics); trailing phantom days (windows extending past the last
+    active day) are semi-joined away against the observed-day set.
+    Output: one row per active day, BIGINT.
+    """
+    day = F.expr("CAST(unix_seconds(ts) AS BIGINT) DIV 86400")
+    ud = events.select(
+        "user_id", day.alias("_day")
+    ).distinct()
+    offsets = F.array(
+        *(
+            [F.struct(F.lit(0).alias("_k"), F.lit("d").alias("_w"))]
+            + [
+                F.struct(F.lit(k).alias("_k"), F.lit("w").alias("_w"))
+                for k in range(7)
+            ]
+            + [
+                F.struct(F.lit(k).alias("_k"), F.lit("m").alias("_w"))
+                for k in range(30)
+            ]
+        )
+    )
+    emitted = ud.select(
+        "user_id", "_day", F.explode(offsets).alias("_o")
+    ).select(
+        "user_id",
+        (F.col("_day") + F.col("_o._k")).alias("day_num"),
+        F.col("_o._w").alias("_w"),
+    )
+    counts = (
+        emitted.join(
+            ud.select(F.col("_day").alias("day_num")).distinct(),
+            "day_num",
+            "left_semi",
+        )
+        .groupBy("day_num")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("_w") == "d", F.col("user_id"))
+            ).cast("long").alias("dau"),
+            F.count_distinct(
+                F.when(F.col("_w") == "w", F.col("user_id"))
+            ).cast("long").alias("wau"),
+            F.count_distinct(
+                F.when(F.col("_w") == "m", F.col("user_id"))
+            ).cast("long").alias("mau"),
+        )
+    )
+    return counts.orderBy("day_num")
+
+
+def events_ohlc(events: DataFrame) -> DataFrame:
+    """Daily OHLC (open/high/low/close) of ``value`` per event type —
+    the time-series downsample every metrics store ships: first and
+    last reading plus extremes per (day, type) bucket.
+
+    Scale shape: ONE hash aggregate over (day, type) — ``min_by`` /
+    ``max_by`` keyed on the total order (ts, event_id) pick open/close
+    with no window and no second scan; high/low/n are plain partial
+    aggregates. Values are exact 1e-4 BIGINT units (the registry's
+    tie-free quantization); the (ts, event_id) struct key makes
+    open/close deterministic under tied timestamps at any parallelism.
+    Output: days × types rows, BIGINT-keyed.
+    """
+    v4 = F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+    base = events.select(
+        F.expr("CAST(unix_seconds(ts) AS BIGINT) DIV 86400").alias(
+            "day_num"
+        ),
+        "event_type",
+        v4.alias("_v4"),
+        F.struct("ts", "event_id").alias("_ord"),
+    )
+    return (
+        base.groupBy("day_num", "event_type")
+        .agg(
+            F.expr("min_by(_v4, _ord)").cast("long").alias("open_u4"),
+            F.max("_v4").cast("long").alias("high_u4"),
+            F.min("_v4").cast("long").alias("low_u4"),
+            F.expr("max_by(_v4, _ord)").cast("long").alias("close_u4"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("day_num", "event_type")
+    )

@@ -145,3 +145,64 @@ def test_benford_prices_digit_from_cents_string(spark):
         2: (1, 250_000, 176_091, 73_909),
         9: (1, 250_000, 45_757, 204_243),
     }
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, t string, user_id long, event_type string, "
+        "value double"
+    ).selectExpr(
+        "event_id", "CAST(t AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "'{}' AS props",
+    )
+
+
+def test_active_user_rollup_trailing_windows(spark):
+    """Three active days (0, 3, 10): WAU on day 3 still sees day 0's
+    users (trailing 7), MAU on day 10 sees everyone (trailing 30), and
+    inactive days between are NOT emitted."""
+    from mapreduceindex_spark.operators.events import active_user_rollup
+
+    ev = _events(
+        spark,
+        [
+            (1, "1970-01-01 01:00:00", 1, "view", 1.0),
+            (2, "1970-01-01 02:00:00", 2, "view", 1.0),
+            (3, "1970-01-01 03:00:00", 2, "click", 1.0),  # dup user same day
+            (4, "1970-01-04 01:00:00", 2, "view", 1.0),
+            (5, "1970-01-11 01:00:00", 3, "view", 1.0),
+        ],
+    )
+    got = {
+        r.day_num: (r.dau, r.wau, r.mau)
+        for r in active_user_rollup(ev).collect()
+    }
+    assert got == {0: (2, 2, 2), 3: (1, 2, 2), 10: (1, 1, 3)}
+
+
+def test_events_ohlc_tiebreaks_on_event_id(spark):
+    """Two events share the open timestamp: the smaller event_id's value
+    is the open; close takes the largest (ts, event_id); high/low span
+    the day; 1e-4 quantization exact."""
+    from mapreduceindex_spark.operators.events import events_ohlc
+
+    ev = _events(
+        spark,
+        [
+            (2, "2024-01-01 09:00:00", 1, "trade", 5.5),   # tied open, bigger id
+            (1, "2024-01-01 09:00:00", 1, "trade", 3.25),  # open (id 1)
+            (3, "2024-01-01 12:00:00", 1, "trade", 9.0),   # high
+            (4, "2024-01-01 16:00:00", 1, "trade", 1.0),   # low + close
+            (5, "2024-01-01 10:00:00", 1, "ping", 7.0),    # other type
+        ],
+    )
+    got = {
+        (r.day_num, r.event_type): (
+            r.open_u4, r.high_u4, r.low_u4, r.close_u4, r.n_events
+        )
+        for r in events_ohlc(ev).collect()
+    }
+    # derive the day number from the data itself to avoid calendar math
+    d = next(iter({k[0] for k in got}))
+    assert got[(d, "trade")] == (32500, 90000, 10000, 10000, 4)
+    assert got[(d, "ping")] == (70000, 70000, 70000, 70000, 1)
