@@ -78,6 +78,9 @@ _VERIFY_FIRST = [
     "benford_prices",
     "active_user_rollup",
     "events_ohlc",
+    "repetition_score",
+    "copurchase_pairs",
+    "label_outliers",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
     # block pushed past slot 50 by the round-6 additions (r06 sampled
     # slots 1-50 = the 44 r06-priority entries + bigram_lift,
@@ -393,6 +396,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "containment_pairs": lambda s, d: D.containment_pairs(
             _t(s, d, "documents")
+        ),
+        # round 7: Gopher-style within-doc repetition fractions — two
+        # doc_id-keyed explode+fold passes, BIGINT ppm
+        "repetition_score": lambda s, d: TA.repetition_score(
+            _t(s, d, "documents")
+        ),
+        # round 7: market-basket support counts — within-order self-join
+        # (fanout C(lines,2)), deterministic global top-k
+        "copurchase_pairs": lambda s, d: R.copurchase_pairs(
+            _t(s, d, "lineitem")
+        ),
+        # round 7: label-noise screen — per-label centroid distance,
+        # offset-quantized so floor/trunc div engines agree
+        "label_outliers": lambda s, d: S.label_outliers(
+            _t(s, d, "embeddings")
         ),
         # round 7: sliding distinct counts via constant-offset emission
         # (38x the DEDUPED user-day frame, never a day x activity join)
@@ -2912,6 +2930,80 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    (((sum(u4)::BIGINT // 100) * 1000000)
                     // (max(total) // 100))::BIGINT AS share_ppm
             FROM classed GROUP BY abc_class
+        """,
+        "repetition_score": f"""
+            -- count-weighted duplicate-occurrence ppm per doc; 2-grams
+            -- via the shared shingle macro (single all-words shingle
+            -- for 1-2 word docs, matching doc_shingles)
+            WITH ws AS (
+              SELECT doc_id, {_words_sql()} AS w FROM documents
+            ), toks AS (
+              SELECT doc_id, u.word FROM ws, unnest(w) AS u(word)
+            ), wc AS (
+              SELECT doc_id, word, count(*) AS c
+              FROM toks GROUP BY doc_id, word
+            ), wstats AS (
+              SELECT doc_id, sum(c)::BIGINT AS nw,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dupw
+              FROM wc GROUP BY doc_id
+            ), gr AS (
+              SELECT doc_id, u.g
+              FROM ws, unnest({_shingles_sql('w', 2)}) AS u(g)
+              WHERE u.g <> ''
+            ), gc AS (
+              SELECT doc_id, g, count(*) AS c FROM gr GROUP BY doc_id, g
+            ), gstats AS (
+              SELECT doc_id, sum(c)::BIGINT AS ng,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dupg
+              FROM gc GROUP BY doc_id
+            )
+            SELECT w.doc_id, w.nw AS n_words,
+                   ((w.dupw * 1000000) // w.nw)::BIGINT AS dup_word_ppm,
+                   ((g.dupg * 1000000) // g.ng)::BIGINT AS dup_2gram_ppm
+            FROM wstats w JOIN gstats g USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "copurchase_pairs": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+                   count(*)::BIGINT AS n_orders
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY p_a, p_b
+            ORDER BY n_orders DESC, p_a ASC, p_b ASC
+            LIMIT 50
+        """,
+        "label_outliers": """
+            -- +1e6 offset keeps every component and centroid sum
+            -- non-negative so truncating and flooring integer division
+            -- agree; the offset cancels exactly in (x - c)
+            WITH dims AS (
+              SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+            ), e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label, d.dim,
+                     CAST(floor(CAST(embedding[CAST(d.dim + 1 AS INT)]
+                          AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                       + 1000000 AS xm
+              FROM embeddings, dims d WHERE d.dim < len(embedding)
+            ), cent AS (
+              SELECT label, dim, (sum(xm)::BIGINT // count(*)) AS c
+              FROM e GROUP BY label, dim
+            ), dist AS (
+              SELECT e.vec_id, e.label,
+                     sum((e.xm - c.c) * (e.xm - c.c))::BIGINT AS dist2_u
+              FROM e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+              GROUP BY e.vec_id, e.label
+            ), r AS (
+              SELECT label, vec_id, dist2_u,
+                     row_number() OVER (PARTITION BY label
+                        ORDER BY dist2_u DESC, vec_id ASC) AS rank
+              FROM dist
+            )
+            SELECT label, rank::BIGINT AS rank, vec_id, dist2_u
+            FROM r WHERE rank <= 3 ORDER BY label, rank
         """,
         "active_user_rollup": """
             -- same constant-offset emission the Spark plan uses: each

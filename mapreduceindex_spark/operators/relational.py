@@ -1833,3 +1833,34 @@ def order_status_pivot(
             for s in statuses
         ],
     ).orderBy("month_key")
+
+
+def copurchase_pairs(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
+    """Market-basket co-occurrence: the ``top_k`` part pairs most often
+    bought in the same order — the support-count core of association
+    mining ("customers who bought X also bought Y").
+
+    Scale shape: the self-join runs WITHIN order keys only, so fanout
+    per order is C(lines, 2) with TPC-H's ≤7 lines/order — output
+    tracks Σ lines², never |lineitem|²; the (order, part) frame is
+    deduped first (a part twice in one order is one co-occurrence).
+    The pair aggregate shuffles on (p_a, p_b); the global top-k is
+    Spark's TakeOrderedAndProject with the (support desc, p_a, p_b)
+    total order, so ties at the cut are deterministic on both engines.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p_b")
+    )
+    pairs = (
+        a.join(b, "_o")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), F.col("p_a").asc(), F.col("p_b").asc()
+    ).limit(top_k)

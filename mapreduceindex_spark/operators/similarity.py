@@ -1040,3 +1040,59 @@ def embedding_covariance_topk(embeddings: DataFrame, top_k: int = 20) -> DataFra
         .limit(top_k)
         .drop("_score")
     )
+
+
+def label_outliers(embeddings: DataFrame, top_k: int = 3) -> DataFrame:
+    """Label-noise screen: per label, the ``top_k`` vectors farthest
+    (squared euclidean) from their label's centroid — the mislabeled /
+    out-of-distribution candidates a curation pass reviews first.
+
+    Exactness: components quantize to 1e-6 BIGINT units with a
+    +1e6 offset so every value — and therefore every centroid sum — is
+    NON-NEGATIVE, making integer division identical under truncating
+    and flooring engines (the offset cancels exactly in x − c: adding
+    K to all members shifts the floored centroid by exactly K).
+    Squared distance stays in BIGINT (≤ ~4e12 per dim × 64 dims).
+
+    Scale shape: centroids are a (label × dim)-bounded aggregate
+    broadcast back onto a second pass of the exploded scan (re-scan
+    beats persisting a 64× exploded 100 TB frame); the final ranking
+    window partitions by label over label-cardinality-bounded rows
+    only after the per-vector fold. Ties break (dist desc, vec_id asc).
+    """
+    from pyspark.sql.window import Window
+
+    ex = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "_x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(_x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+            " + 1000000"
+        ).alias("_xm"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.expr("sum(_xm) DIV count(1)").alias("_c")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("_xm") - F.col("_c")) * (F.col("_xm") - F.col("_c")))
+            .cast("long")
+            .alias("dist2_u")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2_u").desc(), F.col("vec_id").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("label", "rank", "vec_id", "dist2_u")
+        .orderBy("label", "rank")
+    )

@@ -890,3 +890,63 @@ def token_zipf_fit(documents: DataFrame) -> DataFrame:
             " * _sx) END AS BIGINT)"
         ).alias("neg_slope_milli"),
     )
+
+
+def repetition_score(documents: DataFrame) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText repetition
+    filters): per doc, the fraction of word occurrences whose word
+    repeats within the doc, and the fraction of 2-gram occurrences
+    whose 2-gram repeats — boilerplate/listicle/spam detectors that
+    length and stopword ratios miss entirely.
+
+    Scale shape: two explode → (doc, term) count → per-doc fold passes
+    (words and 2-grams), each one exchange keyed by doc_id with
+    map-side combine; the 2-gram pass reuses ``doc_shingles``' linear
+    codegen'd window form. Fractions are BIGINT ppm (count-weighted:
+    a word occurring 3× contributes 3 duplicate occurrences). Docs
+    with zero normalized words are excluded — no occurrences exist to
+    score. Output: one BIGINT row per scoreable doc.
+    """
+    from mapreduceindex_spark.functions.text import words
+    from mapreduceindex_spark.operators.dedup import doc_shingles
+
+    toks = documents.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("_w")
+    )
+    wstats = (
+        toks.groupBy("doc_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("_nw"),
+            F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(0)).alias(
+                "_dupw"
+            ),
+        )
+    )
+    gstats = (
+        doc_shingles(documents, 2, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("_ng"),
+            F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(0)).alias(
+                "_dupg"
+            ),
+        )
+    )
+    return (
+        wstats.join(gstats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("_nw").cast("long").alias("n_words"),
+            F.expr("(_dupw * 1000000) DIV _nw")
+            .cast("long")
+            .alias("dup_word_ppm"),
+            F.expr("(_dupg * 1000000) DIV _ng")
+            .cast("long")
+            .alias("dup_2gram_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -206,3 +206,74 @@ def test_events_ohlc_tiebreaks_on_event_id(spark):
     d = next(iter({k[0] for k in got}))
     assert got[(d, "trade")] == (32500, 90000, 10000, 10000, 4)
     assert got[(d, "ping")] == (70000, 70000, 70000, 70000, 1)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+
+
+def test_repetition_score_count_weighted_ppm(spark):
+    """'a a b': 2 of 3 word occurrences repeat (666666 ppm) but both
+    2-grams are unique (0); 'x y x y x' repeats everything (1e6 both);
+    a single-word doc scores 0/0 on its one degenerate shingle; a
+    zero-word doc is excluded."""
+    from mapreduceindex_spark.operators.text_analysis import repetition_score
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a a b", "en", "s", 5),
+            (2, "x y x y x", "en", "s", 9),
+            (3, "z", "en", "s", 1),
+            (4, "42 !!", "en", "s", 5),   # zero normalized words
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_words, r.dup_word_ppm, r.dup_2gram_ppm)
+        for r in repetition_score(docs).collect()
+    }
+    assert got == {
+        1: (3, 666_666, 0),
+        2: (5, 1_000_000, 1_000_000),
+        3: (1, 0, 0),
+    }
+
+
+def test_copurchase_pairs_dedupes_within_order(spark):
+    """Part 2 appearing on two lines of order 1 is ONE co-occurrence;
+    pair (2,3) spans both orders; top-k cut is deterministic."""
+    from mapreduceindex_spark.operators.relational import copurchase_pairs
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2), (1, 3), (2, 2), (2, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = [
+        (r.p_a, r.p_b, r.n_orders)
+        for r in copurchase_pairs(li, top_k=2).collect()
+    ]
+    assert got == [(2, 3, 2), (1, 2, 1)]
+
+
+def test_label_outliers_centroid_distance_and_ties(spark):
+    """Three 1-hot-ish vectors on one axis: centroid lands at the
+    middle, the two extremes tie on distance and break by vec_id."""
+    from mapreduceindex_spark.operators.similarity import label_outliers
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [0.3, 0.0], 0),
+            (3, [0.6, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = [
+        (r.label, r.rank, r.vec_id, r.dist2_u)
+        for r in label_outliers(emb).collect()
+    ]
+    d = 300_000 ** 2
+    assert got == [(0, 1, 1, d), (0, 2, 3, d), (0, 3, 2, 0)]
