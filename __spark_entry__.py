@@ -72,13 +72,13 @@ _VERIFY_FIRST = [
     "streaming_sessions",
     "streaming_session_funnel",
     # (b) round-7 additions — first driver row (extended as each lands)
-    "revenue_cube",
+    "orders_cube",
     "order_status_pivot",
     "fk_integrity_audit",
     "benford_prices",
     "active_user_rollup",
     "events_ohlc",
-    "repetition_score",
+    "repetition_profile",
     "copurchase_pairs",
     "label_outliers",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
@@ -397,9 +397,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": lambda s, d: D.containment_pairs(
             _t(s, d, "documents")
         ),
-        # round 7: Gopher-style within-doc repetition fractions — two
-        # doc_id-keyed explode+fold passes, BIGINT ppm
-        "repetition_score": lambda s, d: TA.repetition_score(
+        # round 7: count-weighted within-doc repetition ppm (complements
+        # repetition_score's distinct-ngram fraction) — two doc_id-keyed
+        # explode+fold passes
+        "repetition_profile": lambda s, d: TA.repetition_profile(
             _t(s, d, "documents")
         ),
         # round 7: market-basket support counts — within-order self-join
@@ -420,9 +421,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7: daily OHLC downsample — one (day,type) hash agg,
         # min_by/max_by on the (ts,event_id) total order, no window
         "events_ohlc": lambda s, d: E.events_ohlc(_t(s, d, "events")),
-        # round 7: grouping-sets surface — one Expand-planned CUBE,
-        # sentinel-keyed rollup rows, engine-pinned grp_id bit order
-        "revenue_cube": lambda s, d: R.revenue_cube(_t(s, d, "orders")),
+        # round 7: grouping-sets OUTPUT surface (explicit grp_id +
+        # sentinel rollup keys), Expand-free detail re-aggregation
+        "orders_cube": lambda s, d: R.orders_cube(_t(s, d, "orders")),
         # round 7: PIVOT surface — explicit status domain, one hash agg
         "order_status_pivot": lambda s, d: R.order_status_pivot(
             _t(s, d, "orders")
@@ -2931,7 +2932,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                     // (max(total) // 100))::BIGINT AS share_ppm
             FROM classed GROUP BY abc_class
         """,
-        "repetition_score": f"""
+        "repetition_profile": f"""
             -- count-weighted duplicate-occurrence ppm per doc; 2-grams
             -- via the shared shingle macro (single all-words shingle
             -- for 1-2 word docs, matching doc_shingles)
@@ -3056,7 +3057,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM r GROUP BY day_num, event_type
             ORDER BY day_num, event_type
         """,
-        "revenue_cube": """
+        "orders_cube": """
             -- grp_id pinned explicitly (GROUPING(col) per column), never
             -- an engine's GROUPING_ID bit convention; sentinel keys keep
             -- the output dtype-stable across rollup rows

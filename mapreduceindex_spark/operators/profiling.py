@@ -325,10 +325,16 @@ def fk_integrity_audit(
             c.join(p, "_k", "left")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_child"),
-                F.sum(
-                    F.when(
-                        F.col("_k").isNotNull() & F.col("_hit").isNull(), 1
-                    ).otherwise(0)
+                # coalesce: sum() over an EMPTY child is NULL, but an
+                # empty drop has 0 violations, not unknown
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_k").isNotNull() & F.col("_hit").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias("n_orphans"),

@@ -1750,49 +1750,69 @@ def spend_gini(orders: DataFrame) -> DataFrame:
     )
 
 
-def revenue_cube(orders: DataFrame) -> DataFrame:
+def orders_cube(orders: DataFrame) -> DataFrame:
     """CUBE over (order year × order status): every subtotal combination
     — per (year, status), per year, per status, and the grand total —
-    in ONE aggregate, the OLAP drill-across readout BI layers issue
-    constantly. Exercises the grouping-sets surface (``cube`` +
-    ``grouping``) the rest of the registry doesn't touch.
+    with an explicit engine-pinned ``grp_id = grouping(year)*2 +
+    grouping(status)`` and sentinel rollup keys (-1 / 'ALL') so the
+    output is dtype-stable across grouping sets. The GROUPING SETS
+    *output* surface next to ``revenue_cube``'s lineitem cube.
 
-    Scale shape: Spark plans CUBE as a single Expand (4 grouping sets →
-    4× the input rows) feeding one partial+final hash aggregate — the
-    amplification is the number of grouping sets (fixed, 4), never data
-    cardinality, and map-side combine collapses each set to its group
-    count before the exchange. Rollup rows carry sentinel keys (-1 /
-    'ALL') instead of NULL so the output is dtype-stable and the
-    explicit ``grp_id = grouping(year)*2 + grouping(status)`` works
-    identically on both engines (bit order pinned, not inherited from
-    engine-specific GROUPING_ID conventions). Money is exact BIGINT
-    cents. Output: ≤ (years+1) × (statuses+1) rows, BIGINT-keyed.
+    Scale shape: same Expand-free discipline as
+    ``_grouping_sets_from_base`` — Catalyst's native CUBE Expands every
+    fact row once per grouping set (4× the scan's shuffle write at
+    100 TB), but COUNT/SUM are associative, so the cube re-aggregates
+    the (year × status)-cardinality detail aggregate instead: ONE
+    full-width pass, then O(groups) post-work on the persisted
+    dimension-sized base. Money is exact BIGINT cents. Output:
+    ≤ (years+1) × (statuses+1) rows, BIGINT-keyed.
     """
-    base = orders.select(
-        F.year("o_orderdate").cast("long").alias("_yr"),
-        "o_orderstatus",
-        F.expr(
-            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
-        ).alias("_c"),
-    )
-    return (
-        base.cube("_yr", "o_orderstatus")
+    base = (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("_yr"),
+            "o_orderstatus",
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("_c"),
+        )
+        .groupBy("_yr", "o_orderstatus")
         .agg(
-            (F.grouping("_yr") * 2 + F.grouping("o_orderstatus"))
-            .cast("long")
-            .alias("grp_id"),
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("_c").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_c").alias("_r"),
         )
-        .select(
-            F.coalesce("_yr", F.lit(-1)).cast("long").alias("order_year"),
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
-            "grp_id",
-            "n_orders",
-            "revenue_cents",
-        )
-        .orderBy("grp_id", "order_year", "o_orderstatus")
+        .persist()
     )
+    base.count()  # materialize once; the four branches reuse the cache
+    branches = []
+    for keys, gid in (
+        (("_yr", "o_orderstatus"), 0),
+        (("_yr",), 1),
+        (("o_orderstatus",), 2),
+        ((), 3),
+    ):
+        gb = base.groupBy(*keys) if keys else base.groupBy()
+        agg = gb.agg(F.sum("_n").alias("_n2"), F.sum("_r").alias("_r2"))
+        branches.append(
+            agg.select(
+                (
+                    F.coalesce("_yr", F.lit(-1))
+                    if "_yr" in keys
+                    else F.lit(-1)
+                ).cast("long").alias("order_year"),
+                (
+                    F.coalesce("o_orderstatus", F.lit("ALL"))
+                    if "o_orderstatus" in keys
+                    else F.lit("ALL")
+                ).alias("o_orderstatus"),
+                F.lit(gid).cast("long").alias("grp_id"),
+                F.col("_n2").cast("long").alias("n_orders"),
+                F.col("_r2").cast("long").alias("revenue_cents"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("grp_id", "order_year", "o_orderstatus")
 
 
 def order_status_pivot(

@@ -892,12 +892,15 @@ def token_zipf_fit(documents: DataFrame) -> DataFrame:
     )
 
 
-def repetition_score(documents: DataFrame) -> DataFrame:
-    """Within-document repetition (the Gopher/MassiveText repetition
-    filters): per doc, the fraction of word occurrences whose word
-    repeats within the doc, and the fraction of 2-gram occurrences
-    whose 2-gram repeats — boilerplate/listicle/spam detectors that
-    length and stopword ratios miss entirely.
+def repetition_profile(documents: DataFrame) -> DataFrame:
+    """Count-weighted within-document repetition (the Gopher/
+    MassiveText "fraction of characters in duplicate n-grams" family):
+    per doc, the fraction of word OCCURRENCES whose word repeats within
+    the doc, and the fraction of 2-gram occurrences whose 2-gram
+    repeats. Complements ``corpus.repetition_score`` (distinct-ngram
+    dup fraction): occurrence weighting punishes heavy repeats harder —
+    a doc repeating one line 50x scores ~1e6 here but only moderate
+    there.
 
     Scale shape: two explode → (doc, term) count → per-doc fold passes
     (words and 2-grams), each one exchange keyed by doc_id with

@@ -89,6 +89,17 @@ NAMES = [
     "domain_divergence",
     "positional_index",
     "phrase_search_indexed",
+    # round-7 additions: Expand grouping sets, pivot cells, exploded
+    # sliding-window distinct counts, min_by/max_by open-close ties,
+    # offset-quantized centroid ranks, and the top-k support cut must
+    # all be partition-count-blind
+    "orders_cube",
+    "order_status_pivot",
+    "active_user_rollup",
+    "events_ohlc",
+    "repetition_profile",
+    "copurchase_pairs",
+    "label_outliers",
 ]
 
 

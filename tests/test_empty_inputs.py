@@ -91,6 +91,18 @@ EMPTY_SAFE = [
     "domain_divergence",
     "positional_index",
     "phrase_search_indexed",
+    # round 7: cube/pivot on nothing, empty digit histogram, zero
+    # active days, no baskets, no vectors. fk_integrity_audit is a
+    # REPORT query (one row per FK edge even when empty) with its own
+    # zero-report test below.
+    "orders_cube",
+    "order_status_pivot",
+    "benford_prices",
+    "active_user_rollup",
+    "events_ohlc",
+    "repetition_profile",
+    "copurchase_pairs",
+    "label_outliers",
 ]
 
 
@@ -141,3 +153,14 @@ def test_shard_skew_report_empty_is_zero_report(spark, empty_tables):
     ).collect()
     assert len(rows) == 64
     assert all(r.n_docs == 0 and r.load_ppm is None for r in rows)
+
+
+def test_fk_integrity_audit_empty_is_zero_report(spark, empty_tables):
+    """fk_integrity_audit reports all 7 FK edges even on empty tables —
+    every child/orphan count pinned to zero (an empty drop has no
+    integrity violations, not a missing report)."""
+    rows = entrymod._all_queries()["fk_integrity_audit"](
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 7
+    assert all((r.n_child, r.n_orphans) == (0, 0) for r in rows)

@@ -16,11 +16,12 @@ def _orders(spark, rows):
     )
 
 
-def test_revenue_cube_all_grouping_sets(spark):
+def test_orders_cube_all_grouping_sets(spark):
     """2 years × 2 statuses: the cube must emit the 3 detail cells that
     exist, 2 year rollups, 2 status rollups, and one grand total, with
-    grp_id = grouping(year)*2 + grouping(status) and sentinel keys."""
-    from mapreduceindex_spark.operators.relational import revenue_cube
+    grp_id = grouping(year)*2 + grouping(status) and sentinel keys —
+    from the Expand-free detail re-aggregation."""
+    from mapreduceindex_spark.operators.relational import orders_cube
 
     orders = _orders(
         spark,
@@ -35,7 +36,7 @@ def test_revenue_cube_all_grouping_sets(spark):
             r.n_orders,
             r.revenue_cents,
         )
-        for r in revenue_cube(orders).collect()
+        for r in orders_cube(orders).collect()
     }
     assert got == {
         (2023, "F", 0): (1, 100),
@@ -215,12 +216,12 @@ def _docs(spark, rows):
     )
 
 
-def test_repetition_score_count_weighted_ppm(spark):
+def test_repetition_profile_count_weighted_ppm(spark):
     """'a a b': 2 of 3 word occurrences repeat (666666 ppm) but both
     2-grams are unique (0); 'x y x y x' repeats everything (1e6 both);
     a single-word doc scores 0/0 on its one degenerate shingle; a
     zero-word doc is excluded."""
-    from mapreduceindex_spark.operators.text_analysis import repetition_score
+    from mapreduceindex_spark.operators.text_analysis import repetition_profile
 
     docs = _docs(
         spark,
@@ -233,7 +234,7 @@ def test_repetition_score_count_weighted_ppm(spark):
     )
     got = {
         r.doc_id: (r.n_words, r.dup_word_ppm, r.dup_2gram_ppm)
-        for r in repetition_score(docs).collect()
+        for r in repetition_profile(docs).collect()
     }
     assert got == {
         1: (3, 666_666, 0),
