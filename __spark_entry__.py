@@ -81,6 +81,9 @@ _VERIFY_FIRST = [
     "repetition_profile",
     "copurchase_pairs",
     "label_outliers",
+    "cumulative_unique_users",
+    "shipping_sla_report",
+    "embedding_power_iteration",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
     # block pushed past slot 50 by the round-6 additions (r06 sampled
     # slots 1-50 = the 44 r06-priority entries + bigram_lift,
@@ -396,6 +399,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "containment_pairs": lambda s, d: D.containment_pairs(
             _t(s, d, "documents")
+        ),
+        # round 7: running distinct users via the first-seen decomposition
+        # (cumsum over the day-cardinality frame, lint-allowlisted)
+        "cumulative_unique_users": lambda s, d: E.cumulative_unique_users(
+            _t(s, d, "events")
+        ),
+        # round 7: per-priority fulfilment SLA — one fact-fact key join,
+        # priority-cardinality conditional aggregate
+        "shipping_sla_report": lambda s, d: R.shipping_sla_report(
+            _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        # round 7: PCA-1 by integer power iteration — d²-bounded Gram
+        # partials, driver-side model-sized iteration (kmeans bound)
+        "embedding_power_iteration": lambda s, d: (
+            CL.embedding_power_iteration(_t(s, d, "embeddings"))
         ),
         # round 7: count-weighted within-doc repetition ppm (complements
         # repetition_score's distinct-ngram fraction) — two doc_id-keyed
@@ -851,6 +869,68 @@ def _shingles_sql(ws: str, n: int = 3) -> str:
 def _hash60_sql(x: str) -> str:
     """Portable 60-bit hash — mirrors functions.text.stable_hash64."""
     return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _power_iteration_sql(iters: int = 4) -> str:
+    """Unrolled integer power iteration over the exact covariance
+    numerator — the SQL replay of ``clustering.embedding_power_iteration``
+    (same signed-micro quantization, same n²·1000 rescale, same explicit
+    truncating divisions, same L∞ renormalization, v0 = 1e6). The oracle
+    brute-forces the Gram matrix via an element self-join; the Spark side
+    accumulates d²-bounded numpy partials instead — identical integers,
+    different physical plan (the documented oracle relationship)."""
+    x = "CAST(embedding[CAST(d.dim + 1 AS INT)] AS DOUBLE)"
+    head = f"""
+        WITH dims AS (
+          SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+        ), e AS (
+          SELECT vec_id, d.dim,
+                 CAST(CASE WHEN {x} >= 0
+                      THEN floor({x} * 1000000 + 0.5)
+                      ELSE -floor(-{x} * 1000000 + 0.5)
+                      END AS BIGINT) AS x
+          FROM embeddings, dims d WHERE d.dim < len(embedding)
+        ), nn AS (
+          SELECT count(*) AS n FROM embeddings
+        ), su AS (
+          SELECT dim, sum(x) AS s FROM e GROUP BY dim
+        ), g AS (
+          SELECT a.dim AS i, b.dim AS j, sum(a.x * b.x) AS sij
+          FROM e a JOIN e b ON a.vec_id = b.vec_id
+          GROUP BY a.dim, b.dim
+        ), s AS (
+          SELECT g.i, g.j,
+                 CAST(CASE WHEN (nn.n * g.sij - sa.s * sb.s) >= 0
+                      THEN (nn.n * g.sij - sa.s * sb.s)
+                           // (nn.n * nn.n * 1000)
+                      ELSE -((-(nn.n * g.sij - sa.s * sb.s))
+                           // (nn.n * nn.n * 1000))
+                      END AS BIGINT) AS sv
+          FROM g, nn
+          JOIN su sa ON g.i = sa.dim
+          JOIN su sb ON g.j = sb.dim
+        ), y1 AS (
+          SELECT i AS dim, sum(sv * 1000000) AS y FROM s GROUP BY i
+        )"""
+    body = ""
+    for t in range(1, iters + 1):
+        body += f""", m{t} AS (
+          SELECT greatest(max(abs(y)) // 1000000, 1) AS m FROM y{t}
+        ), v{t} AS (
+          SELECT dim,
+                 CAST(CASE WHEN y >= 0 THEN y // m
+                      ELSE -((-y) // m) END AS BIGINT) AS v
+          FROM y{t}, m{t}
+        )"""
+        if t < iters:
+            body += f""", y{t + 1} AS (
+          SELECT s.i AS dim, sum(s.sv * v{t}.v) AS y
+          FROM s JOIN v{t} ON s.j = v{t}.dim GROUP BY s.i
+        )"""
+    tail = f"""
+        SELECT dim, v AS component_micro FROM v{iters} ORDER BY dim
+    """
+    return head + body + tail
 
 
 #: exact discounted-revenue expression — the SQL twin of relational._revenue
@@ -2932,6 +3012,44 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                     // (max(total) // 100))::BIGINT AS share_ppm
             FROM classed GROUP BY abc_class
         """,
+        "cumulative_unique_users": """
+            -- cumulative distinct = cumsum of first-seen counts
+            WITH ud AS (
+              SELECT user_id,
+                     min(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400)
+                       AS day_num
+              FROM events GROUP BY user_id
+            ), nw AS (
+              SELECT day_num, count(*)::BIGINT AS new_users
+              FROM ud GROUP BY day_num
+            ), days AS (
+              SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400
+                     AS day_num
+              FROM events
+            )
+            SELECT d.day_num,
+                   coalesce(nw.new_users, 0)::BIGINT AS new_users,
+                   sum(coalesce(nw.new_users, 0)) OVER (
+                     ORDER BY d.day_num ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS cum_users
+            FROM days d LEFT JOIN nw USING (day_num)
+            ORDER BY day_num
+        """,
+        "shipping_sla_report": """
+            SELECT o_orderpriority,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN CAST(FLOOR(epoch(l_shipdate)) AS BIGINT)
+                            - CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+                            <= 30 * 86400 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_on_time,
+                   ((sum(CASE WHEN CAST(FLOOR(epoch(l_shipdate)) AS BIGINT)
+                              - CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+                              <= 30 * 86400 THEN 1 ELSE 0 END)
+                     * 1000000) // count(*))::BIGINT AS on_time_ppm
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "embedding_power_iteration": _power_iteration_sql(iters=4),
         "repetition_profile": f"""
             -- count-weighted duplicate-occurrence ppm per doc; 2-grams
             -- via the shared shingle macro (single all-words shingle

@@ -191,3 +191,132 @@ def kmeans_embeddings(
     return embeddings.sparkSession.createDataFrame(
         out, "centroid_id bigint, n_members bigint, centroid_l1_micro bigint"
     )
+
+
+def embedding_power_iteration(
+    embeddings: DataFrame, iters: int = 4
+) -> DataFrame:
+    """Dominant principal direction of the embedding table (PCA's first
+    component) by integer power iteration — the "is there one axis
+    explaining most variance" screen run before committing to a
+    dimensionality reduction.
+
+    Exactness contract (every step replayed verbatim by the SQL
+    oracle): elements quantize with the tie-free signed micro formula;
+    the centered covariance numerator is the exact integer
+    ``Cn_ij = n·S_ij − S_i·S_j``; all divisions are EXPLICIT truncating
+    divisions (sign split + non-negative div, so flooring and
+    truncating engines agree); each iteration renormalizes by the L∞
+    norm (max |y| — no sqrt, no floats anywhere); ``v₀ = 1e6`` in every
+    dimension. Covariance is PSD so the dominant eigenvalue is
+    non-negative and the iteration's sign is pinned by v₀.
+
+    Scale shape: the d×d Gram matrix accumulates as per-partition numpy
+    partials (one d²-row emission per task — the
+    ``embedding_covariance_topk`` pattern, with its int64 overflow
+    guard), so the only shuffle is d²-bounded. The iteration itself
+    runs driver-side on the collected d² sufficient statistics —
+    model-sized state (d=64 → 4096 ints), the same documented bound as
+    ``kmeans_embeddings``' k×d collect. Output: d rows
+    (dim, component_micro), BIGINT.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = "i long, j long, n long, s_i long, s_ij long"
+
+    def _partials(batches):
+        gram = None
+        sums = None
+        n = 0
+        max_abs = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vi = np.where(
+                mat >= 0,
+                np.floor(mat * 1e6 + 0.5),
+                -np.floor(-mat * 1e6 + 0.5),
+            ).astype(np.int64)
+            n += len(pdf)
+            max_abs = max(max_abs, int(np.abs(vi).max(initial=0)))
+            if max_abs and max_abs * max_abs > (2**62) // n:
+                raise ValueError(
+                    "embedding_power_iteration: int64 partial overflow "
+                    f"risk (max |micro|={max_abs}, rows={n}); rescale "
+                    "inputs or switch to DECIMAL accumulators"
+                )
+            g = vi.T @ vi
+            s = vi.sum(axis=0)
+            if gram is None:
+                gram, sums = g, s
+            elif g.shape != gram.shape:
+                raise ValueError(
+                    "embedding_power_iteration: ragged embedding dims "
+                    f"{g.shape[0]} vs {gram.shape[0]}"
+                )
+            else:
+                gram += g
+                sums += s
+        if n == 0:
+            return
+        d = gram.shape[0]
+        ii, jj = np.meshgrid(
+            np.arange(d, dtype=np.int64), np.arange(d, dtype=np.int64),
+            indexing="ij",
+        )
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel(),
+                "j": jj.ravel(),
+                "n": np.full(d * d, n, dtype=np.int64),
+                "s_i": np.repeat(sums, d),
+                "s_ij": gram.ravel(),
+            }
+        )
+
+    agg = (
+        embeddings.select("embedding")
+        .mapInPandas(_partials, schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s_i").cast("long").alias("s_i"),
+            F.sum("s_ij").cast("long").alias("s_ij"),
+        )
+    )
+    rows = agg.collect()  # d² sufficient statistics — model-sized
+    spark = embeddings.sparkSession
+    out_schema = "dim long, component_micro long"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+
+    def tdiv(a: int, b: int) -> int:
+        # explicit truncating division (Python // floors)
+        return a // b if a >= 0 else -((-a) // b)
+
+    n = rows[0]["n"]
+    d = max(r["i"] for r in rows) + 1
+    s_col = {}
+    for r in rows:
+        s_col[r["i"]] = r["s_i"]
+    # s'_ij = tdiv(n·S_ij − S_i·S_j, n²·1000): covariance numerator
+    # rescaled so the 64-term matvec stays far inside BIGINT
+    s_small = {}
+    den = n * n * 1000
+    for r in rows:
+        cn = n * r["s_ij"] - s_col[r["i"]] * s_col[r["j"]]
+        s_small[(r["i"], r["j"])] = tdiv(cn, den)
+    v = [1_000_000] * d
+    for _ in range(iters):
+        y = [
+            sum(s_small[(i, j)] * v[j] for j in range(d)) for i in range(d)
+        ]
+        m = max(tdiv(max(abs(x) for x in y), 1_000_000), 1)
+        v = [tdiv(x, m) for x in y]
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(d)], out_schema
+    ).orderBy("dim")

@@ -949,3 +949,39 @@ def events_ohlc(events: DataFrame) -> DataFrame:
         )
         .orderBy("day_num", "event_type")
     )
+
+
+def cumulative_unique_users(events: DataFrame) -> DataFrame:
+    """Running distinct-user count per active day — the "total users
+    ever" growth curve. A cumulative DISTINCT can't be windowed, but it
+    decomposes exactly into a cumsum of FIRST-SEEN counts: each user
+    contributes 1 on their first active day and 0 after.
+
+    Scale shape: one per-user min-day aggregate (the only data-scale
+    exchange), a day-keyed count, and a running sum over the
+    DAY-cardinality frame (the documented bounded-frame exception —
+    thousands of rows at any data scale, on the lint allowlist). Days
+    with activity but no new users still report (cum flat). Output:
+    one BIGINT row per active day.
+    """
+    day = F.expr("CAST(unix_seconds(ts) AS BIGINT) DIV 86400")
+    first_seen = (
+        events.select("user_id", day.alias("_day"))
+        .groupBy("user_id")
+        .agg(F.min("_day").alias("day_num"))
+    )
+    new_per_day = first_seen.groupBy("day_num").agg(
+        F.count(F.lit(1)).alias("_new")
+    )
+    active_days = events.select(day.alias("day_num")).distinct()
+    per_day = active_days.join(new_per_day, "day_num", "left").select(
+        "day_num", F.coalesce("_new", F.lit(0)).alias("_new")
+    )
+    w = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_day.select(
+        "day_num",
+        F.col("_new").cast("long").alias("new_users"),
+        F.sum("_new").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day_num")

@@ -1805,7 +1805,10 @@ def orders_cube(orders: DataFrame) -> DataFrame:
                     else F.lit("ALL")
                 ).alias("o_orderstatus"),
                 F.lit(gid).cast("long").alias("grp_id"),
-                F.col("_n2").cast("long").alias("n_orders"),
+                # the () grouping set over an EMPTY table still emits one
+                # grand-total row (SQL GROUP BY () semantics, and what a
+                # native CUBE produces): count is 0 there, sum stays NULL
+                F.coalesce("_n2", F.lit(0)).cast("long").alias("n_orders"),
                 F.col("_r2").cast("long").alias("revenue_cents"),
             )
         )
@@ -1884,3 +1887,47 @@ def copurchase_pairs(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
     return pairs.orderBy(
         F.col("n_orders").desc(), F.col("p_a").asc(), F.col("p_b").asc()
     ).limit(top_k)
+
+
+def shipping_sla_report(
+    orders: DataFrame, lineitem: DataFrame, sla_days: int = 30
+) -> DataFrame:
+    """Per-priority shipping SLA: how many lineitems shipped within
+    ``sla_days`` of their order date — the fulfilment service-level
+    readout, per ``o_orderpriority``.
+
+    Scale shape: ONE orders ⨝ lineitem key join (the canonical
+    fact-fact shuffle, AQE-skew-safe) carrying only the three needed
+    columns, then a priority-cardinality conditional aggregate. The
+    on-time test runs on exact epoch seconds; the rate is integer ppm.
+    Output: one BIGINT row per priority level.
+    """
+    o = orders.select(
+        F.col("o_orderkey").alias("_k"),
+        "o_orderpriority",
+        F.expr(
+            "CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)"
+        ).alias("_od"),
+    )
+    li = lineitem.select(
+        F.col("l_orderkey").alias("_k"),
+        F.expr(
+            "CAST(unix_seconds(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)"
+        ).alias("_sd"),
+    )
+    on_time = F.when(
+        F.col("_sd") - F.col("_od") <= sla_days * 86400, 1
+    ).otherwise(0)
+    return (
+        li.join(o, "_k")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(on_time).cast("long").alias("n_on_time"),
+        )
+        .withColumn(
+            "on_time_ppm",
+            F.expr("(n_on_time * 1000000) DIV n_lines").cast("long"),
+        )
+        .orderBy("o_orderpriority")
+    )

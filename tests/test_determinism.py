@@ -100,6 +100,9 @@ NAMES = [
     "repetition_profile",
     "copurchase_pairs",
     "label_outliers",
+    "cumulative_unique_users",
+    "shipping_sla_report",
+    "embedding_power_iteration",
 ]
 
 

@@ -91,11 +91,11 @@ EMPTY_SAFE = [
     "domain_divergence",
     "positional_index",
     "phrase_search_indexed",
-    # round 7: cube/pivot on nothing, empty digit histogram, zero
-    # active days, no baskets, no vectors. fk_integrity_audit is a
-    # REPORT query (one row per FK edge even when empty) with its own
-    # zero-report test below.
-    "orders_cube",
+    # round 7: pivot on nothing, empty digit histogram, zero active
+    # days, no baskets, no vectors. fk_integrity_audit (one row per FK
+    # edge) and orders_cube (SQL's () grouping set emits one grand-total
+    # row on an empty table) are REPORT queries with their own
+    # zero-report tests below.
     "order_status_pivot",
     "benford_prices",
     "active_user_rollup",
@@ -103,6 +103,9 @@ EMPTY_SAFE = [
     "repetition_profile",
     "copurchase_pairs",
     "label_outliers",
+    "cumulative_unique_users",
+    "shipping_sla_report",
+    "embedding_power_iteration",
 ]
 
 
@@ -164,3 +167,13 @@ def test_fk_integrity_audit_empty_is_zero_report(spark, empty_tables):
     ).collect()
     assert len(rows) == 7
     assert all((r.n_child, r.n_orphans) == (0, 0) for r in rows)
+
+
+def test_orders_cube_empty_emits_grand_total_row(spark, empty_tables):
+    """SQL GROUP BY () — and therefore CUBE — emits exactly one
+    grand-total row over an empty table: count 0, sum NULL."""
+    rows = entrymod._all_queries()["orders_cube"](spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.order_year, r.o_orderstatus, r.grp_id) == (-1, "ALL", 3)
+    assert r.n_orders == 0 and r.revenue_cents is None

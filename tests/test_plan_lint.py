@@ -160,6 +160,7 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "abc_analysis",  # cumsum over the per-part (dim) agg
         "spend_gini",  # rank over the per-customer (dim) agg
         "token_zipf_fit",  # rank over the vocabulary agg
+        "cumulative_unique_users",  # cumsum over the active-day frame
     }
     bad = {}
     for name, fn in entrymod.queries().items():

@@ -278,3 +278,67 @@ def test_label_outliers_centroid_distance_and_ties(spark):
     ]
     d = 300_000 ** 2
     assert got == [(0, 1, 1, d), (0, 2, 3, d), (0, 3, 2, 0)]
+
+
+def test_cumulative_unique_users_first_seen_decomposition(spark):
+    """User 2 active on days 0 and 3: counts once (day 0); day 3 is
+    still emitted with 0 new users and a flat cumulative."""
+    from mapreduceindex_spark.operators.events import cumulative_unique_users
+
+    ev = _events(
+        spark,
+        [
+            (1, "1970-01-01 01:00:00", 1, "view", 1.0),
+            (2, "1970-01-01 02:00:00", 2, "view", 1.0),
+            (3, "1970-01-04 01:00:00", 2, "view", 1.0),   # returning only
+            (4, "1970-01-06 01:00:00", 3, "view", 1.0),
+        ],
+    )
+    got = [
+        (r.day_num, r.new_users, r.cum_users)
+        for r in cumulative_unique_users(ev).collect()
+    ]
+    assert got == [(0, 2, 2), (3, 0, 2), (5, 1, 3)]
+
+
+def test_shipping_sla_report_boundary_inclusive(spark):
+    """A line shipped exactly 30 days after the order is ON time
+    (<= boundary); 31 days is late; ppm is the integer cross-multiply."""
+    from mapreduceindex_spark.operators.relational import shipping_sla_report
+
+    orders = _orders(
+        spark,
+        [(1, 1, "F", 1.0, "2024-01-01"), (2, 1, "F", 1.0, "2024-01-01")],
+    ).selectExpr("o_orderkey", "o_orderdate", "'1-URGENT' AS o_orderpriority")
+    li = spark.createDataFrame(
+        [(1, "2024-01-31"), (1, "2024-02-01"), (2, "2024-01-02")],
+        "l_orderkey long, d string",
+    ).selectExpr("l_orderkey", "CAST(d AS TIMESTAMP) AS l_shipdate")
+    (r,) = shipping_sla_report(orders, li).collect()
+    assert (r.o_orderpriority, r.n_lines, r.n_on_time, r.on_time_ppm) == (
+        "1-URGENT", 3, 2, 666_666
+    )
+
+
+def test_embedding_power_iteration_finds_dominant_axis(spark):
+    """All variance on axis 0: the iteration converges to exactly
+    (1e6, 0) — every rescale divides evenly on this fixture, so the
+    result is bit-pinned, and the v0 convention fixes the sign."""
+    from mapreduceindex_spark.operators.clustering import (
+        embedding_power_iteration,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [-1.0, 0.0], 0),
+            (3, [0.5, 0.0], 0),
+            (4, [-0.5, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = [
+        (r.dim, r.component_micro)
+        for r in embedding_power_iteration(emb).collect()
+    ]
+    assert got == [(0, 1_000_000), (1, 0)]
