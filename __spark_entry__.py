@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "cumulative_unique_users",
     "shipping_sla_report",
     "embedding_power_iteration",
+    "streaming_ohlc",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
     # block pushed past slot 50 by the round-6 additions (r06 sampled
     # slots 1-50 = the 44 r06-priority entries + bigram_lift,
@@ -664,6 +665,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_markov_transitions": lambda s, d: (
             STREAM.streaming_markov_transitions(s, d)
         ),
+        # round 7: streaming twin of events_ohlc — stateful
+        # min_by/max_by window aggregates, batch expressions verbatim
+        "streaming_ohlc": lambda s, d: STREAM.streaming_ohlc(s, d),
         "streaming_hot_tokens": lambda s, d: STREAM.streaming_hot_tokens(
             s, d, k=20
         ),
@@ -4995,6 +4999,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
     # truth on the bounded fixture (same ordering key, same
     # second-truncated gap discipline)
     d["streaming_markov_transitions"] = d["events_markov_transitions"]
+    # the streaming OHLC shares the batch operator's ground truth on the
+    # bounded fixture (same quantization, same (ts, event_id) tiebreak)
+    d["streaming_ohlc"] = d["events_ohlc"]
     # curation_funnel composes three already-verified oracle queries as
     # subqueries (each parenthesized block carries its own WITH), so the
     # funnel's oracle is definitionally consistent with its parts

@@ -975,3 +975,49 @@ def _markov_finalize(sunk: DataFrame) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC per event type maintained over the live stream —
+    the streaming twin of ``operators.events.events_ohlc`` (same
+    oracle): ``min_by``/``max_by`` keyed on the (ts, event_id) total
+    order run as ordinary stateful window aggregates, so open/close
+    update incrementally as micro-batches land.
+
+    State per (day, type) window is five BIGINTs + two keys — bounded
+    by the watermark horizon in append mode; complete mode here to
+    match the bounded-fixture oracle (the registry's documented
+    streaming-twin convention). Quantization and tiebreaks are the
+    batch expressions verbatim, so batch and stream agree bit-for-bit.
+    """
+    events = _stream_events(spark, sf_dir)
+    v4 = F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+    base = events.select(
+        "ts",
+        "event_type",
+        v4.alias("_v4"),
+        F.struct("ts", "event_id").alias("_ord"),
+    )
+    agg = (
+        base.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(_v4, _ord)").alias("_open"),
+            F.max("_v4").alias("_high"),
+            F.min("_v4").alias("_low"),
+            F.expr("max_by(_v4, _ord)").alias("_close"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.expr(
+            "CAST(unix_seconds(w.start) AS BIGINT) DIV 86400"
+        ).alias("day_num"),
+        "event_type",
+        F.col("_open").cast("long").alias("open_u4"),
+        F.col("_high").cast("long").alias("high_u4"),
+        F.col("_low").cast("long").alias("low_u4"),
+        F.col("_close").cast("long").alias("close_u4"),
+        F.col("_n").cast("long").alias("n_events"),
+    ).orderBy("day_num", "event_type")

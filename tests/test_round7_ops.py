@@ -342,3 +342,23 @@ def test_embedding_power_iteration_finds_dominant_axis(spark):
         for r in embedding_power_iteration(emb).collect()
     ]
     assert got == [(0, 1_000_000), (1, 0)]
+
+
+def test_streaming_ohlc_equals_batch(spark):
+    """The streaming twin must equal the batch events_ohlc bit-for-bit
+    on the bounded fixture (same quantization, same tiebreak key)."""
+    from tests.conftest import SF_SMALL
+    from mapreduceindex_spark.operators.events import events_ohlc
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming.pipelines import streaming_ohlc
+
+    batch = sorted(
+        tuple(r) for r in events_ohlc(
+            load_table(spark, SF_SMALL, "events")
+        ).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in streaming_ohlc(spark, SF_SMALL).collect()
+    )
+    assert stream == batch
+    assert len(batch) > 0
