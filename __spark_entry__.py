@@ -3273,12 +3273,14 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             SELECT * FROM e ORDER BY fk_edge
         """,
         "benford_prices": """
-            -- leading digit from the cents value's decimal string (no
-            -- float log10); expected ppm are the shared literals
+            -- leading digit from the |cents| decimal string (no float
+            -- log10, no sign char — Benford is defined on magnitudes);
+            -- expected ppm are the shared literals
             -- floor(log10(1 + 1/d)*1e6 + 0.5)
             WITH d AS (
-              SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
-                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              SELECT CAST(substr(CAST(abs(CAST(floor(o_totalprice * 100
+                       + 0.5) AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit
               FROM orders
             ), c AS (
               SELECT digit, count(*)::BIGINT AS n_orders

@@ -223,44 +223,14 @@ def embedding_power_iteration(
     import numpy as np
     import pandas as pd
 
+    from mapreduceindex_spark.functions.linalg import accumulate_gram
+
     schema = "i long, j long, n long, s_i long, s_ij long"
 
     def _partials(batches):
-        gram = None
-        sums = None
-        n = 0
-        max_abs = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            vi = np.where(
-                mat >= 0,
-                np.floor(mat * 1e6 + 0.5),
-                -np.floor(-mat * 1e6 + 0.5),
-            ).astype(np.int64)
-            n += len(pdf)
-            max_abs = max(max_abs, int(np.abs(vi).max(initial=0)))
-            if max_abs and max_abs * max_abs > (2**62) // n:
-                raise ValueError(
-                    "embedding_power_iteration: int64 partial overflow "
-                    f"risk (max |micro|={max_abs}, rows={n}); rescale "
-                    "inputs or switch to DECIMAL accumulators"
-                )
-            g = vi.T @ vi
-            s = vi.sum(axis=0)
-            if gram is None:
-                gram, sums = g, s
-            elif g.shape != gram.shape:
-                raise ValueError(
-                    "embedding_power_iteration: ragged embedding dims "
-                    f"{g.shape[0]} vs {gram.shape[0]}"
-                )
-            else:
-                gram += g
-                sums += s
+        gram, sums, n = accumulate_gram(
+            batches, "embedding_power_iteration"
+        )
         if n == 0:
             return
         d = gram.shape[0]
@@ -298,6 +268,16 @@ def embedding_power_iteration(
         # explicit truncating division (Python // floors)
         return a // b if a >= 0 else -((-a) // b)
 
+    # cross-partition ragged-dims check: the per-partition guard can't
+    # see other partitions, but raggedness always surfaces here — cells
+    # outside the smaller dimensionality accumulate fewer rows, so the
+    # merged per-cell n values disagree
+    ns = {r["n"] for r in rows}
+    if len(ns) != 1:
+        raise ValueError(
+            "embedding_power_iteration: ragged embedding dims across "
+            f"partitions (per-cell row counts {sorted(ns)})"
+        )
     n = rows[0]["n"]
     d = max(r["i"] for r in rows) + 1
     s_col = {}

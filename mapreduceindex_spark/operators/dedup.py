@@ -1333,16 +1333,22 @@ def containment_pairs(
         # inflate a shingle's df past the cap in one tier but not the
         # other — both tiers route df through the clone-group map so
         # the cap decision is tier-independent.
-        live = sh.join(
-            sh.join(rep_map, "doc_id")
-            .select("sh", "rep")
-            .distinct()
-            .groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("sh"),
-            "sh",
-            "left_semi",
+        # persisted: the collapsed tier consumes this frame through BOTH
+        # union branches (cross via the pair join, intra via live_sizes)
+        # and union branches re-execute unpersisted shared subtrees
+        live = caching.track(
+            sh.join(
+                sh.join(rep_map, "doc_id")
+                .select("sh", "rep")
+                .distinct()
+                .groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_shingle_df)
+                .select("sh"),
+                "sh",
+                "left_semi",
+            ).persist(StorageLevel.MEMORY_AND_DISK),
+            "containment_pairs",
         )
         a = live.select(F.col("doc_id").alias("doc_a"), "sh")
         b = live.select(F.col("doc_id").alias("doc_b"), "sh")

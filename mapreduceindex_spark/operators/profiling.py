@@ -378,16 +378,18 @@ def benford_prices(orders: DataFrame) -> DataFrame:
     deviation. TPC-H's uniform price generator is NOT Benford-shaped,
     which is exactly what the readout shows.
 
-    Exactness: the leading digit comes from the CENTS value's decimal
-    string (substr of a BIGINT cast — no float log10 whose libm could
-    disagree across engines), expected ppm are shared integer literals,
-    observed ppm is integer cross-multiplication against the broadcast
-    total. One fact scan, 9-row output, no window.
+    Exactness: the leading digit comes from the |CENTS| value's decimal
+    string (substr of an abs BIGINT cast — no float log10 whose libm
+    could disagree across engines, and no sign character for the cast
+    to trip on: Benford is defined on magnitudes, so refunds/credits
+    count by |amount| and exact zeros drop). Expected ppm are shared
+    integer literals; observed ppm is integer cross-multiplication
+    against the broadcast total. One fact scan, 9-row output, no window.
     """
     digits = orders.select(
         F.substring(
             F.expr(
-                "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                "CAST(abs(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
                 " AS STRING)"
             ),
             1,

@@ -175,48 +175,59 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def _grouping_sets_from_base(
-    lineitem: DataFrame, sets: tuple[tuple[str, ...], ...]
-) -> DataFrame:
-    """Grouping sets via pre-aggregate-then-re-aggregate, not Expand.
+def _reaggregate_grouping_sets(detail, sets, project) -> DataFrame:
+    """The Expand-free grouping-sets engine (shared by
+    ``revenue_rollup``/``revenue_cube`` and ``orders_cube``).
 
     Spark's native cube/rollup physical plan Expands every input row once per
     grouping set BEFORE the partial aggregate — a 3-4× multiplier on the
     fact-scan row count, which at 100 TB is 3-4× the shuffle-write of the
-    plain aggregate. Because the measures here (decimal SUM, COUNT) are
-    associative, every coarser grouping set is derivable from the finest
-    one: aggregate to (returnflag, linestatus) first (6 rows), persist,
-    and re-aggregate that 6-row base per set. One full-width aggregate +
-    O(groups) post-work instead of an Expand×N pipeline. Output is
-    bit-identical (exact decimal is reorder-proof — the property the
-    module docstring establishes).
+    plain aggregate. Because the measures are associative (SUM/COUNT),
+    every coarser grouping set is derivable from the finest one: the
+    caller aggregates the fact table to the dimension-sized ``detail``
+    frame ONCE; this engine persists it and re-aggregates it per set,
+    delegating each branch's measures + key projection to ``project(gb,
+    keys, tag)``. One full-width aggregate + O(groups) post-work instead
+    of an Expand×N pipeline; output is bit-identical (exact decimal /
+    integer aggregation is reorder-proof).
     """
-    base = (
-        lineitem.groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum(_revenue()).alias("_r"), F.count(F.lit(1)).alias("_n"))
-        .persist()
-    )
-    base.count()  # materialize once; branches below reuse the cached rows
+    detail = detail.persist()
+    detail.count()  # materialize once; branches below reuse the cache
     branches = []
-    for keys in sets:
-        gb = base.groupBy(*keys) if keys else base.groupBy()
-        agg = gb.agg(F.sum("_r").alias("_r2"), F.sum("_n").alias("_n2"))
-        branches.append(
-            agg.select(
-                *[
-                    F.col(k).alias(k)
-                    if k in keys
-                    else F.lit(None).cast("string").alias(k)
-                    for k in ("l_returnflag", "l_linestatus")
-                ],
-                F.round("_r2", 2).cast("double").alias("revenue"),
-                F.col("_n2").cast("long").alias("n_items"),
-            )
-        )
+    for keys, tag in sets:
+        gb = detail.groupBy(*keys) if keys else detail.groupBy()
+        branches.append(project(gb, keys, tag))
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.orderBy("l_returnflag", "l_linestatus")
+    return out
+
+
+def _grouping_sets_from_base(
+    lineitem: DataFrame, sets: tuple[tuple[str, ...], ...]
+) -> DataFrame:
+    """Lineitem (returnflag × linestatus) grouping sets over the shared
+    Expand-free engine — see ``_reaggregate_grouping_sets``."""
+    base = lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_revenue()).alias("_r"), F.count(F.lit(1)).alias("_n")
+    )
+
+    def project(gb, keys, _tag):
+        agg = gb.agg(F.sum("_r").alias("_r2"), F.sum("_n").alias("_n2"))
+        return agg.select(
+            *[
+                F.col(k).alias(k)
+                if k in keys
+                else F.lit(None).cast("string").alias(k)
+                for k in ("l_returnflag", "l_linestatus")
+            ],
+            F.round("_r2", 2).cast("double").alias("revenue"),
+            F.col("_n2").cast("long").alias("n_items"),
+        )
+
+    return _reaggregate_grouping_sets(
+        base, [(k, None) for k in sets], project
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def revenue_rollup(lineitem: DataFrame) -> DataFrame:
@@ -1758,14 +1769,14 @@ def orders_cube(orders: DataFrame) -> DataFrame:
     output is dtype-stable across grouping sets. The GROUPING SETS
     *output* surface next to ``revenue_cube``'s lineitem cube.
 
-    Scale shape: same Expand-free discipline as
-    ``_grouping_sets_from_base`` — Catalyst's native CUBE Expands every
-    fact row once per grouping set (4× the scan's shuffle write at
-    100 TB), but COUNT/SUM are associative, so the cube re-aggregates
-    the (year × status)-cardinality detail aggregate instead: ONE
-    full-width pass, then O(groups) post-work on the persisted
-    dimension-sized base. Money is exact BIGINT cents. Output:
-    ≤ (years+1) × (statuses+1) rows, BIGINT-keyed.
+    Scale shape: the shared Expand-free engine
+    (``_reaggregate_grouping_sets``) — Catalyst's native CUBE Expands
+    every fact row once per grouping set (4× the scan's shuffle write
+    at 100 TB), but COUNT/SUM are associative, so the cube
+    re-aggregates the (year × status)-cardinality detail aggregate
+    instead: ONE full-width pass, then O(groups) post-work on the
+    persisted dimension-sized base. Money is exact BIGINT cents.
+    Output: ≤ (years+1) × (statuses+1) rows, BIGINT-keyed.
     """
     base = (
         orders.select(
@@ -1780,42 +1791,39 @@ def orders_cube(orders: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("_n"),
             F.sum("_c").alias("_r"),
         )
-        .persist()
     )
-    base.count()  # materialize once; the four branches reuse the cache
-    branches = []
-    for keys, gid in (
-        (("_yr", "o_orderstatus"), 0),
-        (("_yr",), 1),
-        (("o_orderstatus",), 2),
-        ((), 3),
-    ):
-        gb = base.groupBy(*keys) if keys else base.groupBy()
+
+    def project(gb, keys, gid):
         agg = gb.agg(F.sum("_n").alias("_n2"), F.sum("_r").alias("_r2"))
-        branches.append(
-            agg.select(
-                (
-                    F.coalesce("_yr", F.lit(-1))
-                    if "_yr" in keys
-                    else F.lit(-1)
-                ).cast("long").alias("order_year"),
-                (
-                    F.coalesce("o_orderstatus", F.lit("ALL"))
-                    if "o_orderstatus" in keys
-                    else F.lit("ALL")
-                ).alias("o_orderstatus"),
-                F.lit(gid).cast("long").alias("grp_id"),
-                # the () grouping set over an EMPTY table still emits one
-                # grand-total row (SQL GROUP BY () semantics, and what a
-                # native CUBE produces): count is 0 there, sum stays NULL
-                F.coalesce("_n2", F.lit(0)).cast("long").alias("n_orders"),
-                F.col("_r2").cast("long").alias("revenue_cents"),
-            )
+        return agg.select(
+            (
+                F.coalesce("_yr", F.lit(-1))
+                if "_yr" in keys
+                else F.lit(-1)
+            ).cast("long").alias("order_year"),
+            (
+                F.coalesce("o_orderstatus", F.lit("ALL"))
+                if "o_orderstatus" in keys
+                else F.lit("ALL")
+            ).alias("o_orderstatus"),
+            F.lit(gid).cast("long").alias("grp_id"),
+            # the () grouping set over an EMPTY table still emits one
+            # grand-total row (SQL GROUP BY () semantics, and what a
+            # native CUBE produces): count is 0 there, sum stays NULL
+            F.coalesce("_n2", F.lit(0)).cast("long").alias("n_orders"),
+            F.col("_r2").cast("long").alias("revenue_cents"),
         )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out.orderBy("grp_id", "order_year", "o_orderstatus")
+
+    return _reaggregate_grouping_sets(
+        base,
+        (
+            (("_yr", "o_orderstatus"), 0),
+            (("_yr",), 1),
+            (("o_orderstatus",), 2),
+            ((), 3),
+        ),
+        project,
+    ).orderBy("grp_id", "order_year", "o_orderstatus")
 
 
 def order_status_pivot(

@@ -968,49 +968,19 @@ def embedding_covariance_topk(embeddings: DataFrame, top_k: int = 20) -> DataFra
     import numpy as np
     import pandas as pd
 
+    from mapreduceindex_spark.functions.linalg import accumulate_gram
+
     schema = "i long, j long, n long, s_i long, s_j long, s_ij long"
 
     def _partials(batches):
         # accumulate across the WHOLE partition iterator, emit once —
         # per-batch emission would make the shuffle d²·(N/batch) rows,
-        # linear in N, the exact scaling this operator exists to avoid
-        gram = None
-        sums = None
-        n = 0
-        max_abs = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            vi = np.where(
-                mat >= 0,
-                np.floor(mat * 1e6 + 0.5),
-                -np.floor(-mat * 1e6 + 0.5),
-            ).astype(np.int64)
-            n += len(pdf)
-            max_abs = max(max_abs, int(np.abs(vi).max(initial=0)))
-            # silent-wrap guard: worst-case Σ|v_i·v_j| accumulated so
-            # far must stay inside int64
-            if max_abs and max_abs * max_abs > (2**62) // n:
-                raise ValueError(
-                    "embedding_covariance_topk: int64 partial overflow "
-                    f"risk (max |micro|={max_abs}, rows={n}); rescale "
-                    "inputs or switch to DECIMAL accumulators"
-                )
-            g = vi.T @ vi
-            s = vi.sum(axis=0)
-            if gram is None:
-                gram, sums = g, s
-            elif g.shape != gram.shape:
-                raise ValueError(
-                    "embedding_covariance_topk: ragged embedding dims "
-                    f"{g.shape[0]} vs {gram.shape[0]}"
-                )
-            else:
-                gram += g
-                sums += s
+        # linear in N, the exact scaling this operator exists to avoid;
+        # quantization + overflow guard live in functions.linalg (shared
+        # with embedding_power_iteration)
+        gram, sums, n = accumulate_gram(
+            batches, "embedding_covariance_topk"
+        )
         if n == 0:
             return
         iu, ju = np.triu_indices(gram.shape[0], k=1)

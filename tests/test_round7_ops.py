@@ -362,3 +362,42 @@ def test_streaming_ohlc_equals_batch(spark):
     )
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_benford_prices_magnitudes_and_zero_drop(spark):
+    """Benford counts by |amount|: a -$1.23 refund lands on digit 1 and
+    an exact $0.00 drops — neither crashes the digit cast (the sign
+    character never reaches it)."""
+    from mapreduceindex_spark.operators.profiling import benford_prices
+
+    orders = _orders(
+        spark,
+        [
+            (1, 1, "F", -1.23, "2023-01-01"),  # |cents| 123 -> digit 1
+            (2, 1, "F", 0.00, "2023-01-01"),   # dropped
+            (3, 1, "F", 9.00, "2023-01-01"),   # digit 9
+        ],
+    )
+    got = {r.digit: r.n_orders for r in benford_prices(orders).collect()}
+    assert got == {1: 1, 9: 1}
+
+
+def test_power_iteration_rejects_ragged_dims_across_partitions(spark):
+    """3-dim and 2-dim vectors forced into different partitions: the
+    per-partition guard can't see both, but the merged per-cell row
+    counts disagree and the driver check raises instead of silently
+    returning a wrong direction."""
+    import pytest as _pytest
+
+    from mapreduceindex_spark.operators.clustering import (
+        embedding_power_iteration,
+    )
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    ).repartition(1)
+    b = spark.createDataFrame(
+        [(2, [1.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    ).repartition(1)
+    with _pytest.raises(Exception, match="ragged"):
+        embedding_power_iteration(a.union(b)).collect()
