@@ -85,6 +85,10 @@ _VERIFY_FIRST = [
     "shipping_sla_report",
     "embedding_power_iteration",
     "streaming_ohlc",
+    "copurchase_clusters",
+    "changepoint_scan",
+    "conversion_latency_quantiles",
+    "repeat_buyers_intersect",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
     # block pushed past slot 50 by the round-6 additions (r06 sampled
     # slots 1-50 = the 44 r06-priority entries + bigram_lift,
@@ -400,6 +404,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "containment_pairs": lambda s, d: D.containment_pairs(
             _t(s, d, "documents")
+        ),
+        # round 7: co-purchase product families — support-filtered
+        # within-order edges into the shared two-tier component resolver
+        "copurchase_clusters": lambda s, d: G.copurchase_clusters(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        # round 7: single-changepoint level-shift scan over daily volume
+        # (dense literal grid, day-frame windows, integer micro means)
+        "changepoint_scan": lambda s, d: E.changepoint_scan(
+            _t(s, d, "events")
+        ),
+        # round 7: exact view->purchase latency percentiles — two-phase
+        # percentile_disc (hour-bucket histogram, hit-bucket windows)
+        "conversion_latency_quantiles": lambda s, d: (
+            E.conversion_latency_quantiles(_t(s, d, "events"))
+        ),
+        # round 7: INTERSECT set-op coverage (EXCEPT lives in
+        # big_spenders_minus_mid)
+        "repeat_buyers_intersect": lambda s, d: R.repeat_buyers_intersect(
+            _t(s, d, "orders")
         ),
         # round 7: running distinct users via the first-seen decomposition
         # (cumsum over the day-cardinality frame, lint-allowlisted)
@@ -3015,6 +3039,119 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    (((sum(u4)::BIGINT // 100) * 1000000)
                     // (max(total) // 100))::BIGINT AS share_ppm
             FROM classed GROUP BY abc_class
+        """,
+        "copurchase_clusters": """
+            -- support-filtered co-purchase edges, then the registry's
+            -- recursive-reachability component oracle (near_dup_clusters
+            -- pattern) over the part universe
+            WITH RECURSIVE op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+              SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY doc_a, doc_b HAVING count(*) >= 2
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ), reach(doc_id, label) AS (
+              SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT)
+              FROM part
+              UNION
+              SELECT e.dst, r.label
+              FROM reach r JOIN edges e ON e.src = r.doc_id
+            )
+            SELECT doc_id AS p_partkey, min(label)::BIGINT AS cluster_rep
+            FROM reach GROUP BY doc_id ORDER BY p_partkey
+        """,
+        "changepoint_scan": """
+            -- dense literal-range day grid (uncorrelated bounds + filter,
+            -- the registry's LCD range pattern), integer micro means
+            WITH daily AS (
+              SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+                     count(*) AS c
+              FROM events GROUP BY d
+            ), b AS (
+              SELECT min(d) AS lo, max(d) AS hi FROM daily
+            ), grid AS (
+              SELECT b.lo + t.k AS day_num
+              FROM b, range(0, 100000) t(k)
+              WHERE t.k <= b.hi - b.lo
+            ), dense AS (
+              SELECT g.day_num, coalesce(d.c, 0) AS c
+              FROM grid g LEFT JOIN daily d ON g.day_num = d.d
+            ), scan AS (
+              SELECT day_num,
+                     sum(c) OVER (ORDER BY day_num
+                                  ROWS UNBOUNDED PRECEDING) AS sl,
+                     row_number() OVER (ORDER BY day_num) AS nl,
+                     (SELECT sum(c) FROM dense) AS ts,
+                     (SELECT count(*) FROM dense) AS td
+              FROM dense
+            ), rows_ AS (
+              SELECT day_num,
+                     nl::BIGINT AS n_left,
+                     (td - nl)::BIGINT AS n_right,
+                     ((sl * 1000000) // nl)::BIGINT AS mean_left_micro,
+                     (((ts - sl) * 1000000) // (td - nl))::BIGINT
+                       AS mean_right_micro
+              FROM scan WHERE nl < td
+            ), g2 AS (
+              SELECT *,
+                     abs(mean_left_micro - mean_right_micro)::BIGINT
+                       AS gap_micro
+              FROM rows_
+            )
+            SELECT day_num, n_left, n_right, mean_left_micro,
+                   mean_right_micro, gap_micro,
+                   (CASE WHEN row_number() OVER (
+                      ORDER BY gap_micro DESC, day_num ASC) = 1
+                    THEN 1 ELSE 0 END)::BIGINT AS is_best
+            FROM g2 ORDER BY day_num
+        """,
+        "conversion_latency_quantiles": """
+            -- percentile_disc at rank ceil(p·n) via integer
+            -- (p·n + 999999) // 1e6, ties broken on user_id
+            WITH v AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view'
+                         THEN epoch_us(ts) END) AS v
+              FROM events GROUP BY user_id
+            ), pu AS (
+              SELECT e.user_id, v.v,
+                     min(CASE WHEN e.event_type = 'purchase'
+                              AND epoch_us(e.ts) > v.v
+                         THEN epoch_us(e.ts) END) AS p
+              FROM events e JOIN v USING (user_id)
+              GROUP BY e.user_id, v.v
+            ), lat AS (
+              SELECT user_id, (p - v) // 1000000 AS latency_sec
+              FROM pu WHERE v IS NOT NULL AND p IS NOT NULL
+            ), r AS (
+              SELECT latency_sec, user_id,
+                     row_number() OVER (
+                       ORDER BY latency_sec, user_id) AS rn,
+                     (SELECT count(*) FROM lat) AS n
+              FROM lat
+            )
+            SELECT p_ppm, latency_sec::BIGINT AS latency_sec FROM (
+              SELECT 500000::BIGINT AS p_ppm, latency_sec FROM r
+              WHERE rn = greatest((500000 * n + 999999) // 1000000, 1)
+              UNION ALL
+              SELECT 900000::BIGINT, latency_sec FROM r
+              WHERE rn = greatest((900000 * n + 999999) // 1000000, 1)
+              UNION ALL
+              SELECT 990000::BIGINT, latency_sec FROM r
+              WHERE rn = greatest((990000 * n + 999999) // 1000000, 1)
+            ) ORDER BY p_ppm
+        """,
+        "repeat_buyers_intersect": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            ORDER BY o_custkey
         """,
         "cumulative_unique_users": """
             -- cumulative distinct = cumsum of first-seen counts

@@ -985,3 +985,176 @@ def cumulative_unique_users(events: DataFrame) -> DataFrame:
         F.col("_new").cast("long").alias("new_users"),
         F.sum("_new").over(w).cast("long").alias("cum_users"),
     ).orderBy("day_num")
+
+
+def changepoint_scan(events: DataFrame) -> DataFrame:
+    """Level-shift scan over the daily event-count series: for every
+    candidate split day s, the left/right mean daily volumes (days ≤ s
+    vs days > s) and their absolute gap — the classic single-changepoint
+    screen ("did traffic step up/down, and when"). The argmax row is
+    flagged with (gap desc, day asc) determinism.
+
+    Exactness: counts are integers; means are explicit micro-quantized
+    floor divisions (non-negative operands, so flooring and truncating
+    engines agree); the gap is their absolute difference — identical
+    integer arithmetic on both engines. Scale shape: ONE fact-scale
+    day aggregate; the dense day grid between the collected [min, max]
+    probe is metadata-sized (``sequence`` of literals, the
+    ``timeseries_gap_fill`` pattern), and every window runs over that
+    day-cardinality frame (documented bounded-frame exception, lint
+    allowlisted). Output: one BIGINT row per split candidate.
+    """
+    day = F.expr("CAST(unix_seconds(ts) AS BIGINT) DIV 86400")
+    daily = events.select(day.alias("day_num")).groupBy("day_num").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    bounds = daily.agg(
+        F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return events.sparkSession.createDataFrame(
+            [],
+            "day_num long, n_left long, n_right long, mean_left_micro long,"
+            " mean_right_micro long, gap_micro long, is_best long",
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    grid = events.sparkSession.range(lo, hi + 1).select(
+        F.col("id").alias("day_num")
+    )
+    dense = grid.join(daily, "day_num", "left").select(
+        "day_num", F.coalesce("_c", F.lit(0)).alias("_c")
+    )
+    wcum = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = dense.agg(
+        F.sum("_c").alias("_ts"), F.count(F.lit(1)).alias("_td")
+    )
+    scan = (
+        dense.select(
+            "day_num",
+            F.sum("_c").over(wcum).alias("_sl"),
+            F.row_number().over(Window.orderBy("day_num")).alias("_nl"),
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_nl") < F.col("_td"))  # a split needs a right side
+        .select(
+            "day_num",
+            F.col("_nl").cast("long").alias("n_left"),
+            (F.col("_td") - F.col("_nl")).cast("long").alias("n_right"),
+            F.expr("(_sl * 1000000) DIV _nl").cast("long").alias(
+                "mean_left_micro"
+            ),
+            F.expr("((_ts - _sl) * 1000000) DIV (_td - _nl)")
+            .cast("long")
+            .alias("mean_right_micro"),
+        )
+        .withColumn(
+            "gap_micro",
+            F.abs(
+                F.col("mean_left_micro") - F.col("mean_right_micro")
+            ).cast("long"),
+        )
+    )
+    wbest = Window.orderBy(F.col("gap_micro").desc(), F.col("day_num").asc())
+    return (
+        scan.withColumn(
+            "is_best",
+            F.when(F.row_number().over(wbest) == 1, 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        .orderBy("day_num")
+    )
+
+
+def conversion_latency_quantiles(
+    events: DataFrame,
+    ps_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Exact view→purchase latency percentiles across converting users:
+    per user, the first view and the first purchase strictly after it
+    (full-microsecond comparison); then percentile_disc over the
+    per-user latencies — the "how long does conversion take" readout.
+
+    Scale shape: one user-keyed aggregate produces the latency set
+    (user-cardinality), then the ``price_quantiles`` two-phase
+    discipline: an hour-bucket histogram (bounded rows, the only
+    collect), rank→(bucket, local rank) mapping on the driver, and a
+    per-bucket window over ONLY the hit buckets — no global window at
+    any scale. percentile_disc (pick) semantics survive engine type
+    differences; rank ties break on user_id.
+    """
+    mic = F.unix_micros("ts")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", mic)
+            ).alias("_v"),
+        )
+        .join(
+            events.select("user_id", "event_type", mic.alias("_m")),
+            "user_id",
+        )
+        .groupBy("user_id", "_v")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("_m") > F.col("_v")),
+                    F.col("_m"),
+                )
+            ).alias("_p")
+        )
+        .filter(F.col("_v").isNotNull() & F.col("_p").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(_p - _v) DIV 1000000").cast("long").alias(
+                "latency_sec"
+            ),
+        )
+    )
+    bucketed = per_user.select(
+        F.expr(f"latency_sec DIV {int(bucket_sec)}").alias("bucket"),
+        "latency_sec",
+        "user_id",
+    )
+    hist = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+        .collect()  # bounded: latency-range/bucket_sec rows
+    )
+    spark = events.sparkSession
+    out_schema = "p_ppm long, latency_sec long"
+    n = sum(r["cnt"] for r in hist)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    targets = []  # (bucket, local_rank, p_ppm)
+    for p in ps_ppm:
+        r = min(max(-(-(p * n) // 1_000_000), 1), n)  # ceil(p·n/1e6)
+        cum = 0
+        for row in hist:
+            if cum + row["cnt"] >= r:
+                targets.append((row["bucket"], int(r - cum), int(p)))
+                break
+            cum += row["cnt"]
+    tdf = spark.createDataFrame(
+        targets, "bucket long, local_rank long, p_ppm long"
+    )
+    hit = sorted({t[0] for t in targets})
+    w = Window.partitionBy("bucket").orderBy("latency_sec", "user_id")
+    ranked = bucketed.filter(F.col("bucket").isin(hit)).withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(
+            F.broadcast(tdf),
+            (ranked["bucket"] == tdf["bucket"])
+            & (ranked["rn"] == tdf["local_rank"]),
+        )
+        .select("p_ppm", "latency_sec")
+        .orderBy("p_ppm")
+    )

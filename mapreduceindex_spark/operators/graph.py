@@ -172,3 +172,51 @@ ORDER BY r DESC, token ASC
 LIMIT {top_k}
 """
     )
+
+
+def copurchase_clusters(
+    lineitem: DataFrame, part: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """Connected components of the part co-purchase graph: parts joined
+    by an edge when they appear together in at least ``min_support``
+    orders — the substitutable/bundled product families that drive
+    assortment and recommendation grouping. Every part maps to the
+    minimum partkey reachable through qualifying edges (singletons map
+    to themselves), the same component contract as
+    ``near_dup_clusters``.
+
+    Scale shape: the edge list is ``copurchase_pairs``' within-order
+    self-join (C(lines,2) fanout per order, support-filtered to the
+    interesting edges), then the shared two-tier
+    ``dedup.resolve_components`` — bounded driver union-find under the
+    edge budget, distributed min-label propagation above. Output:
+    |part| rows, BIGINT.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_spark.operators.dedup import resolve_components
+
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("doc_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("doc_b")
+    )
+    edges = (
+        a.join(b, "_o")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_support)
+        .select("doc_a", "doc_b")
+    )
+    nodes = part.select(F.col("p_partkey").cast("long").alias("doc_id"))
+    return (
+        resolve_components(edges, nodes)
+        .select(
+            F.col("doc_id").cast("long").alias("p_partkey"),
+            F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -1939,3 +1939,17 @@ def shipping_sla_report(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def repeat_buyers_intersect(
+    orders: DataFrame, year_a: int = 1995, year_b: int = 1996
+) -> DataFrame:
+    """Customers who ordered in BOTH years — INTERSECT (the one set
+    operation the registry didn't exercise; EXCEPT lives in
+    ``big_spenders_minus_mid``). Distinct-set semantics on both
+    engines; each year side is a filtered projection, the intersect is
+    one distinct-aggregate join. Output: custkeys, ordered.
+    """
+    a = orders.filter(F.year("o_orderdate") == year_a).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == year_b).select("o_custkey")
+    return a.intersect(b).orderBy("o_custkey")

@@ -103,6 +103,9 @@ NAMES = [
     "cumulative_unique_users",
     "shipping_sla_report",
     "embedding_power_iteration",
+    "copurchase_clusters",
+    "changepoint_scan",
+    "conversion_latency_quantiles",
 ]
 
 

@@ -106,6 +106,10 @@ EMPTY_SAFE = [
     "cumulative_unique_users",
     "shipping_sla_report",
     "embedding_power_iteration",
+    "copurchase_clusters",
+    "changepoint_scan",
+    "conversion_latency_quantiles",
+    "repeat_buyers_intersect",
 ]
 
 

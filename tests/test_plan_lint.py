@@ -161,6 +161,7 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "spend_gini",  # rank over the per-customer (dim) agg
         "token_zipf_fit",  # rank over the vocabulary agg
         "cumulative_unique_users",  # cumsum over the active-day frame
+        "changepoint_scan",  # cumsum/ranks over the dense day grid
     }
     bad = {}
     for name, fn in entrymod.queries().items():

@@ -401,3 +401,102 @@ def test_power_iteration_rejects_ragged_dims_across_partitions(spark):
     ).repartition(1)
     with _pytest.raises(Exception, match="ragged"):
         embedding_power_iteration(a.union(b)).collect()
+
+
+def test_copurchase_clusters_support_filter(spark):
+    """Parts 1-2 co-occur in two orders (edge); 2-3 only once (no edge
+    at min_support=2): {1,2} cluster to min-id 1, parts 3 and 4 stay
+    singletons."""
+    from mapreduceindex_spark.operators.graph import copurchase_clusters
+
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 2), (3, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(i, "p", "B", "T", 1, 1.0) for i in (1, 2, 3, 4)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    got = {
+        r.p_partkey: r.cluster_rep
+        for r in copurchase_clusters(li, part).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_changepoint_scan_finds_level_shift(spark):
+    """Daily counts [1, 1, 5, 5]: the gap peaks at the split after day 1
+    (1e6 vs 5e6) and only that row is flagged."""
+    from mapreduceindex_spark.operators.events import changepoint_scan
+
+    rows = []
+    eid = 0
+    for day, n in [(0, 1), (1, 1), (2, 5), (3, 5)]:
+        for k in range(n):
+            eid += 1
+            rows.append(
+                (eid, f"1970-01-0{day + 1} 0{k}:00:00", 1, "view", 1.0)
+            )
+    ev = _events(spark, rows)
+    got = {
+        r.day_num: (
+            r.n_left, r.n_right, r.mean_left_micro, r.mean_right_micro,
+            r.gap_micro, r.is_best,
+        )
+        for r in changepoint_scan(ev).collect()
+    }
+    assert got == {
+        0: (1, 3, 1_000_000, 3_666_666, 2_666_666, 0),
+        1: (2, 2, 1_000_000, 5_000_000, 4_000_000, 1),
+        2: (3, 1, 2_333_333, 5_000_000, 2_666_667, 0),
+    }
+
+
+def test_conversion_latency_quantiles_nearest_rank(spark):
+    """Latencies 10/20/30/40 s over 4 converters: p50 = rank 2 = 20,
+    p90 = rank 4 = 40, p99 = rank 4 = 40; a purchase BEFORE the first
+    view never converts."""
+    from mapreduceindex_spark.operators.events import (
+        conversion_latency_quantiles,
+    )
+
+    rows = []
+    eid = 0
+    for u, lat in [(1, 10), (2, 20), (3, 30), (4, 40)]:
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", u, "view", 1.0))
+        eid += 1
+        rows.append(
+            (eid, f"2024-01-01 10:00:{lat:02d}", u, "purchase", 1.0)
+        )
+    rows += [
+        (98, "2024-01-01 09:00:00", 9, "purchase", 1.0),  # before the view
+        (99, "2024-01-01 10:00:00", 9, "view", 1.0),
+    ]
+    got = {
+        r.p_ppm: r.latency_sec
+        for r in conversion_latency_quantiles(_events(spark, rows)).collect()
+    }
+    assert got == {500_000: 20, 900_000: 40, 990_000: 40}
+
+
+def test_repeat_buyers_intersect_distinct_set(spark):
+    """Customer 1 ordered in both years (twice in one — still one output
+    row: distinct-set semantics); 2 only in year A; 3 only in year B."""
+    from mapreduceindex_spark.operators.relational import (
+        repeat_buyers_intersect,
+    )
+
+    orders = _orders(
+        spark,
+        [
+            (1, 1, "F", 1.0, "1995-03-01"),
+            (2, 1, "F", 1.0, "1996-02-01"),
+            (3, 1, "F", 1.0, "1996-07-01"),
+            (4, 2, "F", 1.0, "1995-01-01"),
+            (5, 3, "F", 1.0, "1996-01-01"),
+        ],
+    )
+    got = [r.o_custkey for r in repeat_buyers_intersect(orders).collect()]
+    assert got == [1]
