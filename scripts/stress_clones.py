@@ -223,6 +223,37 @@ def main():
     # adaptive pre-collapse must keep the self-join at unique-content
     # level, with the half-million-pair output the honest cost
     timed("containment_pairs_10x", lambda: D.containment_pairs(cloned))
+    # round-7 claims under stress:
+    # - repetition_profile is per-doc (two doc-keyed folds): 10× docs
+    #   must cost ~10× scan, no cross-doc blowup exists to trigger
+    # - copurchase_clusters dedups (order, part) FIRST: 10× duplicated
+    #   lineitem rows collapse before the self-join, so cost tracks
+    #   distinct baskets, and the component tier is edge-bounded
+    # - active_user_rollup's constant-offset emission rides the DEDUPED
+    #   (user, day) frame: 10× duplicate events collapse at the first
+    #   distinct, so the 38× amplification applies to the same frame
+    # - embedding_power_iteration's shuffle is d²-bounded per task:
+    #   10× embeddings is ~10× scan, the collect and iteration are
+    #   model-sized either way
+    timed("repetition_profile_10x", lambda: TX.repetition_profile(cloned))
+    timed(
+        "copurchase_clusters_10x",
+        lambda: G.copurchase_clusters(
+            li10, load_table(spark, "/root/testdata/sf0.1", "part")
+        ),
+    )
+    from mapreduceindex_spark.operators import events as EV
+
+    ev10 = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(clones - 1))).alias("_c")
+    ).drop("_c")
+    timed("active_user_rollup_10x", lambda: EV.active_user_rollup(ev10))
+    from mapreduceindex_spark.operators import clustering as CLU
+
+    timed(
+        "embedding_power_iteration_10x",
+        lambda: CLU.embedding_power_iteration(emb10),
+    )
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 
