@@ -89,6 +89,8 @@ _VERIFY_FIRST = [
     "changepoint_scan",
     "conversion_latency_quantiles",
     "repeat_buyers_intersect",
+    "yoy_nation_revenue",
+    "top_parts_dense_rank",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
     # block pushed past slot 50 by the round-6 additions (r06 sampled
     # slots 1-50 = the 44 r06-priority entries + bigram_lift,
@@ -404,6 +406,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "containment_pairs": lambda s, d: D.containment_pairs(
             _t(s, d, "documents")
+        ),
+        # round 7: YoY trend per nation — broadcast dim chain, one fact
+        # aggregate, LAG over the nation x year frame, sign-split ppm
+        "yoy_nation_revenue": lambda s, d: R.yoy_nation_revenue(
+            _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
+        ),
+        # round 7: with-ties top-k (DENSE_RANK) over the part dimension
+        "top_parts_dense_rank": lambda s, d: R.top_parts_dense_rank(
+            _t(s, d, "part")
         ),
         # round 7: co-purchase product families — support-filtered
         # within-order edges into the shared two-tier component resolver
@@ -3039,6 +3050,48 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    (((sum(u4)::BIGINT // 100) * 1000000)
                     // (max(total) // 100))::BIGINT AS share_ppm
             FROM classed GROUP BY abc_class
+        """,
+        "yoy_nation_revenue": """
+            WITH per AS (
+              SELECT n_name,
+                     CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                     sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         )::BIGINT AS revenue_cents
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name, order_year
+            ), lagged AS (
+              SELECT n_name, order_year, revenue_cents,
+                     lag(revenue_cents) OVER (PARTITION BY n_name
+                       ORDER BY order_year) AS prev_cents
+              FROM per
+            )
+            SELECT n_name, order_year, revenue_cents,
+                   prev_cents::BIGINT AS prev_cents,
+                   (CASE WHEN prev_cents IS NULL THEN NULL
+                    WHEN revenue_cents - prev_cents >= 0 THEN
+                      ((revenue_cents - prev_cents) * 1000000)
+                        // prev_cents
+                    ELSE -(((prev_cents - revenue_cents) * 1000000)
+                        // prev_cents) END)::BIGINT AS yoy_growth_ppm
+            FROM lagged ORDER BY n_name, order_year
+        """,
+        "top_parts_dense_rank": """
+            WITH r AS (
+              SELECT p_brand,
+                     CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents,
+                     p_partkey,
+                     dense_rank() OVER (PARTITION BY p_brand
+                       ORDER BY CAST(floor(p_retailprice * 100 + 0.5)
+                                AS BIGINT) DESC) AS price_rank
+              FROM part
+            )
+            SELECT p_brand, price_rank::BIGINT AS price_rank,
+                   price_cents, p_partkey
+            FROM r WHERE price_rank <= 3
+            ORDER BY p_brand, price_rank, p_partkey
         """,
         "copurchase_clusters": """
             -- support-filtered co-purchase edges, then the registry's

@@ -1953,3 +1953,81 @@ def repeat_buyers_intersect(
     a = orders.filter(F.year("o_orderdate") == year_a).select("o_custkey")
     b = orders.filter(F.year("o_orderdate") == year_b).select("o_custkey")
     return a.intersect(b).orderBy("o_custkey")
+
+
+def yoy_nation_revenue(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Year-over-year revenue growth per nation — the trend readout
+    every regional report leads with: per (nation, year), exact-cents
+    revenue, the prior year's, and growth in signed BIGINT ppm
+    (NULL for a nation's first year: no denominator exists).
+
+    Scale shape: one fact aggregate keyed (nationkey, year) after the
+    broadcast customer→nation dim chain (the fact table never shuffles
+    for dims), then LAG over the nation×year-cardinality frame —
+    dimension-bounded, partitioned by nation. Growth ppm is explicit
+    sign-split truncating division (flooring and truncating engines
+    agree) over exact cents.
+    """
+    j = (
+        orders.select(
+            "o_custkey",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.expr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("_c"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    per = j.groupBy("n_name", "order_year").agg(
+        F.sum("_c").cast("long").alias("revenue_cents")
+    )
+    w = Window.partitionBy("n_name").orderBy("order_year")
+    return (
+        per.withColumn("prev_cents", F.lag("revenue_cents").over(w))
+        .withColumn(
+            "yoy_growth_ppm",
+            F.expr(
+                "CASE WHEN prev_cents IS NULL THEN NULL "
+                "WHEN revenue_cents - prev_cents >= 0 THEN "
+                "((revenue_cents - prev_cents) * 1000000) DIV prev_cents "
+                "ELSE -(((prev_cents - revenue_cents) * 1000000)"
+                " DIV prev_cents) END"
+            ).cast("long"),
+        )
+        .select(
+            "n_name", "order_year", "revenue_cents",
+            F.col("prev_cents").cast("long").alias("prev_cents"),
+            "yoy_growth_ppm",
+        )
+        .orderBy("n_name", "order_year")
+    )
+
+
+def top_parts_dense_rank(part: DataFrame, k: int = 3) -> DataFrame:
+    """Per brand, every part in the top-``k`` DISTINCT retail prices —
+    DENSE_RANK semantics (price ties all survive, and a tie does not
+    consume extra rank slots), the with-ties top-k shape row_number
+    deliberately avoids elsewhere in the registry.
+
+    Scale shape: one window partitioned by brand over the part
+    DIMENSION table (never a fact scan); prices compare in exact
+    cents. Output keys: (brand, rank, price, partkey), fully ordered.
+    """
+    cents = F.expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)")
+    w = Window.partitionBy("p_brand").orderBy(F.col("price_cents").desc())
+    return (
+        part.select("p_brand", "p_partkey", cents.alias("price_cents"))
+        .withColumn("price_rank", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("price_rank") <= k)
+        .select("p_brand", "price_rank", "price_cents", "p_partkey")
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )

@@ -106,6 +106,8 @@ NAMES = [
     "copurchase_clusters",
     "changepoint_scan",
     "conversion_latency_quantiles",
+    "yoy_nation_revenue",
+    "top_parts_dense_rank",
 ]
 
 

@@ -110,6 +110,8 @@ EMPTY_SAFE = [
     "changepoint_scan",
     "conversion_latency_quantiles",
     "repeat_buyers_intersect",
+    "yoy_nation_revenue",
+    "top_parts_dense_rank",
 ]
 
 

@@ -500,3 +500,58 @@ def test_repeat_buyers_intersect_distinct_set(spark):
     )
     got = [r.o_custkey for r in repeat_buyers_intersect(orders).collect()]
     assert got == [1]
+
+
+def test_yoy_nation_revenue_signed_ppm_and_first_year_null(spark):
+    """Nation doubles revenue year 2 (+1e6 ppm), halves year 3
+    (-500000 ppm); the first year has NULL prev and NULL growth."""
+    from mapreduceindex_spark.operators.relational import yoy_nation_revenue
+
+    orders = _orders(
+        spark,
+        [
+            (1, 1, "F", 1.00, "1995-01-01"),
+            (2, 1, "F", 2.00, "1996-01-01"),
+            (3, 1, "F", 1.00, "1997-01-01"),
+        ],
+    )
+    customer = spark.createDataFrame(
+        [(1, "c", 7, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(7, "GERMANY", 1)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    got = {
+        r.order_year: (r.revenue_cents, r.prev_cents, r.yoy_growth_ppm)
+        for r in yoy_nation_revenue(orders, customer, nation).collect()
+    }
+    assert got == {
+        1995: (100, None, None),
+        1996: (200, 100, 1_000_000),
+        1997: (100, 200, -500_000),
+    }
+
+
+def test_top_parts_dense_rank_ties_share_rank(spark):
+    """Two parts tied at the top price both take rank 1 and the next
+    distinct price is rank 2 (dense: no gap), so rank<=2 keeps 3 parts
+    and drops the 4th price level."""
+    from mapreduceindex_spark.operators.relational import top_parts_dense_rank
+
+    part = spark.createDataFrame(
+        [
+            (1, "p", "B1", "T", 1, 9.99),
+            (2, "p", "B1", "T", 1, 9.99),   # tie at rank 1
+            (3, "p", "B1", "T", 1, 5.00),   # rank 2
+            (4, "p", "B1", "T", 1, 1.00),   # rank 3 — cut at k=2
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    got = [
+        (r.price_rank, r.p_partkey)
+        for r in top_parts_dense_rank(part, k=2).collect()
+    ]
+    assert got == [(1, 1), (1, 2), (2, 3)]
