@@ -83,3 +83,76 @@ def test_inverted_index_df_bounds(spark, batch):
         assert 1 <= r["df"] <= n_docs
         assert r["df"] == len(r["doc_ids"]) == len(set(r["doc_ids"]))
         assert all(1 <= d <= n_docs for d in r["doc_ids"])
+
+
+# ---------------------------------------------------------------------------
+# round 7: containment_pairs tier-equality property — whichever tier the
+# adaptive probe picks (hypothesis varies clone mass across examples, so
+# both fire), the output must equal the brute-force ordered-pair join
+# computed over the SAME unified df basis (df over unique contents,
+# max_shingle_df cap, containment = live-common / total-shingles).
+# ---------------------------------------------------------------------------
+
+_W4 = ["aa", "bb", "cc", "dd"]
+
+
+def _py_shingles(tokens, n=3):
+    if not tokens:
+        return set()
+    if len(tokens) <= n:
+        return {" ".join(tokens)}
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+def _py_containment(docs, n=3, thr_ppm=250_000, cap=2):
+    sh = {i: _py_shingles(t.split()) if t else set() for i, t in docs.items()}
+    df = {}
+    for text in {t for t in docs.values()}:
+        for s in _py_shingles(text.split() if text else []):
+            df[s] = df.get(s, 0) + 1
+    live = {s for s, c in df.items() if c <= cap}
+    out = {}
+    for a, sa in sh.items():
+        if not sa:
+            continue
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            common = len(sa & sb & live)
+            if common == 0:
+                continue
+            ppm = common * 1_000_000 // len(sa)
+            if ppm >= thr_ppm:
+                out[(a, b)] = (common, ppm)
+    return out
+
+
+@given(
+    base=st.lists(
+        st.lists(st.sampled_from(_W4), max_size=6), min_size=1, max_size=6
+    ),
+    clones=st.lists(st.integers(min_value=0, max_value=5), max_size=6),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_containment_pairs_matches_bruteforce_any_tier(spark, base, clones):
+    from mapreduceindex_spark.operators.dedup import containment_pairs
+
+    texts = [" ".join(t) for t in base]
+    for c in clones:
+        if c < len(base):
+            texts.append(" ".join(base[c]))
+    docs = {i + 1: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.containment_ppm)
+        for r in containment_pairs(
+            df, threshold_ppm=250_000, max_shingle_df=2
+        ).collect()
+    }
+    assert got == _py_containment(docs)
