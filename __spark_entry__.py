@@ -3120,8 +3120,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM reach GROUP BY doc_id ORDER BY p_partkey
         """,
         "changepoint_scan": """
-            -- dense literal-range day grid (uncorrelated bounds + filter,
-            -- the registry's LCD range pattern), integer micro means
+            -- dense day grid with data-dependent bounds
+            -- (unnest(range(...)), the registry's media-oracle shape —
+            -- no arbitrary span cap), integer micro means
             WITH daily AS (
               SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
                      count(*) AS c
@@ -3130,8 +3131,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               SELECT min(d) AS lo, max(d) AS hi FROM daily
             ), grid AS (
               SELECT b.lo + t.k AS day_num
-              FROM b, range(0, 100000) t(k)
-              WHERE t.k <= b.hi - b.lo
+              FROM b, unnest(range(0, b.hi - b.lo + 1)) AS t(k)
             ), dense AS (
               SELECT g.day_num, coalesce(d.c, 0) AS c
               FROM grid g LEFT JOIN daily d ON g.day_num = d.d

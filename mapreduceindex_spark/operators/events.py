@@ -1008,8 +1008,14 @@ def changepoint_scan(events: DataFrame) -> DataFrame:
     daily = events.select(day.alias("day_num")).groupBy("day_num").agg(
         F.count(F.lit(1)).alias("_c")
     )
+    # ONE probe collects bounds AND totals, embedded as literals — a
+    # derived total.agg crossJoined back would re-execute the daily
+    # aggregate + grid join once per plan branch (the documented
+    # zorder_layout re-derivation shape)
     bounds = daily.agg(
-        F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
+        F.min("day_num").alias("lo"),
+        F.max("day_num").alias("hi"),
+        F.sum("_c").alias("total"),
     ).collect()[0]
     if bounds["lo"] is None:
         return events.sparkSession.createDataFrame(
@@ -1018,6 +1024,7 @@ def changepoint_scan(events: DataFrame) -> DataFrame:
             " mean_right_micro long, gap_micro long, is_best long",
         )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    ts_lit, td_lit = int(bounds["total"]), hi - lo + 1
     grid = events.sparkSession.range(lo, hi + 1).select(
         F.col("id").alias("day_num")
     )
@@ -1027,16 +1034,14 @@ def changepoint_scan(events: DataFrame) -> DataFrame:
     wcum = Window.orderBy("day_num").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    total = dense.agg(
-        F.sum("_c").alias("_ts"), F.count(F.lit(1)).alias("_td")
-    )
     scan = (
         dense.select(
             "day_num",
             F.sum("_c").over(wcum).alias("_sl"),
             F.row_number().over(Window.orderBy("day_num")).alias("_nl"),
         )
-        .crossJoin(F.broadcast(total))
+        .withColumn("_ts", F.lit(ts_lit).cast("long"))
+        .withColumn("_td", F.lit(td_lit).cast("long"))
         .filter(F.col("_nl") < F.col("_td"))  # a split needs a right side
         .select(
             "day_num",
@@ -1116,45 +1121,33 @@ def conversion_latency_quantiles(
             ),
         )
     )
-    bucketed = per_user.select(
-        F.expr(f"latency_sec DIV {int(bucket_sec)}").alias("bucket"),
-        "latency_sec",
-        "user_id",
+    from mapreduceindex_spark.functions import caching
+    from mapreduceindex_spark.operators.sketches import nearest_rank_pick
+
+    caching.release("conversion_latency_quantiles")
+    # persisted: the lineage above (events self-join + two aggregates)
+    # is the operator's heaviest part, and the two-phase engine
+    # traverses it twice (histogram collect + the returned ranked plan)
+    bucketed = caching.track(
+        per_user.select(
+            F.expr(f"latency_sec DIV {int(bucket_sec)}").alias("bucket"),
+            "latency_sec",
+            "user_id",
+        ).persist(),
+        "conversion_latency_quantiles",
     )
-    hist = (
-        bucketed.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("bucket")
-        .collect()  # bounded: latency-range/bucket_sec rows
+
+    def rank_for(n):
+        return [
+            (int(p), min(max(-(-(p * n) // 1_000_000), 1), n))
+            for p in ps_ppm
+        ]
+
+    picked = nearest_rank_pick(
+        bucketed, "latency_sec", "user_id", rank_for, "p_ppm long"
     )
     spark = events.sparkSession
     out_schema = "p_ppm long, latency_sec long"
-    n = sum(r["cnt"] for r in hist)
-    if n == 0:
+    if picked is None:
         return spark.createDataFrame([], out_schema)
-    targets = []  # (bucket, local_rank, p_ppm)
-    for p in ps_ppm:
-        r = min(max(-(-(p * n) // 1_000_000), 1), n)  # ceil(p·n/1e6)
-        cum = 0
-        for row in hist:
-            if cum + row["cnt"] >= r:
-                targets.append((row["bucket"], int(r - cum), int(p)))
-                break
-            cum += row["cnt"]
-    tdf = spark.createDataFrame(
-        targets, "bucket long, local_rank long, p_ppm long"
-    )
-    hit = sorted({t[0] for t in targets})
-    w = Window.partitionBy("bucket").orderBy("latency_sec", "user_id")
-    ranked = bucketed.filter(F.col("bucket").isin(hit)).withColumn(
-        "rn", F.row_number().over(w).cast("long")
-    )
-    return (
-        ranked.join(
-            F.broadcast(tdf),
-            (ranked["bucket"] == tdf["bucket"])
-            & (ranked["rn"] == tdf["local_rank"]),
-        )
-        .select("p_ppm", "latency_sec")
-        .orderBy("p_ppm")
-    )
+    return picked.select("p_ppm", "latency_sec").orderBy("p_ppm")

@@ -192,8 +192,6 @@ def copurchase_clusters(
     edge budget, distributed min-label propagation above. Output:
     |part| rows, BIGINT.
     """
-    from pyspark.sql import functions as F
-
     from mapreduceindex_spark.operators.dedup import resolve_components
 
     op = lineitem.select("l_orderkey", "l_partkey").distinct()

@@ -117,6 +117,59 @@ def kmv_distinct_users(events: DataFrame, k: int = 32) -> DataFrame:
     )
 
 
+def nearest_rank_pick(bucketed, value_col, tiebreak_col, rank_for,
+                      label_schema):
+    """The shared two-phase percentile_disc engine (``price_quantiles``
+    and ``events.conversion_latency_quantiles``): collect the bounded
+    bucket histogram, map each caller-computed nearest rank to
+    (bucket, local rank) on the driver, then window ONLY the hit
+    buckets — no global window at any scale.
+
+    ``bucketed`` must carry (bucket, value_col, tiebreak_col);
+    ``rank_for(n)`` returns [(label, global_rank)] given the total
+    count; ``label_schema`` names/types the label column (e.g.
+    ``"p double"`` or ``"p_ppm long"``). Returns (label, value_col)
+    rows, or None when the input is empty. Callers whose ``bucketed``
+    lineage is expensive should persist it — the histogram collect and
+    the returned plan each traverse it once.
+    """
+    from pyspark.sql.window import Window as _W
+
+    hist = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+        .collect()  # bounded: value-range/bucket-width rows
+    )
+    n = sum(r["cnt"] for r in hist)
+    if n == 0:
+        return None
+    label_name = label_schema.split()[0]
+    targets = []  # (bucket, local_rank, label)
+    for label, r in rank_for(n):
+        cum = 0
+        for row in hist:
+            if cum + row["cnt"] >= r:
+                targets.append((row["bucket"], int(r - cum), label))
+                break
+            cum += row["cnt"]
+    spark = bucketed.sparkSession
+    tdf = spark.createDataFrame(
+        targets, f"bucket long, local_rank long, {label_schema}"
+    )
+    hit = sorted({t[0] for t in targets})
+    w = _W.partitionBy("bucket").orderBy(value_col, tiebreak_col)
+    ranked = bucketed.filter(F.col("bucket").isin(hit)).withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(
+        F.broadcast(tdf),
+        (ranked["bucket"] == tdf["bucket"])
+        & (ranked["rn"] == tdf["local_rank"]),
+    ).select(label_name, value_col)
+
+
+
 def price_quantiles(
     orders: DataFrame,
     ps: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
@@ -124,15 +177,8 @@ def price_quantiles(
 ) -> DataFrame:
     """Exact order-price percentiles (percentile_disc semantics: the value
     at 1-based rank ceil(p·n) under (price, orderkey) ascending order),
-    computed distributed in two passes.
-
-    Pass 1 aggregates a bucket histogram (floor(price/width) → count) —
-    output is bounded by the price range over the width (hundreds of
-    rows), the only thing collected to the driver. The cumulative scan
-    over it maps each target rank to (bucket, local_rank). Pass 2 windows
-    ONLY the hit buckets, partitioned by bucket — the per-bucket sort
-    touches ~1/width of the data and parallelizes across buckets. No
-    global single-partition window anywhere.
+    computed distributed in two passes via the shared
+    ``nearest_rank_pick`` engine (see its docstring for the plan shape).
 
     percentile_disc (pick, not interpolate) is chosen because picked
     values are engine-exact; interpolation arithmetic is too, but pick
@@ -143,43 +189,21 @@ def price_quantiles(
         "o_totalprice",
         "o_orderkey",
     )
-    hist = (
-        bucketed.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("bucket")
-        .collect()  # bounded: price-range/bucket_width rows (see docstring)
+
+    def rank_for(n):
+        return [
+            (float(p), min(max(int(math.ceil(p * n)), 1), n)) for p in ps
+        ]
+
+    picked = nearest_rank_pick(
+        bucketed, "o_totalprice", "o_orderkey", rank_for, "p double"
     )
-    n = sum(r["cnt"] for r in hist)
-    if n == 0:
-        spark = orders.sparkSession
-        return spark.createDataFrame([], "p double, value double")
-    targets = []  # (bucket, local_rank, p)
-    for p in ps:
-        r = min(max(int(math.ceil(p * n)), 1), n)
-        cum = 0
-        for row in hist:
-            if cum + row["cnt"] >= r:
-                targets.append((row["bucket"], r - cum, float(p)))
-                break
-            cum += row["cnt"]
     spark = orders.sparkSession
-    tdf = spark.createDataFrame(
-        targets, "bucket long, local_rank int, p double"
-    )
-    hit_buckets = sorted({t[0] for t in targets})
-    w = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
-    ranked = (
-        bucketed.filter(F.col("bucket").isin(hit_buckets))
-        .withColumn("rn", F.row_number().over(w))
-    )
-    return (
-        ranked.join(
-            F.broadcast(tdf),
-            (ranked["bucket"] == tdf["bucket"]) & (ranked["rn"] == tdf["local_rank"]),
-        )
-        .select("p", F.round("o_totalprice", 2).alias("value"))
-        .orderBy("p")
-    )
+    if picked is None:
+        return spark.createDataFrame([], "p double, value double")
+    return picked.select(
+        "p", F.round("o_totalprice", 2).alias("value")
+    ).orderBy("p")
 
 
 def bloom_prefilter_stats(
