@@ -91,6 +91,7 @@ _VERIFY_FIRST = [
     "repeat_buyers_intersect",
     "yoy_nation_revenue",
     "top_parts_dense_rank",
+    "streaming_benford",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
     # block pushed past slot 50 by the round-6 additions (r06 sampled
     # slots 1-50 = the 44 r06-priority entries + bigram_lift,
@@ -703,6 +704,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7: streaming twin of events_ohlc — stateful
         # min_by/max_by window aggregates, batch expressions verbatim
         "streaming_ohlc": lambda s, d: STREAM.streaming_ohlc(s, d),
+        # round 7: Benford screen online — 9-row complete-mode state,
+        # shared digit projection + batch-side report fold
+        "streaming_benford": lambda s, d: STREAM.streaming_benford(s, d),
         "streaming_hot_tokens": lambda s, d: STREAM.streaming_hot_tokens(
             s, d, k=20
         ),
@@ -5194,6 +5198,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
     # the streaming OHLC shares the batch operator's ground truth on the
     # bounded fixture (same quantization, same (ts, event_id) tiebreak)
     d["streaming_ohlc"] = d["events_ohlc"]
+    # the streaming Benford screen shares the batch oracle (same digit
+    # projection, same expectation literals, same ppm fold)
+    d["streaming_benford"] = d["benford_prices"]
     # curation_funnel composes three already-verified oracle queries as
     # subqueries (each parenthesized block carries its own WITH), so the
     # funnel's oracle is definitionally consistent with its parts

@@ -386,7 +386,16 @@ def benford_prices(orders: DataFrame) -> DataFrame:
     integer literals; observed ppm is integer cross-multiplication
     against the broadcast total. One fact scan, 9-row output, no window.
     """
-    digits = orders.select(
+    counts = benford_digits(orders).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return benford_report(counts)
+
+
+def benford_digits(orders: DataFrame) -> DataFrame:
+    """The |cents| leading-digit projection shared by the batch and
+    streaming Benford screens (batch expression verbatim on both)."""
+    return orders.select(
         F.substring(
             F.expr(
                 "CAST(abs(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
@@ -398,9 +407,13 @@ def benford_prices(orders: DataFrame) -> DataFrame:
         .cast("long")
         .alias("digit")
     ).filter(F.col("digit") >= 1)
-    counts = digits.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
-    )
+
+
+def benford_report(counts: DataFrame) -> DataFrame:
+    """Fold per-digit counts into the Benford readout (observed ppm vs
+    the shared integer expectation literals) — consumed by the batch
+    operator and, batch-side, by the streaming twin's materialized
+    complete-mode counts."""
     total = counts.agg(F.sum("n_orders").alias("_total"))
     expected = F.create_map(
         *[

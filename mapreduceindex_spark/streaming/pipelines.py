@@ -1021,3 +1021,33 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_close").cast("long").alias("close_u4"),
         F.col("_n").cast("long").alias("n_events"),
     ).orderBy("day_num", "event_type")
+
+
+def streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Benford first-digit screen maintained over a live orders
+    stream — fabricated-data monitoring at ingest time, the streaming
+    twin of ``profiling.benford_prices`` (same oracle): per-digit
+    counts run as ONE stateful complete-mode aggregate (9 state rows,
+    no watermark needed — digit counts are time-agnostic), and the
+    ppm-vs-expectation fold happens batch-side on the materialized
+    9-row readout via the shared ``benford_report``.
+    """
+    from mapreduceindex_spark.operators.profiling import (
+        benford_digits,
+        benford_report,
+    )
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    agg = benford_digits(stream).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    out = _run_to_table(agg, "complete")
+    return benford_report(out)

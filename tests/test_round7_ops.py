@@ -555,3 +555,22 @@ def test_top_parts_dense_rank_ties_share_rank(spark):
         for r in top_parts_dense_rank(part, k=2).collect()
     ]
     assert got == [(1, 1), (1, 2), (2, 3)]
+
+
+def test_streaming_benford_equals_batch(spark):
+    """The streaming twin must equal the batch benford_prices on the
+    bounded fixture (shared digit projection and report fold)."""
+    from tests.conftest import SF_SMALL
+    from mapreduceindex_spark.operators.profiling import benford_prices
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming.pipelines import streaming_benford
+
+    batch = sorted(
+        tuple(r)
+        for r in benford_prices(load_table(spark, SF_SMALL, "orders")).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in streaming_benford(spark, SF_SMALL).collect()
+    )
+    assert stream == batch
+    assert len(batch) > 0
