@@ -92,6 +92,7 @@ _VERIFY_FIRST = [
     "yoy_nation_revenue",
     "top_parts_dense_rank",
     "streaming_benford",
+    "weekday_seasonality",
     # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
     # block pushed past slot 50 by the round-6 additions (r06 sampled
     # slots 1-50 = the 44 r06-priority entries + bigram_lift,
@@ -416,6 +417,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 7: with-ties top-k (DENSE_RANK) over the part dimension
         "top_parts_dense_rank": lambda s, d: R.top_parts_dense_rank(
             _t(s, d, "part")
+        ),
+        # round 7: dow x hour seasonality heatmap — engine-proof
+        # epoch-modulo calendar arithmetic, <= 168 rows
+        "weekday_seasonality": lambda s, d: E.weekday_seasonality(
+            _t(s, d, "events")
         ),
         # round 7: co-purchase product families — support-filtered
         # within-order edges into the shared two-tier component resolver
@@ -3096,6 +3102,25 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    price_cents, p_partkey
             FROM r WHERE price_rank <= 3
             ORDER BY p_brand, price_rank, p_partkey
+        """,
+        "weekday_seasonality": """
+            -- dow from epoch-day modulo (0 = Monday; 1970-01-01 was a
+            -- Thursday) — never an engine's dayofweek, whose week
+            -- origin differs between Spark and DuckDB
+            WITH b AS (
+              SELECT ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 + 3) % 7)
+                       AS dow,
+                     ((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) // 3600)
+                       AS hour
+              FROM events
+            ), c AS (
+              SELECT dow, hour, count(*)::BIGINT AS n_events
+              FROM b GROUP BY dow, hour
+            )
+            SELECT dow::BIGINT AS dow, hour::BIGINT AS hour, n_events,
+                   ((n_events * 1000000)
+                    // (SELECT sum(n_events) FROM c))::BIGINT AS share_ppm
+            FROM c ORDER BY dow, hour
         """,
         "copurchase_clusters": """
             -- support-filtered co-purchase edges, then the registry's

@@ -1151,3 +1151,42 @@ def conversion_latency_quantiles(
     if picked is None:
         return spark.createDataFrame([], out_schema)
     return picked.select("p_ppm", "latency_sec").orderBy("p_ppm")
+
+
+def weekday_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with traffic share —
+    the seasonality profile behind capacity planning and anomaly
+    baselines ("is Tuesday 3am supposed to be this busy").
+
+    Engine-proof calendar arithmetic: day-of-week derives from epoch-day
+    modulo (``(epoch_day + 3) % 7``, 0 = Monday — 1970-01-01 was a
+    Thursday), never an engine's ``dayofweek`` whose week origin
+    differs between Spark (1 = Sunday) and DuckDB (0 = Sunday); the
+    hour is ``(epoch_sec % 86400) DIV 3600``. All non-negative integer
+    ops, identical on both engines. One fact aggregate, ≤ 168 output
+    rows, share in integer ppm against the broadcast total.
+    """
+    base = events.select(
+        F.expr(
+            "((CAST(unix_seconds(ts) AS BIGINT) DIV 86400) + 3) % 7"
+        ).alias("dow"),
+        F.expr(
+            "(CAST(unix_seconds(ts) AS BIGINT) % 86400) DIV 3600"
+        ).alias("hour"),
+    )
+    counts = base.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    total = counts.agg(F.sum("n_events").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hour").cast("long").alias("hour"),
+            "n_events",
+            F.expr("(n_events * 1000000) DIV _t").cast("long").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -108,6 +108,7 @@ NAMES = [
     "conversion_latency_quantiles",
     "yoy_nation_revenue",
     "top_parts_dense_rank",
+    "weekday_seasonality",
 ]
 
 

@@ -112,6 +112,7 @@ EMPTY_SAFE = [
     "repeat_buyers_intersect",
     "yoy_nation_revenue",
     "top_parts_dense_rank",
+    "weekday_seasonality",
 ]
 
 

@@ -574,3 +574,29 @@ def test_streaming_benford_equals_batch(spark):
     )
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_weekday_seasonality_epoch_modulo_dow(spark):
+    """1970-01-01 (a Thursday) maps to dow 3 under the 0=Monday
+    convention; 1970-01-05 is Monday (0); hours bucket by epoch
+    remainder; shares cross-multiply exactly."""
+    from mapreduceindex_spark.operators.events import weekday_seasonality
+
+    ev = _events(
+        spark,
+        [
+            (1, "1970-01-01 00:30:00", 1, "view", 1.0),  # Thu, hour 0
+            (2, "1970-01-01 23:59:59", 1, "view", 1.0),  # Thu, hour 23
+            (3, "1970-01-05 12:00:00", 1, "view", 1.0),  # Mon, hour 12
+            (4, "1970-01-05 12:30:00", 2, "view", 1.0),  # Mon, hour 12
+        ],
+    )
+    got = {
+        (r.dow, r.hour): (r.n_events, r.share_ppm)
+        for r in weekday_seasonality(ev).collect()
+    }
+    assert got == {
+        (3, 0): (1, 250_000),
+        (3, 23): (1, 250_000),
+        (0, 12): (2, 500_000),
+    }
