@@ -3108,9 +3108,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             -- Thursday) — never an engine's dayofweek, whose week
             -- origin differs between Spark and DuckDB
             WITH b AS (
-              SELECT ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 + 3) % 7)
+              SELECT (((((((CAST(FLOOR(epoch(ts)) AS BIGINT)) - ((((CAST(FLOOR(epoch(ts)) AS BIGINT)) % 86400) + 86400) % 86400)) // 86400) + 3) % 7) + 7) % 7)
                        AS dow,
-                     ((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) // 3600)
+                     (((((CAST(FLOOR(epoch(ts)) AS BIGINT)) % 86400) + 86400) % 86400) // 3600)
                        AS hour
               FROM events
             ), c AS (
@@ -3127,7 +3127,12 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             -- recursive-reachability component oracle (near_dup_clusters
             -- pattern) over the part universe
             WITH RECURSIVE op AS (
-              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              -- endpoints restricted to the part universe (the Spark
+              -- side's semi-join): FK-orphan l_partkeys may neither
+              -- appear as nodes nor become component labels
+              SELECT DISTINCT l.l_orderkey, l.l_partkey
+              FROM lineitem l
+              WHERE l.l_partkey IN (SELECT p_partkey FROM part)
             ), pairs AS (
               SELECT a.l_partkey AS doc_a, b.l_partkey AS doc_b
               FROM op a JOIN op b
@@ -3153,7 +3158,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             -- (unnest(range(...)), the registry's media-oracle shape —
             -- no arbitrary span cap), integer micro means
             WITH daily AS (
-              SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+              SELECT (((CAST(FLOOR(epoch(ts)) AS BIGINT)) - ((((CAST(FLOOR(epoch(ts)) AS BIGINT)) % 86400) + 86400) % 86400)) // 86400) AS d,
                      count(*) AS c
               FROM events GROUP BY d
             ), b AS (
@@ -3239,14 +3244,14 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             -- cumulative distinct = cumsum of first-seen counts
             WITH ud AS (
               SELECT user_id,
-                     min(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400)
+                     min((((CAST(FLOOR(epoch(ts)) AS BIGINT)) - ((((CAST(FLOOR(epoch(ts)) AS BIGINT)) % 86400) + 86400) % 86400)) // 86400))
                        AS day_num
               FROM events GROUP BY user_id
             ), nw AS (
               SELECT day_num, count(*)::BIGINT AS new_users
               FROM ud GROUP BY day_num
             ), days AS (
-              SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400
+              SELECT DISTINCT (((CAST(FLOOR(epoch(ts)) AS BIGINT)) - ((((CAST(FLOOR(epoch(ts)) AS BIGINT)) % 86400) + 86400) % 86400)) // 86400)
                      AS day_num
               FROM events
             )
@@ -3319,19 +3324,22 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             LIMIT 50
         """,
         "label_outliers": """
-            -- +1e6 offset keeps every component and centroid sum
-            -- non-negative so truncating and flooring integer division
-            -- agree; the offset cancels exactly in (x - c)
+            -- centroid is an explicitly FLOORED integer division
+            -- (exact.floor_div_sql twin) — valid for any component
+            -- sign, no offset, no assumed [-1, 1] range
             WITH dims AS (
               SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
             ), e AS (
               SELECT vec_id, CAST(label AS BIGINT) AS label, d.dim,
                      CAST(floor(CAST(embedding[CAST(d.dim + 1 AS INT)]
-                          AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
-                       + 1000000 AS xm
+                          AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xm
               FROM embeddings, dims d WHERE d.dim < len(embedding)
             ), cent AS (
-              SELECT label, dim, (sum(xm)::BIGINT // count(*)) AS c
+              SELECT label, dim,
+                     ((sum(xm)::BIGINT
+                       - ((((sum(xm)::BIGINT) % (count(*))) + (count(*)))
+                          % (count(*))))
+                      // (count(*))) AS c
               FROM e GROUP BY label, dim
             ), dist AS (
               SELECT e.vec_id, e.label,
@@ -3353,7 +3361,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             -- affects; phantom trailing days semi-joined away
             WITH ud AS (
               SELECT DISTINCT user_id,
-                     CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d
+                     (((CAST(FLOOR(epoch(ts)) AS BIGINT)) - ((((CAST(FLOOR(epoch(ts)) AS BIGINT)) % 86400) + 86400) % 86400)) // 86400) AS d
               FROM events
             ), em AS (
               SELECT user_id, d AS day_num, 'd' AS w FROM ud
@@ -3377,7 +3385,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             -- open/close via row_number on the (ts, event_id) total
             -- order — the window replay of Spark's min_by/max_by
             WITH b AS (
-              SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+              SELECT (((CAST(FLOOR(epoch(ts)) AS BIGINT)) - ((((CAST(FLOOR(epoch(ts)) AS BIGINT)) % 86400) + 86400) % 86400)) // 86400) AS day_num,
                      event_type, ts, event_id,
                      CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
               FROM events
@@ -3865,7 +3873,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "streaming_sessions": """
             WITH flagged AS (
               SELECT user_id, ts, event_id,
-                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                      THEN 1 ELSE 0 END AS new_session
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3886,10 +3894,13 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "streaming_session_funnel": """
             -- gap sessionizer (the proven streaming_sessions replay),
             -- then first-touch stage ordering at FULL microsecond
-            -- precision within each session
+            -- precision within each session. Split is strictly
+            -- > gap_sec — the registry-wide lag-sessionizer convention
+            -- (the Spark side widens session_window by 1 microsecond
+            -- to match)
             WITH flagged AS (
               SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS mic,
-                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                      THEN 1 ELSE 0 END AS new_session
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

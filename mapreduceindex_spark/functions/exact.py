@@ -119,3 +119,32 @@ def avg4(c: str) -> Column:
         f"CAST(CASE WHEN {s4} >= 0 THEN ({s4}*2 + {n}) DIV ({n}*2) "
         f"ELSE -(((-{s4})*2 + {n}) DIV ({n}*2)) END AS DOUBLE) / 10000.0"
     )
+
+
+def floor_mod_sql(x: str, n) -> str:
+    """Floored (always-non-negative) modulo as an SQL fragment valid in
+    BOTH engines.
+
+    Spark's ``%`` and this DuckDB build's ``%`` both carry the
+    dividend's sign (truncated semantics), so ``((x % n) + n) % n``
+    lands in ``[0, n)`` identically on both — the calendar-correct
+    modulo for negative epochs (pre-1970 timestamps), where a bare
+    ``x % n`` would be negative and a truncating day bucket would lump
+    epoch −1 into day 0.
+    """
+    return f"(((({x}) % ({n})) + ({n})) % ({n}))"
+
+
+def floor_div_sql(x: str, n, div: str = "DIV") -> str:
+    """Floored integer division as an SQL fragment; ``div`` is the
+    engine's integer-division operator (``DIV`` for Spark, ``//`` for
+    DuckDB — both truncate toward zero on their own).
+
+    Subtracting the floored modulo first makes the numerator exactly
+    divisible, so truncation and flooring coincide:
+    ``(x - floor_mod(x, n)) div n`` == floor(x / n) for any sign of x.
+    This is the epoch-day formula (n=86400) that stays calendar-correct
+    for pre-1970 timestamps. ``n`` may be an int literal or a POSITIVE
+    SQL expression (e.g. ``count(1)``); fragments parenthesize either.
+    """
+    return f"((({x}) - {floor_mod_sql(x, n)}) {div} ({n}))"

@@ -1308,9 +1308,12 @@ def containment_pairs(
     pairs fan out over members — clone members carry identical shingle
     sets, so the expansion equals the brute-force all-docs join. Both
     tiers share ONE df/cap basis: shingle df counts **unique contents**
-    (one vote per clone group, via the md5 group map), so a shingle's
-    live/capped status — and therefore every pair's ``n_common`` and
-    ppm — is identical whichever tier the adaptive probe picks. The
+    (one vote per clone group — the direct tier votes through the md5
+    group map; the collapsed tier's input is already one-per-content,
+    so its plain per-shingle count is the same basis with no extra
+    join), so a shingle's live/capped status — and therefore every
+    pair's ``n_common`` and ppm — is identical whichever tier the
+    adaptive probe picks. The
     core is the Jaccard direct tier's shape: the shared
     ``_shingle_hashes`` 16-byte front end, the ``max_shingle_df``
     hot-shingle cap (the oracle brute-forces uncapped — identical under
@@ -1331,19 +1334,32 @@ def containment_pairs(
         )
         # df over UNIQUE CONTENTS: clone copies of a document must not
         # inflate a shingle's df past the cap in one tier but not the
-        # other — both tiers route df through the clone-group map so
-        # the cap decision is tier-independent.
+        # other — both tiers count one vote per clone group, so the cap
+        # decision is tier-independent. In the COLLAPSED tier `docs`
+        # are already one-per-content representatives (each mapping to
+        # itself in rep_map), so a plain per-shingle count IS the
+        # unique-contents df — the rep_map join + distinct would be a
+        # no-op there and was the round-7 1.56× regression; only the
+        # direct tier (clones present in `docs`) routes df through the
+        # clone-group map.
         # persisted: the collapsed tier consumes this frame through BOTH
         # union branches (cross via the pair join, intra via live_sizes)
         # and union branches re-execute unpersisted shared subtrees
-        live = caching.track(
-            sh.join(
+        if rep_map is None:
+            df_votes = sh.groupBy("sh").agg(
+                F.count(F.lit(1)).alias("_df")
+            )
+        else:
+            df_votes = (
                 sh.join(rep_map, "doc_id")
                 .select("sh", "rep")
                 .distinct()
                 .groupBy("sh")
                 .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") <= max_shingle_df)
+            )
+        live = caching.track(
+            sh.join(
+                df_votes.filter(F.col("_df") <= max_shingle_df)
                 .select("sh"),
                 "sh",
                 "left_semi",
@@ -1405,7 +1421,7 @@ def containment_pairs(
     rep_docs = documents.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )
-    pairs, sizes, live_sizes = _core(rep_docs, rep_map)
+    pairs, sizes, live_sizes = _core(rep_docs, None)
     # intra-group: every ordered member pair shares the identical set —
     # n_common is the rep's LIVE (cap-surviving) shingle count and ppm
     # is live/total, exactly what the direct tier's hash-join would

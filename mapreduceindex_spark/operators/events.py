@@ -26,7 +26,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-from mapreduceindex_spark.functions.exact import avg4, sum_dec
+from mapreduceindex_spark.functions.exact import (
+    avg4,
+    floor_div_sql,
+    floor_mod_sql,
+    sum_dec,
+)
+
+#: Epoch seconds of the event timestamp as BIGINT (second truncation is
+#: the registry's ``unix_timestamp`` discipline).
+_EPOCH = "CAST(unix_seconds(ts) AS BIGINT)"
+
+
+def _epoch_day() -> F.Column:
+    """Calendar-correct epoch-day bucket: FLOORED division by 86400
+    (``functions.exact.floor_div_sql``), valid for pre-1970 (negative)
+    epochs where Spark's truncating ``DIV`` would lump epoch −1 into
+    day 0. The DuckDB oracles carry the same formula with ``//``."""
+    return F.expr(floor_div_sql(_EPOCH, 86400, "DIV"))
 
 
 def _sum_value4() -> F.Column:
@@ -92,16 +109,17 @@ def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     per-user sorted state. Mirrors ``F.session_window`` semantics
     (used by the streaming variant) for gap-delimited sessions.
 
-    Boundary convention (registry-wide note): the lag-based batch
-    sessionizers — this one, ``top_event_paths``,
-    ``events_markov_transitions``, and the streaming Markov replay —
-    keep an event at a gap of EXACTLY ``gap_sec`` in the same session
-    (split on ``> gap_sec``). The ``session_window``-based streaming
-    ops (``streaming_sessions``, ``streaming_session_funnel``) split at
-    exactly ``gap_sec``, because Spark's session window is the
-    half-open ``[t, t+gap)`` — an event landing exactly ``gap`` later
-    does not overlap. Each operator's oracle pins its own convention;
-    the off-by-one only differs on boundary-gap events.
+    Boundary convention (registry-wide note): EVERY sessionizer —
+    the lag-based batch ops (this one, ``top_event_paths``,
+    ``events_markov_transitions``, the streaming Markov replay) AND
+    the ``session_window``-based streaming ops
+    (``streaming_sessions``, ``streaming_session_funnel``) — keeps an
+    event at a gap of EXACTLY ``gap_sec`` in the same session (split
+    strictly on ``> gap_sec``). Spark's native session window is the
+    half-open ``[t, t+gap)``, so the streaming ops declare the window
+    ``gap_sec`` + 1 µs wide to land on the same convention; the
+    boundary-gap fixture test runs one fixture through both
+    sessionizers and asserts identical membership.
     """
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.select(
@@ -870,7 +888,7 @@ def active_user_rollup(events: DataFrame) -> DataFrame:
     active day) are semi-joined away against the observed-day set.
     Output: one row per active day, BIGINT.
     """
-    day = F.expr("CAST(unix_seconds(ts) AS BIGINT) DIV 86400")
+    day = _epoch_day()
     ud = events.select(
         "user_id", day.alias("_day")
     ).distinct()
@@ -931,9 +949,7 @@ def events_ohlc(events: DataFrame) -> DataFrame:
     """
     v4 = F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
     base = events.select(
-        F.expr("CAST(unix_seconds(ts) AS BIGINT) DIV 86400").alias(
-            "day_num"
-        ),
+        _epoch_day().alias("day_num"),
         "event_type",
         v4.alias("_v4"),
         F.struct("ts", "event_id").alias("_ord"),
@@ -964,7 +980,7 @@ def cumulative_unique_users(events: DataFrame) -> DataFrame:
     with activity but no new users still report (cum flat). Output:
     one BIGINT row per active day.
     """
-    day = F.expr("CAST(unix_seconds(ts) AS BIGINT) DIV 86400")
+    day = _epoch_day()
     first_seen = (
         events.select("user_id", day.alias("_day"))
         .groupBy("user_id")
@@ -1004,7 +1020,7 @@ def changepoint_scan(events: DataFrame) -> DataFrame:
     day-cardinality frame (documented bounded-frame exception, lint
     allowlisted). Output: one BIGINT row per split candidate.
     """
-    day = F.expr("CAST(unix_seconds(ts) AS BIGINT) DIV 86400")
+    day = _epoch_day()
     daily = events.select(day.alias("day_num")).groupBy("day_num").agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -1159,20 +1175,22 @@ def weekday_seasonality(events: DataFrame) -> DataFrame:
     baselines ("is Tuesday 3am supposed to be this busy").
 
     Engine-proof calendar arithmetic: day-of-week derives from epoch-day
-    modulo (``(epoch_day + 3) % 7``, 0 = Monday — 1970-01-01 was a
-    Thursday), never an engine's ``dayofweek`` whose week origin
+    modulo (``floor_mod(epoch_day + 3, 7)``, 0 = Monday — 1970-01-01 was
+    a Thursday), never an engine's ``dayofweek`` whose week origin
     differs between Spark (1 = Sunday) and DuckDB (0 = Sunday); the
-    hour is ``(epoch_sec % 86400) DIV 3600``. All non-negative integer
-    ops, identical on both engines. One fact aggregate, ≤ 168 output
-    rows, share in integer ppm against the broadcast total.
+    hour is ``floor_mod(epoch_sec, 86400) DIV 3600``. Both the epoch-day
+    and the modulos are FLOORED (``functions.exact.floor_div_sql`` /
+    ``floor_mod_sql``), so pre-1970 (negative-epoch) timestamps land on
+    their true calendar day/dow/hour — a truncating ``DIV``/``%`` would
+    put 1969-12-31 23:59:59 in Thursday hour 0 instead of Wednesday
+    hour 23. Identical formula text on both engines. One fact
+    aggregate, ≤ 168 output rows, share in integer ppm against the
+    broadcast total.
     """
+    ed = floor_div_sql(_EPOCH, 86400, "DIV")
     base = events.select(
-        F.expr(
-            "((CAST(unix_seconds(ts) AS BIGINT) DIV 86400) + 3) % 7"
-        ).alias("dow"),
-        F.expr(
-            "(CAST(unix_seconds(ts) AS BIGINT) % 86400) DIV 3600"
-        ).alias("hour"),
+        F.expr(floor_mod_sql(f"({ed}) + 3", 7)).alias("dow"),
+        F.expr(f"{floor_mod_sql(_EPOCH, 86400)} DIV 3600").alias("hour"),
     )
     counts = base.groupBy("dow", "hour").agg(
         F.count(F.lit(1)).cast("long").alias("n_events")

@@ -194,7 +194,21 @@ def copurchase_clusters(
     """
     from mapreduceindex_spark.operators.dedup import resolve_components
 
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # Restrict edge endpoints to the part universe up front (broadcast
+    # semi-join): on dirty data an FK-orphan l_partkey would otherwise
+    # create edges to nodes outside the output domain — and could even
+    # become a component's min label — diverging from the part-seeded
+    # oracle. Orphans are fk_integrity_audit's job to report, not ours
+    # to cluster.
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .join(
+            part.select(F.col("p_partkey").alias("l_partkey")),
+            "l_partkey",
+            "left_semi",
+        )
+    )
     a = op.select(
         F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("doc_a")
     )

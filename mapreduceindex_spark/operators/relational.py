@@ -175,7 +175,7 @@ def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def _reaggregate_grouping_sets(detail, sets, project) -> DataFrame:
+def _reaggregate_grouping_sets(detail, sets, project, key) -> DataFrame:
     """The Expand-free grouping-sets engine (shared by
     ``revenue_rollup``/``revenue_cube`` and ``orders_cube``).
 
@@ -191,7 +191,13 @@ def _reaggregate_grouping_sets(detail, sets, project) -> DataFrame:
     of an Expand×N pipeline; output is bit-identical (exact decimal /
     integer aggregation is reorder-proof).
     """
-    detail = detail.persist()
+    from mapreduceindex_spark.functions import caching
+
+    # Tracked persist (released at the owning operator's next call):
+    # repeated rollup/cube invocations in one session hold at most one
+    # live cache per operator instead of accumulating.
+    caching.release(key)
+    detail = caching.track(detail.persist(), key)
     detail.count()  # materialize once; branches below reuse the cache
     branches = []
     for keys, tag in sets:
@@ -204,7 +210,7 @@ def _reaggregate_grouping_sets(detail, sets, project) -> DataFrame:
 
 
 def _grouping_sets_from_base(
-    lineitem: DataFrame, sets: tuple[tuple[str, ...], ...]
+    lineitem: DataFrame, sets: tuple[tuple[str, ...], ...], key: str
 ) -> DataFrame:
     """Lineitem (returnflag × linestatus) grouping sets over the shared
     Expand-free engine — see ``_reaggregate_grouping_sets``."""
@@ -226,7 +232,7 @@ def _grouping_sets_from_base(
         )
 
     return _reaggregate_grouping_sets(
-        base, [(k, None) for k in sets], project
+        base, [(k, None) for k in sets], project, key
     ).orderBy("l_returnflag", "l_linestatus")
 
 
@@ -243,6 +249,7 @@ def revenue_rollup(lineitem: DataFrame) -> DataFrame:
             ("l_returnflag",),
             (),
         ),
+        "revenue_rollup",
     )
 
 
@@ -508,6 +515,7 @@ def revenue_cube(lineitem: DataFrame) -> DataFrame:
             ("l_linestatus",),
             (),
         ),
+        "revenue_cube",
     )
 
 
@@ -1823,6 +1831,7 @@ def orders_cube(orders: DataFrame) -> DataFrame:
             ((), 3),
         ),
         project,
+        "orders_cube",
     ).orderBy("grp_id", "order_year", "o_orderstatus")
 
 
@@ -1968,7 +1977,11 @@ def yoy_nation_revenue(
     for dims), then LAG over the nation×year-cardinality frame —
     dimension-bounded, partitioned by nation. Growth ppm is explicit
     sign-split truncating division (flooring and truncating engines
-    agree) over exact cents.
+    agree) over exact cents. The ×1e6 fold is overflow-GUARDED: a
+    per-(nation, year) |Δrevenue| beyond ⌊(2^63−1)/1e6⌋ cents would
+    wrap silently in BIGINT on Spark while the DuckDB oracle widens to
+    HUGEINT — so the plan raises loudly instead of diverging silently
+    (the ``merge_upsert`` raise_error discipline).
     """
     j = (
         orders.select(
@@ -1997,6 +2010,11 @@ def yoy_nation_revenue(
             "yoy_growth_ppm",
             F.expr(
                 "CASE WHEN prev_cents IS NULL THEN NULL "
+                # 9223372036854 = (2^63 - 1) DIV 1e6: the largest |diff|
+                # whose ppm fold stays inside BIGINT
+                "WHEN abs(revenue_cents - prev_cents) > 9223372036854 "
+                "THEN raise_error('yoy_nation_revenue: |revenue delta| "
+                "overflows the BIGINT ppm fold') "
                 "WHEN revenue_cents - prev_cents >= 0 THEN "
                 "((revenue_cents - prev_cents) * 1000000) DIV prev_cents "
                 "ELSE -(((prev_cents - revenue_cents) * 1000000)"

@@ -1017,12 +1017,14 @@ def label_outliers(embeddings: DataFrame, top_k: int = 3) -> DataFrame:
     (squared euclidean) from their label's centroid — the mislabeled /
     out-of-distribution candidates a curation pass reviews first.
 
-    Exactness: components quantize to 1e-6 BIGINT units with a
-    +1e6 offset so every value — and therefore every centroid sum — is
-    NON-NEGATIVE, making integer division identical under truncating
-    and flooring engines (the offset cancels exactly in x − c: adding
-    K to all members shifts the floored centroid by exactly K).
-    Squared distance stays in BIGINT (≤ ~4e12 per dim × 64 dims).
+    Exactness: components quantize to 1e-6 BIGINT units; the centroid
+    is an explicitly FLOORED integer division
+    (``functions.exact.floor_div_sql`` — identical formula text on both
+    engines, valid for ANY component sign, with no assumed [-1, 1]
+    range). Floored division makes the centroid translation-equivariant
+    (shifting all members by K shifts it by exactly K), so the distance
+    x − c is offset-free by construction. Squared distance stays in
+    BIGINT (≤ ~4e12 per dim × 64 dims).
 
     Scale shape: centroids are a (label × dim)-bounded aggregate
     broadcast back onto a second pass of the exploded scan (re-scan
@@ -1042,11 +1044,12 @@ def label_outliers(embeddings: DataFrame, top_k: int = 3) -> DataFrame:
         "dim",
         F.expr(
             "CAST(floor(CAST(_x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
-            " + 1000000"
         ).alias("_xm"),
     )
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
     cent = ex.groupBy("label", "dim").agg(
-        F.expr("sum(_xm) DIV count(1)").alias("_c")
+        F.expr(floor_div_sql("sum(_xm)", "count(1)", "DIV")).alias("_c")
     )
     dist = (
         ex.join(F.broadcast(cent), ["label", "dim"])

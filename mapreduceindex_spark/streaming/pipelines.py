@@ -243,12 +243,20 @@ def streaming_session_counts(
 
     Returns per (user_id, session) event counts + duration. Session
     identity is positional (rank of session start per user) so the result
-    is comparable with the batch lag/cumsum sessionizer.
+    is comparable with the batch lag/cumsum sessionizer — including at
+    the boundary: the window is declared ``gap_sec`` + 1 µs wide so the
+    split is strictly ``> gap_sec`` (an exact-gap event stays
+    in-session), the registry-wide lag-sessionizer convention.
     """
     events = _stream_events(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", f"{gap_sec} seconds").alias("w"), "user_id")
+        .groupBy(
+            F.session_window(
+                "ts", f"{gap_sec} seconds 1 microsecond"
+            ).alias("w"),
+            "user_id",
+        )
         .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("_last"))
     )
     out = _run_to_table(agg, "complete")
@@ -801,11 +809,15 @@ def streaming_session_funnel(
     gap-based user session, did the user view → click → purchase in that
     order? Reports sessions reaching each stage — the conversion readout
     per visit, where the batch ``funnel_conversion`` reports it per user
-    lifetime. Boundary convention: ``session_window`` splits at a gap of
-    EXACTLY ``gap_sec`` (half-open ``[t, t+gap)`` windows), where the
-    lag-based sessionizers (``sessionize``, the Markov ops) keep an
-    exact-gap event in-session — see ``sessionize``'s registry-wide
-    note; this oracle pins the ``>= gap_sec`` split.
+    lifetime. Boundary convention: ``gap_sec`` means the SAME thing
+    here as in every lag-based sessionizer (``sessionize``, the Markov
+    ops, ``top_event_paths``): an event at EXACTLY ``gap_sec`` after
+    its predecessor stays in-session; the split is strictly
+    ``> gap_sec``. ``session_window`` natively splits at ``>= gap``
+    (half-open windows), so the window is declared one microsecond —
+    the engine's full event-time resolution — wider, making the two
+    sessionizers membership-identical (pinned by the boundary-gap
+    fixture test that runs one fixture through both).
 
     Streaming shape: the stateful step is one ``session_window``
     aggregate whose state PER SESSION is the session's per-stage
@@ -830,7 +842,11 @@ def streaming_session_funnel(
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(
-            F.session_window("ts", f"{gap_sec} seconds").alias("w"),
+            # gap_sec + 1 µs: session_window splits at >= gap, the
+            # registry convention splits at > gap_sec — see docstring
+            F.session_window(
+                "ts", f"{gap_sec} seconds 1 microsecond"
+            ).alias("w"),
             "user_id",
         )
         .agg(

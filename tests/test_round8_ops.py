@@ -1,0 +1,158 @@
+"""Round-8 semantics tests: the unified gap_sec boundary convention,
+the ADVICE floor-division calendar fixes, and the containment df-basis
+equivalence across tiers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def _write_events_fixture(tmp_path, rows):
+    """Write a single-file events.parquet matching the driver fixture's
+    schema (TIMESTAMP-µs ts), readable by both the batch loader and the
+    file-stream source."""
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_gap_boundary_convention_unified(spark, tmp_path):
+    """An event at EXACTLY gap_sec after its predecessor stays
+    in-session in BOTH the lag-based batch sessionizer and the
+    session_window-based streaming ops (split strictly > gap_sec).
+
+    Fixture: view @10:00, click @10:30:00 (gap == 1800 s — the
+    boundary), purchase @10:40, then view @12:00 (gap 4800 s — splits).
+    Under the unified convention the first session holds all three
+    funnel stages; under session_window's native >= split the click
+    would start a view-less session and the funnel would report
+    click = purchase = 0 — so this fixture discriminates the two.
+    """
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 7, "view"),
+        (2, t0 + dt.timedelta(seconds=1800), 7, "click"),
+        (3, t0 + dt.timedelta(seconds=2400), 7, "purchase"),
+        (4, t0 + dt.timedelta(seconds=7200), 7, "view"),
+    ]
+    sf_dir = _write_events_fixture(tmp_path, rows)
+
+    # batch lag-based sessionizer: membership {1,2,3} + {4}
+    from mapreduceindex_spark.operators.events import sessionize
+    from mapreduceindex_spark.session import load_table
+
+    batch = sessionize(load_table(spark, sf_dir, "events"))
+    by_sid = {
+        r["session_id"]: r["n_events"]
+        for r in batch.collect()
+    }
+    assert by_sid == {0: 3, 1: 1}
+
+    # streaming session_window sessionizer: identical membership
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_session_counts,
+        streaming_session_funnel,
+    )
+
+    ss = streaming_session_counts(spark, sf_dir).collect()
+    assert [(r["n_events"], r["duration_sec"]) for r in ss] == [
+        (3, 2400),
+        (1, 0),
+    ]
+
+    funnel = {
+        r["stage"]: r["n_sessions"]
+        for r in streaming_session_funnel(spark, sf_dir).collect()
+    }
+    # session 1 reaches all three stages in order; session 2 only views
+    assert funnel == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_epoch_day_floor_semantics_pre_1970(spark):
+    """The floored epoch-day/dow/hour formulas put 1969-12-31 23:59:59
+    (epoch −1) on its true calendar coordinates — Wednesday (dow 2),
+    hour 23, day −1 — where truncating DIV/% would claim Thursday
+    hour 0 day 0."""
+    from mapreduceindex_spark.operators.events import (
+        events_ohlc,
+        weekday_seasonality,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(1969, 12, 31, 23, 59, 59), 1, "view", 2.0, "{}"),
+            (2, dt.datetime(1970, 1, 1, 0, 0, 1), 1, "view", 3.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    heat = {
+        (r["dow"], r["hour"]): r["n_events"]
+        for r in weekday_seasonality(events).collect()
+    }
+    assert heat == {(2, 23): 1, (3, 0): 1}
+
+    days = [r["day_num"] for r in events_ohlc(events).collect()]
+    assert days == [-1, 0]
+
+
+def test_label_outliers_handles_components_below_minus_one(spark):
+    """The floored-centroid formula needs no [-1, 1] component range:
+    a vector with a −2.5 component still yields an exact integer
+    centroid and non-negative squared distances."""
+    from mapreduceindex_spark.operators.similarity import label_outliers
+
+    emb = spark.createDataFrame(
+        [
+            (1, [-2.5, 0.0], 0),
+            (2, [0.5, 0.0], 0),
+            (3, [0.5, 1.0], 0),
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = label_outliers(emb, top_k=3).collect()
+    # centroid = (floor(-1500000/3), floor(1000000/3)) = (-500000, 333333)
+    # v1: 2000000^2 + 333333^2; v2: 1000000^2 + 333333^2;
+    # v3: 1000000^2 + 666667^2
+    d = {r["vec_id"]: r["dist2_u"] for r in out}
+    assert d[1] == 4_000_000_000_000 + 111_110_888_889
+    assert d[2] == 1_000_000_000_000 + 111_110_888_889
+    assert d[3] == 1_000_000_000_000 + 444_444_888_889
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+
+
+def test_copurchase_clusters_ignores_orphan_partkeys(spark):
+    """FK-orphan l_partkeys (lineitem keys absent from part) neither
+    appear as nodes nor become component labels — dirty data is
+    fk_integrity_audit's job to report, not this operator's to
+    cluster."""
+    from mapreduceindex_spark.operators.graph import copurchase_clusters
+
+    lineitem = spark.createDataFrame(
+        # orders 1 & 2 pair part 10 with ORPHAN part 5 (min_support=2);
+        # orders 3 & 4 pair parts 10 and 20
+        [(1, 10), (1, 5), (2, 10), (2, 5), (3, 10), (3, 20), (4, 10), (4, 20)],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame([(10,), (20,)], "p_partkey long")
+    out = {
+        r["p_partkey"]: r["cluster_rep"]
+        for r in copurchase_clusters(lineitem, part).collect()
+    }
+    # orphan 5 gone; 10-20 cluster under rep 10 (not orphan-min 5)
+    assert out == {10: 10, 20: 10}
