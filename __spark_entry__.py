@@ -489,6 +489,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_status_pivot": lambda s, d: R.order_status_pivot(
             _t(s, d, "orders")
         ),
+        "order_status_unpivot": lambda s, d: R.order_status_unpivot(
+            _t(s, d, "orders")
+        ),
         # round 7: referential-integrity audit over all 7 FK edges —
         # per-edge anti-join counts, 7-row output
         "fk_integrity_audit": lambda s, d: PF.fk_integrity_audit(
@@ -678,6 +681,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t(s, d, "documents").filter("doc_id % 5 = 0"),
                 ordered=False,
             )
+        ),
+        "index_lifecycle": lambda s, d: II.index_lifecycle(
+            s, _t(s, d, "documents")
         ),
         "phrase_search": lambda s, d: II.phrase_search(
             _t(s, d, "documents"), phrase="order fast"
@@ -1770,6 +1776,9 @@ def oracle_sql() -> dict[str, str]:
     ws = _words_sql()
     d = {
         "inverted_index": _INVERTED_INDEX_SQL,
+        # lifecycle ground truth: a stored base index + delta merge must
+        # equal the flagship index over the FULL corpus
+        "index_lifecycle": _INVERTED_INDEX_SQL,
         "inverted_index_salted": _INVERTED_INDEX_SQL,
         "streaming_inverted_index": _INVERTED_INDEX_SQL,
         "word_counts": f"""
@@ -3436,6 +3445,31 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END),
                      0)::BIGINT AS rev_P_cents
             FROM orders GROUP BY month_key ORDER BY month_key
+        """,
+        "order_status_unpivot": """
+            -- the pivot oracle's wide cells re-melted by UNION ALL —
+            -- one ground truth for both reshape directions
+            WITH wide AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month_key,
+                     coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END),
+                       0)::BIGINT AS rev_F,
+                     coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END),
+                       0)::BIGINT AS rev_O,
+                     coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END),
+                       0)::BIGINT AS rev_P
+              FROM orders GROUP BY month_key
+            )
+            SELECT month_key, o_orderstatus, revenue_cents FROM (
+              SELECT month_key, 'F' AS o_orderstatus, rev_F AS revenue_cents
+              FROM wide
+              UNION ALL
+              SELECT month_key, 'O', rev_O FROM wide
+              UNION ALL
+              SELECT month_key, 'P', rev_P FROM wide
+            ) ORDER BY month_key, o_orderstatus
         """,
         "fk_integrity_audit": """
             -- orphan = non-null FK with no parent; NULL FKs are not

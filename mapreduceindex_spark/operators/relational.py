@@ -1875,6 +1875,61 @@ def order_status_pivot(
     ).orderBy("month_key")
 
 
+def melt(
+    df: DataFrame,
+    id_cols: tuple[str, ...],
+    value_cols: tuple[str, ...],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt) via the native ``unpivot``
+    operator — the inverse of ``pivot`` and the reshape the registry's
+    cube/rollup/pivot/grouping-sets family lacked.
+
+    ``value_cols`` must share one type (the UNPIVOT contract; Spark
+    raises otherwise — same as ANSI UNPIVOT). The physical plan is an
+    Expand ×|value_cols| of the INPUT frame: the repo's grouping-sets
+    policy bans Expand over fact-scale scans, but a melt's input is by
+    construction the already-aggregated wide report (dimension-bounded
+    rows × a fixed column set), where Expand is the right plan — no
+    shuffle, no extra scan. Melting a raw 100 TB fact table would
+    instead be an explode over a column-array, but no registry query
+    needs that shape.
+    """
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )
+
+
+def order_status_unpivot(orders: DataFrame) -> DataFrame:
+    """Round-trip of the ``order_status_pivot`` crosstab back to long
+    form — one (month, status, revenue) row per cell, zero-filled cells
+    included: the UNPIVOT surface's registry entry, and the shape a
+    long-format warehouse ingests from a wide spreadsheet export.
+
+    The wide columns are renamed to their status letters first so the
+    melt's variable column is directly the ``o_orderstatus`` domain
+    value (no post-mapping). Output: months × statuses rows, BIGINT
+    cents, (month, status)-ordered.
+    """
+    statuses = ("F", "O", "P")
+    wide = order_status_pivot(orders, statuses)
+    renamed = wide.select(
+        "month_key",
+        *[F.col(f"rev_{s}_cents").alias(s) for s in statuses],
+    )
+    return melt(
+        renamed,
+        ("month_key",),
+        statuses,
+        "o_orderstatus",
+        "revenue_cents",
+    ).orderBy("month_key", "o_orderstatus")
+
+
 def copurchase_pairs(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
     """Market-basket co-occurrence: the ``top_k`` part pairs most often
     bought in the same order — the support-count core of association

@@ -65,3 +65,42 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == expect
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_index_lifecycle_stored_side_joins_without_exchange(spark):
+    """The lifecycle merge must consume the STORED bucketed index with
+    zero exchange: the only Exchange in the (unordered) merge plan is
+    the delta side's aggregate shuffle, re-used by the join — the
+    stored artifact is never reshuffled."""
+    from mapreduceindex_spark.operators.inverted_index import (
+        inverted_index,
+        merge_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    write_bucketed_table(
+        inverted_index(docs.filter("doc_id % 10 != 0"), ordered=False),
+        "t_idx_lifecycle",
+        "word",
+        8,
+        tempfile.mkdtemp(prefix="bkt_idx_"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = merge_index(
+            read_table(spark, "t_idx_lifecycle"),
+            docs.filter("doc_id % 10 = 0"),
+            ordered=False,
+        )
+        plan = _plan_of(merged)
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # exactly ONE exchange NODE (formatted explain prints each node
+        # twice — tree line + detail header): the delta aggregate's,
+        # shared with the join; none over the stored scan
+        import re
+
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
