@@ -577,6 +577,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_dedup": lambda s, d: STREAM.streaming_exact_dedup(s, d),
         "streaming_range_join": lambda s, d: STREAM.streaming_range_join(s, d),
+        "streaming_outer_join": lambda s, d: STREAM.streaming_outer_join(
+            s, d
+        ),
+        "outer_attribution": lambda s, d: E.outer_attribution(
+            _t(s, d, "events")
+        ),
         # multimodal plumbing
         "media_metadata_stats": lambda s, d: M.media_metadata_stats(
             _t(s, d, "documents")
@@ -1004,6 +1010,44 @@ def _avg4_sql(c: str) -> str:
         f"ELSE -(((-{s4})*2 + {n}) // ({n}*2)) END AS DOUBLE) / 10000.0"
     )
 
+
+
+#: One ground truth for the stream-stream LEFT OUTER join and its batch
+#: maturity-gated twin: matches always; a NULL-completed view only when
+#: its window end is STRICTLY below the final watermark (per side:
+#: ms-truncated max event time minus the 1 h delay; global: min of
+#: sides) — the emission rule probed from the engine and pinned in
+#: tests/test_round8_ops.py.
+_OUTER_ATTRIBUTION_SQL = """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT CASE WHEN vmax IS NULL OR pmax IS NULL THEN NULL
+             ELSE (least(vmax, pmax) - 3600000) * 1000 END AS wm_us
+      FROM (SELECT
+              (SELECT epoch_ms(max(ts)) FROM events
+                WHERE event_type = 'view') AS vmax,
+              (SELECT epoch_ms(max(ts)) FROM events
+                WHERE event_type = 'purchase') AS pmax)
+    ), j AS (
+      SELECT v.view_id, v.user_id, p.purchase_id,
+             epoch_us(p.p_ts) - epoch_us(v.v_ts) AS lag_usec,
+             epoch_us(v.v_ts) AS v_us
+      FROM v LEFT JOIN p
+        ON v.user_id = p.p_user
+       AND epoch_us(p.p_ts) >= epoch_us(v.v_ts)
+       AND epoch_us(p.p_ts) <= epoch_us(v.v_ts) + 600000000
+    )
+    SELECT view_id, user_id, purchase_id::BIGINT AS purchase_id,
+           lag_usec::BIGINT AS lag_usec
+    FROM j, wm
+    WHERE purchase_id IS NOT NULL OR v_us + 600000000 < wm.wm_us
+    ORDER BY view_id, purchase_id
+"""
 
 _INVERTED_INDEX_SQL = f"""
 WITH toks AS (
@@ -3986,6 +4030,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS first_ts
             FROM events GROUP BY user_id, event_type
         """,
+
+        "streaming_outer_join": _OUTER_ATTRIBUTION_SQL,
+        "outer_attribution": _OUTER_ATTRIBUTION_SQL,
         "streaming_range_join": """
             WITH p AS (
               SELECT user_id, event_id AS purchase_id,

@@ -1169,6 +1169,80 @@ def conversion_latency_quantiles(
     return picked.select("p_ppm", "latency_sec").orderBy("p_ppm")
 
 
+def outer_attribution(
+    events: DataFrame, window_sec: int = 600, delay_sec: int = 3600
+) -> DataFrame:
+    """Maturity-gated view→purchase attribution — the batch twin of
+    ``streaming.pipelines.streaming_outer_join``, sharing its oracle:
+    every view pairs with same-user purchases in ``[v_ts, v_ts +
+    window]``; a view is declared UNCONVERTED (NULL purchase columns)
+    only once the data horizon proves its window closed, and a view
+    whose window is still open at the horizon is withheld — exactly the
+    verdict set a continuously-running outer join would have emitted by
+    now. Declaring "no purchase" for a still-open window is the
+    attribution mistake this gate exists to prevent.
+
+    The horizon replicates the stream's final watermark bit-for-bit:
+    per event side, the max event time truncated to MILLISECONDS minus
+    the delay; global = min of sides; comparison strict ``<`` against
+    ``unix_micros(v_ts) + window·1e6``. Horizon maxes are a single-row
+    collected probe embedded as literals (no per-row re-derivation);
+    the join itself is one user-keyed left join with the range
+    predicate pushed into the join condition.
+    """
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    probe = events.agg(
+        F.max(
+            F.when(F.col("event_type") == "view", F.unix_millis("ts"))
+        ).alias("_vmax"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.unix_millis("ts"))
+        ).alias("_pmax"),
+    ).collect()[0]
+    wm_us = (
+        (min(probe["_vmax"], probe["_pmax"]) - delay_sec * 1000) * 1000
+        if probe["_vmax"] is not None and probe["_pmax"] is not None
+        else None
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.unix_micros("p_ts") >= F.unix_micros("v_ts"))
+        & (
+            F.unix_micros("p_ts")
+            <= F.unix_micros("v_ts") + window_sec * 1_000_000
+        ),
+        "left",
+    )
+    return (
+        joined.filter(
+            F.col("purchase_id").isNotNull()
+            | (
+                F.unix_micros("v_ts") + window_sec * 1_000_000
+                < F.lit(wm_us).cast("long")
+            )
+        )
+        .select(
+            "view_id",
+            "user_id",
+            F.col("purchase_id").cast("long").alias("purchase_id"),
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+            .cast("long")
+            .alias("lag_usec"),
+        )
+        .orderBy("view_id", "purchase_id")
+    )
+
+
 def weekday_seasonality(events: DataFrame) -> DataFrame:
     """Day-of-week × hour-of-day activity heatmap with traffic share —
     the seasonality profile behind capacity planning and anomaly

@@ -58,6 +58,7 @@ def _run_to_table(
     mode: str = "complete",
     partitions: int = 4,
     checkpoint_dir: str | None = None,
+    no_data_batches: bool = False,
 ) -> DataFrame:
     """Drive a finite streaming aggregation to completion into a memory
     sink; return the materialized result as a batch DataFrame.
@@ -87,8 +88,13 @@ def _run_to_table(
     # trailing empty batches are pure overhead on a drained finite
     # source — measured ~1.4 s of the range join's 3.4 s. A deployment
     # that relies on watermark-driven emission (append-mode windowed
-    # aggs) must leave this on.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # aggs) must leave this on — operators in that class here pass
+    # no_data_batches=True (the outer join's NULL-completion fires in
+    # the trailing empty batch; without it the rows never emit).
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     try:
         # availableNow: drain everything already in the source, then stop
         # on our own — one trigger cycle instead of processAllAvailable's
@@ -361,6 +367,95 @@ def streaming_range_join(
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+def _outer_join_plan(
+    ev: DataFrame, window_sec: int, delay_sec: int
+) -> DataFrame:
+    """The watermarked view ⟕ purchase join plan — shared by the
+    registry query (one-file fixture drain) and the forced-two-batch
+    eviction test, so the asserted state behavior is the shipped plan's."""
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", f"{delay_sec} seconds")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", f"{delay_sec} seconds")
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {window_sec} SECONDS")
+        ),
+        "leftOuter",
+    )
+
+
+def streaming_outer_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window_sec: int = 600,
+    delay_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark NULL-completion —
+    the join kind whose semantics users most often get wrong: every
+    view pairs with the same user's purchases inside
+    ``[v_ts, v_ts + window]``; a view with NO such purchase emits a
+    NULL-completed row **only once the watermark proves no match can
+    still arrive** (state eviction), and a view whose window is still
+    open when the stream ends emits nothing yet.
+
+    Emission contract (probed and pinned, microsecond-exact):
+
+    - matches emit in the micro-batch where both rows have arrived;
+    - the NULL row for an unmatched view emits when
+      ``unix_micros(v_ts) + window·1e6 <  wm_us``, where ``wm_us`` is
+      the final global watermark: per side, Spark tracks the max event
+      time TRUNCATED TO MILLISECONDS minus the delay; the global value
+      is the MIN across both watermarked sides. Strict ``<`` — a window
+      ending exactly at the watermark is still withheld;
+    - views above that line are withheld entirely (their state would
+      still be live in a continuing deployment).
+
+    The oracle encodes exactly this rule in SQL — the watermark horizon
+    is data-derived, so the check is deterministic on any fixture. The
+    batch twin (``operators.events.outer_attribution``) computes the
+    same maturity-gated attribution and shares the oracle.
+
+    Scale shape: watermark + range condition bound BOTH state stores by
+    stream rate (each side holds only rows younger than
+    watermark − window); eviction is what makes an unbounded run
+    possible, and it is asserted behaviorally in the forced-two-batch
+    test (a late match for an already-evicted view does NOT join).
+    ``no_data_batches=True``: the NULL rows fire in the trailing empty
+    batch that the throughput-only harness default would skip.
+    """
+    joined = _outer_join_plan(
+        _stream_events(spark, sf_dir), window_sec, delay_sec
+    )
+    out = _run_to_table(joined, "append", no_data_batches=True)
+    return out.select(
+        "view_id",
+        "user_id",
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+        .cast("long")
+        .alias("lag_usec"),
+    ).orderBy("view_id", "purchase_id")
 
 
 def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

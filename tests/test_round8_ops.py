@@ -156,3 +156,95 @@ def test_copurchase_clusters_ignores_orphan_partkeys(spark):
     }
     # orphan 5 gone; 10-20 cluster under rep 10 (not orphan-min 5)
     assert out == {10: 10, 20: 10}
+
+
+def test_outer_join_eviction_and_null_completion(spark, tmp_path):
+    """Forced multi-batch replay of the stream-stream outer join
+    (maxFilesPerTrigger=1, three files in mtime order) pinning all
+    three emission behaviors on the SHIPPED join plan:
+
+    - batch B's purchase matches batch A's view held in state
+      (cross-batch state retention);
+    - once the watermark passes a view's window end, its NULL row
+      emits (watermark NULL-completion);
+    - batch C's purchase for that view — in-window by EVENT time but
+      arriving after eviction — produces NO match row (state eviction:
+      the outer verdict, once emitted, is final).
+    """
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_spark.streaming.pipelines import _outer_join_plan
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(rows, name, mtime):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        path = str(src / name)
+        pq.write_table(table, path)
+        os.utime(path, (mtime, mtime))
+
+    base = time.time() - 1000
+    sec = dt.timedelta(seconds=1)
+    # A: two views at t0; a sentinel view keeps the v-side watermark
+    # from being the global minimum later
+    write(
+        [(1, t0, 1, "view"), (2, t0, 2, "view"),
+         (9, t0 + 2000 * sec, 9, "view")],
+        "a.parquet", base,
+    )
+    # B: u2's purchase (matches the batch-A view from state) + a
+    # purchase sentinel pushing the p-side watermark to t0+2000-10s,
+    # past view 1's window end (t0+600)
+    write(
+        [(12, t0 + 100 * sec, 2, "purchase"),
+         (19, t0 + 2000 * sec, 99, "purchase")],
+        "b.parquet", base + 10,
+    )
+    # C: sentinel-only batch — the watermark visible DURING a batch is
+    # computed from the PREVIOUS batch's data, so this batch is where
+    # view 1 (window end t0+600 < 1990) is evicted and NULL-completed
+    write([(18, t0 + 2001 * sec, 98, "purchase")], "c.parquet", base + 20)
+    # D: u1's purchase, in-window by event time (t0+50) but arriving
+    # after view 1 was evicted and NULL-completed
+    write([(11, t0 + 50 * sec, 1, "purchase")], "d.parquet", base + 30)
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    joined = _outer_join_plan(stream, window_sec=600, delay_sec=10)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["view_id"], r["purchase_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # view 1: NULL-completed, and NOT matched by the late batch-C
+    # purchase; view 2: cross-batch match; view 9: window still open at
+    # the final watermark — withheld
+    assert rows == [(1, None), (2, 12)]
