@@ -602,6 +602,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_bmp": lambda s, d: M.decode_bmp_dims(
             _t(s, d, "documents")
         ),
+        "media_decode_gif": lambda s, d: M.decode_gif_dims(
+            _t(s, d, "documents")
+        ),
         "media_decode_wav": lambda s, d: M.decode_wav_features(
             _t(s, d, "documents")
         ),
@@ -4095,7 +4098,30 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    )::BIGINT AS px_sum
             FROM documents
         """,
-        "media_decode_bmp": """
+                "media_decode_gif": """
+            -- closed form of the palette GIF round trip:
+            -- k(y,x) = base + x + 3y (no wrap), palette k->(k,2k,255-k)
+            -- Sk = w*h*base + h*w(w-1)/2 + 3*w*h(h-1)/2
+            -- px_sum = 2*Sk + 255*w*h ; r_sum = Sk
+            SELECT doc_id,
+                   w::BIGINT AS width,
+                   h::BIGINT AS height,
+                   (2 * sk + 255 * w * h)::BIGINT AS px_sum,
+                   sk::BIGINT AS r_sum
+            FROM (
+              SELECT doc_id, w, h,
+                     w * h * base + h * (w * (w - 1) // 2)
+                       + 3 * w * (h * (h - 1) // 2) AS sk
+              FROM (
+                SELECT doc_id,
+                       4 + doc_id % 24 AS w,
+                       4 + doc_id % 16 AS h,
+                       doc_id % 40 AS base
+                FROM documents
+              )
+            ) ORDER BY doc_id
+        """,
+"media_decode_bmp": """
             -- closed form of decode_bmp_dims' synth-encode-decode
             -- roundtrip: v(y,x) = id%100 + x + 2y (max 183, no byte
             -- wrap), replicated over RGB; px_sum is flip-invariant but

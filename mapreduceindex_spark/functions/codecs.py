@@ -1,13 +1,14 @@
 """Pure-stdlib media codecs: PNG (zlib + struct + numpy), BMP (struct),
-and WAV (wave).
+GIF (hand-rolled LZW), and WAV (wave).
 
-The environment has no PIL/ffmpeg/cv2, but PNG, BMP and WAV are simple
-enough to decode with the standard library alone — PNG is zlib-compressed
-scanlines behind a chunked container, BMP is raw padded BGR scanlines
-behind two fixed headers, WAV is PCM behind RIFF — so the multimodal
-operators (``operators/multimodal.py``) get a REAL codec for these
-formats and fall back to the documented deterministic stub only for
-payloads that are none of them.
+The environment has no PIL/ffmpeg/cv2, but PNG, BMP, GIF and WAV are
+simple enough to decode with the standard library alone — PNG is
+zlib-compressed scanlines behind a chunked container, BMP is raw padded
+BGR scanlines behind two fixed headers, GIF is a palette index stream
+under the 12-bit variable-width LZW implemented below, WAV is PCM behind
+RIFF — so the multimodal operators (``operators/multimodal.py``) get a
+REAL codec for these formats and fall back to the documented
+deterministic stub only for payloads that are none of them.
 
 PNG support is deliberately scoped: 8-bit depth, color types 0 (gray),
 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelmingly
@@ -40,7 +41,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def sniff_media(data: bytes) -> str:
     """Cheap container sniff from magic bytes:
-    'png' | 'wav' | 'bmp' | 'unknown'.
+    'png' | 'wav' | 'gif' | 'bmp' | 'unknown'.
 
     The BMP magic is only two ASCII bytes ('BM'), so any text payload
     starting "BMW…"/"BMI…" would false-positive on magic alone and crash
@@ -53,6 +54,8 @@ def sniff_media(data: bytes) -> str:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[:2] == b"BM" and len(data) >= 54:
         bf_size, reserved, data_offset, bi_size = struct.unpack_from(
             "<IIII", data, 2
@@ -312,6 +315,206 @@ def bmp_decode(data: bytes) -> np.ndarray:
     if not top_down:
         bgr = bgr[::-1]
     return np.ascontiguousarray(bgr[:, :, ::-1])
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW)
+# ---------------------------------------------------------------------------
+#
+# GIF87a/89a: logical screen descriptor + color table(s) + LZW-compressed
+# index streams in ≤255-byte sub-blocks. The stdlib has no LZW, but the
+# GIF variant (variable code width 3–12 bits LSB-first, CLEAR/END codes,
+# dictionary rebuilt on CLEAR) is ~60 lines each way. Scope: single-frame
+# (the first image descriptor is decoded; a crawl thumbnail pipeline
+# reads exactly that), 2–256-color global or local palette, non-
+# interlaced — interlaced files raise rather than decode wrongly.
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_out: int) -> bytes:
+    """GIF-variant LZW: LSB-first bitstream, width grows when the table
+    reaches 2^width (cap 12); CLEAR resets; a full table freezes (the
+    deferred-clear convention) until the encoder sends CLEAR."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = nacc = 0
+    for byte in data:
+        acc |= byte << nacc
+        nacc += 8
+        while nacc >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nacc -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                if code >= clear:
+                    raise ValueError("LZW stream starts with non-literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ValueError("LZW code beyond table")
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            out += entry
+            if len(out) >= max_out:
+                return bytes(out)
+            prev = entry
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real LZW compression (not the uncompressed-GIF trick), mirroring
+    the decoder's width-growth rule; emits CLEAR when the table fills."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    prev = b""
+    for b in indices:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+    emit(end, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to an (h, w, 3) uint8 RGB
+    array via the color table. Interlaced frames raise
+    ``NotImplementedError``; malformed palettes/codes raise
+    ``ValueError``."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos] != 0:
+                sz = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + sz])
+                pos += 1 + sz
+            idx_bytes = _gif_lzw_decode(
+                b"".join(chunks), min_code_size, w * h
+            )
+            if len(idx_bytes) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            idx = np.frombuffer(idx_bytes[: w * h], np.uint8).reshape(h, w)
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("palette index beyond color table")
+            return ct[idx]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 index array + (n, 3) palette as a single-frame
+    GIF89a with a global color table and real LZW compression. The
+    palette is padded to the next power of two (min 2, max 256)."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("indices must be 2-D, palette (n, 3)")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index beyond palette")
+    size_pow = 1
+    while (1 << size_pow) < max(2, pal.shape[0]):
+        size_pow += 1
+    if size_pow > 8:
+        raise ValueError("palette beyond 256 entries")
+    n = 1 << size_pow
+    full = np.zeros((n, 3), np.uint8)
+    full[: pal.shape[0]] = pal
+    h, w = idx.shape
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_pow - 1), 0, 0)
+    out += full.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    min_code_size = max(2, size_pow)  # GIF minimum LZW root is 2
+    out.append(min_code_size)
+    payload = _gif_lzw_encode(idx.tobytes(), min_code_size)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

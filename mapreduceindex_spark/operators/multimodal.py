@@ -56,6 +56,8 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
       channels from the unfiltered scanlines.
     - BMP → real decode (``codecs.bmp_decode``): 24-bit uncompressed,
       both row orders normalized.
+    - GIF → real decode (``codecs.gif_decode``): LZW + palette, first
+      frame, RGB via the color table.
     - WAV → real decode (``codecs.wav_decode``): ``width`` carries
       n_frames and ``height`` n_channels so the fixed feature schema
       holds across modalities.
@@ -86,6 +88,10 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
         arr = codecs.bmp_decode(payload)
         h, w = arr.shape[:2]
         return {"kind": "bmp", "width": w, "height": h, "channels": 3}
+    if kind == "gif":
+        arr = codecs.gif_decode(payload)
+        h, w = arr.shape[:2]
+        return {"kind": "gif", "width": w, "height": h, "channels": 3}
     if kind == "wav":
         meta = codecs.wav_decode(payload)
         return {
@@ -97,8 +103,8 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
         }
     if not fake:
         raise NotImplementedError(
-            f"no codec for payload with magic {payload[:4]!r}; "
-            "PNG, BMP and WAV decode natively, other formats need PIL/ffmpeg"
+            f"no codec for payload with magic {payload[:4]!r}; PNG, BMP, "
+            "GIF and WAV decode natively, other formats need PIL/ffmpeg"
         )
     n = len(payload)
     return {
@@ -262,6 +268,70 @@ def decode_png_dims(documents: DataFrame) -> DataFrame:
         schema=(
             "doc_id bigint, width bigint, height bigint, "
             "channels bigint, px_sum bigint"
+        ),
+    )
+
+
+def decode_gif_dims(documents: DataFrame) -> DataFrame:
+    """Real-codec proof for the GIF path, same contract as
+    ``decode_png_dims``: synthesize a palette GIF per doc, LZW-decode it
+    back, emit features of the DECODED pixels under the oracle gate.
+
+    Per doc: dims ``w = 4 + id%24``, ``h = 4 + id%16``, index image
+    ``k(y, x) = id%40 + x + 3y`` (max 39 + 23 + 57 = 119 < 128 — no
+    wrap), 128-entry palette ``k → (k, 2k, 255−k)`` (2k ≤ 254, exact).
+    Emitted from the decoded RGB array:
+
+        px_sum = Σ (k + 2k + 255−k) = 2·Σk + 255·w·h
+        r_sum  = Σk = w·h·base + h·w(w−1)/2 + 3·w·h(h−1)/2
+
+    ``r_sum`` is the palette witness: a decoder that returned raw
+    indices on every channel would still satisfy a ``3·Σk``-shaped sum
+    but not the per-channel ``r_sum``/``px_sum`` pair against the
+    closed-form oracle. The LZW dictionary/width machinery is the part
+    a wrong implementation corrupts wholesale — any slip scrambles the
+    index stream and the sums. Bytes never leave the stage.
+    """
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        pal = np.stack(
+            [
+                np.arange(128),
+                2 * np.arange(128),
+                255 - np.arange(128),
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "px_sum": [], "r_sum": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, base = 4 + i % 24, 4 + i % 16, i % 40
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                idx = (base + xs + 3 * ys).astype(np.uint8)
+                dec = codecs.gif_decode(codecs.gif_encode(idx, pal))
+                out["doc_id"].append(i)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["px_sum"].append(int(dec.sum(dtype=np.int64)))
+                out["r_sum"].append(int(dec[:, :, 0].sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id bigint, width bigint, height bigint, "
+            "px_sum bigint, r_sum bigint"
         ),
     )
 
@@ -431,11 +501,32 @@ def media_dhash(documents: DataFrame) -> DataFrame:
     and the comparison bits in closed form, so a wrong resize index, a
     gray-path encode/decode defect, or a bit-packing error all
     hash-mismatch.
+
+    **Two wire formats, one fingerprint**: even ids round-trip through
+    PNG, odd ids through GIF (gray-identity palette), full thumbnail
+    re-encode included — both codecs are lossless, so the dHash is
+    wire-invariant and the near-dup pipeline spans both container
+    formats under the SAME closed-form oracle. A lossy or index-
+    scrambling GIF path would hash-mismatch half the corpus.
     """
     import numpy as np
 
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mapreduceindex_spark.functions import codecs
+
+        gray_pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+
+        def _thumb_gif(arr):
+            dec = codecs.gif_decode(codecs.gif_encode(arr, gray_pal))[
+                :, :, 0
+            ]
+            hh, ww = dec.shape
+            t = dec[(np.arange(8) * hh) // 8][:, (np.arange(9) * ww) // 9]
+            return codecs.gif_decode(codecs.gif_encode(t, gray_pal))[
+                :, :, 0
+            ]
 
         for pdf in batches:
             out = {"doc_id": [], "dhash_lo": [], "dhash_hi": []}
@@ -447,9 +538,14 @@ def media_dhash(documents: DataFrame) -> DataFrame:
                 arr = ((k + 3 * xs[None, :] + 5 * ys[:, None]) % 251).astype(
                     np.uint8
                 )
-                thumb = codecs.png_decode(
-                    codecs.png_resize_nearest(codecs.png_encode(arr), 9, 8)
-                )
+                if i % 2:
+                    thumb = _thumb_gif(arr)
+                else:
+                    thumb = codecs.png_decode(
+                        codecs.png_resize_nearest(
+                            codecs.png_encode(arr), 9, 8
+                        )
+                    )
                 bits = (thumb[:, 1:].astype(np.int16)
                         > thumb[:, :-1].astype(np.int16)).astype(np.int64)
                 weights = np.left_shift(
@@ -472,13 +568,17 @@ def _dhash_frame_coarse(documents: DataFrame) -> DataFrame:
     """(doc_id, dhash_lo, dhash_hi) via the coarse synth parameters used
     by the near-dup pipeline (see ``media_dhash_near_dups``): quadratic
     texture ``(k + 7x² + 11y² + 3xy) % 251`` with ``k = id%13,
-    w = 8+id%5, h = 8+id%7``, fingerprinted through the real PNG
-    encode → NN-resize → decode path."""
+    w = 8+id%5, h = 8+id%7``, fingerprinted through the real codec
+    round trip — PNG wire for even ids, GIF wire (gray-identity
+    palette) for odd ids; both lossless, one fingerprint."""
     import numpy as np
 
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mapreduceindex_spark.functions import codecs
 
+        gray_pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
         for pdf in batches:
             out = {"doc_id": [], "dhash_lo": [], "dhash_hi": []}
             for doc_id in pdf["doc_id"]:
@@ -489,9 +589,26 @@ def _dhash_frame_coarse(documents: DataFrame) -> DataFrame:
                 arr = (
                     (k + 7 * xs * xs + 11 * ys * ys + 3 * xs * ys) % 251
                 ).astype(np.uint8)
-                thumb = codecs.png_decode(
-                    codecs.png_resize_nearest(codecs.png_encode(arr), 9, 8)
-                )
+                if i % 2:
+                    # GIF wire (gray-identity palette): lossless, so the
+                    # fingerprint — and the near-dup pairs — are
+                    # wire-format-invariant (see media_dhash)
+                    dec = codecs.gif_decode(
+                        codecs.gif_encode(arr, gray_pal)
+                    )[:, :, 0]
+                    hh, ww = dec.shape
+                    t = dec[(np.arange(8) * hh) // 8][
+                        :, (np.arange(9) * ww) // 9
+                    ]
+                    thumb = codecs.gif_decode(
+                        codecs.gif_encode(t, gray_pal)
+                    )[:, :, 0]
+                else:
+                    thumb = codecs.png_decode(
+                        codecs.png_resize_nearest(
+                            codecs.png_encode(arr), 9, 8
+                        )
+                    )
                 bits = (thumb[:, 1:].astype(np.int16)
                         > thumb[:, :-1].astype(np.int16)).astype(np.int64)
                 weights = np.left_shift(

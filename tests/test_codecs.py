@@ -160,3 +160,87 @@ def test_bmp_unsupported_variants_raise():
     truncated = codecs.bmp_encode(np.zeros((8, 8), dtype=np.uint8))[:-16]
     with pytest.raises(ValueError):
         codecs.bmp_decode(truncated)
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+def _tiny_gif(interlaced: bool = False) -> bytes:
+    """A HAND-PACKED 3x1 GIF (indices [1, 2, 2], 4-color global table)
+    with the LZW bitstream laid out by hand — the decoder pin is
+    independent of our own encoder, so complementary encode/decode bugs
+    can't hide each other. Codes: CLEAR(4)@3b, 1@3b, 2@3b, 2@3b,
+    END(5)@4b (the table hits 2^3 after the third literal, so END is
+    read at the widened 4-bit width) -> payload bytes 0x8C 0x54."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 3, 1, 0x81, 0, 0)  # GCT, 4 entries
+    out += bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    )
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, 3, 1, 0x40 if interlaced else 0
+    )
+    out += bytes([2])  # LZW min code size
+    out += bytes([2, 0x8C, 0x54, 0])  # one 2-byte sub-block + terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_hand_packed_palette():
+    """Palette handling pinned on hand-laid bytes: indices [1, 2, 2]
+    must come back as the TABLE's RGB rows, not as raw indices."""
+    arr = codecs.gif_decode(_tiny_gif())
+    assert arr.shape == (1, 3, 3)
+    assert arr.tolist() == [[[40, 50, 60], [70, 80, 90], [70, 80, 90]]]
+
+
+def test_gif_interlaced_rejected():
+    with pytest.raises(NotImplementedError):
+        codecs.gif_decode(_tiny_gif(interlaced=True))
+
+
+def test_gif_roundtrip_exercises_width_growth_and_clear():
+    """A 300x300 gradient forces the LZW table through every width
+    3->12 and past 4096 entries (encoder emits CLEAR, decoder rebuilds);
+    the round trip must be lossless through the full palette."""
+    idx = (np.add.outer(np.arange(300), np.arange(300)) % 251).astype(
+        np.uint8
+    )
+    pal = np.stack(
+        [np.arange(256), (2 * np.arange(256)) % 256, 255 - np.arange(256)],
+        axis=1,
+    ).astype(np.uint8)
+    dec = codecs.gif_decode(codecs.gif_encode(idx, pal))
+    assert (dec == pal[idx]).all()
+
+
+def test_gif_malformed_raise():
+    with pytest.raises(ValueError):
+        codecs.gif_decode(b"NOTAGIF" + b"\x00" * 20)
+    # palette index beyond the color table must not silently wrap
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    data = bytearray(codecs.gif_encode(np.array([[1, 1]], np.uint8), pal2))
+    with pytest.raises(ValueError):
+        codecs.gif_encode(np.array([[2]], np.uint8), pal2)
+    # truncated pixel data
+    good = codecs.gif_encode(
+        np.arange(64, dtype=np.uint8).reshape(8, 8),
+        np.zeros((64, 3), np.uint8) + 7,
+    )
+    # chop the data sub-blocks: keep header+palette+descriptor+mincode,
+    # then an empty sub-block chain
+    head_len = 6 + 7 + 3 * 64 + 10 + 1
+    with pytest.raises(ValueError):
+        codecs.gif_decode(good[:head_len] + b"\x00\x3b")
+
+
+def test_sniff_gif():
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    data = codecs.gif_encode(np.array([[0, 1]], np.uint8), pal)
+    assert codecs.sniff_media(data) == "gif"
+    assert M.decode_media(data)["kind"] == "gif"
+    assert M.decode_media(data)["width"] == 2
