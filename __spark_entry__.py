@@ -62,68 +62,39 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the back; local pytest still oracle-checks all of them every run, so
 #: rotation costs no coverage.
 _VERIFY_FIRST = [
-    # (a) queries whose code or oracle CHANGED this round (r06 ADVICE
-    # fixes) — re-verify first: containment's unified df/cap basis,
-    # skyline's NULL frontier, merge_upsert's dup-key guard, the
-    # session-id cumsum tiebreak in both streaming sessionizer oracles.
+    # ROUND-8 rotation. (a) queries whose CODE or ORACLE changed this
+    # round — re-verify first: the floored epoch-day calendar family,
+    # label_outliers' floored centroid, yoy's overflow guard,
+    # copurchase_clusters' part-universe semi-join, the grouping-sets
+    # tracked persist, containment's collapsed-tier df shortcut, the
+    # unified > gap_sec sessionizer convention, and the dHash family's
+    # second (GIF) wire format.
+    "weekday_seasonality",
+    "events_ohlc",
+    "changepoint_scan",
+    "cumulative_unique_users",
+    "active_user_rollup",
+    "label_outliers",
+    "yoy_nation_revenue",
+    "copurchase_clusters",
+    "revenue_rollup",
+    "revenue_cube",
+    "orders_cube",
     "containment_pairs",
-    "skyline_orders",
-    "merge_upsert_orders",
     "streaming_sessions",
     "streaming_session_funnel",
-    # (b) round-7 additions — first driver row (extended as each lands)
-    "orders_cube",
-    "order_status_pivot",
-    "fk_integrity_audit",
-    "benford_prices",
-    "active_user_rollup",
-    "events_ohlc",
-    "repetition_profile",
-    "copurchase_pairs",
-    "label_outliers",
-    "cumulative_unique_users",
-    "shipping_sla_report",
-    "embedding_power_iteration",
-    "streaming_ohlc",
-    "copurchase_clusters",
-    "changepoint_scan",
-    "conversion_latency_quantiles",
-    "repeat_buyers_intersect",
-    "yoy_nation_revenue",
-    "top_parts_dense_rank",
-    "streaming_benford",
-    "weekday_seasonality",
-    # (c) re-verify cycling, oldest driver-green first: the r02/r03-green
-    # block pushed past slot 50 by the round-6 additions (r06 sampled
-    # slots 1-50 = the 44 r06-priority entries + bigram_lift,
-    # customer_running_revenue, customer_spend_quartiles,
-    # embedding_norms, events_debounce, events_range_join — all green).
-    # Whatever lands past slot 50 here cycles to round 8; local pytest
-    # oracle-checks every registry query each run regardless.
-    "funnel_conversion",
-    "kmv_distinct_tokens",
-    "kmv_distinct_users",
-    "lang_id_confusion",
-    "media_decode_bmp",
-    "media_decode_png",
-    "media_decode_wav",
     "media_dhash",
     "media_dhash_near_dups",
     "media_dup_clusters",
-    "media_features",
-    "media_frame_sample",
-    "media_metadata_stats",
-    "media_resize",
-    "nation_revenue_share",
-    "ngram_novelty",
-    "order_gaps",
-    "price_quantiles",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_delay_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
+    # (b) round-8 additions — first driver row (extended as each lands)
+    "order_status_unpivot",
+    "index_lifecycle",
+    "streaming_outer_join",
+    "outer_attribution",
+    "media_decode_gif",
+    # (c) the r03-stale tail (oldest driver-green block, newest row
+    # r02/r03) — the judge's round-8 refresh ask; local pytest
+    # oracle-checks every registry query each run regardless.
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
     "q20_promotable_suppliers",
@@ -142,6 +113,23 @@ _VERIFY_FIRST = [
     "streaming_range_join",
     "token_length_histogram",
     "vocab_stats",
+    # (d) r04-green cycling filler (oldest remaining cohort, first
+    # slice; the rest of the 47-entry r04 block cycles round 9+).
+    # KEEP (d) LAST: round-8 additions insert above it, pushing filler
+    # past slot 50 harmlessly.
+    "asof_error_purchase",
+    "asof_prior_purchase",
+    "bm25_search",
+    "canonical_docs",
+    "cms_hot_tokens",
+    "cross_source_overlap",
+    "curation_funnel",
+    "dedup_rate_by_source",
+    "dup_graph_stats",
+    "dup_spans",
+    "events_anomaly",
+    "events_json_stats",
+    "events_resample",
 ]
 
 

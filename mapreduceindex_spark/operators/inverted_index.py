@@ -416,6 +416,10 @@ def index_lifecycle(
     ``index_merge``. At 100 TB the stored table is the long-lived
     artifact; each crawl drop replays step 3 only.
     """
+    import os
+    import shutil
+    import tempfile
+
     from mapreduceindex_spark.sinks.bucketed import (
         read_table,
         write_bucketed_table,
@@ -423,8 +427,19 @@ def index_lifecycle(
 
     base = documents.filter(F.col("doc_id") % 10 != 0)
     delta = documents.filter(F.col("doc_id") % 10 == 0)
+    # explicit external location, wiped first: a managed table's leftover
+    # warehouse directory from a PREVIOUS session would fail the write
+    # with LOCATION_ALREADY_EXISTS (the catalog forgot the table, the
+    # filesystem didn't)
+    loc = os.path.join(tempfile.gettempdir(), f"mrix_{table_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    shutil.rmtree(loc, ignore_errors=True)
     write_bucketed_table(
-        inverted_index(base, ordered=False), table_name, "word", n_buckets
+        inverted_index(base, ordered=False),
+        table_name,
+        "word",
+        n_buckets,
+        path=loc,
     )
     stored = read_table(spark, table_name)
     return flatten_index(merge_index(stored, delta, ordered=True))
