@@ -254,6 +254,35 @@ def main():
         "embedding_power_iteration_10x",
         lambda: CLU.embedding_power_iteration(emb10),
     )
+    # round-7 tail claims (the three ops without a stress row, VERDICT
+    # r07 #10):
+    # - conversion_latency_quantiles: the per-user (first view, first
+    #   later purchase) fold dedups per user BEFORE the quantile
+    #   engine, so 10× duplicated events collapse at the user aggregate
+    #   and the two-phase nearest-rank pick sees the same bucket frame
+    # - changepoint_scan: one day-keyed aggregate + a metadata-sized
+    #   dense grid — 10× events is ~10× scan into the same ~30-row grid
+    # - yoy_nation_revenue: dims broadcast, fact aggregates to
+    #   (nation × year) before the LAG — 10× orders is ~10× scan into
+    #   the same dimension-bounded window frame
+    timed(
+        "conversion_latency_quantiles_10x",
+        lambda: EV.conversion_latency_quantiles(ev10),
+    )
+    timed("changepoint_scan_10x", lambda: EV.changepoint_scan(ev10))
+    from mapreduceindex_spark.operators import relational as R
+
+    o10r = load_table(spark, "/root/testdata/sf0.1", "orders").select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(clones - 1))).alias("_c")
+    ).drop("_c")
+    timed(
+        "yoy_nation_revenue_10x",
+        lambda: R.yoy_nation_revenue(
+            o10r,
+            load_table(spark, "/root/testdata/sf0.1", "customer"),
+            load_table(spark, "/root/testdata/sf0.1", "nation"),
+        ),
+    )
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 
