@@ -92,6 +92,11 @@ _VERIFY_FIRST = [
     "streaming_outer_join",
     "outer_attribution",
     "media_decode_gif",
+    "customer_revenue_range_window",
+    "price_qty_regression",
+    "events_ewma",
+    "pii_scrub_stats",
+    "streaming_dedup_within_watermark",
     # (c) the r03-stale tail (oldest driver-green block, newest row
     # r02/r03) — the judge's round-8 refresh ask; local pytest
     # oracle-checks every registry query each run regardless.
@@ -479,6 +484,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "order_status_unpivot": lambda s, d: R.order_status_unpivot(
             _t(s, d, "orders")
+        ),
+        "customer_revenue_range_window": lambda s, d: (
+            R.customer_revenue_range_window(_t(s, d, "orders"))
+        ),
+        "price_qty_regression": lambda s, d: R.price_qty_regression(
+            _t(s, d, "lineitem")
+        ),
+        "events_ewma": lambda s, d: E.events_ewma(_t(s, d, "events")),
+        "pii_scrub_stats": lambda s, d: TA.pii_scrub_stats(
+            _t(s, d, "documents")
+        ),
+        "streaming_dedup_within_watermark": lambda s, d: (
+            STREAM.streaming_dedup_within_watermark(s, d)
         ),
         # round 7: referential-integrity audit over all 7 FK edges —
         # per-edge anti-join counts, 7-row output
@@ -4022,6 +4040,96 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM events GROUP BY user_id, event_type
         """,
 
+
+        "customer_revenue_range_window": """
+            -- RANGE (value-distance) frame over epoch seconds: all
+            -- same-day orders share one frame, ties need no tiebreak
+            SELECT o_orderkey, o_custkey, epoch AS o_epoch,
+                   (sum(cents) OVER (PARTITION BY o_custkey ORDER BY epoch
+                    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                   )::BIGINT AS trail_cents
+            FROM (
+              SELECT o_orderkey, o_custkey,
+                     CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)))
+                          AS BIGINT) AS epoch,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders
+            ) ORDER BY o_orderkey
+        """,
+        "price_qty_regression": """
+            -- exact OLS moments in HUGEINT (internal only; outputs
+            -- ::BIGINT), truncating // mirroring Spark's DECIMAL DIV
+            WITH m AS (
+              SELECT count(1)::HUGEINT AS n,
+                     sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                     sum(x * y)::HUGEINT AS sxy,
+                     sum(x * x)::HUGEINT AS sxx
+              FROM (
+                SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                FROM lineitem
+              )
+            )
+            SELECT n::BIGINT AS n, sx::BIGINT AS sum_x, sy::BIGINT AS sum_y,
+                   (((n * sxy - sx * sy) * 1000000)
+                    // (n * sxx - sx * sx))::BIGINT AS slope_micro,
+                   ((sy * 1000000 - ((n * sxy - sx * sy) * 1000000)
+                     // (n * sxx - sx * sx) * sx) // n)::BIGINT
+                     AS intercept_micro
+            FROM m
+        """,
+        "events_ewma": """
+            -- the identical integer recursion (all operands >= 0, so
+            -- truncating // == floor == Spark DIV), dense day grid
+            -- generated by the recursion itself
+            WITH RECURSIVE daily AS (
+              SELECT day, count(1)::BIGINT AS c FROM (
+                SELECT ((epochb - (((epochb % 86400) + 86400) % 86400))
+                        // 86400) AS day
+                FROM (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS epochb
+                      FROM events)
+              ) GROUP BY day
+            ), b AS (
+              SELECT min(day) AS lo, max(day) AS hi FROM daily
+            ), ew(day_num, hi, ewma_micro) AS (
+              SELECT b.lo, b.hi,
+                     (SELECT c FROM daily WHERE day = b.lo)
+                       * CAST(1000000 AS BIGINT)
+              FROM b WHERE b.lo IS NOT NULL
+              UNION ALL
+              SELECT e.day_num + 1, e.hi,
+                     300000 * coalesce(d.c, 0)
+                       + (700000 * e.ewma_micro) // 1000000
+              FROM ew e LEFT JOIN daily d ON d.day = e.day_num + 1
+              WHERE e.day_num < e.hi
+            )
+            SELECT ew.day_num,
+                   coalesce(d.c, 0)::BIGINT AS n_events,
+                   ew.ewma_micro::BIGINT AS ewma_micro
+            FROM ew LEFT JOIN daily d ON d.day = ew.day_num
+            ORDER BY day_num
+        """,
+        "pii_scrub_stats": """
+            -- same pattern text (RE2 n Java dialect); DuckDB needs the
+            -- explicit 'g' flag Spark applies implicitly
+            SELECT source, count(1)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT AS n_emails,
+                   sum(len(regexp_extract_all(text,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')))::BIGINT AS n_ipv4,
+                   sum(len(regexp_extract_all(text,
+                     '[0-9]{6,}')))::BIGINT AS n_digit_runs,
+                   sum(length(text) - length(
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '', 'g'),
+                       '[0-9]{6,}', '', 'g')))::BIGINT AS redacted_chars
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "streaming_dedup_within_watermark": """
+            SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type
+        """,
         "streaming_outer_join": _OUTER_ATTRIBUTION_SQL,
         "outer_attribution": _OUTER_ATTRIBUTION_SQL,
         "streaming_range_join": """

@@ -1169,6 +1169,103 @@ def conversion_latency_quantiles(
     return picked.select("p_ppm", "latency_sec").orderBy("p_ppm")
 
 
+def events_ewma(events: DataFrame, alpha_ppm: int = 300_000) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event count —
+    the smoothed baseline behind alerting thresholds, and the
+    registry's sequential-fold surface: an EWMA is inherently
+    recursive (each value feeds the next), the one time-series shape
+    the window family genuinely cannot express.
+
+    Exact integer recursion in micro-units, identical on both engines
+    (all operands non-negative, so truncating division IS floor):
+
+        e(lo) = c(lo) · 1e6
+        e(t)  = α·c(t) + ((1e6 − α) · e(t−1)) DIV 1e6
+
+    over the DENSE day grid (gap days decay with c = 0). Scale shape:
+    ONE day-keyed fact aggregate (the only data-scale exchange), then
+    the fold runs DRIVER-SIDE over the collected day series — the
+    probe-then-plan discipline (``changepoint_scan``'s grid,
+    ``nearest_rank_pick``'s histogram): the series is day-cardinality
+    (metadata-sized at any data scale), and the measured alternative —
+    Spark 4's ``WITH RECURSIVE``, which this repo pins as working in
+    ``tests/test_round8_ops.py`` — costs one scheduled join job PER
+    DAY (~0.3 s each, 10 s for a 30-day fixture): per-iteration
+    scheduling dwarfs the arithmetic, exactly the wrong trade for a
+    bounded sequential fold. The DuckDB oracle runs the recursion as a
+    recursive CTE — same formula, engine-appropriate physical shape on
+    each side. A per-day count beyond ~9.2e6 would overflow the micro
+    fold and raises loudly (the ``yoy`` guard discipline).
+    """
+    spark = events.sparkSession
+    a = int(alpha_ppm)
+    daily = (
+        events.select(_epoch_day().alias("day"))
+        .groupBy("day")
+        .agg(
+            F.expr(
+                "CASE WHEN count(1) > 9000000 THEN raise_error("
+                "'events_ewma: daily count overflows the micro fold') "
+                "ELSE CAST(count(1) AS BIGINT) END"
+            ).alias("c")
+        )
+    )
+    rows = {int(r["day"]): int(r["c"]) for r in daily.collect()}
+    out_schema = "day_num long, n_events long, ewma_micro long"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    lo, hi = min(rows), max(rows)
+    out = []
+    e = rows[lo] * 1_000_000
+    out.append((lo, rows[lo], e))
+    for day in range(lo + 1, hi + 1):
+        c = rows.get(day, 0)
+        e = a * c + ((1_000_000 - a) * e) // 1_000_000
+        out.append((day, c, e))
+    return spark.createDataFrame(out, out_schema)
+
+
+def ewma_recursive_cte(
+    events: DataFrame, alpha_ppm: int = 300_000
+) -> DataFrame:
+    """The ``WITH RECURSIVE`` formulation of :func:`events_ewma` —
+    result-identical (pinned by test), kept OUT of the registry path
+    because Spark schedules one join job per recursion step (measured
+    ~0.3 s/day; the driver fold is the right physical shape for a
+    metadata-sized sequential series). Exists to pin the recursive-CTE
+    API surface and as the reference for day-bounded recursions that
+    DO belong in-engine on an unbounded-width state."""
+    spark = events.sparkSession
+    a = int(alpha_ppm)
+    daily = events.select(_epoch_day().alias("day")).groupBy("day").agg(
+        F.expr("CAST(count(1) AS BIGINT)").alias("c")
+    )
+    daily.persist().count()  # iterations must hit the cache, not re-scan
+    view = "mrix_ewma_daily"
+    daily.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH RECURSIVE b AS (
+          SELECT min(day) AS lo, max(day) AS hi FROM {view}
+        ), ew (day_num, hi, ewma_micro) AS (
+          SELECT b.lo, b.hi,
+                 (SELECT c FROM {view} WHERE day = b.lo)
+                   * CAST(1000000 AS BIGINT)
+          FROM b WHERE b.lo IS NOT NULL
+          UNION ALL
+          SELECT e.day_num + 1, e.hi,
+                 {a} * coalesce(d.c, 0)
+                   + (({1_000_000 - a}) * e.ewma_micro) DIV 1000000
+          FROM ew e LEFT JOIN {view} d ON d.day = e.day_num + 1
+          WHERE e.day_num < e.hi
+        )
+        SELECT ew.day_num,
+               CAST(coalesce(d.c, 0) AS BIGINT) AS n_events,
+               CAST(ew.ewma_micro AS BIGINT) AS ewma_micro
+        FROM ew LEFT JOIN {view} d ON d.day = ew.day_num
+        ORDER BY day_num
+    """)
+
+
 def outer_attribution(
     events: DataFrame, window_sec: int = 600, delay_sec: int = 3600
 ) -> DataFrame:

@@ -2085,6 +2085,93 @@ def yoy_nation_revenue(
     )
 
 
+def customer_revenue_range_window(
+    orders: DataFrame, days: int = 30
+) -> DataFrame:
+    """Per order: the same customer's trailing-``days`` revenue — a
+    RANGE (value-distance) window frame, the one frame kind the
+    registry's window family lacked: ROWS frames count rows,
+    ``rangeBetween`` bounds by ORDER-key DISTANCE, so the trailing
+    month means calendar days regardless of how many orders landed in
+    it, and all orders on the same day share one frame (tie-proof by
+    construction — no row_number tiebreak needed).
+
+    Scale shape: one window partitioned by ``o_custkey`` over epoch-day
+    seconds (one hash exchange, per-customer sorted frames — never
+    global); exact cents; the frame bound is a constant interval in
+    seconds. Output: one row per order, BIGINT.
+    """
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)"
+        ).alias("o_epoch"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("_c"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_epoch")
+        .rangeBetween(-days * 86400, 0)
+    )
+    return (
+        base.withColumn("trail_cents", F.sum("_c").over(w).cast("long"))
+        .select("o_orderkey", "o_custkey", "o_epoch", "trail_cents")
+        .orderBy("o_orderkey")
+    )
+
+
+def price_qty_regression(lineitem: DataFrame) -> DataFrame:
+    """Exact ordinary-least-squares fit of extended price (cents) on
+    quantity (hundredths) over the whole lineitem fact — the
+    statistics surface (slope/intercept) in EXACT integer arithmetic:
+
+        slope_micro     = (n·Σxy − Σx·Σy) · 1e6  DIV  (n·Σx² − (Σx)²)
+        intercept_micro = (Σy·1e6 − slope_micro·Σx)  DIV  n
+
+    Every sum is a DECIMAL(38,0) fold (Σx² over 100 TB of lineitem
+    overflows BIGINT; DECIMAL(38,0) holds it to ~1e38 and the DuckDB
+    oracle's HUGEINT matches to 1.7e38 — margins documented per term in
+    the source). ``DIV`` truncates identically on both engines, so the
+    fit is bit-exact. One full-scan aggregate, one output row; the
+    moment folds are associative partial aggregates (map-side combine).
+    """
+    d38 = "decimal(38,0)"
+    base = lineitem.select(
+        F.expr(
+            "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+        ).alias("_x"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("_y"),
+    )
+    # magnitudes at 100 TB (n ~ 6e9): Σxy ≤ 3e20, n·Σxy ≤ 1.8e30,
+    # Σx·Σy ≤ 1.8e30, n·Σx² ≤ 9e26, num·1e6 ≤ 1.8e36 — all inside
+    # DECIMAL(38,0) / HUGEINT
+    agg = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum(F.col("_x").cast(d38)).alias("_sx"),
+        F.sum(F.col("_y").cast(d38)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d38)).alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d38)).alias("_sxx"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_sx").cast("long").alias("sum_x"),
+        F.col("_sy").cast("long").alias("sum_y"),
+        F.expr(
+            "CAST(((_n * _sxy - _sx * _sy) * 1000000)"
+            " DIV (_n * _sxx - _sx * _sx) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST((_sy * 1000000 - ((_n * _sxy - _sx * _sy) * 1000000)"
+            " DIV (_n * _sxx - _sx * _sx) * _sx) DIV _n AS BIGINT)"
+        ).alias("intercept_micro"),
+    )
+
+
 def top_parts_dense_rank(part: DataFrame, k: int = 3) -> DataFrame:
     """Per brand, every part in the top-``k`` DISTINCT retail prices —
     DENSE_RANK semantics (price ties all survive, and a tie does not

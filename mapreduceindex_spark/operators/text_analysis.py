@@ -953,3 +953,60 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: PII patterns, written in the regex dialect intersection (RE2 ∩ Java):
+#: explicit [0-9] classes, no lookaround, no backrefs — the SAME pattern
+#: text runs on both engines.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_DIGIT_RUN = r"[0-9]{6,}"
+
+
+def pii_scrub_stats(documents: DataFrame) -> DataFrame:
+    """PII exposure report per source — the redaction gate every
+    training-data pipeline runs before release: counts of email /
+    IPv4 / long-digit-run (account-number-shaped) matches, and how many
+    characters a scrub would remove.
+
+    Match counts are per class on the ORIGINAL text (a token matching
+    two classes counts in both — the audit wants exposure per class,
+    not a partition); ``redacted_chars`` applies the three
+    ``regexp_replace`` scrubs in a FIXED order (email → ipv4 → digit
+    run) so the interplay (an email's digits are gone before the digit
+    pass) is deterministic and the oracle replays it verbatim. Patterns
+    live in the RE2 ∩ Java dialect (explicit classes, no lookaround) so
+    the identical pattern text runs on both engines.
+
+    Scale shape: regex matching is a codegen'd JVM projection inside
+    the scan stage (no Python), followed by one source-keyed aggregate
+    — the same single-exchange shape as ``quality_by_source``.
+    Output: one row per source, BIGINT.
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit(PII_EMAIL), F.lit("")),
+            F.lit(PII_IPV4),
+            F.lit(""),
+        ),
+        F.lit(PII_DIGIT_RUN),
+        F.lit(""),
+    )
+    per_doc = documents.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).alias("_e"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4)).alias("_i"),
+        F.regexp_count(F.col("text"), F.lit(PII_DIGIT_RUN)).alias("_d"),
+        (F.length("text") - F.length(scrubbed)).alias("_r"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_e").cast("long").alias("n_emails"),
+            F.sum("_i").cast("long").alias("n_ipv4"),
+            F.sum("_d").cast("long").alias("n_digit_runs"),
+            F.sum("_r").cast("long").alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )

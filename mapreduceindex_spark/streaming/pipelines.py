@@ -458,6 +458,37 @@ def streaming_outer_join(
     ).orderBy("view_id", "purchase_id")
 
 
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-class ``dropDuplicatesWithinWatermark`` surface: distinct
+    (user, event_type) pairs from the live stream, with state the
+    watermark can EVICT — the engine guarantees dedup of duplicates
+    arriving within the delay of each other and frees a key once the
+    watermark passes its last-seen event time, so state tracks the
+    ACTIVE key set, not stream history (plain streaming
+    ``dropDuplicates`` state grows forever).
+
+    Deterministic contract on the bounded replay: only the KEY columns
+    are projected, so whichever arrival survives per key, the output is
+    exactly the distinct key set — a key reappearing after eviction
+    (possible in an unbounded run, by design) could duplicate a FULL
+    row but never a projected key set… and the oracle pins exactly
+    that: ``SELECT DISTINCT user_id, event_type``. The stateful
+    aggregate twin with order-independent survivors is
+    ``streaming_exact_dedup``; this entry is the native API the twin's
+    docstring contrasts against.
+    """
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    dd = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    out = _run_to_table(dd, "append")
+    return (
+        out.select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )
+
+
 def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup over the documents stream: per content hash,
     the surviving (minimum) doc_id and how many copies arrived.

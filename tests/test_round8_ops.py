@@ -248,3 +248,34 @@ def test_outer_join_eviction_and_null_completion(spark, tmp_path):
     # purchase; view 2: cross-batch match; view 9: window still open at
     # the final watermark — withheld
     assert rows == [(1, None), (2, 12)]
+
+
+def test_ewma_recursive_cte_matches_driver_fold(spark, tmp_path):
+    """Spark 4's WITH RECURSIVE produces bit-identical EWMA output to
+    the registry's driver-side fold — pins the recursive-CTE API
+    surface AND that the two physical shapes share one definition
+    (gap days decaying included)."""
+    from mapreduceindex_spark.operators.events import (
+        events_ewma,
+        ewma_recursive_cte,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # days 0,1,2 then a 3-day gap, then day 6 — gap days must decay
+    for day, n in ((0, 5), (1, 2), (2, 9), (6, 4)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(days=day, seconds=eid), 1, "view"))
+    sf_dir = _write_events_fixture(tmp_path, rows)
+    from mapreduceindex_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = [tuple(r) for r in events_ewma(ev).collect()]
+    b = [tuple(r) for r in ewma_recursive_cte(ev).collect()]
+    assert a == b
+    assert len(a) == 7 and a[0] == (a[0][0], 5, 5_000_000)
+    # decay on the empty day 3: e = 0.3*0 + floor(0.7*e2)
+    e2 = a[2][2]
+    assert a[3] == (a[0][0] + 3, 0, (700_000 * e2) // 1_000_000)
