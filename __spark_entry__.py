@@ -32,6 +32,7 @@ from mapreduceindex_spark.operators import sketches as SK
 from mapreduceindex_spark.operators import text_analysis as TA
 from mapreduceindex_spark.operators import inverted_index as II
 from mapreduceindex_spark.operators import graph as G
+from mapreduceindex_spark.operators import formats as FMT
 from mapreduceindex_spark.operators import layout as LY
 from mapreduceindex_spark.operators.inverted_index import (
     inverted_index_flat,
@@ -97,6 +98,11 @@ _VERIFY_FIRST = [
     "events_ewma",
     "pii_scrub_stats",
     "streaming_dedup_within_watermark",
+    "jsonl_roundtrip_wordcount",
+    "csv_roundtrip_wordcount",
+    "orc_roundtrip_doc_stats",
+    "copurchase_triangles",
+    "top_terms_per_doc",
     # (c) the r03-stale tail (oldest driver-green block, newest row
     # r02/r03) — the judge's round-8 refresh ask; local pytest
     # oracle-checks every registry query each run regardless.
@@ -497,6 +503,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_dedup_within_watermark": lambda s, d: (
             STREAM.streaming_dedup_within_watermark(s, d)
+        ),
+        "jsonl_roundtrip_wordcount": lambda s, d: (
+            FMT.jsonl_roundtrip_wordcount(_t(s, d, "documents"))
+        ),
+        "csv_roundtrip_wordcount": lambda s, d: (
+            FMT.csv_roundtrip_wordcount(_t(s, d, "documents"))
+        ),
+        "orc_roundtrip_doc_stats": lambda s, d: (
+            FMT.orc_roundtrip_doc_stats(_t(s, d, "documents"))
+        ),
+        "copurchase_triangles": lambda s, d: G.copurchase_triangles(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "top_terms_per_doc": lambda s, d: TA.top_terms_per_doc(
+            _t(s, d, "documents")
         ),
         # round 7: referential-integrity audit over all 7 FK edges —
         # per-edge anti-join counts, 7-row output
@@ -4130,6 +4151,29 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type
         """,
+
+        "copurchase_triangles": """
+            -- canonical a<b<c enumeration over the oriented edge list:
+            -- middle-vertex join + closing-edge semi probe
+            WITH op AS (
+              SELECT DISTINCT l.l_orderkey, l.l_partkey
+              FROM lineitem l
+              WHERE l.l_partkey IN (SELECT p_partkey FROM part)
+            ), edges AS (
+              SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY p_a, p_b HAVING count(*) >= 2
+            )
+            SELECT ab.p_a::BIGINT AS p_a, ab.p_b::BIGINT AS p_b,
+                   bc.p_b::BIGINT AS p_c
+            FROM edges ab
+            JOIN edges bc ON bc.p_a = ab.p_b
+            WHERE EXISTS (SELECT 1 FROM edges ac
+                          WHERE ac.p_a = ab.p_a AND ac.p_b = bc.p_b)
+            ORDER BY p_a, p_b, p_c
+        """,
         "streaming_outer_join": _OUTER_ATTRIBUTION_SQL,
         "outer_attribution": _OUTER_ATTRIBUTION_SQL,
         "streaming_range_join": """
@@ -5430,6 +5474,20 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
     # question phrase_search answers by window scan — one ground truth,
     # two physical strategies, both driver-verified against it
     d["phrase_search_indexed"] = d["phrase_search"]
+    # wire-format round trips re-verify against the parquet path's truth
+    d["jsonl_roundtrip_wordcount"] = d["word_counts"]
+    d["csv_roundtrip_wordcount"] = d["word_counts"]
+    d["orc_roundtrip_doc_stats"] = d["doc_stats"]
+    d["top_terms_per_doc"] = f"""
+        WITH r AS (
+          SELECT doc_id, word, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, word ASC) AS rank
+          FROM ({d["tf_idf"]}) base
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, tfidf
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """
     # the streaming Markov matrix shares the batch operator's ground
     # truth on the bounded fixture (same ordering key, same
     # second-truncated gap discipline)

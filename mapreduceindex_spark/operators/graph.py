@@ -232,3 +232,58 @@ def copurchase_clusters(
         )
         .orderBy("p_partkey")
     )
+
+
+def copurchase_triangles(
+    lineitem: DataFrame, part: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """Triangles in the support-filtered co-purchase graph — the
+    clustering-coefficient building block: three parts pairwise bought
+    together signal a stable product bundle, where a mere pair may be
+    coincidence. Output is the canonical (a < b < c) triangle list.
+
+    Scale shape: the classic two-join triangle enumeration over the
+    CANONICALLY ORIENTED edge list (every edge stored a < b, so each
+    triangle is produced exactly once with no post-dedup): edges ⋈
+    edges on the shared middle vertex, then a semi-equi probe for the
+    closing edge. Edge count is support-bounded (dimension-scale after
+    the HAVING), so the joins are edge×degree, never |lineitem|-scale;
+    endpoints are semi-joined to the part universe first (the
+    ``copurchase_clusters`` orphan rule).
+    """
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .join(
+            part.select(F.col("p_partkey").alias("l_partkey")),
+            "l_partkey",
+            "left_semi",
+        )
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p_b")
+    )
+    edges = (
+        a.join(b, "_o")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_support)
+        .select("p_a", "p_b")
+    )
+    ab = edges.select(F.col("p_a").alias("a"), F.col("p_b").alias("b"))
+    bc = edges.select(F.col("p_a").alias("b"), F.col("p_b").alias("c"))
+    ac = edges.select(F.col("p_a").alias("a"), F.col("p_b").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .select(
+            F.col("a").cast("long").alias("p_a"),
+            F.col("b").cast("long").alias("p_b"),
+            F.col("c").cast("long").alias("p_c"),
+        )
+        .orderBy("p_a", "p_b", "p_c")
+    )

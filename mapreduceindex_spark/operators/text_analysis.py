@@ -1010,3 +1010,28 @@ def pii_scrub_stats(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def top_terms_per_doc(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Keyword extraction: each document's ``k`` highest-TF-IDF terms —
+    the per-doc summary tags a retrieval/labeling pipeline attaches,
+    composed over the verified ``tf_idf`` frame (one ground truth; the
+    oracle nests the tf_idf SQL verbatim and ranks it).
+
+    Ranking is on the ROUNDED score (the exact column both engines
+    already hash-match) with the ``word`` tiebreak, so rank boundaries
+    are engine-deterministic. The window partitions by doc_id — the
+    fact-keyed partitioning, never global.
+    """
+    from pyspark.sql.window import Window
+
+    scored = tf_idf(documents)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
