@@ -98,6 +98,7 @@ _VERIFY_FIRST = [
     "events_ewma",
     "pii_scrub_stats",
     "streaming_dedup_within_watermark",
+    "streaming_timeout_sessions",
     "jsonl_roundtrip_wordcount",
     "csv_roundtrip_wordcount",
     "orc_roundtrip_doc_stats",
@@ -503,6 +504,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_dedup_within_watermark": lambda s, d: (
             STREAM.streaming_dedup_within_watermark(s, d)
+        ),
+        "streaming_timeout_sessions": lambda s, d: (
+            STREAM.streaming_timeout_sessions(s, d)
         ),
         "jsonl_roundtrip_wordcount": lambda s, d: (
             FMT.jsonl_roundtrip_wordcount(_t(s, d, "documents"))
@@ -4173,6 +4177,40 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             WHERE EXISTS (SELECT 1 FROM edges ac
                           WHERE ac.p_a = ab.p_a AND ac.p_b = bc.p_b)
             ORDER BY p_a, p_b, p_c
+        """,
+
+        "streaming_timeout_sessions": """
+            -- gap sessions (> gap_sec split) + the probed emission
+            -- rule: every non-final session, plus final sessions whose
+            -- ms-floored end is strictly more than gap below the
+            -- ms-truncated watermark (max ts - 1 h)
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sids AS (
+              SELECT user_id, us,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            ), sess AS (
+              SELECT user_id, sid,
+                     min(us) AS session_start_us,
+                     max(us) AS session_end_us,
+                     count(*)::BIGINT AS n_events
+              FROM sids GROUP BY user_id, sid
+            ), horizon AS (
+              SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events
+            )
+            SELECT user_id, session_start_us, session_end_us, n_events
+            FROM sess, horizon
+            WHERE sid < (SELECT max(s2.sid) FROM sess s2
+                         WHERE s2.user_id = sess.user_id)
+               OR wm_ms > (session_end_us // 1000) + 1800000
+            ORDER BY user_id, session_start_us
         """,
         "streaming_outer_join": _OUTER_ATTRIBUTION_SQL,
         "outer_attribution": _OUTER_ATTRIBUTION_SQL,

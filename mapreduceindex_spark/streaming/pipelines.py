@@ -1021,6 +1021,102 @@ def streaming_session_funnel(
     )
 
 
+def streaming_timeout_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_sec: int = 1800,
+    delay_sec: int = 3600,
+) -> DataFrame:
+    """Session emission driven by STATE TIMEOUTS — the
+    ``EventTimeTimeout`` API surface: per user, a gap session closes
+    and EMITS either (a) immediately, when a new event arrives more
+    than ``gap_sec`` after the last (the in-stream split), or (b) when
+    the event-time watermark passes the open session's horizon
+    (``setTimeoutTimestamp(last_ms + gap·1000)`` — Spark fires the
+    callback STRICTLY after ``watermark_ms > timeout_ms``, probed and
+    pinned), so a quiet user's session still emits without waiting for
+    their next visit — the property complete-mode sessionizers lack.
+    A session still open at the horizon emits nothing yet (same
+    withholding contract as ``streaming_outer_join``'s tail).
+
+    Gap convention: strictly ``> gap_sec`` splits — registry-wide. The
+    state is one (last, start, count) row per user (bounded by ACTIVE
+    users, evicted at timeout — never stream length). The oracle
+    replays the sessionizer plus the exact emission rule: every
+    non-final session, plus final sessions with
+    ``wm_ms > floor_ms(last) + gap·1000`` where ``wm_ms`` is the
+    ms-truncated max event time minus the delay. ``no_data_batches``
+    stays ON: the trailing empty batch is what fires the timeouts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_sec) * 1_000_000
+    gap_ms = int(gap_sec) * 1_000
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "ts", "event_id")
+        .withWatermark("ts", f"{delay_sec} seconds")
+    )
+
+    def _sessions(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            last, start, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start],
+                    "session_end_us": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = []
+        for pdf in pdfs:
+            us = pdf["ts"].astype("int64") // 1000
+            rows.extend(zip(us.tolist(), pdf["event_id"].tolist()))
+        rows.sort()
+        closed = []
+        if state.exists:
+            last, start, n = state.get
+        else:
+            last = start = n = None
+        for us, _eid in rows:
+            if last is None:
+                last, start, n = us, us, 1
+            elif us - last > gap_us:
+                closed.append((key[0], start, last, n))
+                last, start, n = us, us, 1
+            else:
+                last, n = us, n + 1
+        state.update((last, start, n))
+        state.setTimeoutTimestamp(last // 1000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start_us",
+                    "session_end_us",
+                    "n_events",
+                ],
+            )
+
+    out_stream = ev.groupBy("user_id").applyInPandasWithState(
+        _sessions,
+        outputStructType=(
+            "user_id bigint, session_start_us bigint, "
+            "session_end_us bigint, n_events bigint"
+        ),
+        stateStructType="last_us bigint, start_us bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = _run_to_table(out_stream, "append", no_data_batches=True)
+    return out.orderBy("user_id", "session_start_us")
+
+
 def streaming_markov_transitions(
     spark: SparkSession, sf_dir: str, gap_sec: int = 1800
 ) -> DataFrame:

@@ -279,3 +279,32 @@ def test_ewma_recursive_cte_matches_driver_fold(spark, tmp_path):
     # decay on the empty day 3: e = 0.3*0 + floor(0.7*e2)
     e2 = a[2][2]
     assert a[3] == (a[0][0] + 3, 0, (700_000 * e2) // 1_000_000)
+
+
+def test_timeout_sessions_emission_paths(spark, tmp_path):
+    """The three emission behaviors of the EventTimeTimeout sessionizer
+    on one fixture: an in-stream split emits immediately; the last
+    session of a quiet user emits via TIMEOUT once the watermark
+    strictly passes its horizon (fired in the trailing no-data batch);
+    a session still open at the horizon emits nothing."""
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_timeout_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "view"),
+        (2, t0 + 100 * s, 1, "view"),          # session 1: 2 events
+        (3, t0 + 5000 * s, 1, "view"),         # splits -> session 2
+        # sentinel: watermark = this - 3600 = t0 + 6801 s, strictly
+        # past session 2's horizon t0 + 5000 + 1800 -> timeout fires;
+        # the sentinel's own session stays open -> withheld
+        (9, t0 + (5000 + 3600 + 1801) * s, 9, "view"),
+    ]
+    sf_dir = _write_events_fixture(tmp_path, rows)
+    out = [
+        (r["user_id"], r["n_events"], r["session_end_us"] - r["session_start_us"])
+        for r in streaming_timeout_sessions(spark, sf_dir).collect()
+    ]
+    assert out == [(1, 2, 100_000_000), (1, 1, 0)]
