@@ -104,6 +104,9 @@ _VERIFY_FIRST = [
     "orc_roundtrip_doc_stats",
     "copurchase_triangles",
     "top_terms_per_doc",
+    "user_event_sequences",
+    "event_mix_drift",
+    "orderkey_gap_report",
     # (c) the r03-stale tail (oldest driver-green block, newest row
     # r02/r03) — the judge's round-8 refresh ask; local pytest
     # oracle-checks every registry query each run regardless.
@@ -522,6 +525,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "top_terms_per_doc": lambda s, d: TA.top_terms_per_doc(
             _t(s, d, "documents")
+        ),
+        "user_event_sequences": lambda s, d: E.user_event_sequences(
+            _t(s, d, "events")
+        ),
+        "event_mix_drift": lambda s, d: E.event_mix_drift(
+            _t(s, d, "events")
+        ),
+        "orderkey_gap_report": lambda s, d: R.orderkey_gap_report(
+            _t(s, d, "orders")
         ),
         # round 7: referential-integrity audit over all 7 FK edges —
         # per-edge anti-join counts, 7-row output
@@ -4211,6 +4223,62 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          WHERE s2.user_id = sess.user_id)
                OR wm_ms > (session_end_us // 1000) + 1800000
             ORDER BY user_id, session_start_us
+        """,
+
+        "user_event_sequences": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   string_agg(event_type, ' ' ORDER BY ts, event_id)
+                     AS sequence
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "event_mix_drift": """
+            WITH counts AS (
+              SELECT ((CAST(FLOOR(epoch(ts)) AS BIGINT) - (((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) + 86400) % 86400)) // 86400) AS day_num, event_type, count(*)::BIGINT AS c
+              FROM events GROUP BY day_num, event_type
+            ), tot AS (
+              SELECT day_num, sum(c)::BIGINT AS t FROM counts
+              GROUP BY day_num
+            ), sh AS (
+              SELECT c.day_num, c.event_type,
+                     ((c.c * 1000000) // t.t)::BIGINT AS s
+              FROM counts c JOIN tot t USING (day_num)
+            ), prev AS (
+              SELECT day_num + 1 AS day_num, event_type, s AS p FROM sh
+            ), both_days AS (
+              SELECT t1.day_num FROM tot t1
+              JOIN tot t2 ON t2.day_num = t1.day_num - 1
+            ), paired AS (
+              SELECT coalesce(sh.day_num, prev.day_num) AS day_num,
+                     abs(coalesce(sh.s, 0) - coalesce(prev.p, 0)) AS d
+              FROM sh FULL JOIN prev
+                ON sh.day_num = prev.day_num
+               AND sh.event_type = prev.event_type
+            )
+            SELECT day_num, sum(d)::BIGINT AS drift_ppm
+            FROM paired
+            WHERE day_num IN (SELECT day_num FROM both_days)
+            GROUP BY day_num ORDER BY day_num
+        """,
+        "orderkey_gap_report": """
+            -- islands-and-gaps WITHOUT a global window: a run starts
+            -- where k-1 is absent (anti self-join); the rest is one
+            -- bucket aggregate
+            WITH keys AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+            ), starts AS (
+              SELECT k, 1 AS st FROM keys
+              WHERE k - 1 NOT IN (SELECT k FROM keys)
+            ), per AS (
+              SELECT keys.k // 4096 AS bucket, keys.k,
+                     coalesce(st, 0) AS st
+              FROM keys LEFT JOIN starts USING (k)
+            )
+            SELECT bucket, min(k) AS lo_key, max(k) AS hi_key,
+                   count(*)::BIGINT AS n_keys,
+                   (max(k) - min(k) + 1 - count(*))::BIGINT
+                     AS n_missing_within,
+                   sum(st)::BIGINT AS n_run_starts
+            FROM per GROUP BY bucket ORDER BY bucket
         """,
         "streaming_outer_join": _OUTER_ATTRIBUTION_SQL,
         "outer_attribution": _OUTER_ATTRIBUTION_SQL,

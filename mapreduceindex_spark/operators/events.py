@@ -1379,3 +1379,88 @@ def weekday_seasonality(events: DataFrame) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+def user_event_sequences(events: DataFrame) -> DataFrame:
+    """Per user, the full time-ordered event-type sequence as one
+    string — the session-mining/export shape (and the ordered
+    ``collect_list`` surface done right: ``sort_array`` over
+    ``(ts, event_id, type)`` structs makes the order a property of the
+    DATA, not of partition arrival — a bare collect_list would be
+    nondeterministic under any parallelism).
+
+    Scale shape: ONE user-keyed aggregate; per-user state is that
+    user's event count (the same per-key bound every sessionizer here
+    carries). Output strings serialize the arrays for the driver's
+    hash compare (the registry's array-column discipline).
+    """
+    arr = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(arr.alias("_a"))
+        .select(
+            "user_id",
+            F.size("_a").cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(F.col("_a"), lambda x: x["event_type"]), " "
+            ).alias("sequence"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def event_mix_drift(events: DataFrame) -> DataFrame:
+    """Day-over-day drift of the event-type mix: per day, the L1
+    distance (in ppm) between today's and yesterday's event-type share
+    vectors — the cheap distribution-shift alarm a pipeline puts in
+    front of expensive retraining ("did the traffic composition jump").
+
+    Exact integers end to end: shares are ``count·1e6 DIV total`` and
+    the drift sums |share − prev_share| over the union of types (a
+    type absent one day contributes its full share). Consecutive-day
+    pairs come from an equi-join on ``day_num − 1`` — never a window —
+    so the whole plan is day×type-bounded aggregates after ONE fact
+    scan. Days with no previous active day report nothing (no
+    denominator exists).
+    """
+    day = _epoch_day()
+    counts = (
+        events.select(day.alias("day_num"), "event_type")
+        .groupBy("day_num", "event_type")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = counts.groupBy("day_num").agg(F.sum("_c").alias("_t"))
+    shares = counts.join(totals, "day_num").select(
+        "day_num",
+        "event_type",
+        F.expr("(_c * 1000000) DIV _t").alias("_s"),
+    )
+    prev = shares.select(
+        (F.col("day_num") + 1).alias("day_num"),
+        "event_type",
+        F.col("_s").alias("_p"),
+    )
+    # full outer on (day, type) within the joined day pair; keep only
+    # days where BOTH sides were active (drift vs silence is vacuous)
+    both_days = totals.select("day_num").join(
+        totals.select((F.col("day_num") + 1).alias("day_num")),
+        "day_num",
+        "left_semi",
+    )
+    paired = (
+        shares.join(prev, ["day_num", "event_type"], "full")
+        .join(both_days, "day_num", "left_semi")
+        .select(
+            "day_num",
+            F.abs(
+                F.coalesce("_s", F.lit(0)) - F.coalesce("_p", F.lit(0))
+            ).alias("_d"),
+        )
+    )
+    return (
+        paired.groupBy("day_num")
+        .agg(F.sum("_d").cast("long").alias("drift_ppm"))
+        .orderBy("day_num")
+    )

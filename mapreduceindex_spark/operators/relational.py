@@ -2191,3 +2191,50 @@ def top_parts_dense_rank(part: DataFrame, k: int = 3) -> DataFrame:
         .select("p_brand", "price_rank", "price_cents", "p_partkey")
         .orderBy("p_brand", "price_rank", "p_partkey")
     )
+
+
+def orderkey_gap_report(
+    orders: DataFrame, bucket_width: int = 4096
+) -> DataFrame:
+    """Key-space density audit over ``o_orderkey`` — how sparse is the
+    identifier space, and where (TPC-H keys are deliberately ~1/4
+    dense): per fixed-width bucket, the observed key range, how many
+    keys exist, how many are MISSING inside that range, and how many
+    contiguous runs the keys form.
+
+    Window-free by design: runs are counted as "keys whose predecessor
+    key is absent" via a LEFT ANTI self-join on ``key − 1`` (a run
+    start iff ``k−1`` missing) — the islands-and-gaps problem without
+    the global-ordering window it classically drags in; everything
+    else is one bucket-keyed aggregate. All integer; bucket count
+    scales with key-space/width, never with row count per bucket.
+    """
+    keys = orders.select(F.col("o_orderkey").cast("long").alias("k"))
+    starts = keys.join(
+        keys.select((F.col("k") + 1).alias("k")), "k", "left_anti"
+    ).select("k", F.lit(1).alias("_st"))
+    per = (
+        keys.join(starts, "k", "left")
+        .select(
+            F.expr(f"k DIV {int(bucket_width)}").alias("bucket"),
+            "k",
+            F.coalesce("_st", F.lit(0)).alias("_st"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("k").alias("lo_key"),
+            F.max("k").alias("hi_key"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("_st").cast("long").alias("n_run_starts"),
+        )
+    )
+    return per.select(
+        "bucket",
+        "lo_key",
+        "hi_key",
+        "n_keys",
+        (F.col("hi_key") - F.col("lo_key") + 1 - F.col("n_keys"))
+        .cast("long")
+        .alias("n_missing_within"),
+        "n_run_starts",
+    ).orderBy("bucket")
