@@ -308,3 +308,58 @@ def test_timeout_sessions_emission_paths(spark, tmp_path):
         for r in streaming_timeout_sessions(spark, sf_dir).collect()
     ]
     assert out == [(1, 2, 100_000_000), (1, 1, 0)]
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Synthetic PII through the scrubber: class counts on the original
+    text, redacted_chars from the fixed email->ipv4->digit scrub order
+    (the email's digits must be gone before the digit pass)."""
+    from mapreduceindex_spark.operators.text_analysis import pii_scrub_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob123456@example.com and 10.0.0.1 plus 1234567", "a"),
+            (2, "clean text only", "a"),
+            (3, "ip 192.168.001.255 twice 10.1.2.3", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in pii_scrub_stats(docs).collect()}
+    a, b = out["a"], out["b"]
+    # counts are per class on the ORIGINAL text: the email's embedded
+    # 123456 run counts for the digit class too (exposure, not a
+    # partition)
+    assert (a["n_emails"], a["n_ipv4"], a["n_digit_runs"]) == (1, 1, 2)
+    # redaction: email bob123456@example.com (21 ch) + ip 10.0.0.1
+    # (8 ch) + standalone 1234567 (7 ch); the email's digits are
+    # consumed by the email pass, not re-counted by the digit pass
+    assert a["redacted_chars"] == 21 + 8 + 7
+    # dotted octets never form a 6+ digit run
+    assert (b["n_emails"], b["n_ipv4"], b["n_digit_runs"]) == (0, 2, 0)
+    assert b["redacted_chars"] == 15 + 8
+
+
+def test_price_qty_regression_matches_numpy(spark):
+    """The exact integer OLS equals numpy's float fit to micro
+    precision on a small frame (sanity beyond the cross-engine
+    hash: the formula itself is right)."""
+    import numpy as np
+
+    from mapreduceindex_spark.operators.relational import (
+        price_qty_regression,
+    )
+
+    rng = np.random.default_rng(7)
+    qty = rng.integers(1, 51, 200).astype(float)
+    price = 912.34 * qty + 1000 + rng.normal(0, 50, 200).round(2)
+    li = spark.createDataFrame(
+        [(float(q), float(p)) for q, p in zip(qty, price)],
+        "l_quantity double, l_extendedprice double",
+    )
+    row = price_qty_regression(li).collect()[0]
+    x = np.round(qty * 100).astype(np.int64)
+    y = np.round(price * 100).astype(np.int64)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row["slope_micro"] / 1e6 - slope) < 1e-3
+    assert abs(row["intercept_micro"] / 1e6 - intercept) < 1.0
+    assert row["n"] == 200
