@@ -4146,21 +4146,24 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM ew LEFT JOIN daily d ON d.day = ew.day_num
             ORDER BY day_num
         """,
-        "pii_scrub_stats": """
-            -- same pattern text (RE2 n Java dialect); DuckDB needs the
-            -- explicit 'g' flag Spark applies implicitly
+        # built from the SAME Python pattern constants the Spark side
+        # uses (TA.PII_*) — an inline string literal here once parsed
+        # \b as a backspace and left the IPv4/digit legs vacuously
+        # green on the fixture (round-8 review catch)
+        "pii_scrub_stats": f"""
             SELECT source, count(1)::BIGINT AS n_docs,
                    sum(len(regexp_extract_all(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT AS n_emails,
+                     '{TA.PII_EMAIL}')))::BIGINT AS n_emails,
                    sum(len(regexp_extract_all(text,
-                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')))::BIGINT AS n_ipv4,
+                     '{TA.PII_IPV4}')))::BIGINT AS n_ipv4,
                    sum(len(regexp_extract_all(text,
-                     '[0-9]{6,}')))::BIGINT AS n_digit_runs,
+                     '{TA.PII_DIGIT_RUN}')))::BIGINT AS n_digit_runs,
                    sum(length(text) - length(
                      regexp_replace(regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
-                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '', 'g'),
-                       '[0-9]{6,}', '', 'g')))::BIGINT AS redacted_chars
+                       '{TA.PII_EMAIL}', '', 'g'),
+                       '{TA.PII_IPV4}', '', 'g'),
+                       '{TA.PII_DIGIT_RUN}', '', 'g')))::BIGINT
+                     AS redacted_chars
             FROM documents GROUP BY source ORDER BY source
         """,
         "streaming_dedup_within_watermark": """

@@ -429,8 +429,18 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 def gif_decode(data: bytes) -> np.ndarray:
     """Decode the FIRST frame of a GIF87a/89a to an (h, w, 3) uint8 RGB
     array via the color table. Interlaced frames raise
-    ``NotImplementedError``; malformed palettes/codes raise
-    ``ValueError``."""
+    ``NotImplementedError``; malformed/truncated payloads raise
+    ``ValueError`` (out-of-range reads in the parser are normalized —
+    a crawl payload truncated mid-sub-block must hit the same
+    quarantine path as any other corrupt container, not leak an
+    IndexError out of an executor task)."""
+    try:
+        return _gif_decode_inner(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed GIF payload: {exc}") from exc
+
+
+def _gif_decode_inner(data: bytes) -> np.ndarray:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
     packed = data[10]

@@ -1235,12 +1235,21 @@ def ewma_recursive_cte(
     metadata-sized sequential series). Exists to pin the recursive-CTE
     API surface and as the reference for day-bounded recursions that
     DO belong in-engine on an unbounded-width state."""
+    from mapreduceindex_spark.functions import caching
+
     spark = events.sparkSession
     a = int(alpha_ppm)
-    daily = events.select(_epoch_day().alias("day")).groupBy("day").agg(
-        F.expr("CAST(count(1) AS BIGINT)").alias("c")
+    # tracked persist (released on the next call, the repo discipline):
+    # the recursion's iterations must hit the cache, not re-scan
+    caching.release("ewma_recursive_cte")
+    daily = caching.track(
+        events.select(_epoch_day().alias("day"))
+        .groupBy("day")
+        .agg(F.expr("CAST(count(1) AS BIGINT)").alias("c"))
+        .persist(),
+        "ewma_recursive_cte",
     )
-    daily.persist().count()  # iterations must hit the cache, not re-scan
+    daily.count()
     view = "mrix_ewma_daily"
     daily.createOrReplaceTempView(view)
     return spark.sql(f"""

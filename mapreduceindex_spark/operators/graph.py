@@ -174,6 +174,46 @@ LIMIT {top_k}
     )
 
 
+def _copurchase_edges(
+    lineitem: DataFrame, part: DataFrame, min_support: int
+) -> DataFrame:
+    """Canonically oriented (doc_a < doc_b) support-filtered
+    co-purchase edge list — the shared front end of
+    ``copurchase_clusters`` and ``copurchase_triangles`` (one edge
+    basis, one orphan rule; the round-8 review flagged the duplicated
+    copy as a divergence risk).
+
+    Endpoints are restricted to the part universe up front (semi-join):
+    on dirty data an FK-orphan l_partkey would otherwise create edges
+    to nodes outside the output domain — and could even become a
+    component's min label — diverging from the part-seeded oracles.
+    Orphans are fk_integrity_audit's job to report, not ours to graph.
+    """
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .join(
+            part.select(F.col("p_partkey").alias("l_partkey")),
+            "l_partkey",
+            "left_semi",
+        )
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("doc_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("doc_b")
+    )
+    return (
+        a.join(b, "_o")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_support)
+        .select("doc_a", "doc_b")
+    )
+
+
 def copurchase_clusters(
     lineitem: DataFrame, part: DataFrame, min_support: int = 2
 ) -> DataFrame:
@@ -194,35 +234,7 @@ def copurchase_clusters(
     """
     from mapreduceindex_spark.operators.dedup import resolve_components
 
-    # Restrict edge endpoints to the part universe up front (broadcast
-    # semi-join): on dirty data an FK-orphan l_partkey would otherwise
-    # create edges to nodes outside the output domain — and could even
-    # become a component's min label — diverging from the part-seeded
-    # oracle. Orphans are fk_integrity_audit's job to report, not ours
-    # to cluster.
-    op = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .join(
-            part.select(F.col("p_partkey").alias("l_partkey")),
-            "l_partkey",
-            "left_semi",
-        )
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("doc_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("doc_b")
-    )
-    edges = (
-        a.join(b, "_o")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_support)
-        .select("doc_a", "doc_b")
-    )
+    edges = _copurchase_edges(lineitem, part, min_support)
     nodes = part.select(F.col("p_partkey").cast("long").alias("doc_id"))
     return (
         resolve_components(edges, nodes)
@@ -251,32 +263,10 @@ def copurchase_triangles(
     endpoints are semi-joined to the part universe first (the
     ``copurchase_clusters`` orphan rule).
     """
-    op = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
-        .join(
-            part.select(F.col("p_partkey").alias("l_partkey")),
-            "l_partkey",
-            "left_semi",
-        )
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p_a")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p_b")
-    )
-    edges = (
-        a.join(b, "_o")
-        .filter(F.col("p_a") < F.col("p_b"))
-        .groupBy("p_a", "p_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_support)
-        .select("p_a", "p_b")
-    )
-    ab = edges.select(F.col("p_a").alias("a"), F.col("p_b").alias("b"))
-    bc = edges.select(F.col("p_a").alias("b"), F.col("p_b").alias("c"))
-    ac = edges.select(F.col("p_a").alias("a"), F.col("p_b").alias("c"))
+    edges = _copurchase_edges(lineitem, part, min_support)
+    ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     return (
         ab.join(bc, "b")
         .join(ac, ["a", "c"], "left_semi")

@@ -478,6 +478,21 @@ def decode_wav_features(documents: DataFrame) -> DataFrame:
     )
 
 
+def _gif_gray_thumb(arr, codecs, np):
+    """GIF-wire 9×8 grayscale thumbnail: encode under the gray-identity
+    palette, decode, floor-index NN-resize (the exact
+    ``png_resize_nearest`` arithmetic), re-encode the thumbnail through
+    the same wire. ONE definition shared by ``media_dhash`` and the
+    near-dup coarse fingerprint — the two must stay bit-identical for
+    the "one fingerprint, two wire formats" invariant (round-8 review:
+    the inlined copies were a divergence risk)."""
+    gray_pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    dec = codecs.gif_decode(codecs.gif_encode(arr, gray_pal))[:, :, 0]
+    hh, ww = dec.shape
+    t = dec[(np.arange(8) * hh) // 8][:, (np.arange(9) * ww) // 9]
+    return codecs.gif_decode(codecs.gif_encode(t, gray_pal))[:, :, 0]
+
+
 def media_dhash(documents: DataFrame) -> DataFrame:
     """Image near-dup fingerprint through the real codec path: per-doc
     synthetic grayscale PNG → encode → **nearest-neighbor resize to
@@ -514,20 +529,6 @@ def media_dhash(documents: DataFrame) -> DataFrame:
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mapreduceindex_spark.functions import codecs
 
-        gray_pal = np.repeat(
-            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
-        )
-
-        def _thumb_gif(arr):
-            dec = codecs.gif_decode(codecs.gif_encode(arr, gray_pal))[
-                :, :, 0
-            ]
-            hh, ww = dec.shape
-            t = dec[(np.arange(8) * hh) // 8][:, (np.arange(9) * ww) // 9]
-            return codecs.gif_decode(codecs.gif_encode(t, gray_pal))[
-                :, :, 0
-            ]
-
         for pdf in batches:
             out = {"doc_id": [], "dhash_lo": [], "dhash_hi": []}
             for doc_id in pdf["doc_id"]:
@@ -539,7 +540,7 @@ def media_dhash(documents: DataFrame) -> DataFrame:
                     np.uint8
                 )
                 if i % 2:
-                    thumb = _thumb_gif(arr)
+                    thumb = _gif_gray_thumb(arr, codecs, np)
                 else:
                     thumb = codecs.png_decode(
                         codecs.png_resize_nearest(
@@ -576,9 +577,6 @@ def _dhash_frame_coarse(documents: DataFrame) -> DataFrame:
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mapreduceindex_spark.functions import codecs
 
-        gray_pal = np.repeat(
-            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
-        )
         for pdf in batches:
             out = {"doc_id": [], "dhash_lo": [], "dhash_hi": []}
             for doc_id in pdf["doc_id"]:
@@ -590,19 +588,10 @@ def _dhash_frame_coarse(documents: DataFrame) -> DataFrame:
                     (k + 7 * xs * xs + 11 * ys * ys + 3 * xs * ys) % 251
                 ).astype(np.uint8)
                 if i % 2:
-                    # GIF wire (gray-identity palette): lossless, so the
-                    # fingerprint — and the near-dup pairs — are
-                    # wire-format-invariant (see media_dhash)
-                    dec = codecs.gif_decode(
-                        codecs.gif_encode(arr, gray_pal)
-                    )[:, :, 0]
-                    hh, ww = dec.shape
-                    t = dec[(np.arange(8) * hh) // 8][
-                        :, (np.arange(9) * ww) // 9
-                    ]
-                    thumb = codecs.gif_decode(
-                        codecs.gif_encode(t, gray_pal)
-                    )[:, :, 0]
+                    # GIF wire: lossless, so the fingerprint — and the
+                    # near-dup pairs — are wire-format-invariant (one
+                    # shared thumb definition: _gif_gray_thumb)
+                    thumb = _gif_gray_thumb(arr, codecs, np)
                 else:
                     thumb = codecs.png_decode(
                         codecs.png_resize_nearest(

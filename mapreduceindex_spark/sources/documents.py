@@ -52,8 +52,17 @@ def documents_from_csv(
     text_field: str = "text",
     **options: str,
 ) -> DataFrame:
-    """CSV corpus → documents (header row expected by default)."""
-    opts = {"header": "true", "escape": '"', **options}
+    """CSV corpus → documents (header row expected by default).
+
+    ``multiLine`` defaults ON: a TEXT corpus legitimately contains
+    newlines inside quoted fields, and without it each physical line
+    parses as a record (silent corruption). The cost is that multiLine
+    CSV is not line-splittable — each FILE parses as one unit — so at
+    100 TB the parallelism comes from file count, not intra-file
+    splits; pass ``multiLine="false"`` only for corpora guaranteed
+    newline-free.
+    """
+    opts = {"header": "true", "escape": '"', "multiLine": "true", **options}
     df = spark.read.options(**opts).csv(path)
     return df.select(
         F.col(id_field).cast("long").alias("doc_id"),

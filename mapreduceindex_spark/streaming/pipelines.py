@@ -1089,7 +1089,12 @@ def streaming_timeout_sessions(
                 closed.append((key[0], start, last, n))
                 last, start, n = us, us, 1
             else:
-                last, n = us, n + 1
+                # a LATE but watermark-admissible event (us < last,
+                # possible only across micro-batches) must extend the
+                # span backward, never rewind `last` — a rewound last
+                # would fake a gap against the next on-time event and
+                # split a session the global-order oracle keeps whole
+                last, start, n = max(last, us), min(start, us), n + 1
         state.update((last, start, n))
         state.setTimeoutTimestamp(last // 1000 + gap_ms)
         if closed:

@@ -363,3 +363,79 @@ def test_price_qty_regression_matches_numpy(spark):
     assert abs(row["slope_micro"] / 1e6 - slope) < 1e-3
     assert abs(row["intercept_micro"] / 1e6 - intercept) < 1.0
     assert row["n"] == 200
+
+
+def test_pii_scrub_cross_engine_on_pii_bearing_text(spark):
+    """The Spark scrubber and the registry's DuckDB oracle agree on
+    text that ACTUALLY contains every PII class — the fixture corpus
+    has none, so the driver drive alone would leave the IPv4/digit
+    legs vacuous (the round-8 review caught exactly that: a \\b typed
+    in a non-raw oracle literal parsed as a backspace and never
+    matched)."""
+    import duckdb
+    import importlib.util
+
+    from mapreduceindex_spark.operators.text_analysis import pii_scrub_stats
+    from tests.conftest import assert_df_matches_oracle
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_pii", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sql = mod.oracle_sql()["pii_scrub_stats"]
+
+    rows = [
+        (1, "mail bob123456@example.com and 10.0.0.1 plus 1234567", "a"),
+        (2, "clean text only", "a"),
+        (3, "ip 192.168.001.255 twice 10.1.2.3", "b"),
+        (4, "a.b+c_d%e@sub.domain.org then 99999 short", "b"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]),
+    )
+    assert_df_matches_oracle(pii_scrub_stats(docs), con, sql)
+
+
+def test_csv_roundtrip_survives_embedded_newlines(spark):
+    """Text with embedded newlines round-trips through the CSV
+    write/read path intact (multiLine reader default — without it each
+    physical line parses as a record and the histogram corrupts;
+    round-8 review catch)."""
+    from mapreduceindex_spark.sources.documents import documents_from_csv
+
+    import shutil
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ngamma", "s"),
+            (2, 'quote " comma, and\r\nmore', "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    path = tempfile.mkdtemp(prefix="csv_nl_")
+    try:
+        (
+            docs.select("doc_id", "text")
+            .write.mode("overwrite")
+            .options(header="true", escape='"')
+            .csv(path)
+        )
+        back = {
+            r["doc_id"]: r["text"]
+            for r in documents_from_csv(spark, path).collect()
+        }
+        assert back == {
+            1: "alpha beta\ngamma",
+            2: 'quote " comma, and\r\nmore',
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
