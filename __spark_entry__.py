@@ -107,6 +107,8 @@ _VERIFY_FIRST = [
     "user_event_sequences",
     "event_mix_drift",
     "orderkey_gap_report",
+    "lsh_recall",
+    "char_entropy_by_source",
     # (c) the r03-stale tail (oldest driver-green block, newest row
     # r02/r03) — the judge's round-8 refresh ask; local pytest
     # oracle-checks every registry query each run regardless.
@@ -534,6 +536,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "orderkey_gap_report": lambda s, d: R.orderkey_gap_report(
             _t(s, d, "orders")
+        ),
+        "lsh_recall": lambda s, d: D.lsh_recall(_t(s, d, "documents")),
+        "char_entropy_by_source": lambda s, d: (
+            TA.char_entropy_by_source(_t(s, d, "documents"))
         ),
         # round 7: referential-integrity audit over all 7 FK edges —
         # per-edge anti-join counts, 7-row output
@@ -4283,6 +4289,39 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    sum(st)::BIGINT AS n_run_starts
             FROM per GROUP BY bucket ORDER BY bucket
         """,
+
+        "char_entropy_by_source": f"""
+            -- token_entropy's discipline at character level; position
+            -- grid instead of an engine-specific empty-pattern split;
+            -- 5545177 = floor(8 * ln(2) * 1e6)
+            WITH chars AS (
+              SELECT source, substr(text, CAST(t.i AS INT), 1) AS ch
+              FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+              WHERE length(text) > 0
+            ), counts AS (
+              SELECT source, ch, count(*)::BIGINT AS c
+              FROM chars GROUP BY source, ch
+            ), totals AS (
+              SELECT source, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd
+              FROM counts GROUP BY source
+            ), terms AS (
+              SELECT c0.source, t0.n, t0.nd,
+                     c0.c * {XQ.micro_sql('ln(c0.c::DOUBLE / t0.n::DOUBLE)')} AS contrib
+              FROM counts c0 JOIN totals t0 USING (source)
+            ), ent AS (
+              SELECT source, n, nd, sum(contrib)::BIGINT AS s
+              FROM terms GROUP BY source, n, nd
+            ), b AS (
+              SELECT source, sum(strlen(text))::BIGINT AS ab
+              FROM documents GROUP BY source
+            )
+            SELECT ent.source, n AS n_chars, nd AS n_distinct_chars,
+                   ((-s) // n)::BIGINT AS char_entropy_micro,
+                   ((-s) // 5545177)::BIGINT AS shannon_bytes_est,
+                   ab AS actual_bytes
+            FROM ent JOIN b ON b.source = ent.source
+            ORDER BY ent.source
+        """,
         "streaming_outer_join": _OUTER_ATTRIBUTION_SQL,
         "outer_attribution": _OUTER_ATTRIBUTION_SQL,
         "streaming_range_join": """
@@ -5583,6 +5622,23 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
     # question phrase_search answers by window scan — one ground truth,
     # two physical strategies, both driver-verified against it
     d["phrase_search_indexed"] = d["phrase_search"]
+    # lsh_recall composes its two verified legs on the pair key
+    d["lsh_recall"] = f"""
+        WITH t AS (
+          SELECT doc_a, doc_b FROM ({d["ngram_jaccard_pairs"]}) x
+        ), f AS (
+          SELECT doc_a, doc_b FROM ({d["minhash_lsh_pairs"]}) y
+        ), m AS (
+          SELECT (SELECT count(*) FROM t)::BIGINT AS n_true,
+                 (SELECT count(*) FROM t JOIN f
+                   USING (doc_a, doc_b))::BIGINT AS n_found
+        )
+        SELECT n_true, n_found,
+               CASE WHEN n_true = 0 THEN 0
+                    ELSE (n_found * 1000000) // n_true END::BIGINT
+                 AS recall_ppm
+        FROM m
+    """
     # wire-format round trips re-verify against the parquet path's truth
     d["jsonl_roundtrip_wordcount"] = d["word_counts"]
     d["csv_roundtrip_wordcount"] = d["word_counts"]

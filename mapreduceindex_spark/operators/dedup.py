@@ -1471,3 +1471,51 @@ def containment_pairs(
         )
     )
     return cross.union(intra).orderBy("doc_a", "doc_b")
+
+
+def lsh_recall(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Blocking-quality calibration of the LSH dedup tier: what
+    fraction (ppm) of the EXACT tier's ≥-threshold pairs does the
+    banded MinHash candidate generation recover — the pairs-
+    completeness number every blocking scheme publishes, and the
+    third leg of the family's calibration set (``minhash_accuracy``
+    scores the ESTIMATE, ``ann_recall`` the vector index; this scores
+    the DEDUP BLOCKING).
+
+    Basis note: the truth side is ``ngram_jaccard_pairs`` (the exact
+    tier, hot-shingle df cap documented there); the found side is
+    ``minhash_lsh_pairs`` (banded candidates + uncapped exact verify).
+    Both legs are independently oracle-verified; this query composes
+    them on the (doc_a, doc_b) key — one left-semi mark join + one
+    single-row fold, so the cost is the two tiers themselves.
+    """
+    truth = ngram_jaccard_pairs(
+        documents, n=n, threshold=threshold
+    ).select("doc_a", "doc_b")
+    found = minhash_lsh_pairs(
+        documents,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    ).select("doc_a", "doc_b", F.lit(1).alias("_hit"))
+    marked = truth.join(found, ["doc_a", "doc_b"], "left").select(
+        F.coalesce("_hit", F.lit(0)).alias("_hit")
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("_hit").cast("long").alias("n_found"),
+    ).select(
+        "n_true",
+        "n_found",
+        F.expr(
+            "CASE WHEN n_true = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST((n_found * 1000000) DIV n_true AS BIGINT) END"
+        ).alias("recall_ppm"),
+    )

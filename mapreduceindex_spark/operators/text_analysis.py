@@ -1035,3 +1035,78 @@ def top_terms_per_doc(documents: DataFrame, k: int = 3) -> DataFrame:
         .select("doc_id", "rank", "word", "tfidf")
         .orderBy("doc_id", "rank")
     )
+
+
+def char_entropy_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source CHARACTER-level Shannon entropy and the
+    entropy-coding size floor — the compression-planning readout next
+    to ``token_entropy``'s diversity number: ``shannon_bytes_est``
+    (character-entropy bound) against ``actual_bytes`` says how much a
+    generic entropy coder could still squeeze out of a source tier
+    before storage decisions are made.
+
+    Same exactness discipline as ``token_entropy``: per-char
+    contributions quantize the log to integer micro-nats BEFORE the
+    sum; the byte floor divides the total micro-nat mass by the
+    literal ``8·ln2`` in micro-units (5_545_177) — a fixed-point
+    constant, identical on both engines. Characters enumerate through
+    a position grid (``sequence``/``range`` + ``substring``) rather
+    than an engine-specific empty-pattern split. One char scan → a
+    charset×sources-bounded aggregate; empty texts contribute bytes
+    but no characters.
+    """
+    from mapreduceindex_spark.functions.exact import micro
+
+    chars = (
+        documents.filter(F.length("text") > 0)
+        .select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"))
+            ).alias("_i"),
+            "text",
+        )
+        .select("source", F.expr("substring(text, _i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("source", "ch").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_nd")
+    )
+    terms = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "_n",
+        "_nd",
+        (
+            F.col("_c")
+            * micro(
+                F.log(
+                    F.col("_c").cast("double") / F.col("_n").cast("double")
+                )
+            )
+        ).alias("_contrib"),
+    )
+    ent = terms.groupBy("source", "_n", "_nd").agg(
+        F.sum("_contrib").alias("_s")
+    )
+    bytes_per_source = documents.groupBy("source").agg(
+        F.sum(F.octet_length("text")).alias("_b")
+    )
+    return (
+        ent.join(bytes_per_source, "source")
+        .select(
+            "source",
+            F.col("_n").cast("long").alias("n_chars"),
+            F.col("_nd").cast("long").alias("n_distinct_chars"),
+            F.expr("(-_s) DIV _n").cast("long").alias(
+                "char_entropy_micro"
+            ),
+            # 5_545_177 = floor(8 * ln(2) * 1e6): micro-nats per byte
+            F.expr("(-_s) DIV 5545177").cast("long").alias(
+                "shannon_bytes_est"
+            ),
+            F.col("_b").cast("long").alias("actual_bytes"),
+        )
+        .orderBy("source")
+    )
