@@ -1308,12 +1308,13 @@ def containment_pairs(
     pairs fan out over members — clone members carry identical shingle
     sets, so the expansion equals the brute-force all-docs join. Both
     tiers share ONE df/cap basis: shingle df counts **unique contents**
-    (one vote per clone group — the direct tier votes through the md5
-    group map; the collapsed tier's input is already one-per-content,
-    so its plain per-shingle count is the same basis with no extra
-    join), so a shingle's live/capped status — and therefore every
-    pair's ``n_common`` and ppm — is identical whichever tier the
-    adaptive probe picks. The
+    (one vote per clone group — the collapsed tier's input is already
+    one-per-content so its plain per-shingle count is that basis; the
+    direct tier subtracts each multi-member group's m−1 over-count
+    from the plain df, a duplicate-mass-sized correction join that the
+    identical-shingle-set invariant makes exact), so a shingle's
+    live/capped status — and therefore every pair's ``n_common`` and
+    ppm — is identical whichever tier the adaptive probe picks. The
     core is the Jaccard direct tier's shape: the shared
     ``_shingle_hashes`` 16-byte front end, the ``max_shingle_df``
     hot-shingle cap (the oracle brute-forces uncapped — identical under
@@ -1324,7 +1325,7 @@ def containment_pairs(
 
     caching.release("containment_pairs")
 
-    def _core(docs, rep_map):
+    def _core(docs, dup_members):
         sh = caching.track(
             _shingle_hashes(docs, n).persist(StorageLevel.MEMORY_AND_DISK),
             "containment_pairs",
@@ -1335,28 +1336,33 @@ def containment_pairs(
         # df over UNIQUE CONTENTS: clone copies of a document must not
         # inflate a shingle's df past the cap in one tier but not the
         # other — both tiers count one vote per clone group, so the cap
-        # decision is tier-independent. In the COLLAPSED tier `docs`
-        # are already one-per-content representatives (each mapping to
-        # itself in rep_map), so a plain per-shingle count IS the
-        # unique-contents df — the rep_map join + distinct would be a
-        # no-op there and was the round-7 1.56× regression; only the
-        # direct tier (clones present in `docs`) routes df through the
-        # clone-group map.
+        # decision is tier-independent. The COLLAPSED tier's input is
+        # already one-per-content, so its plain per-shingle count IS
+        # that basis (dup_members=None — the r07 rep_map join was a
+        # no-op there and a 1.56× regression). The DIRECT tier uses the
+        # identical-shingle-set invariant the expansion already relies
+        # on: dropping every NON-REPRESENTATIVE clone member's rows
+        # before the count leaves exactly one vote per content — ONE
+        # anti-join against the duplicate-mass-sized member list
+        # (AQE broadcasts it at the ≤5% duplicate share that selects
+        # this tier) feeding the same single aggregate the collapsed tier
+        # runs, not the corpus-wide (sh ⋈ rep_map → distinct) →
+        # vocabulary re-aggregate this computed through round 7. With
+        # this, the unified df basis costs what the r06 uncorrected
+        # count did; the remaining delta vs r06's wall time is the
+        # adaptive probe's md5 group scan — the price of exact
+        # tier-independence, paid once per call.
         # persisted: the collapsed tier consumes this frame through BOTH
         # union branches (cross via the pair join, intra via live_sizes)
         # and union branches re-execute unpersisted shared subtrees
-        if rep_map is None:
-            df_votes = sh.groupBy("sh").agg(
-                F.count(F.lit(1)).alias("_df")
-            )
-        else:
-            df_votes = (
-                sh.join(rep_map, "doc_id")
-                .select("sh", "rep")
-                .distinct()
-                .groupBy("sh")
-                .agg(F.count(F.lit(1)).alias("_df"))
-            )
+        votes_src = (
+            sh
+            if dup_members is None
+            else sh.join(dup_members, "doc_id", "left_anti")
+        )
+        df_votes = votes_src.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
         live = caching.track(
             sh.join(
                 df_votes.filter(F.col("_df") <= max_shingle_df)
@@ -1404,7 +1410,15 @@ def containment_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK),
         "containment_pairs",
     )
-    rep_map = groups.select(F.explode("members").alias("doc_id"), "rep")
+    # the NON-REPRESENTATIVE clone members (duplicate-mass-sized —
+    # tiny in the direct tier by its own selection rule): the direct
+    # tier's df computation drops their rows so each content votes once
+    dup_members = (
+        groups.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("doc_id"), "rep")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("doc_id")
+    )
     stats = groups.agg(
         F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
     ).collect()[0]
@@ -1416,7 +1430,7 @@ def containment_pairs(
     # direct 2.4 s vs collapsed 4.9 s, while at 10x clones the collapse
     # is the difference between Σdf²·100 and output-proportional (4.6 s).
     if stats["_d"] - stats["_g"] <= stats["_g"] // 20:
-        pairs, _, _ = _core(documents, rep_map)
+        pairs, _, _ = _core(documents, dup_members)
         return pairs.orderBy("doc_a", "doc_b")
     rep_docs = documents.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
