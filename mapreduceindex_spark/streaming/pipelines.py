@@ -1118,7 +1118,11 @@ def streaming_timeout_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    out = _run_to_table(out_stream, "append", no_data_batches=True)
+    # partitions=16: the bottleneck is the Python group-loop across
+    # workers, not state-store count (the first_seen measurement)
+    out = _run_to_table(
+        out_stream, "append", partitions=16, no_data_batches=True
+    )
     return out.orderBy("user_id", "session_start_us")
 
 
