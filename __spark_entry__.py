@@ -109,6 +109,7 @@ _VERIFY_FIRST = [
     "orderkey_gap_report",
     "lsh_recall",
     "char_entropy_by_source",
+    "top_orders_lateral",
     # (c) the r03-stale tail (oldest driver-green block, newest row
     # r02/r03) — the judge's round-8 refresh ask; local pytest
     # oracle-checks every registry query each run regardless.
@@ -536,6 +537,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "orderkey_gap_report": lambda s, d: R.orderkey_gap_report(
             _t(s, d, "orders")
+        ),
+        "top_orders_lateral": lambda s, d: R.top_orders_lateral(
+            s, _t(s, d, "customer"), _t(s, d, "orders")
         ),
         "lsh_recall": lambda s, d: D.lsh_recall(_t(s, d, "documents")),
         "char_entropy_by_source": lambda s, d: (
@@ -4321,6 +4325,21 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    ab AS actual_bytes
             FROM ent JOIN b ON b.source = ent.source
             ORDER BY ent.source
+        """,
+
+        "top_orders_lateral": """
+            SELECT c.c_custkey, o.o_orderkey, o.cents
+            FROM customer c,
+            LATERAL (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+              FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2
+            ) o
+            ORDER BY c.c_custkey, o.cents DESC, o.o_orderkey
         """,
         "streaming_outer_join": _OUTER_ATTRIBUTION_SQL,
         "outer_attribution": _OUTER_ATTRIBUTION_SQL,

@@ -2238,3 +2238,37 @@ def orderkey_gap_report(
         .alias("n_missing_within"),
         "n_run_starts",
     ).orderBy("bucket")
+
+
+def top_orders_lateral(
+    spark, customer: DataFrame, orders: DataFrame, k: int = 2
+) -> DataFrame:
+    """Each customer's ``k`` most expensive orders via a LATERAL
+    correlated subquery — the ANSI lateral-join API surface (Spark 4),
+    same ground truth as the window-ranked ``top_orders_per_customer``
+    family but a different declarative route.
+
+    Plan honesty: Catalyst DECORRELATES the per-row LIMIT into a
+    row_number window partitioned by the correlation key plus one
+    equi-join — scale-correct (never a per-customer re-execution) but
+    it currently plans a global range sort of the fact to feed that
+    window, which the direct window form avoids; at 100 TB you write
+    the window form (``top_orders_per_customer``) and keep this entry
+    as the API-surface pin. Exact cents, (price desc, orderkey) total
+    order inside the lateral so ties are engine-deterministic.
+    """
+    customer.createOrReplaceTempView("mrix_lat_customer")
+    orders.createOrReplaceTempView("mrix_lat_orders")
+    return spark.sql(f"""
+        SELECT c.c_custkey, o.o_orderkey, o.cents
+        FROM mrix_lat_customer c,
+        LATERAL (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM mrix_lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT {int(k)}
+        ) o
+        ORDER BY c.c_custkey, o.cents DESC, o.o_orderkey
+    """)
