@@ -91,6 +91,7 @@ _VERIFY_FIRST = [
     "order_status_unpivot",
     "index_lifecycle",
     "streaming_outer_join",
+    "streaming_full_outer_join",
     "outer_attribution",
     "media_decode_gif",
     "customer_revenue_range_window",
@@ -632,6 +633,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_range_join": lambda s, d: STREAM.streaming_range_join(s, d),
         "streaming_outer_join": lambda s, d: STREAM.streaming_outer_join(
             s, d
+        ),
+        "streaming_full_outer_join": lambda s, d: (
+            STREAM.streaming_full_outer_join(s, d)
         ),
         "outer_attribution": lambda s, d: E.outer_attribution(
             _t(s, d, "events")
@@ -4340,6 +4344,50 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               LIMIT 2
             ) o
             ORDER BY c.c_custkey, o.cents DESC, o.o_orderkey
+        """,
+
+        "streaming_full_outer_join": """
+            -- both probed completion rules: views need their WINDOW
+            -- closed (v_us + 600e6 < wm_us, strict); purchases need
+            -- only their own timestamp passed (p_us < wm_us — no
+            -- earlier-or-equal view can still arrive); wm is the
+            -- ms-truncated min-of-sides max minus the 1 h delay
+            WITH v AS (
+              SELECT user_id, event_id AS view_id, ts AS v_ts,
+                     epoch_us(ts) AS v_us
+              FROM events WHERE event_type = 'view'
+            ), p AS (
+              SELECT user_id AS p_user, event_id AS purchase_id,
+                     ts AS p_ts, epoch_us(ts) AS p_us
+              FROM events WHERE event_type = 'purchase'
+            ), wm AS (
+              SELECT CASE WHEN vmax IS NULL OR pmax IS NULL THEN NULL
+                     ELSE (least(vmax, pmax) - 3600000) * 1000 END AS wm_us
+              FROM (SELECT
+                      (SELECT epoch_ms(max(ts)) FROM events
+                        WHERE event_type = 'view') AS vmax,
+                      (SELECT epoch_ms(max(ts)) FROM events
+                        WHERE event_type = 'purchase') AS pmax)
+            ), m AS (
+              SELECT v.view_id, v.user_id, p.purchase_id,
+                     p.p_us - v.v_us AS lag_usec
+              FROM v JOIN p
+                ON v.user_id = p.p_user
+               AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 600000000
+            )
+            SELECT view_id, user_id, purchase_id, lag_usec FROM m
+            UNION ALL
+            SELECT v.view_id, v.user_id, NULL::BIGINT, NULL::BIGINT
+            FROM v, wm
+            WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+              AND v.v_us + 600000000 < wm.wm_us
+            UNION ALL
+            SELECT NULL::BIGINT, p.p_user, p.purchase_id, NULL::BIGINT
+            FROM p, wm
+            WHERE NOT EXISTS (SELECT 1 FROM m
+                              WHERE m.purchase_id = p.purchase_id)
+              AND p.p_us < wm.wm_us
+            ORDER BY user_id, view_id, purchase_id
         """,
         "streaming_outer_join": _OUTER_ATTRIBUTION_SQL,
         "outer_attribution": _OUTER_ATTRIBUTION_SQL,

@@ -370,10 +370,10 @@ def streaming_range_join(
 
 
 def _outer_join_plan(
-    ev: DataFrame, window_sec: int, delay_sec: int
+    ev: DataFrame, window_sec: int, delay_sec: int, how: str = "leftOuter"
 ) -> DataFrame:
-    """The watermarked view ⟕ purchase join plan — shared by the
-    registry query (one-file fixture drain) and the forced-two-batch
+    """The watermarked view ⟕/⟗ purchase join plan — shared by the
+    registry queries (one-file fixture drain) and the forced-two-batch
     eviction test, so the asserted state behavior is the shipped plan's."""
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -401,7 +401,7 @@ def _outer_join_plan(
             F.col("p_ts")
             <= F.col("v_ts") + F.expr(f"INTERVAL {window_sec} SECONDS")
         ),
-        "leftOuter",
+        how,
     )
 
 
@@ -487,6 +487,41 @@ def streaming_dedup_within_watermark(
         .distinct()
         .orderBy("user_id", "event_type")
     )
+
+
+def streaming_full_outer_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window_sec: int = 600,
+    delay_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — both completion directions of
+    ``streaming_outer_join``: unmatched VIEWS NULL-complete once the
+    watermark proves their window closed (strict
+    ``v_us + window·1e6 < wm_us``), and unmatched PURCHASES
+    NULL-complete once no earlier-or-equal view can still arrive —
+    probed and pinned: strictly when ``wm_ms > floor_ms(p_ts)``
+    (equivalently raw ``p_us < wm_us``, since the watermark is always
+    whole milliseconds). Rows on either side whose completion horizon
+    is still open when the stream ends emit nothing yet. Same state
+    bounds and eviction machinery as the left-outer form — the two
+    share ``_outer_join_plan``.
+
+    Output key: ``user_id`` is coalesced across sides so NULL-completed
+    purchases still carry their user.
+    """
+    joined = _outer_join_plan(
+        _stream_events(spark, sf_dir), window_sec, delay_sec, "fullOuter"
+    )
+    out = _run_to_table(joined, "append", no_data_batches=True)
+    return out.select(
+        F.col("view_id").cast("long").alias("view_id"),
+        F.coalesce("user_id", "p_user").cast("long").alias("user_id"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+        .cast("long")
+        .alias("lag_usec"),
+    ).orderBy("user_id", "view_id", "purchase_id")
 
 
 def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

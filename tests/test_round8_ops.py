@@ -439,3 +439,33 @@ def test_csv_roundtrip_survives_embedded_newlines(spark):
         }
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_full_outer_join_completes_both_sides(spark, tmp_path):
+    """The full-outer form NULL-completes BOTH directions with their
+    distinct horizons: an unmatched view needs its whole match WINDOW
+    below the watermark; an unmatched purchase needs only its OWN
+    timestamp passed (no earlier-or-equal view can still arrive);
+    rows with open horizons emit nothing."""
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_full_outer_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    s = dt.timedelta(seconds=1)
+    late = t0 + (3600 + 700) * s  # watermark lands at t0 + 700 s
+    rows = [
+        (1, t0, 1, "view"),
+        (11, t0 + 100 * s, 1, "purchase"),     # match
+        (12, t0 + 50 * s, 2, "purchase"),      # expired -> NULL view
+        (3, t0 + 10 * s, 3, "view"),           # window end 610 < 700 -> NULL
+        (4, late, 4, "view"),                  # open window -> withheld
+        (15, late, 5, "purchase"),             # own ts == max > wm -> withheld
+    ]
+    sf_dir = _write_events_fixture(tmp_path, rows)
+    rows_out = [
+        (r["view_id"], r["user_id"], r["purchase_id"])
+        for r in streaming_full_outer_join(spark, sf_dir).collect()
+    ]
+    got = sorted(rows_out, key=lambda t: t[1])
+    assert got == [(1, 1, 11), (None, 2, 12), (3, 3, None)]
