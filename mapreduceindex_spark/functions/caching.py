@@ -21,9 +21,12 @@ one per tracked operator instead of growing without bound.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Sequence
+
 from pyspark.sql import DataFrame
 
 _LIVE: dict[str, list[DataFrame]] = {}
+_MEMO_FP: dict[str, str] = {}
 
 
 def track(df: DataFrame, key: str) -> DataFrame:
@@ -32,11 +35,50 @@ def track(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def memo(
+    key: str, fingerprint: str, builder: Callable[[], Sequence[DataFrame]]
+) -> list[DataFrame]:
+    """Bounded cross-call memoization of an operator's persisted
+    front-end frames.
+
+    ``builder()`` constructs, persists and returns the frames; they are
+    tracked under ``key``. A repeat call with the SAME ``fingerprint``
+    (a canonical description of the operator's input — e.g. the input
+    frame's ``semanticHash`` plus parameters) returns the live cached
+    frames instead of releasing and rebuilding them: a re-query of an
+    unchanged table then pays only the downstream work — the same
+    steady-state regime a long-lived session gives any repeated
+    analytical query, made deliberate and BOUNDED (still exactly one
+    cache set per operator; a changed fingerprint releases the
+    predecessor first). Same staleness caveat as Spark's own
+    ``DataFrame.cache``: new files behind an identical plan are not
+    detected — ``release(key)`` is the explicit invalidation.
+    """
+    if _MEMO_FP.get(key) == fingerprint and key in _LIVE:
+        frames = list(_LIVE[key])
+        # an external spark.catalog.clearCache() (the bench harness
+        # does this between runs) silently unpersists tracked frames;
+        # handing them out uncached would re-execute the shared front
+        # end once PER CONSUMING BRANCH — verify liveness, else rebuild
+        if all(
+            f.storageLevel.useMemory or f.storageLevel.useDisk
+            for f in frames
+        ):
+            return frames
+    release(key)
+    frames = list(builder())
+    for f in frames:
+        track(f, key)
+    _MEMO_FP[key] = fingerprint
+    return frames
+
+
 def release(key: str | None = None) -> None:
     """Unpersist tracked frames — one operator's (``key``) or all
     (``None``). Non-blocking; safe to call twice."""
     keys = [key] if key is not None else list(_LIVE)
     for k in keys:
+        _MEMO_FP.pop(k, None)
         for df in _LIVE.pop(k, []):
             try:
                 df.unpersist()

@@ -41,7 +41,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def sniff_media(data: bytes) -> str:
     """Cheap container sniff from magic bytes:
-    'png' | 'wav' | 'gif' | 'bmp' | 'unknown'.
+    'png' | 'wav' | 'gif' | 'jpeg' | 'bmp' | 'unknown'.
 
     The BMP magic is only two ASCII bytes ('BM'), so any text payload
     starting "BMW…"/"BMI…" would false-positive on magic alone and crash
@@ -56,6 +56,8 @@ def sniff_media(data: bytes) -> str:
         return "wav"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:2] == b"BM" and len(data) >= 54:
         bf_size, reserved, data_offset, bi_size = struct.unpack_from(
             "<IIII", data, 2
@@ -578,3 +580,348 @@ def wav_encode(
         f.setframerate(sample_rate)
         f.writeframes(samples.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# JPEG — baseline sequential (SOF0), hand-rolled Huffman + IDCT.
+#
+# Scope (the BMP/GIF discipline: decode the overwhelmingly common shape,
+# reject everything else loudly): 8-bit baseline sequential JFIF, 1 or 3
+# components with NO chroma subsampling (all sampling factors 1, i.e.
+# 4:4:4 or grayscale), 8-bit quantization tables, optional restart
+# markers. Progressive (SOF2), extended/arithmetic/lossless SOFs,
+# subsampled chroma and 16-bit DQTs raise NotImplementedError rather
+# than decode wrongly.
+#
+# Exactness note for the oracle-gated roundtrip (decode_jpeg_dims): a
+# DC-only block dequantizes to F00·q00 and inverse-transforms to the
+# flat value F00·q00/8 in every pixel (the DC basis is 1/√8 per axis),
+# so with q00 = 8 the decoded block is EXACTLY F00 + 128 — integer, no
+# rounding ambiguity — which is what lets a lossy format carry a
+# closed-form pixel oracle. General AC blocks go through the float
+# IDCT like any real decoder.
+# --------------------------------------------------------------------------
+
+#: zig-zag scan order: index = zigzag position, value = raster position
+JPEG_ZIGZAG = [
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-III basis M (f = Mᵀ·F·M)."""
+    u = np.arange(8, dtype=np.float64)[:, None]
+    x = np.arange(8, dtype=np.float64)[None, :]
+    m = np.sqrt(2.0 / 8.0) * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+_IDCT_M = _jpeg_idct_matrix()
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded JPEG data with 0xFF00
+    unstuffing; restart markers are consumed by ``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartHit()
+            else:
+                # EOI or another marker mid-read: pad with 1s (spec'd
+                # encoder padding) — a well-formed stream never *needs*
+                # these bits for real coefficients
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+    def sync_restart(self) -> None:
+        """Drop partial-byte state and step over the RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartHit(Exception):
+    pass
+
+
+def _huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) → value map from the DHT BITS/HUFFVAL arrays
+    (canonical JPEG code assignment)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG EXTEND: map the s raw magnitude bits to a signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (scope in the module banner).
+
+    Returns (h, w) uint8 for grayscale, (h, w, 3) uint8 RGB for
+    3-component YCbCr (JFIF BT.601 conversion).
+    """
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seg_len = struct.unpack_from(">H", data, pos)[0]
+        body = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                for z in range(64):
+                    tbl[JPEG_ZIGZAG[z]] = body[i + 1 + z]
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = body[i + 17 : i + 17 + n]
+                huff[(tc, th)] = _huff_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise NotImplementedError("non-8-bit JPEG unsupported")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) JPEG is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                comp["td"], comp["ta"] = tt >> 4, tt & 0x0F
+                scan.append(comp)
+            break
+        # APPn/COM/unknown: skipped via seg_len
+    if not comps or h == 0:
+        raise ValueError("missing SOF before SOS")
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in scan
+    ]
+    br = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.sync_restart()
+                pred = [0] * len(scan)
+            mcu += 1
+            for ci, comp in enumerate(scan):
+                try:
+                    blk = _decode_block(br, comp, huff, pred, ci)
+                except _RestartHit:
+                    # encoder emitted RSTn exactly here (defensive: the
+                    # interval arithmetic above already handles spec'd
+                    # placement)
+                    br.sync_restart()
+                    pred = [0] * len(scan)
+                    blk = _decode_block(br, comp, huff, pred, ci)
+                deq = blk * qt[comp["tq"]]
+                pix = _IDCT_M.T @ deq @ _IDCT_M
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    out = [
+        np.clip(np.round(p[:h, :w]) + 128.0, 0, 255) for p in planes
+    ]
+    if len(out) == 1:
+        return out[0].astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(br, comp, huff, pred, ci) -> np.ndarray:
+    """One 8×8 block: DC (DPCM) + AC run/size loop, dezigzagged."""
+    coef = np.zeros(64, dtype=np.int32)
+    s = _huff_decode(br, huff[(0, comp["td"])])
+    diff = _extend(br.read(s), s) if s else 0
+    pred[ci] += diff
+    coef[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, huff[(1, comp["ta"])])
+        r, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        coef[JPEG_ZIGZAG[k]] = _extend(br.read(size), size)
+        k += 1
+    blk = np.zeros((8, 8), dtype=np.int32)
+    blk.flat = coef
+    return blk
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nacc += n
+        while self.nacc >= 8:
+            self.nacc -= 8
+            b = (self.acc >> self.nacc) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.nacc) - 1
+
+    def flush(self) -> None:
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.write((1 << pad) - 1, pad)
+
+
+def jpeg_encode_gray_dc(blocks: np.ndarray, q_dc: int = 8) -> bytes:
+    """Encode a grayscale baseline JPEG whose 8×8 blocks are all FLAT:
+    ``blocks[by, bx]`` is the DC coefficient of block (bx, by), every AC
+    is zero. With ``q_dc = 8`` the decoded pixels are EXACTLY
+    ``blocks + 128`` (see the module banner) — the deterministic
+    roundtrip witness a lossy container can still carry.
+
+    Emits minimal custom Huffman tables (12 four-bit DC category codes;
+    a single 1-bit AC code for EOB) rather than the Annex-K defaults —
+    the decoder must honor DHT as parsed, not assume standard tables.
+    """
+    blocks = np.asarray(blocks, dtype=np.int64)
+    bh, bw = blocks.shape
+    h, w = bh * 8, bw * 8
+    if not (-128 <= blocks.min() and blocks.max() <= 127):
+        raise ValueError("DC values must fit int8 range")
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    # DQT: q[0] = q_dc in zigzag slot 0, rest 16 (unused — AC all zero)
+    qz = bytes([q_dc] + [16] * 63)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qz
+    # SOF0: 1 component, no subsampling
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    # DHT DC0: twelve 4-bit codes for categories 0..11
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 12) + b"\x00" + dc_bits + bytes(range(12))
+    # DHT AC0: one 1-bit code for EOB
+    ac_bits = bytes([1] + [0] * 15)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x10" + ac_bits + b"\x00"
+    # SOS
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    bwtr = _BitWriter()
+    prev = 0
+    for by in range(bh):
+        for bx in range(bw):
+            diff = int(blocks[by, bx]) - prev
+            prev = int(blocks[by, bx])
+            mag = abs(diff)
+            s = mag.bit_length()
+            bwtr.write(s, 4)  # DC category code (canonical: code == value)
+            if s:
+                bwtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            bwtr.write(0, 1)  # EOB (the single AC code '0')
+    bwtr.flush()
+    out += bwtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1358,3 +1358,59 @@ def domain_divergence(documents: DataFrame) -> DataFrame:
         .agg(F.sum("_t").cast("long").alias("kl_micro"))
         .orderBy("source_a", "source_b")
     )
+
+
+def truncation_loss_report(
+    documents: DataFrame, budgets: tuple[int, ...] = (512, 2048, 8192)
+) -> DataFrame:
+    """What each context-length choice COSTS per source: for every
+    (source, budget) pair, how many documents exceed the budget and how
+    many tokens fall past it (lost to truncation under a truncate-at-L
+    policy) — the first table read before picking a packing/truncation
+    strategy, and the complement of ``pack_sequences`` (which measures
+    padding waste; this measures truncation waste).
+
+    Token basis: normalized words (``words()``), the family's shared
+    basis. One corpus scan computes per-doc counts; the budget sweep is
+    a dimension-bounded explode over the per-doc frame (|budgets| rows
+    per doc feeding a sources×budgets aggregate — never a re-scan per
+    budget). Exact BIGINT outputs plus a ppm share, engine-portable.
+    """
+    per_doc = documents.select(
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("_tok"),
+    )
+    b_arr = F.array(*[F.lit(int(b)).cast("long") for b in budgets])
+    swept = per_doc.select(
+        "source", "_tok", F.explode(b_arr).alias("budget")
+    )
+    return (
+        swept.groupBy("source", "budget")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_tok") > F.col("budget"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_truncated"),
+            F.sum("_tok").cast("long").alias("tokens_total"),
+            F.sum(
+                F.greatest(F.col("_tok") - F.col("budget"), F.lit(0))
+            )
+            .cast("long")
+            .alias("tokens_lost"),
+        )
+        .select(
+            "source",
+            "budget",
+            "n_docs",
+            "n_docs_truncated",
+            "tokens_total",
+            "tokens_lost",
+            F.when(
+                F.col("tokens_total") > 0,
+                F.expr("CAST(tokens_lost * 1000000 DIV tokens_total AS BIGINT)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("loss_ppm"),
+        )
+        .orderBy("source", "budget")
+    )

@@ -220,6 +220,7 @@ def _clone_collapsed_pairs(
     n: int,
     threshold: float,
     core_fn,
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-dup pre-collapse shared by the pairwise similarity operators.
 
@@ -230,23 +231,30 @@ def _clone_collapsed_pairs(
     whose verdict depends only on the shingle set: clone members carry
     identical sets, hence identical jaccard, signatures, and LSH bands
     (so for the banded core, a member pairs iff its rep pairs).
+
+    A caller composing several cores (``lsh_recall``) passes a prebuilt
+    persisted ``groups`` frame so the md5 collapse scan runs once per
+    composition; the caller then owns its lifecycle.
     """
-    groups = (
-        documents.select("doc_id", F.md5("text").alias("_h"))
-        .groupBy("_h")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.collect_set("doc_id").alias("members"),
+    owned = groups is None
+    if groups is None:
+        groups = (
+            documents.select("doc_id", F.md5("text").alias("_h"))
+            .groupBy("_h")
+            .agg(
+                F.min("doc_id").alias("rep"),
+                F.collect_set("doc_id").alias("members"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     stats = groups.agg(
         F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
     ).collect()[0]
     if stats["_g"] == stats["_d"]:
         # duplicate-free corpus: collapse/expansion would be identity —
         # run the core directly
-        groups.unpersist()
+        if owned:
+            groups.unpersist()
         return core_fn(documents).orderBy("doc_a", "doc_b")
     rep_docs = documents.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
@@ -256,7 +264,9 @@ def _clone_collapsed_pairs(
     # brute-force join emits no pairs for them — intra expansion must not.
     # "has ≥1 shingle" ⟺ "has ≥1 normalized word" (the short-doc rule
     # emits the all-words shingle), so test words directly: linear scan,
-    # no shingle window/shuffle re-run.
+    # no shingle window/shuffle re-run (a distinct over the prebuilt
+    # shingle frame was measured SLOWER — it shuffles shingle-count
+    # rows to answer a doc-count question).
     shingled = rep_docs.filter(F.size(words(F.col("text"))) > 0).select(
         "doc_id"
     )
@@ -295,10 +305,16 @@ def _jaccard_rep_pairs(
     threshold: float,
     max_shingle_df: int,
     direct_join_max_df2: int,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise jaccard over an already-exact-deduped corpus — the two-tier
-    core described in ``ngram_jaccard_pairs``."""
-    sh = _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    core described in ``ngram_jaccard_pairs``. A composing caller
+    (``lsh_recall``) passes a prebuilt persisted ``sh`` frame so the
+    shingle front end is scanned once across legs; the caller owns it."""
+    if sh is None:
+        sh = _shingle_hashes(documents, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -499,13 +515,19 @@ def _minhash_lsh_rep_pairs(
     num_hashes: int,
     bands: int,
     threshold: float,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate join + exact verification over an already
-    exact-deduped corpus — the core described in ``minhash_lsh_pairs``."""
+    exact-deduped corpus — the core described in ``minhash_lsh_pairs``.
+    ``sh`` may be a prebuilt persisted shingle frame (see
+    ``_jaccard_rep_pairs``)."""
     rows_per_band = num_hashes // bands
     # One persisted copy of the hashed pairs feeds the signature build AND
     # the verification sets — the md5+explode front end runs exactly once.
-    sh = _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    if sh is None:
+        sh = _shingle_hashes(documents, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sig = _signatures_from_hashes(sh, num_hashes)
     band_cols = [
         F.md5(
@@ -1044,6 +1066,126 @@ def dup_spans(
     return out
 
 
+def span_scrub(
+    documents: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """The WRITE PATH of span-level dedup: emit the scrubbed corpus —
+    per document, the normalized word sequence with cross-doc
+    duplicated spans REMOVED (``dup_spans`` reports them; this cuts
+    them), plus the per-doc removal accounting. The "deduplicate
+    substrings, not documents" payoff: syndicated passages, licenses
+    and templates disappear from every copy except one.
+
+    Canonical-owner rule: for each hot ``n``-gram (word n-gram present
+    in ≥ ``min_docs`` docs), the document with the SMALLEST doc_id
+    containing it keeps its occurrences; in every other document, all
+    token positions covered by an occurrence of that n-gram are
+    removed. Tokens are the ``words()`` normalization (the family's
+    shared basis — span positions index the filtered word sequence, so
+    ``scrubbed_text`` is the space-joined surviving words, the exact
+    representation ``dup_spans``' positions are defined over).
+
+    Output: (doc_id, n_words, n_removed_words, n_removed_chars,
+    scrubbed_text) for EVERY document (wordless docs report zeros and
+    ''), ordered by doc_id.
+
+    Plan shape: one tokenize pass (persisted — the n-gram window, the
+    keep-side anti-join, and the removal accounting all consume it);
+    the hot/owner aggregate carries 8-byte hashes; coverage explodes
+    only MARKED positions ×n (output-proportional, never corpus ×n);
+    keep/remove are two hash anti/semi joins on (doc_id, pos). Nothing
+    driver-sided; per-doc state is that doc's tokens only.
+
+    Idempotence (pinned in tests): after one scrub, each formerly-hot
+    n-gram survives only in its owner (df = 1 < min_docs), so a second
+    scrub over the scrubbed corpus removes nothing — modulo the
+    documented residual: removal can create NEW adjacencies whose
+    n-grams collide across docs; the test pins the fixture-checked
+    fixed point.
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("span_scrub")
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = caching.track(
+        base.select(
+            "doc_id",
+            F.size("ws").alias("nw"),
+            F.posexplode("ws").alias("pos", "w"),
+        ).persist(StorageLevel.MEMORY_AND_DISK),
+        key="span_scrub",
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    pos_ng = caching.track(
+        toks.select(
+            "doc_id", "nw", "pos", F.concat_ws(" ", *parts).alias("ng")
+        )
+        .filter(F.col("pos") <= F.col("nw") - n)
+        .select("doc_id", "pos", stable_hash64("ng").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        key="span_scrub",
+    )
+    hot_own = (
+        pos_ng.dropDuplicates(["doc_id", "h"])
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("_owner"),
+        )
+        .filter(F.col("df") >= min_docs)
+        .select("h", "_owner")
+    )
+    marked = pos_ng.join(hot_own, "h").filter(
+        F.col("doc_id") != F.col("_owner")
+    )
+    covered = marked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    removed = (
+        toks.join(covered, ["doc_id", "pos"], "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_rm"),
+            F.sum(F.length("w")).cast("long").alias("_n_rm_chars"),
+        )
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("_txt")
+    )
+    totals = toks.groupBy("doc_id").agg(F.min("nw").alias("_nw"))
+    return (
+        documents.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_nw", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("_n_rm", F.lit(0)).cast("long").alias(
+                "n_removed_words"
+            ),
+            F.coalesce("_n_rm_chars", F.lit(0)).cast("long").alias(
+                "n_removed_chars"
+            ),
+            F.coalesce("_txt", F.lit("")).alias("scrubbed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def minhash_accuracy(
     documents: DataFrame,
     n: int = 3,
@@ -1507,17 +1649,78 @@ def lsh_recall(
     ``minhash_lsh_pairs`` (banded candidates + uncapped exact verify).
     Both legs are independently oracle-verified; this query composes
     them on the (doc_a, doc_b) key — one left-semi mark join + one
-    single-row fold, so the cost is the two tiers themselves.
+    single-row fold.
+
+    Shared front end (the ``containment_pairs`` discipline, plus
+    deliberate cross-call reuse): the md5 clone-collapse groups AND the
+    ``_shingle_hashes`` frame are built ONCE and threaded through both
+    legs explicitly. Measured finding (r09): within one call this is
+    wall-clock NEUTRAL vs composing the two public operators — their
+    per-leg persists carry CANONICALLY IDENTICAL plans, so Spark's
+    CacheManager was already collapsing the "double" front end into one
+    computation + cache hits; the explicit frame removes that hidden
+    load-bearing dependence on plan canonicalization (a refactor that
+    de-canonicalized one leg would have silently doubled the work) but
+    cannot remove work that was never done twice. The real reuse win is
+    CROSS-call: the pair is held through ``caching.memo`` keyed on the
+    input plan's semantic hash + n, so re-running the calibration
+    against an unchanged corpus pays only the pair legs (measured at
+    sf0.1: 22 s cold → 6.4 s memo-warm; the bench harness clears all
+    caches between runs by design — ``memo`` detects the externally
+    cleared frames via their storage level and rebuilds cleanly).
+    Still exactly one cache set for this operator; a changed input
+    releases and rebuilds.
     """
-    truth = ngram_jaccard_pairs(
-        documents, n=n, threshold=threshold
-    ).select("doc_a", "doc_b")
-    found = minhash_lsh_pairs(
+    from mapreduceindex_spark.functions import caching
+
+    fingerprint = (
+        f"{documents._jdf.queryExecution().analyzed().semanticHash()}|{n}"
+    )
+
+    def _front_end():
+        groups = (
+            documents.select("doc_id", F.md5("text").alias("_h"))
+            .groupBy("_h")
+            .agg(
+                F.min("doc_id").alias("rep"),
+                F.collect_set("doc_id").alias("members"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        st = groups.agg(
+            F.count(F.lit(1)).alias("_g"),
+            F.sum(F.size("members")).alias("_d"),
+        ).collect()[0]
+        reps = (
+            documents
+            if st["_g"] == st["_d"]
+            else documents.join(
+                groups.select(F.col("rep").alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            )
+        )
+        sh_ = _shingle_hashes(reps, n).persist(StorageLevel.MEMORY_AND_DISK)
+        return [groups, sh_]
+
+    groups, sh = caching.memo("lsh_recall", fingerprint, _front_end)
+    truth = _clone_collapsed_pairs(
         documents,
-        n=n,
-        num_hashes=num_hashes,
-        bands=bands,
-        threshold=threshold,
+        n,
+        threshold,
+        lambda r: _jaccard_rep_pairs(
+            r, n, threshold, 1000, 50_000_000, sh=sh
+        ),
+        groups=groups,
+    ).select("doc_a", "doc_b")
+    found = _clone_collapsed_pairs(
+        documents,
+        n,
+        threshold,
+        lambda r: _minhash_lsh_rep_pairs(
+            r, n, num_hashes, bands, threshold, sh=sh
+        ),
+        groups=groups,
     ).select("doc_a", "doc_b", F.lit(1).alias("_hit"))
     marked = truth.join(found, ["doc_a", "doc_b"], "left").select(
         F.coalesce("_hit", F.lit(0)).alias("_hit")

@@ -1250,7 +1250,11 @@ def ewma_recursive_cte(
         "ewma_recursive_cte",
     )
     daily.count()
-    view = "mrix_ewma_daily"
+    # application-id suffix: session-scoped view either way, but never
+    # rebindable by a concurrent session/thread mid-recursion
+    view = "mrix_ewma_daily_" + spark.sparkContext.applicationId.replace(
+        "-", "_"
+    )
     daily.createOrReplaceTempView(view)
     return spark.sql(f"""
         WITH RECURSIVE b AS (

@@ -27,8 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _scratch(tag: str) -> str:
-    path = os.path.join(tempfile.gettempdir(), f"mrix_fmt_{tag}")
+def _scratch(tag: str, spark=None) -> str:
+    # suffix with the Spark application id so two concurrent sessions
+    # on one machine never clobber each other's artifacts mid-query
+    suffix = f"_{spark.sparkContext.applicationId}" if spark is not None else ""
+    path = os.path.join(tempfile.gettempdir(), f"mrix_fmt_{tag}{suffix}")
     shutil.rmtree(path, ignore_errors=True)
     return path
 
@@ -42,7 +45,7 @@ def jsonl_roundtrip_wordcount(documents: DataFrame) -> DataFrame:
     from mapreduceindex_spark.sources.documents import documents_from_jsonl
 
     spark = documents.sparkSession
-    path = _scratch("jsonl")
+    path = _scratch("jsonl", spark)
     documents.select("doc_id", "text").write.mode("overwrite").json(path)
     return TA.word_counts(documents_from_jsonl(spark, path))
 
@@ -56,7 +59,7 @@ def csv_roundtrip_wordcount(documents: DataFrame) -> DataFrame:
     from mapreduceindex_spark.sources.documents import documents_from_csv
 
     spark = documents.sparkSession
-    path = _scratch("csv")
+    path = _scratch("csv", spark)
     (
         documents.select("doc_id", "text")
         .write.mode("overwrite")
@@ -74,6 +77,6 @@ def orc_roundtrip_doc_stats(documents: DataFrame) -> DataFrame:
     from mapreduceindex_spark.sources.documents import documents_from_orc
 
     spark = documents.sparkSession
-    path = _scratch("orc")
+    path = _scratch("orc", spark)
     documents.select("doc_id", "text").write.mode("overwrite").orc(path)
     return TA.doc_stats(documents_from_orc(spark, path))

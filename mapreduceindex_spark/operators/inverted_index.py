@@ -392,7 +392,7 @@ def index_lifecycle(
     spark,
     documents: DataFrame,
     n_buckets: int = 8,
-    table_name: str = "idx_lifecycle_store",
+    table_name: str | None = None,
 ) -> DataFrame:
     """The PERSISTED index lifecycle — the shape a production index
     actually runs, end to end in one plan chain:
@@ -427,6 +427,13 @@ def index_lifecycle(
 
     base = documents.filter(F.col("doc_id") % 10 != 0)
     delta = documents.filter(F.col("doc_id") % 10 == 0)
+    if table_name is None:
+        # application-id suffix: the table name is session-local, but
+        # the EXTERNAL location below is a shared filesystem path — two
+        # concurrent sessions on one machine must not clobber each
+        # other's stored artifact mid-query
+        app = spark.sparkContext.applicationId.replace("-", "_")
+        table_name = f"idx_lifecycle_store_{app}"
     # explicit external location, wiped first: a managed table's leftover
     # warehouse directory from a PREVIOUS session would fail the write
     # with LOCATION_ALREADY_EXISTS (the catalog forgot the table, the

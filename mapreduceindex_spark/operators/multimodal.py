@@ -58,6 +58,8 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
       both row orders normalized.
     - GIF → real decode (``codecs.gif_decode``): LZW + palette, first
       frame, RGB via the color table.
+    - JPEG → real decode (``codecs.jpeg_decode``): baseline sequential,
+      Huffman + dequant + IDCT; grayscale or 4:4:4 YCbCr.
     - WAV → real decode (``codecs.wav_decode``): ``width`` carries
       n_frames and ``height`` n_channels so the fixed feature schema
       holds across modalities.
@@ -92,6 +94,11 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
         arr = codecs.gif_decode(payload)
         h, w = arr.shape[:2]
         return {"kind": "gif", "width": w, "height": h, "channels": 3}
+    if kind == "jpeg":
+        arr = codecs.jpeg_decode(payload)
+        h, w = arr.shape[:2]
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        return {"kind": "jpeg", "width": w, "height": h, "channels": ch}
     if kind == "wav":
         meta = codecs.wav_decode(payload)
         return {
@@ -103,8 +110,9 @@ def decode_media(payload: bytes, fake: bool = False) -> dict:
         }
     if not fake:
         raise NotImplementedError(
-            f"no codec for payload with magic {payload[:4]!r}; PNG, BMP, "
-            "GIF and WAV decode natively, other formats need PIL/ffmpeg"
+            f"no codec for payload with magic {payload[:4]!r}; PNG, BMP, GIF, "
+            "baseline JPEG and WAV decode natively, other formats need "
+            "PIL/ffmpeg"
         )
     n = len(payload)
     return {
@@ -332,6 +340,76 @@ def decode_gif_dims(documents: DataFrame) -> DataFrame:
         schema=(
             "doc_id bigint, width bigint, height bigint, "
             "px_sum bigint, r_sum bigint"
+        ),
+    )
+
+
+def decode_jpeg_dims(documents: DataFrame) -> DataFrame:
+    """Real-codec proof for the JPEG path — the third image wire format
+    and the only LOSSY one, which changes what can be oracle-gated:
+    synthesize a baseline grayscale JPEG per doc whose 8×8 blocks are
+    all FLAT (DC-only, every AC zero), full-decode it back through the
+    real machinery (marker parse, DHT Huffman decode, DPCM, dezigzag,
+    dequant, float IDCT, level shift), and emit pixel features under a
+    closed-form oracle.
+
+    Why DC-only makes a lossy format exactly checkable: a DC-only block
+    dequantizes to F00·q00 and inverse-transforms to the constant
+    F00·q00/8, so with q00 = 8 the decoded block is EXACTLY F00 + 128 —
+    the rounding that makes general JPEG content approximate never
+    engages (``codecs.jpeg_encode_gray_dc``). General AC streams go
+    through the same decoder; their float IDCT path is pinned against
+    an independent numpy IDCT in tests rather than a SQL oracle. That
+    is also why the dHash near-dup family stays on the lossless wire
+    formats (its oracle replays exact per-pixel comparisons a lossy
+    round-trip cannot guarantee) — documented scope cut in README.
+
+    Per doc: blocks ``bw = 1 + id%4``, ``bh = 1 + id%3``, DC value of
+    block (bx, by) = ``base + bx + 2·by − 128`` with ``base = id%50``,
+    so decoded pixel(y, x) = base + bx + 2·by exactly (max 56, no
+    clamp). Emitted: width, height,
+
+        px_sum   = 64·(bw·bh·base + bh·bw(bw−1)/2 + bw·bh(bh−1))
+        row0_sum = 8·(bw·base + bw(bw−1)/2)
+
+    ``row0_sum`` weights bx only while ``px_sum`` weights bx and by
+    differently (1 vs 2), so a transposed or re-ordered block raster —
+    the classic MCU-loop slip — mismatches the closed form. A DPCM
+    error corrupts every later block's DC; a Huffman/bit-reader slip
+    scrambles the stream wholesale. Bytes never leave the stage.
+    """
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "px_sum": [], "row0_sum": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh, base = 1 + i % 4, 1 + i % 3, i % 50
+                bxs = np.arange(bw, dtype=np.int64)[None, :]
+                bys = np.arange(bh, dtype=np.int64)[:, None]
+                dc = (base + bxs + 2 * bys) - 128
+                dec = codecs.jpeg_decode(codecs.jpeg_encode_gray_dc(dc))
+                out["doc_id"].append(i)
+                out["width"].append(dec.shape[1])
+                out["height"].append(dec.shape[0])
+                out["px_sum"].append(int(dec.sum(dtype=np.int64)))
+                out["row0_sum"].append(int(dec[0, :].sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id bigint, width bigint, height bigint, "
+            "px_sum bigint, row0_sum bigint"
         ),
     )
 

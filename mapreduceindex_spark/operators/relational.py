@@ -338,18 +338,22 @@ def small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     order" revenue probe.
     """
     spark = part.sparkSession
-    part.createOrReplaceTempView("_q17_part")
-    lineitem.createOrReplaceTempView("_q17_lineitem")
+    # application-id suffix: never rebindable by a concurrent
+    # session/thread mid-query (the top_orders_lateral convention)
+    sfx = spark.sparkContext.applicationId.replace("-", "_")
+    part.createOrReplaceTempView(f"_q17_part_{sfx}")
+    lineitem.createOrReplaceTempView(f"_q17_lineitem_{sfx}")
     return spark.sql(
-        """
+        f"""
         SELECT p_brand,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))), 2)
                     AS DOUBLE) AS small_qty_revenue,
                count(1) AS n_items
-        FROM _q17_lineitem JOIN _q17_part ON l_partkey = p_partkey
+        FROM _q17_lineitem_{sfx} JOIN _q17_part_{sfx}
+          ON l_partkey = p_partkey
         WHERE l_quantity < (
-            SELECT 0.2 * avg(l_quantity) FROM _q17_lineitem l2
-            WHERE l2.l_partkey = _q17_lineitem.l_partkey)
+            SELECT 0.2 * avg(l_quantity) FROM _q17_lineitem_{sfx} l2
+            WHERE l2.l_partkey = _q17_lineitem_{sfx}.l_partkey)
         GROUP BY p_brand
         ORDER BY p_brand
         """
@@ -2157,17 +2161,29 @@ def price_qty_regression(lineitem: DataFrame) -> DataFrame:
         F.sum((F.col("_x") * F.col("_y")).cast(d38)).alias("_sxy"),
         F.sum((F.col("_x") * F.col("_x")).cast(d38)).alias("_sxx"),
     )
-    return agg.select(
+    # a degenerate input (all quantities equal) zeroes the variance
+    # denominator; fail loudly and identically on both engines (the
+    # yoy_nation_revenue raise_error discipline) instead of letting
+    # Spark's DIV yield NULL while DuckDB's // raises
+    den = agg.withColumn(
+        "_den",
+        F.expr(
+            "CASE WHEN _n * _sxx - _sx * _sx = 0 THEN "
+            "raise_error('price_qty_regression: zero quantity variance') "
+            "ELSE _n * _sxx - _sx * _sx END"
+        ),
+    )
+    return den.select(
         F.col("_n").cast("long").alias("n"),
         F.col("_sx").cast("long").alias("sum_x"),
         F.col("_sy").cast("long").alias("sum_y"),
         F.expr(
             "CAST(((_n * _sxy - _sx * _sy) * 1000000)"
-            " DIV (_n * _sxx - _sx * _sx) AS BIGINT)"
+            " DIV _den AS BIGINT)"
         ).alias("slope_micro"),
         F.expr(
             "CAST((_sy * 1000000 - ((_n * _sxy - _sx * _sy) * 1000000)"
-            " DIV (_n * _sxx - _sx * _sx) * _sx) DIV _n AS BIGINT)"
+            " DIV _den * _sx) DIV _n AS BIGINT)"
         ).alias("intercept_micro"),
     )
 
@@ -2257,15 +2273,19 @@ def top_orders_lateral(
     as the API-surface pin. Exact cents, (price desc, orderkey) total
     order inside the lateral so ties are engine-deterministic.
     """
-    customer.createOrReplaceTempView("mrix_lat_customer")
-    orders.createOrReplaceTempView("mrix_lat_orders")
+    # temp views are session-scoped, but suffix with the application id
+    # anyway so two sessions sharing one JVM-side catalog (or threads
+    # in one session) never rebind each other's views mid-query
+    sfx = spark.sparkContext.applicationId.replace("-", "_")
+    customer.createOrReplaceTempView(f"mrix_lat_customer_{sfx}")
+    orders.createOrReplaceTempView(f"mrix_lat_orders_{sfx}")
     return spark.sql(f"""
         SELECT c.c_custkey, o.o_orderkey, o.cents
-        FROM mrix_lat_customer c,
+        FROM mrix_lat_customer_{sfx} c,
         LATERAL (
           SELECT o_orderkey,
                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-          FROM mrix_lat_orders
+          FROM mrix_lat_orders_{sfx}
           WHERE o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey
           LIMIT {int(k)}

@@ -1110,3 +1110,188 @@ def char_entropy_by_source(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Symbol-sequence delimiter for the BPE trainer's string representation.
+#: Normalized words are ``[a-z]+`` only (functions.text.words), so the
+#: unit-separator control char can never collide with symbol content.
+BPE_SEP = "\x1f"
+
+
+def _bpe_word_freqs(documents: DataFrame) -> DataFrame:
+    """(word, freq, seq): the vocabulary-compressed BPE training base.
+
+    Classic Sennrich-style BPE never iterates over the corpus — it
+    iterates over the DISTINCT-word frequency table (vocabulary-bounded:
+    ~1e7 rows at 100 TB vs ~1e12 token rows), with each word's symbol
+    sequence weighted by its corpus frequency. ``seq`` encodes the
+    sequence as a delimited string where every symbol is wrapped as
+    ``<SEP>sym<SEP>``: the greedy left-to-right non-overlapping BPE
+    merge is then EXACTLY one engine-native ``replace(seq,
+    <SEP>l<SEP><SEP>r<SEP>, <SEP>lr<SEP>)`` — Java's and DuckDB's
+    ``replace`` both continue scanning AFTER the inserted replacement,
+    which is precisely the greedy non-overlap rule (``aaaaa`` with pair
+    (a,a) → ``aa aa a``), so both engines replay the identical merge.
+    """
+    from mapreduceindex_spark.functions.text import words
+
+    return (
+        documents.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn(
+            "seq",
+            F.regexp_replace("word", "(.)", f"{BPE_SEP}$1{BPE_SEP}"),
+        )
+    )
+
+
+def _bpe_pair_counts(w: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts (l, r, cnt) over a (freq, seq) frame,
+    weighted by word frequency — the per-iteration aggregate."""
+    arr = F.filter(
+        F.split("seq", BPE_SEP), lambda x: x != F.lit("")
+    )
+    pairs = w.select(F.col("freq"), arr.alias("_arr")).select(
+        "freq",
+        F.explode(
+            F.when(
+                F.size("_arr") >= 2,
+                F.expr(
+                    "transform(slice(_arr, 1, size(_arr) - 1), "
+                    "(s, i) -> struct(s AS l, element_at(_arr, i + 2) AS r))"
+                ),
+            ).otherwise(
+                F.expr("cast(array() as array<struct<l:string,r:string>>)")
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.l", "p.r").agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+
+
+def _bpe_fit(documents: DataFrame, num_merges: int):
+    """Run the distributed BPE training loop; return (merges, final_w).
+
+    ``merges`` is a list of (rank, l, r, cnt); ``final_w`` the
+    (word, freq, seq) frame after all merges applied. Iteration
+    discipline (the ``kmeans_embeddings`` / ``token_pagerank`` model):
+    the vocabulary base persists ONCE; each iteration is one
+    vocab-bounded pair aggregate + a single-ROW argmax collect (cnt
+    desc, then (l, r) lexicographic — the deterministic tie-break both
+    engines share for ASCII), and the chosen merge re-enters the plan
+    as literal columns, never data-dependent SQL text. Lineage depth
+    grows one codegen'd ``replace`` per iteration over the persisted
+    base — K·vocab string work total per action, no corpus re-scan.
+    """
+    from pyspark import StorageLevel
+
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("bpe_train")
+    w = caching.track(
+        _bpe_word_freqs(documents).persist(StorageLevel.MEMORY_AND_DISK),
+        "bpe_train",
+    )
+    merges = []
+    for rank in range(1, int(num_merges) + 1):
+        best = (
+            _bpe_pair_counts(w)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, l, r, cnt))
+        w = w.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"{BPE_SEP}{l}{BPE_SEP}{BPE_SEP}{r}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{l}{r}{BPE_SEP}"),
+            ),
+        )
+    return merges, w
+
+
+def bpe_train(documents: DataFrame, num_merges: int = 8) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: learn the top-``num_merges``
+    merge rules from the corpus — the step a training-data pipeline
+    runs before anything else tokenizes. Output: one row per learned
+    merge, (merge_rank, left_sym, right_sym, merged, pair_count),
+    in merge order.
+
+    Algorithm: iterated pair-count → argmax → re-segment over the
+    frequency-weighted distinct-word table (see ``_bpe_word_freqs`` for
+    the vocabulary-compression and string-encoded greedy-merge design).
+    Integer-exact throughout (counts only), so the DuckDB oracle — the
+    same K iterations unrolled as CTEs — matches bit-for-bit, the
+    ``kmeans_embeddings``/``token_pagerank`` iterative-algorithm
+    discipline. Stops early when no adjacent pair remains.
+
+    Scale shape: one corpus scan (word counts), then K iterations over
+    the vocabulary-bounded persisted base: each is a map-side-combined
+    pair aggregate (≤ vocab·avg_len rows in, pair-vocab rows out) and a
+    1-row collect; the merge rule re-enters as a broadcast literal.
+    """
+    merges, w = _bpe_fit(documents, num_merges)
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        [(rk, l, r, l + r, cnt) for rk, l, r, cnt in merges],
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    ).orderBy("merge_rank")
+
+
+def bpe_fertility_learned(
+    documents: DataFrame, num_merges: int = 8
+) -> DataFrame:
+    """Tokenizer-fertility readout over the vocabulary the corpus ITSELF
+    learned (``bpe_train``'s merges applied to every word), closing the
+    train→measure loop: tokens-per-word and tokens-per-char in exact
+    BIGINT micro units, one corpus-level row. The untrained twin
+    (``tokenizer_fertility``) measures the fixed regex pre-tokenizer;
+    the gap between the two is what the learned merges buy.
+
+    n_words / n_chars / n_tokens weight each distinct word by its corpus
+    frequency, so the readout equals a full-corpus re-segmentation
+    without re-scanning the corpus (the ``_bpe_word_freqs`` compression
+    argument).
+    """
+    _merges, w = _bpe_fit(documents, num_merges)
+    arr = F.filter(F.split("seq", BPE_SEP), lambda x: x != F.lit(""))
+    agg = w.select(
+        "freq",
+        F.length("word").cast("long").alias("_len"),
+        F.size(arr).cast("long").alias("_syms"),
+    ).agg(
+        # coalesce: an empty corpus reports zeros, not NULLs (both
+        # engines — the oracle coalesces identically)
+        F.coalesce(F.sum("freq"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.sum(F.col("freq") * F.col("_len")), F.lit(0))
+        .cast("long")
+        .alias("n_chars"),
+        F.coalesce(F.sum(F.col("freq") * F.col("_syms")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return agg.select(
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("CAST(n_tokens * 1000000 DIV n_words AS BIGINT)"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("tokens_per_word_micro"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("CAST(n_tokens * 1000000 DIV n_chars AS BIGINT)"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("tokens_per_char_micro"),
+    )

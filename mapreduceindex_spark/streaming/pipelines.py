@@ -1056,6 +1056,55 @@ def streaming_session_funnel(
     )
 
 
+def _fold_session_rows(uid, rows, last, start, n, gap_us):
+    """The gap-sessionizer fold shared by both timeout sessionizers
+    (``applyInPandasWithState`` and ``transformWithStateInPandas``):
+    fold this micro-batch's sorted (us, event_id) rows into the live
+    (last, start, n) session, returning the updated live session plus
+    the list of sessions closed in-stream.
+
+    Handles the two cross-micro-batch late-event cases: (a) a late
+    event strictly more than gap BEFORE the live session's start is
+    routed to a separate earlier-session track (global-order rule),
+    chains there, and only folds back into the live session when the
+    chain tail reaches within gap of ``start``; (b) a late event inside
+    the live span extends it backward without rewinding ``last``.
+    """
+    closed = []
+    if last is not None:
+        pre = [r for r in rows if r[0] < start - gap_us]
+        if pre:
+            rows = rows[len(pre):]
+            e_start = e_last = pre[0][0]
+            e_n = 1
+            for us, _eid in pre[1:]:
+                if us - e_last > gap_us:
+                    closed.append((uid, e_start, e_last, e_n))
+                    e_start = e_last = us
+                    e_n = 1
+                else:
+                    e_last = us
+                    e_n += 1
+            if start - e_last > gap_us:
+                closed.append((uid, e_start, e_last, e_n))
+            else:
+                start, n = e_start, n + e_n
+    for us, _eid in rows:
+        if last is None:
+            last, start, n = us, us, 1
+        elif us - last > gap_us:
+            closed.append((uid, start, last, n))
+            last, start, n = us, us, 1
+        else:
+            # a LATE but watermark-admissible event (us < last,
+            # possible only across micro-batches) must extend the
+            # span backward, never rewind `last` — a rewound last
+            # would fake a gap against the next on-time event and
+            # split a session the global-order oracle keeps whole
+            last, start, n = max(last, us), min(start, us), n + 1
+    return last, start, n, closed
+
+
 def streaming_timeout_sessions(
     spark: SparkSession,
     sf_dir: str,
@@ -1112,26 +1161,38 @@ def streaming_timeout_sessions(
             us = pdf["ts"].astype("int64") // 1000
             rows.extend(zip(us.tolist(), pdf["event_id"].tolist()))
         rows.sort()
-        closed = []
         if state.exists:
             last, start, n = state.get
         else:
             last = start = n = None
-        for us, _eid in rows:
-            if last is None:
-                last, start, n = us, us, 1
-            elif us - last > gap_us:
-                closed.append((key[0], start, last, n))
-                last, start, n = us, us, 1
-            else:
-                # a LATE but watermark-admissible event (us < last,
-                # possible only across micro-batches) must extend the
-                # span backward, never rewind `last` — a rewound last
-                # would fake a gap against the next on-time event and
-                # split a session the global-order oracle keeps whole
-                last, start, n = max(last, us), min(start, us), n + 1
-        state.update((last, start, n))
-        state.setTimeoutTimestamp(last // 1000 + gap_ms)
+        # shared fold (see _fold_session_rows): in-stream splits, the
+        # separate-earlier-session routing of too-early late events
+        # (a chain that would merge with a session ALREADY emitted in a
+        # prior batch cannot be retracted in append mode — residual
+        # divergence pinned in test_timeout_sessions_late_event_paths),
+        # and backward extension without rewinding `last`
+        last, start, n, closed = _fold_session_rows(
+            key[0], rows, last, start, n, gap_us
+        )
+        horizon_ms = last // 1000 + gap_ms
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > horizon_ms:
+            # The watermark is already strictly past this session's
+            # horizon (a watermark-admissible late event landed with
+            # delay > gap): setTimeoutTimestamp(horizon_ms) would raise
+            # INVALID_TIMEOUT_TIMESTAMP (timestamp < watermark, pyspark
+            # GroupState client-side check), and no admissible future
+            # event can extend the session (us_ms >= wm_ms > last_ms +
+            # gap_ms forces a split).  Emit now — exactly what the
+            # fired callback would have done — and drop the state.
+            if state.exists:
+                state.remove()
+            closed.append((key[0], start, last, n))
+        else:
+            # horizon == wm is legal (only strictly-less is rejected)
+            # and fires exactly on wm' > horizon — the oracle's rule
+            state.update((last, start, n))
+            state.setTimeoutTimestamp(horizon_ms)
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -1158,6 +1219,158 @@ def streaming_timeout_sessions(
     out = _run_to_table(
         out_stream, "append", partitions=16, no_data_batches=True
     )
+    return out.orderBy("user_id", "session_start_us")
+
+
+def streaming_timeout_sessions_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_sec: int = 1800,
+    delay_sec: int = 3600,
+) -> DataFrame:
+    """``streaming_timeout_sessions`` ported to Spark 4's
+    ``transformWithStateInPandas`` — the production arbitrary-state API
+    going forward (first-class TIMERS instead of the single implicit
+    timeout slot, named typed state variables, optional TTL, RocksDB
+    state store). Same semantics, same oracle, second physical plan
+    (the ``phrase_search_indexed`` "one ground truth, two routes"
+    discipline).
+
+    API mapping from the ``applyInPandasWithState`` original:
+
+    - ``setTimeoutTimestamp(ms)`` → explicit ``registerTimer(ms)``;
+      timers are NOT replaced implicitly, so re-arming on session
+      extension must ``deleteTimer`` the previously armed horizon —
+      the state row carries it (``armed_ms``).
+    - ``state.hasTimedOut`` → the separate ``handleExpiredTimer``
+      callback (fires strictly after watermark passes the timer, probed
+      and pinned in tests like the original's emission rule).
+    - watermark probe → ``timerValues.getCurrentWatermarkInMs()``; the
+      same emit-now guard applies when a late event leaves the horizon
+      at-or-under the current watermark (timers at ``<= wm`` may never
+      fire on a drained source).
+    - requires the RocksDB state store provider (bundled
+      ``rocksdbjni``); the conf is set for the query and restored.
+
+    The in-stream split, the separate-earlier-session routing of
+    too-early late events, and the backward-extension rule are the
+    exact logic of the original (shared ``_fold_session_rows``).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = int(gap_sec) * 1_000_000
+    gap_ms = int(gap_sec) * 1_000
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "ts", "event_id")
+        .withWatermark("ts", f"{delay_sec} seconds")
+    )
+
+    class _Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "session",
+                "last_us bigint, start_us bigint, n bigint, armed_ms bigint",
+            )
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            items = []
+            for pdf in rows:
+                us = pdf["ts"].astype("int64") // 1000
+                items.extend(zip(us.tolist(), pdf["event_id"].tolist()))
+            items.sort()
+            closed = []
+            armed_ms = None
+            if self._state.exists():
+                last, start, n, armed_ms = self._state.get()
+            else:
+                last = start = n = None
+            last, start, n, closed = _fold_session_rows(
+                key[0], items, last, start, n, gap_us
+            )
+            horizon_ms = last // 1000 + gap_ms
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            if wm_ms > horizon_ms:
+                # same emit-now guard as the applyInPandasWithState
+                # original: the horizon is already behind the watermark
+                # (late event with delay > gap) — a timer at <= wm may
+                # never fire; emit what the timer would have emitted
+                if armed_ms is not None:
+                    self._handle.deleteTimer(armed_ms)
+                if self._state.exists():
+                    self._state.clear()
+                closed.append((key[0], start, last, n))
+            else:
+                if armed_ms is not None and armed_ms != horizon_ms:
+                    self._handle.deleteTimer(armed_ms)
+                if armed_ms != horizon_ms:
+                    self._handle.registerTimer(horizon_ms)
+                self._state.update((last, start, n, horizon_ms))
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=[
+                        "user_id",
+                        "session_start_us",
+                        "session_end_us",
+                        "n_events",
+                    ],
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._state.exists():
+                return
+            last, start, n, armed_ms = self._state.get()
+            if expiredTimerInfo.getExpiryTimeInMs() != armed_ms:
+                # a stale timer the re-arm path already superseded
+                return
+            self._state.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start],
+                    "session_end_us": [last],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_stream = ev.groupBy("user_id").transformWithStateInPandas(
+        _Sessions(),
+        outputStructType=(
+            "user_id bigint, session_start_us bigint, "
+            "session_end_us bigint, n_events bigint"
+        ),
+        outputMode="append",
+        timeMode="eventTime",
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = _run_to_table(
+            out_stream, "append", partitions=16, no_data_batches=True
+        )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
     return out.orderBy("user_id", "session_start_us")
 
 
@@ -1333,3 +1546,38 @@ def streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_table(agg, "complete")
     return benford_report(out)
+
+
+def streaming_last_event_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC-style latest-value materialization: per user, the LAST event
+    (by the registry's (ts, event_id) total order) plus the running
+    event count — the online "current state of every entity" table a
+    change stream is usually folded into, and the complement of
+    ``streaming_first_seen_pairs``' first-seen dedup.
+
+    Spark-native shape: a complete-mode stateful aggregation with
+    ``max_by`` over the (ts, event_id) struct — one JVM-side state row
+    per user (bounded by key cardinality, never stream length), no
+    Python in the loop, deterministic under tied timestamps because the
+    comparison key is the total order, not the timestamp alone. On the
+    bounded fixture this equals the batch argmax, which is what the
+    oracle replays.
+    """
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_event_type"),
+        F.max_by(F.unix_micros(F.col("ts")), key).alias("last_ts_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = _run_to_table(agg, "complete", partitions=8)
+    return out.select(
+        "user_id",
+        "last_event_type",
+        F.col("last_ts_us").cast("long").alias("last_ts_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id")

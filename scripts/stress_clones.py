@@ -283,6 +283,47 @@ def main():
             load_table(spark, "/root/testdata/sf0.1", "nation"),
         ),
     )
+    # round-8 tail claims (VERDICT r08 #8):
+    # - lsh_recall composes BOTH pair tiers over ONE shared clone-
+    #   collapsed shingle frame — the 10× corpus must collapse at the
+    #   md5 tier once, so cost tracks the two rep-level tiers, not 10×
+    # - copurchase_triangles enumerates on the support-filtered edge
+    #   set: 10× duplicated lineitem rows collapse at the (order, part)
+    #   dedup, so the edge set (and the triangle join) is unchanged
+    # - char_entropy_by_source folds to a (source × char) frame — 10×
+    #   rows is ~10× scan into the same ≤ sources×256 aggregate
+    # - top_terms_per_doc is per-doc top-k over TF-IDF: 10× docs is
+    #   ~10× scan + the same vocabulary-bounded df side
+    # - index_lifecycle pays a REAL bucketed write/read: the stored
+    #   artifact grows with the corpus, so ~linear cost including I/O
+    #   is the claim (the merge's stored side stays zero-exchange)
+    timed("lsh_recall_10x", lambda: D.lsh_recall(cloned))
+    timed(
+        "copurchase_triangles_10x",
+        lambda: G.copurchase_triangles(
+            li10, load_table(spark, "/root/testdata/sf0.1", "part")
+        ),
+    )
+    timed(
+        "char_entropy_by_source_10x",
+        lambda: TX.char_entropy_by_source(cloned),
+    )
+    timed("top_terms_per_doc_10x", lambda: TX.top_terms_per_doc(cloned))
+    from mapreduceindex_spark.operators import inverted_index as II
+
+    timed(
+        "index_lifecycle_10x",
+        lambda: II.index_lifecycle(spark, cloned),
+    )
+    # round-9 claims:
+    # - bpe_train iterates over the VOCABULARY frequency table: clones
+    #   multiply frequencies, not vocabulary, so the K iterations cost
+    #   the same and only the one word-count scan scales
+    # - span_scrub's coverage explosion is bounded by MARKED positions:
+    #   the clone corpus makes every position hot, so this is its worst
+    #   case — cost must stay ~linear in corpus size, never pairwise
+    timed("bpe_train_10x", lambda: TX.bpe_train(cloned))
+    timed("span_scrub_10x", lambda: D.span_scrub(cloned))
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 
