@@ -1068,10 +1068,16 @@ def _bpe_unrolled_sql(num_merges: int = 8) -> str:
         ), b{k} AS (
           SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
         ), w{k} AS (
+          -- LEFT JOIN against the 0-or-1-row argmax: a DRY iteration
+          -- (no pairs left) must carry the frame through UNCHANGED —
+          -- a cross join would empty it and zero the fertility readout
+          -- while the Spark loop breaks early on the last real frame
           SELECT word, freq,
-                 replace(seq, '{S}' || l || '{S}{S}' || r || '{S}',
-                         '{S}' || l || r || '{S}') AS seq
-          FROM w{k - 1}, b{k}
+                 CASE WHEN b.l IS NULL THEN seq
+                      ELSE replace(seq,
+                                   '{S}' || b.l || '{S}{S}' || b.r || '{S}',
+                                   '{S}' || b.l || b.r || '{S}') END AS seq
+          FROM w{k - 1} LEFT JOIN b{k} b ON TRUE
         )"""
         )
     return "WITH " + ",\n".join(parts)

@@ -715,8 +715,18 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG (scope in the module banner).
 
     Returns (h, w) uint8 for grayscale, (h, w, 3) uint8 RGB for
-    3-component YCbCr (JFIF BT.601 conversion).
+    3-component YCbCr (JFIF BT.601 conversion). Truncated or corrupt
+    payloads raise ValueError (the loud-rejection discipline — a
+    payload can sniff as JPEG on 3 magic bytes alone), never a bare
+    IndexError from running off the buffer.
     """
+    try:
+        return _jpeg_decode_inner(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated or corrupt JPEG stream") from e
+
+
+def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG stream")
     pos = 2

@@ -215,12 +215,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def _md5_clone_groups(documents: DataFrame) -> DataFrame:
+    """One row per DISTINCT text content: md5 key, ``rep`` = the
+    canonical (min) doc_id, ``members`` = every doc_id carrying that
+    content — the clone-collapse frame `_clone_collapsed_pairs` and its
+    composing callers share. Unpersisted: the caller owns caching."""
+    return (
+        documents.select("doc_id", F.md5("text").alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_set("doc_id").alias("members"),
+        )
+    )
+
+
 def _clone_collapsed_pairs(
     documents: DataFrame,
     n: int,
     threshold: float,
     core_fn,
     groups: DataFrame | None = None,
+    clone_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact-dup pre-collapse shared by the pairwise similarity operators.
 
@@ -233,24 +249,23 @@ def _clone_collapsed_pairs(
     (so for the banded core, a member pairs iff its rep pairs).
 
     A caller composing several cores (``lsh_recall``) passes a prebuilt
-    persisted ``groups`` frame so the md5 collapse scan runs once per
-    composition; the caller then owns its lifecycle.
+    persisted ``groups`` frame (and optionally the already-collected
+    ``clone_stats`` = (n_groups, n_docs), skipping the per-leg probe
+    job) so the md5 collapse scan runs once per composition; the caller
+    then owns the frame's lifecycle.
     """
     owned = groups is None
     if groups is None:
-        groups = (
-            documents.select("doc_id", F.md5("text").alias("_h"))
-            .groupBy("_h")
-            .agg(
-                F.min("doc_id").alias("rep"),
-                F.collect_set("doc_id").alias("members"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        groups = _md5_clone_groups(documents).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-    stats = groups.agg(
-        F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
-    ).collect()[0]
-    if stats["_g"] == stats["_d"]:
+    if clone_stats is None:
+        row = groups.agg(
+            F.count(F.lit(1)).alias("_g"),
+            F.sum(F.size("members")).alias("_d"),
+        ).collect()[0]
+        clone_stats = (row["_g"], row["_d"])
+    if clone_stats[0] == clone_stats[1]:
         # duplicate-free corpus: collapse/expansion would be identity —
         # run the core directly
         if owned:
@@ -1678,16 +1693,10 @@ def lsh_recall(
     )
 
     def _front_end():
-        groups = (
-            documents.select("doc_id", F.md5("text").alias("_h"))
-            .groupBy("_h")
-            .agg(
-                F.min("doc_id").alias("rep"),
-                F.collect_set("doc_id").alias("members"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        groups_ = _md5_clone_groups(documents).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        st = groups.agg(
+        st = groups_.agg(
             F.count(F.lit(1)).alias("_g"),
             F.sum(F.size("members")).alias("_d"),
         ).collect()[0]
@@ -1695,15 +1704,21 @@ def lsh_recall(
             documents
             if st["_g"] == st["_d"]
             else documents.join(
-                groups.select(F.col("rep").alias("doc_id")),
+                groups_.select(F.col("rep").alias("doc_id")),
                 "doc_id",
                 "left_semi",
             )
         )
         sh_ = _shingle_hashes(reps, n).persist(StorageLevel.MEMORY_AND_DISK)
-        return [groups, sh_]
+        return [groups_, sh_]
 
     groups, sh = caching.memo("lsh_recall", fingerprint, _front_end)
+    # one stats probe on the cached frame, threaded to both legs (the
+    # legs would otherwise each re-run it)
+    row = groups.agg(
+        F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
+    ).collect()[0]
+    clone_stats = (row["_g"], row["_d"])
     truth = _clone_collapsed_pairs(
         documents,
         n,
@@ -1712,6 +1727,7 @@ def lsh_recall(
             r, n, threshold, 1000, 50_000_000, sh=sh
         ),
         groups=groups,
+        clone_stats=clone_stats,
     ).select("doc_a", "doc_b")
     found = _clone_collapsed_pairs(
         documents,
@@ -1721,6 +1737,7 @@ def lsh_recall(
             r, n, num_hashes, bands, threshold, sh=sh
         ),
         groups=groups,
+        clone_stats=clone_stats,
     ).select("doc_a", "doc_b", F.lit(1).alias("_hit"))
     marked = truth.join(found, ["doc_a", "doc_b"], "left").select(
         F.coalesce("_hit", F.lit(0)).alias("_hit")

@@ -27,9 +27,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def purge_stale_scratch(prefix: str, max_age_sec: int = 3600) -> None:
+    """Remove PREVIOUS sessions' suffixed scratch dirs under the temp
+    root. App-id suffixing stops concurrent sessions clobbering each
+    other, but it also means artifacts no longer self-overwrite — each
+    session would leave a full corpus copy in /tmp forever. Age-based:
+    a CONCURRENT session's active artifact is younger than the horizon,
+    so only abandoned ones go."""
+    import glob
+    import time
+
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "_*")):
+        try:
+            if time.time() - os.path.getmtime(old) > max_age_sec:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _scratch(tag: str, spark=None) -> str:
     # suffix with the Spark application id so two concurrent sessions
-    # on one machine never clobber each other's artifacts mid-query
+    # on one machine never clobber each other's artifacts mid-query;
+    # purge abandoned suffixed dirs from earlier sessions (review catch)
+    purge_stale_scratch(f"mrix_fmt_{tag}")
     suffix = f"_{spark.sparkContext.applicationId}" if spark is not None else ""
     path = os.path.join(tempfile.gettempdir(), f"mrix_fmt_{tag}{suffix}")
     shutil.rmtree(path, ignore_errors=True)

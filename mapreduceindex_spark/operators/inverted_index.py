@@ -437,7 +437,11 @@ def index_lifecycle(
     # explicit external location, wiped first: a managed table's leftover
     # warehouse directory from a PREVIOUS session would fail the write
     # with LOCATION_ALREADY_EXISTS (the catalog forgot the table, the
-    # filesystem didn't)
+    # filesystem didn't); abandoned app-id-suffixed stores from earlier
+    # sessions are purged age-based (review catch)
+    from mapreduceindex_spark.operators.formats import purge_stale_scratch
+
+    purge_stale_scratch("mrix_idx_lifecycle_store")
     loc = os.path.join(tempfile.gettempdir(), f"mrix_{table_name}")
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     shutil.rmtree(loc, ignore_errors=True)

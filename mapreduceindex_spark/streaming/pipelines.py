@@ -1063,16 +1063,19 @@ def _fold_session_rows(uid, rows, last, start, n, gap_us):
     (last, start, n) session, returning the updated live session plus
     the list of sessions closed in-stream.
 
-    Handles the two cross-micro-batch late-event cases: (a) a late
-    event strictly more than gap BEFORE the live session's start is
-    routed to a separate earlier-session track (global-order rule),
-    chains there, and only folds back into the live session when the
-    chain tail reaches within gap of ``start``; (b) a late event inside
-    the live span extends it backward without rewinding ``last``.
+    Handles the two cross-micro-batch late-event cases: (a) late events
+    BEFORE the live session's start are sessionized on their own track
+    in global order — the whole prefix below ``start``, not just the
+    below-``start − gap`` part, because an in-between event can BRIDGE
+    an earlier chain to the live session (gap ≤ threshold at every
+    hop) and global order then keeps everything as one session; only a
+    chain whose tail stays more than gap below ``start`` closes as a
+    separate earlier session. (b) a late event inside the live span
+    extends it backward without rewinding ``last``.
     """
     closed = []
     if last is not None:
-        pre = [r for r in rows if r[0] < start - gap_us]
+        pre = [r for r in rows if r[0] < start]
         if pre:
             rows = rows[len(pre):]
             e_start = e_last = pre[0][0]

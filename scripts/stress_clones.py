@@ -323,7 +323,14 @@ def main():
     #   the clone corpus makes every position hot, so this is its worst
     #   case — cost must stay ~linear in corpus size, never pairwise
     timed("bpe_train_10x", lambda: TX.bpe_train(cloned))
-    timed("span_scrub_10x", lambda: D.span_scrub(cloned))
+    # the filter on a right-side column defeats Catalyst's outer-join
+    # elimination under count() (aggregates are provably unique per
+    # doc_id, so a bare count() would never execute the scrub at all —
+    # a 0.39 s "result" measured exactly that)
+    timed(
+        "span_scrub_10x",
+        lambda: D.span_scrub(cloned).filter("n_removed_words >= 0"),
+    )
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 

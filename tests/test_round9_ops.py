@@ -80,6 +80,31 @@ def test_fold_chains_early_events_and_merges_reaching_chain():
     assert (last, start, n) == (10_000 * s, 8_400 * s, 2)
 
 
+def test_fold_bridge_through_in_between_events():
+    """Same-batch late events between start−gap and start can BRIDGE a
+    far-earlier chain to the live session: every hop gap ≤ threshold,
+    so global order keeps ONE session — the fold must not close the
+    early chain against the live session's ORIGINAL start (review
+    catch, r09)."""
+    from mapreduceindex_spark.streaming.pipelines import _fold_session_rows
+
+    gap_us = 1800 * 1_000_000
+    s = 10**6
+    # live [10000, 10000]; batch delivers 8100, 8300, 9000 — 8100 is
+    # more than gap below 10000 but hops 8100→8300→9000→10000 are all
+    # ≤ gap: one 4-event session
+    last, start, n, closed = _fold_session_rows(
+        7,
+        [(8_100 * s, 1), (8_300 * s, 2), (9_000 * s, 3)],
+        10_000 * s,
+        10_000 * s,
+        1,
+        gap_us,
+    )
+    assert closed == []
+    assert (last, start, n) == (10_000 * s, 8_100 * s, 4)
+
+
 def test_fold_backward_extension_never_rewinds_last():
     from mapreduceindex_spark.streaming.pipelines import _fold_session_rows
 
@@ -464,6 +489,51 @@ def test_jpeg_general_ac_block_matches_reference_idct():
     ref = np.clip(np.round(m.T @ blk @ m) + 128, 0, 255).astype(np.uint8)
     assert dec.shape == (8, 8)
     assert (dec == ref).all()
+
+
+def test_bpe_dry_run_matches_oracle(spark):
+    """A corpus whose merges run dry before num_merges must agree
+    between the Spark early-break and the unrolled oracle: the oracle's
+    dry iterations carry the frame through a LEFT JOIN instead of
+    emptying it (review catch, r09)."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from mapreduceindex_spark.operators.text_analysis import (
+        bpe_fertility_learned,
+        bpe_train,
+    )
+
+    for text, exp_merges in [("a b c a b", 0), ("ab ab cd", 2)]:
+        docs = spark.createDataFrame(
+            [(0, text)], "doc_id long, text string"
+        )
+        got_m = [tuple(r) for r in bpe_train(docs, 8).collect()]
+        got_f = tuple(bpe_fertility_learned(docs, 8).collect()[0])
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT 0::BIGINT AS doc_id,"
+            f" '{text}' AS text"
+        )
+        exp_m = [tuple(r) for r in con.execute(
+            E._bpe_train_oracle_sql(8)
+        ).fetchall()]
+        exp_f = tuple(con.execute(E._bpe_fertility_oracle_sql(8)).fetchone())
+        assert len(got_m) == exp_merges
+        assert got_m == exp_m
+        assert got_f == exp_f
+
+
+def test_jpeg_truncated_payload_raises_value_error():
+    """A payload that sniffs as JPEG on its 3 magic bytes but is
+    truncated must fail with the loud ValueError, never an IndexError
+    from running off the buffer (review catch, r09)."""
+    from mapreduceindex_spark.functions import codecs
+
+    full = codecs.jpeg_encode_gray_dc(np.zeros((1, 1), dtype=np.int64))
+    for cut in (3, 10, len(full) - 3):
+        with pytest.raises(ValueError):
+            codecs.jpeg_decode(full[:cut])
 
 
 def test_jpeg_rejects_progressive_and_subsampled():
