@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "media_decode_jpeg",
     "truncation_loss_report",
     "streaming_last_event_per_user",
+    "embedding_pca_projection",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -459,6 +460,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partials, driver-side model-sized iteration (kmeans bound)
         "embedding_power_iteration": lambda s, d: (
             CL.embedding_power_iteration(_t(s, d, "embeddings"))
+        ),
+        # round 9: fit→apply closure for the power iteration — project
+        # every vector onto the learned component, exact histogram
+        "embedding_pca_projection": lambda s, d: (
+            CL.embedding_pca_projection(_t(s, d, "embeddings"))
         ),
         # round 7: count-weighted within-doc repetition ppm (complements
         # repetition_score's distinct-ngram fraction) — two doc_id-keyed
@@ -1195,6 +1201,42 @@ def _power_iteration_sql(iters: int = 4) -> str:
         SELECT dim, v AS component_micro FROM v{iters} ORDER BY dim
     """
     return head + body + tail
+
+
+def _pca_projection_sql(iters: int = 4, bucket_width: int = 10**10) -> str:
+    """Oracle of ``clustering.embedding_pca_projection``: the unrolled
+    power iteration (``_power_iteration_sql``, nested as a CTE-bearing
+    subquery) joined back onto the signed-micro-quantized elements —
+    exact int64 dot products, TRUE-floored bucket division."""
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    x = "CAST(embedding[CAST(d.dim + 1 AS INT)] AS DOUBLE)"
+    bucket = floor_div_sql("proj", int(bucket_width), div="//")
+    return f"""
+        WITH comp AS (
+          SELECT * FROM ({_power_iteration_sql(iters)}) c
+        ), el AS (
+          SELECT vec_id, d.dim,
+                 CAST(CASE WHEN {x} >= 0
+                      THEN floor({x} * 1000000 + 0.5)
+                      ELSE -floor(-{x} * 1000000 + 0.5)
+                      END AS BIGINT) AS xq
+          FROM embeddings,
+               (SELECT CAST(range AS BIGINT) AS dim
+                FROM range(0, 1024)) d
+          WHERE d.dim < len(embedding)
+        ), p AS (
+          SELECT el.vec_id,
+                 sum(el.xq * comp.component_micro)::BIGINT AS proj
+          FROM el JOIN comp ON el.dim = comp.dim
+          GROUP BY el.vec_id
+        )
+        SELECT {bucket}::BIGINT AS bucket,
+               count(*)::BIGINT AS n_vecs,
+               min(proj)::BIGINT AS min_proj,
+               max(proj)::BIGINT AS max_proj
+        FROM p GROUP BY bucket ORDER BY bucket
+    """
 
 
 #: exact discounted-revenue expression — the SQL twin of relational._revenue
@@ -3534,6 +3576,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "embedding_power_iteration": _power_iteration_sql(iters=4),
+        "embedding_pca_projection": _pca_projection_sql(iters=4),
         "repetition_profile": f"""
             -- count-weighted duplicate-occurrence ppm per doc; 2-grams
             -- via the shared shingle macro (single all-words shingle

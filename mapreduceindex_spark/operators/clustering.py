@@ -220,6 +220,21 @@ def embedding_power_iteration(
     ``kmeans_embeddings``' k×d collect. Output: d rows
     (dim, component_micro), BIGINT.
     """
+    rows = _gram_stats(embeddings).collect()  # d² stats — model-sized
+    spark = embeddings.sparkSession
+    out_schema = "dim long, component_micro long"
+    v = _power_iterate_from_stats(rows, iters)
+    if v is None:
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(len(v))], out_schema
+    ).orderBy("dim")
+
+
+def _gram_stats(embeddings: DataFrame) -> DataFrame:
+    """(i, j, n, s_i, s_ij) exact integer Gram sufficient statistics of
+    the signed-micro-quantized embedding table — d²-bounded, built from
+    per-partition numpy partials (the only shuffle is d² rows)."""
     import numpy as np
     import pandas as pd
 
@@ -258,11 +273,17 @@ def embedding_power_iteration(
             F.sum("s_ij").cast("long").alias("s_ij"),
         )
     )
-    rows = agg.collect()  # d² sufficient statistics — model-sized
-    spark = embeddings.sparkSession
-    out_schema = "dim long, component_micro long"
+    return agg
+
+
+def _power_iterate_from_stats(rows, iters: int) -> list[int] | None:
+    """The driver-side integer power iteration over collected
+    (i, j, n, s_i, s_ij) sufficient statistics — shared by
+    ``embedding_power_iteration`` (emits the component) and
+    ``similarity.embedding_pca_projection`` (applies it). Returns the
+    component in micro units, or None on an empty table."""
     if not rows:
-        return spark.createDataFrame([], out_schema)
+        return None
 
     def tdiv(a: int, b: int) -> int:
         # explicit truncating division (Python // floors)
@@ -297,6 +318,71 @@ def embedding_power_iteration(
         ]
         m = max(tdiv(max(abs(x) for x in y), 1_000_000), 1)
         v = [tdiv(x, m) for x in y]
-    return spark.createDataFrame(
-        [(i, int(v[i])) for i in range(d)], out_schema
-    ).orderBy("dim")
+    return [int(c) for c in v]
+
+
+def embedding_pca_projection(
+    embeddings: DataFrame, iters: int = 4, bucket_width: int = 10**10
+) -> DataFrame:
+    """APPLY the fitted first principal direction — the fit→transform
+    closure for ``embedding_power_iteration`` (the same loop ``bpe_train``
+    → ``bpe_fertility_learned`` closes for the tokenizer): fit the
+    integer micro component on the table, project every vector onto it,
+    and report the projection HISTOGRAM — the one-axis separability
+    readout (bimodal → the corpus has two regimes on its dominant axis).
+
+    Exactness: elements quantize with the same signed micro formula as
+    the fit; ``proj = Σ_d x_micro[d] · v_micro[d]`` is exact int64
+    (|x|,|v| ≤ ~2e6 micro → |Σ| ≤ 64·4e12 ≪ 2⁶³); buckets are TRUE
+    floored division (``exact.floor_div_sql``) so negative projections
+    land on their real buckets on both engines. The oracle replays the
+    unrolled power iteration (the ``_power_iteration_sql`` prefix) and
+    joins the component back — one ground truth, two physical routes
+    (numpy Gram partials + driver loop here; element self-join there).
+
+    Scale shape: one d²-bounded stats collect (the fit), then ONE scan
+    with the d-length component as literals — no second shuffle beyond
+    the bucket-sized histogram aggregate.
+    """
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    rows = _gram_stats(embeddings).collect()
+    v = _power_iterate_from_stats(rows, iters)
+    spark = embeddings.sparkSession
+    out_schema = (
+        "bucket bigint, n_vecs bigint, min_proj bigint, max_proj bigint"
+    )
+    if v is None:
+        return spark.createDataFrame([], out_schema)
+    v_arr = F.array(*[F.lit(int(c)).cast("long") for c in v])
+
+    def _q(x):
+        xd = x.cast("double")
+        return (
+            F.when(xd >= 0, F.floor(xd * 1e6 + F.lit(0.5)))
+            .otherwise(-F.floor(-xd * 1e6 + F.lit(0.5)))
+            .cast("long")
+        )
+
+    prods = F.transform(
+        F.col("embedding"), lambda x, i: _q(x) * F.element_at(v_arr, i + 1)
+    )
+    proj = F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        embeddings.select(proj.alias("proj"))
+        .select(
+            F.expr(floor_div_sql("proj", int(bucket_width))).alias(
+                "bucket"
+            ),
+            "proj",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("proj").cast("long").alias("min_proj"),
+            F.max("proj").cast("long").alias("max_proj"),
+        )
+        .orderBy("bucket")
+    )

@@ -242,6 +242,7 @@ PYTHON_ALLOWED = {
     "media_decode_png",
     "media_decode_bmp",
     "media_decode_gif",
+    "media_decode_jpeg",
     "media_decode_wav",
     "media_dhash",
     "media_dhash_near_dups",
