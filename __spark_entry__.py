@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "truncation_loss_report",
     "streaming_last_event_per_user",
     "embedding_pca_projection",
+    "near_dup_threshold_curve",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -801,6 +802,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical-owner (min doc_id keeps) rule + removal accounting
         "span_scrub": lambda s, d: D.span_scrub(
             _t(s, d, "documents"), n=8, min_docs=2
+        ),
+        # round 9: dedup-policy tuning curve — one pair search at the
+        # lowest threshold, dimension-bounded sweep above it
+        "near_dup_threshold_curve": lambda s, d: D.near_dup_threshold_curve(
+            _t(s, d, "documents"), n=3
         ),
         "streaming_static_enrich": lambda s, d: (
             STREAM.streaming_static_enrich(s, d)
@@ -2369,6 +2375,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_copies,
                    min(doc_id) AS keep_doc_id
             FROM documents GROUP BY md5(text)
+        """,
+                "near_dup_threshold_curve": _JACCARD_BASE + """
+            , th AS (
+              SELECT unnest([300000, 500000, 700000, 900000,
+                             1000000])::BIGINT AS threshold_ppm
+            ), q AS (
+              SELECT doc_a, doc_b,
+                     CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) AS jppm
+              FROM jac
+            ), pc AS (
+              SELECT th.threshold_ppm, count(*)::BIGINT AS n_pairs
+              FROM th JOIN q ON q.jppm >= th.threshold_ppm
+              GROUP BY th.threshold_ppm
+            ), dc AS (
+              SELECT threshold_ppm,
+                     count(DISTINCT d)::BIGINT AS n_docs_affected
+              FROM (
+                SELECT th.threshold_ppm, u.d
+                FROM th JOIN q ON q.jppm >= th.threshold_ppm,
+                     unnest([q.doc_a, q.doc_b]) AS u(d)
+              ) GROUP BY threshold_ppm
+            )
+            SELECT th.threshold_ppm,
+                   coalesce(pc.n_pairs, 0)::BIGINT AS n_pairs,
+                   coalesce(dc.n_docs_affected, 0)::BIGINT
+                     AS n_docs_affected
+            FROM th
+            LEFT JOIN pc USING (threshold_ppm)
+            LEFT JOIN dc USING (threshold_ppm)
+            ORDER BY threshold_ppm
         """,
         "ngram_jaccard_pairs": _JACCARD_BASE
         + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5",

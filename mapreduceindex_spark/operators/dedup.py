@@ -1757,3 +1757,64 @@ def lsh_recall(
             "ELSE CAST((n_found * 1000000) DIV n_true AS BIGINT) END"
         ).alias("recall_ppm"),
     )
+
+
+def near_dup_threshold_curve(
+    documents: DataFrame,
+    n: int = 3,
+    thresholds: tuple[float, ...] = (0.3, 0.5, 0.7, 0.9, 1.0),
+) -> DataFrame:
+    """The dedup-POLICY tuning table: for each candidate similarity
+    threshold, how many near-dup pairs qualify and how many documents
+    they touch — the curve an operator reads before committing a
+    threshold (too low: false merges explode; too high: the near-dup
+    tail survives). Reading it from N separate pair searches would pay
+    the shingle front end N times; one exact pair search at the LOWEST
+    threshold dominates every higher one, so the sweep is a
+    dimension-bounded explode over the (output-proportional) pair set.
+
+    Comparisons are in tie-free ppm integers (floor(j·1e6 + 0.5) ≥
+    t_ppm) so borderline pairs land identically on both engines; the
+    zero-fill left join reports empty thresholds as zeros. Basis notes
+    (df cap, clone pre-collapse) inherit from ``ngram_jaccard_pairs``.
+    """
+    spark = documents.sparkSession
+    t_ppms = sorted(int(round(t * 1_000_000)) for t in thresholds)
+    pairs = ngram_jaccard_pairs(
+        documents, n=n, threshold=min(thresholds)
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias(
+            "_jppm"
+        ),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in t_ppms], "threshold_ppm bigint"
+    )
+    qual = pairs.join(
+        F.broadcast(th), F.col("_jppm") >= F.col("threshold_ppm")
+    )
+    pair_counts = qual.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    doc_counts = (
+        qual.select(
+            "threshold_ppm",
+            F.explode(F.array("doc_a", "doc_b")).alias("_d"),
+        )
+        .groupBy("threshold_ppm")
+        .agg(F.countDistinct("_d").cast("long").alias("n_docs_affected"))
+    )
+    return (
+        th.join(pair_counts, "threshold_ppm", "left")
+        .join(doc_counts, "threshold_ppm", "left")
+        .select(
+            "threshold_ppm",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+        )
+        .orderBy("threshold_ppm")
+    )

@@ -640,3 +640,34 @@ def test_lsh_recall_equals_public_leg_composition(spark):
     assert got["recall_ppm"] == (
         0 if n_true == 0 else n_found * 1_000_000 // n_true
     )
+
+
+def test_threshold_curve_consistent_with_pair_search(spark):
+    """The curve's n_pairs at t equals |ngram_jaccard_pairs(t)| for
+    every swept threshold, and both columns are monotone non-increasing
+    in t — one pair search, N policies."""
+    from mapreduceindex_spark.operators.dedup import (
+        near_dup_threshold_curve,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark joins shuffle data across the cluster nodes"),
+            (1, "spark joins shuffle data across the cluster racks"),
+            (2, "spark joins shuffle data across the cluster nodes"),
+            (3, "an entirely different document about nothing shared"),
+            (4, "spark joins shuffle information across many racks"),
+        ],
+        "doc_id long, text string",
+    )
+    curve = {
+        r["threshold_ppm"]: (r["n_pairs"], r["n_docs_affected"])
+        for r in near_dup_threshold_curve(docs).collect()
+    }
+    assert set(curve) == {300000, 500000, 700000, 900000, 1000000}
+    for t_ppm in curve:
+        n = ngram_jaccard_pairs(docs, n=3, threshold=t_ppm / 1e6).count()
+        assert curve[t_ppm][0] == n, t_ppm
+    seq = [curve[t] for t in sorted(curve)]
+    assert all(a[0] >= b[0] and a[1] >= b[1] for a, b in zip(seq, seq[1:]))
