@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "streaming_last_event_per_user",
     "embedding_pca_projection",
     "near_dup_threshold_curve",
+    "streaming_event_mix_drift",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -828,6 +829,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per user
         "streaming_last_event_per_user": lambda s, d: (
             STREAM.streaming_last_event_per_user(s, d)
+        ),
+        # round 9: the distribution-shift alarm online — stateful
+        # (day, type) counts + the shared batch-side drift fold
+        "streaming_event_mix_drift": lambda s, d: (
+            STREAM.streaming_event_mix_drift(s, d)
         ),
         "streaming_session_funnel": lambda s, d: (
             STREAM.streaming_session_funnel(s, d)
@@ -6076,6 +6082,8 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
     # truth on the bounded fixture (same ordering key, same
     # second-truncated gap discipline)
     d["streaming_markov_transitions"] = d["events_markov_transitions"]
+    # the streaming mix-drift twin shares the batch drift's ground truth
+    d["streaming_event_mix_drift"] = d["event_mix_drift"]
     # the streaming OHLC shares the batch operator's ground truth on the
     # bounded fixture (same quantization, same (ts, event_id) tiebreak)
     d["streaming_ohlc"] = d["events_ohlc"]

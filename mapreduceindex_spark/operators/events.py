@@ -1444,6 +1444,14 @@ def event_mix_drift(events: DataFrame) -> DataFrame:
         .groupBy("day_num", "event_type")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    return mix_drift_from_counts(counts)
+
+
+def mix_drift_from_counts(counts: DataFrame) -> DataFrame:
+    """The share/L1 fold of ``event_mix_drift`` over a prebuilt
+    (day_num, event_type, _c) count frame — shared with the streaming
+    twin, whose counts arrive from a stateful aggregate instead of a
+    batch scan (one ground truth, two count sources)."""
     totals = counts.groupBy("day_num").agg(F.sum("_c").alias("_t"))
     shares = counts.join(totals, "day_num").select(
         "day_num",

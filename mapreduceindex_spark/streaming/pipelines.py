@@ -1584,3 +1584,41 @@ def streaming_last_event_per_user(
         F.col("last_ts_us").cast("long").alias("last_ts_us"),
         F.col("n_events").cast("long").alias("n_events"),
     ).orderBy("user_id")
+
+
+def streaming_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day event-mix drift maintained ONLINE — the streaming
+    twin of ``events.event_mix_drift`` (same oracle): (day, type)
+    counts run as one stateful complete-mode aggregate, and the
+    share/L1 fold happens batch-side on the materialized counts via the
+    shared ``mix_drift_from_counts`` — the distribution-shift alarm
+    wired where it belongs, at ingest time, instead of in a nightly
+    batch.
+
+    State is bounded by active-days × event-types. Unlike the bounded
+    registry drain, an UNBOUNDED deployment grows a row per new day —
+    there you window the state (drop days older than the drift horizon
+    via a watermarked window aggregate); the complete-mode form is kept
+    because the drift fold needs yesterday's finalized counts, which
+    append-mode windows would withhold until watermark passage.
+    """
+    from mapreduceindex_spark.operators.events import (
+        _epoch_day,
+        mix_drift_from_counts,
+    )
+
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.select(_epoch_day().alias("day_num"), "event_type")
+        .groupBy("day_num", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    counts = _run_to_table(agg, "complete", partitions=8)
+    # the drift fold SELF-JOINS the counts frame (shares vs prev-day
+    # shares vs both-days semi); a memory-sink MemoryPlan's attributes
+    # do not dedupe across self-join branches the way file-scan
+    # relations do (Conflicting attributes: day_num) — rebuild the
+    # frame as a local relation first, which is metadata-sized by
+    # construction (active-days × event-types)
+    local = spark.createDataFrame(counts.collect(), counts.schema)
+    return mix_drift_from_counts(local)
