@@ -83,6 +83,7 @@ _VERIFY_FIRST = [
     "embedding_pca_projection",
     "near_dup_threshold_curve",
     "streaming_event_mix_drift",
+    "media_audio_frame_windows",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -690,6 +691,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "media_decode_wav": lambda s, d: M.decode_wav_features(
             _t(s, d, "documents")
+        ),
+        # round 9: frame sampling over the audio path — highest-energy
+        # fixed-width window per clip, exact int64 energies
+        "media_audio_frame_windows": lambda s, d: (
+            M.media_audio_frame_windows(_t(s, d, "documents"))
         ),
         "media_dhash": lambda s, d: M.media_dhash(
             _t(s, d, "documents")
@@ -4780,6 +4786,34 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    sum(v)::BIGINT AS sum_samples,
                    sum(v * v)::BIGINT AS sum_sq
             FROM s GROUP BY doc_id
+        """,
+        "media_audio_frame_windows": """
+            -- regenerate the wrapping-ramp PCM series, window it, and
+            -- pick the max-energy window (ties -> lowest index), same
+            -- fixture contract as media_decode_wav
+            WITH m AS (
+              SELECT doc_id, 256 + doc_id % 512 AS n, doc_id % 97 AS k
+              FROM documents
+            ), s AS (
+              SELECT m.doc_id, u.t // 128 AS widx,
+                     ((m.k + 7 * u.t) % 2048) - 1024 AS v
+              FROM m, unnest(range(0, m.n)) AS u(t)
+            ), we AS (
+              SELECT doc_id, widx, sum(v * v)::BIGINT AS energy,
+                     max(abs(v))::BIGINT AS peak
+              FROM s GROUP BY doc_id, widx
+            ), best AS (
+              SELECT doc_id, widx, energy, peak,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY energy DESC, widx) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS nw
+              FROM we
+            )
+            SELECT doc_id, nw::BIGINT AS n_windows,
+                   widx::BIGINT AS peak_window_idx,
+                   energy AS peak_window_energy,
+                   peak AS peak_abs_sample
+            FROM best WHERE rn = 1 ORDER BY doc_id
         """,
         "media_dhash": """
             -- closed form of the synth -> encode -> NN-resize(9x8) ->

@@ -853,3 +853,68 @@ def media_dup_clusters(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
     out = resolve_components(rep_pairs.union(star), documents)
     hashes.unpersist()
     return out
+
+
+def media_audio_frame_windows(
+    documents: DataFrame, window_frames: int = 128
+) -> DataFrame:
+    """Frame-SAMPLING over the audio path — the feature-extract shape
+    the north-star names for time media (pick the representative
+    segment of a clip): decode the per-doc synthetic WAV
+    (``decode_wav_features``' fixture contract), split the PCM into
+    fixed ``window_frames``-frame windows (the tail window may be
+    partial), and emit the highest-ENERGY window's coordinates — index,
+    integer energy (Σ sample², exact int64) and peak |sample| — plus
+    the window count. Ties break to the LOWEST window index on both
+    engines (numpy argmax-first here; ``ORDER BY energy DESC, idx``
+    there).
+
+    The oracle regenerates the same wrapping-ramp series with a DuckDB
+    range unnest and replays the windowing in SQL, so a mis-sliced
+    window boundary, a dropped tail, or a sample-width defect in the
+    codec hash-mismatches. Bytes never leave the ``mapInPandas`` stage;
+    one fixed-width row per doc flows onward.
+    """
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        w = int(window_frames)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_windows": [], "peak_window_idx": [],
+                "peak_window_energy": [], "peak_abs_sample": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n, k = 256 + i % 512, i % 97
+                t = np.arange(n, dtype=np.int64)
+                samples = ((k + 7 * t) % 2048 - 1024).astype(np.int16)
+                dec = codecs.wav_decode(
+                    codecs.wav_encode(samples, sample_rate=16000)
+                )
+                s = dec["samples"].astype(np.int64).ravel()
+                idx = np.arange(len(s)) // w
+                nw = int(idx[-1]) + 1
+                energy = np.zeros(nw, dtype=np.int64)
+                np.add.at(energy, idx, s * s)
+                best = int(energy.argmax())  # first max = lowest index
+                in_best = s[idx == best]
+                out["doc_id"].append(i)
+                out["n_windows"].append(nw)
+                out["peak_window_idx"].append(best)
+                out["peak_window_energy"].append(int(energy[best]))
+                out["peak_abs_sample"].append(int(np.abs(in_best).max()))
+            yield pd.DataFrame(out)
+
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id bigint, n_windows bigint, peak_window_idx bigint, "
+            "peak_window_energy bigint, peak_abs_sample bigint"
+        ),
+    )
