@@ -1066,9 +1066,11 @@ def _bpe_unrolled_sql(num_merges: int = 8) -> str:
     positions) → 1-row argmax with the (cnt desc, l, r) tie-break →
     greedy merge via plain ``replace`` (DuckDB and Java both continue
     scanning after the replacement — the greedy non-overlap rule).
-    An iteration with no remaining pairs yields an empty b_k, and the
-    cross join empties every later w_k — matching the Spark loop's
-    early break."""
+    An iteration with no remaining pairs yields an empty b_k; the
+    LEFT JOIN then carries w_{k-1} through UNCHANGED, so the final
+    frame is the last real segmentation — matching the Spark loop's
+    early break for BOTH the merge-table union (empty b_k contributes
+    no row) and the fertility readout over w_K."""
     from mapreduceindex_spark.operators.text_analysis import BPE_SEP as S
 
     ws = _words_sql()

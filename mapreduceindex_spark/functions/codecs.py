@@ -722,7 +722,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     """
     try:
         return _jpeg_decode_inner(data)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
+        # KeyError: a scan referencing an undeclared DQT/DHT table id —
+        # corrupt-stream class, same loud contract
         raise ValueError("truncated or corrupt JPEG stream") from e
 
 
@@ -793,7 +795,14 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
+                matches = [x for x in comps if x["id"] == cid]
+                if not matches:
+                    # explicit: a bare next() would raise StopIteration,
+                    # which PEP 479 mangles inside generator callers
+                    raise ValueError(
+                        f"SOS references unknown component id {cid}"
+                    )
+                comp = matches[0]
                 comp["td"], comp["ta"] = tt >> 4, tt & 0x0F
                 scan.append(comp)
             break

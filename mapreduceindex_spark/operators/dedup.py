@@ -647,14 +647,8 @@ def near_dup_clusters(
     # edges per group instead of |members|·(|members|−1)/2 — at a 10×
     # clone factor that is 9 edges vs 45 per group, and the pair source
     # itself runs on the collapsed (unique-content) corpus.
-    groups = (
-        documents.select("doc_id", F.md5("text").alias("_h"))
-        .groupBy("_h")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.collect_set("doc_id").alias("members"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    groups = _md5_clone_groups(documents).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     gstats = groups.agg(
         F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
@@ -1562,13 +1556,7 @@ def containment_pairs(
         return pairs, sizes, live_sizes
 
     groups = caching.track(
-        documents.select("doc_id", F.md5("text").alias("_h"))
-        .groupBy("_h")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.collect_set("doc_id").alias("members"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK),
+        _md5_clone_groups(documents).persist(StorageLevel.MEMORY_AND_DISK),
         "containment_pairs",
     )
     # the NON-REPRESENTATIVE clone members (duplicate-mass-sized —
@@ -1700,25 +1688,20 @@ def lsh_recall(
         groups_ = _md5_clone_groups(documents).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        st = groups_.agg(
-            F.count(F.lit(1)).alias("_g"),
-            F.sum(F.size("members")).alias("_d"),
-        ).collect()[0]
-        reps = (
-            documents
-            if st["_g"] == st["_d"]
-            else documents.join(
-                groups_.select(F.col("rep").alias("doc_id")),
-                "doc_id",
-                "left_semi",
-            )
+        # reps via the semi-join UNCONDITIONALLY: on a duplicate-free
+        # corpus it is the identity (every doc is its own rep), so the
+        # builder needs no stats probe of its own — the one probe below
+        # serves both legs (review catch: the cold path ran it twice)
+        reps = documents.join(
+            groups_.select(F.col("rep").alias("doc_id")),
+            "doc_id",
+            "left_semi",
         )
         sh_ = _shingle_hashes(reps, n).persist(StorageLevel.MEMORY_AND_DISK)
         return [groups_, sh_]
 
     groups, sh = caching.memo("lsh_recall", fingerprint, _front_end)
-    # one stats probe on the cached frame, threaded to both legs (the
-    # legs would otherwise each re-run it)
+    # the ONE stats probe per call (cached frame), threaded to both legs
     row = groups.agg(
         F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
     ).collect()[0]

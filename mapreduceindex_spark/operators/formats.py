@@ -27,13 +27,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def purge_stale_scratch(prefix: str, max_age_sec: int = 3600) -> None:
-    """Remove PREVIOUS sessions' suffixed scratch dirs under the temp
-    root. App-id suffixing stops concurrent sessions clobbering each
-    other, but it also means artifacts no longer self-overwrite — each
-    session would leave a full corpus copy in /tmp forever. Age-based:
-    a CONCURRENT session's active artifact is younger than the horizon,
-    so only abandoned ones go."""
+def purge_stale_scratch(prefix: str, max_age_sec: int = 6 * 3600) -> None:
+    """Remove ABANDONED suffixed scratch dirs under the temp root.
+    App-id suffixing stops concurrent sessions clobbering each other,
+    but it also means artifacts no longer self-overwrite — each session
+    would leave a full corpus copy in /tmp forever.
+
+    Liveness contract (mtime marks CREATION, reads don't refresh it):
+    every caller re-creates its own artifact per call and the returned
+    lazy plan is collected within the same drive — an artifact is live
+    for minutes. The 6 h horizon is orders of magnitude above that; a
+    session holding an uncollected plan over a 6-h-old scratch artifact
+    is outside this contract (documented trade — scratch is disposable
+    by definition; pin a real table for anything longer-lived)."""
     import glob
     import time
 
