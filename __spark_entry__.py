@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "near_dup_threshold_curve",
     "streaming_event_mix_drift",
     "media_audio_frame_windows",
+    "media_gif_frame_sample",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -696,6 +697,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-width window per clip, exact int64 energies
         "media_audio_frame_windows": lambda s, d: (
             M.media_audio_frame_windows(_t(s, d, "documents"))
+        ),
+        # round 9: multi-frame container sampling — decode EVERY frame
+        # of a synthetic animated GIF, pick the brightest
+        "media_gif_frame_sample": lambda s, d: (
+            M.media_gif_frame_sample(_t(s, d, "documents"))
         ),
         "media_dhash": lambda s, d: M.media_dhash(
             _t(s, d, "documents")
@@ -4788,6 +4794,36 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    sum(v)::BIGINT AS sum_samples,
                    sum(v * v)::BIGINT AS sum_sq
             FROM s GROUP BY doc_id
+        """,
+        "media_gif_frame_sample": """
+            -- closed-form frame sweep of the animated-GIF roundtrip:
+            -- Sk_f = w*h*(base + (7f)%10) + h*w(w-1)/2 + 3*w*h(h-1)/2,
+            -- px_sum_f = 2*Sk_f + 255*w*h; argmax over distinct
+            -- non-monotone offsets (ordered (sum DESC, f) for form)
+            WITH m AS (
+              SELECT doc_id, 2 + doc_id % 4 AS nf, 4 + doc_id % 12 AS w,
+                     4 + doc_id % 8 AS h, doc_id % 20 AS base
+              FROM documents
+            ), fr AS (
+              SELECT m.doc_id, m.nf, u.f,
+                     2 * (m.w * m.h * (m.base + (7 * u.f) % 10)
+                          + m.h * (m.w * (m.w - 1) // 2)
+                          + 3 * m.w * (m.h * (m.h - 1) // 2))
+                       + 255 * m.w * m.h AS px_sum
+              FROM m, unnest(range(0, m.nf)) AS u(f)
+            ), best AS (
+              SELECT doc_id, nf, f, px_sum,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY px_sum DESC, f) AS rn,
+                     first_value(px_sum) OVER (PARTITION BY doc_id
+                       ORDER BY f ROWS UNBOUNDED PRECEDING) AS first_sum
+              FROM fr
+            )
+            SELECT doc_id, nf::BIGINT AS n_frames,
+                   f::BIGINT AS peak_frame_idx,
+                   px_sum::BIGINT AS peak_frame_px_sum,
+                   first_sum::BIGINT AS first_frame_px_sum
+            FROM best WHERE rn = 1 ORDER BY doc_id
         """,
         "media_audio_frame_windows": """
             -- regenerate the wrapping-ramp PCM series, window it, and

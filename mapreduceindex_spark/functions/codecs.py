@@ -529,6 +529,128 @@ def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def gif_encode_frames(
+    frames: list[np.ndarray], palette: np.ndarray
+) -> bytes:
+    """Encode a LIST of same-shaped 2-D index arrays as a multi-frame
+    (animated) GIF89a: one global color table, one full-canvas image
+    descriptor per frame, each with its own LZW stream. No graphic
+    control extensions are emitted — the frame-sampling operators read
+    frames as independent full images, not a timed animation."""
+    if not frames:
+        raise ValueError("no frames")
+    pal = np.asarray(palette, dtype=np.uint8)
+    shapes = {np.asarray(f).shape for f in frames}
+    if len(shapes) != 1:
+        raise ValueError("frames must share one shape")
+    size_pow = 1
+    while (1 << size_pow) < max(2, pal.shape[0]):
+        size_pow += 1
+    if size_pow > 8:
+        raise ValueError("palette beyond 256 entries")
+    n = 1 << size_pow
+    full = np.zeros((n, 3), np.uint8)
+    full[: pal.shape[0]] = pal
+    h, w = np.asarray(frames[0]).shape
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_pow - 1), 0, 0)
+    out += full.tobytes()
+    min_code_size = max(2, size_pow)
+    for frame in frames:
+        idx = np.asarray(frame, dtype=np.uint8)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("index beyond palette")
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code_size)
+        payload = _gif_lzw_encode(idx.tobytes(), min_code_size)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode_frames(data: bytes) -> list[np.ndarray]:
+    """Decode EVERY frame of a GIF as independent full-canvas RGB
+    arrays — the multi-frame surface behind the frame-sampling
+    operator. Scope (loud rejection like the single-frame path):
+    full-canvas frames only (left = top = 0, frame dims = logical
+    screen — no partial-rect composition, no disposal semantics, no
+    transparency), global or per-frame color tables, non-interlaced.
+    """
+    try:
+        return _gif_decode_frames_inner(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError("truncated or corrupt GIF stream") from e
+
+
+def _gif_decode_frames_inner(data: bytes) -> list[np.ndarray]:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", data, pos + 1
+            )
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            if left or top or w != sw or h != sh:
+                raise NotImplementedError(
+                    "partial-rect GIF frames unsupported (full-canvas "
+                    "frames only — no composition/disposal semantics)"
+                )
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos] != 0:
+                sz = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + sz])
+                pos += 1 + sz
+            pos += 1  # block terminator
+            idx_bytes = _gif_lzw_decode(
+                b"".join(chunks), min_code_size, w * h
+            )
+            if len(idx_bytes) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            idx = np.frombuffer(idx_bytes[: w * h], np.uint8).reshape(h, w)
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("palette index beyond color table")
+            frames.append(ct[idx])
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # WAV
 # ---------------------------------------------------------------------------

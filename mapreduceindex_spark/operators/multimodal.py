@@ -918,3 +918,77 @@ def media_audio_frame_windows(
             "peak_window_energy bigint, peak_abs_sample bigint"
         ),
     )
+
+
+def media_gif_frame_sample(documents: DataFrame) -> DataFrame:
+    """Frame-SAMPLING over a MULTI-frame container — the video analog
+    of ``media_audio_frame_windows`` on the one animated format the
+    codec library really decodes: synthesize an animated GIF per doc
+    (``codecs.gif_encode_frames``), decode EVERY frame back through the
+    real multi-descriptor LZW path (``gif_decode_frames``), and emit
+    the brightest frame's coordinates — the pick-the-representative-
+    frame step a media pipeline runs before a single-image featurizer.
+
+    Per doc: ``F = 2 + id%4`` full-canvas frames of ``w = 4 + id%12`` ×
+    ``h = 4 + id%8``; frame f's index image is
+    ``base + (7f)%10 + x + 3y`` with ``base = id%20`` (max 76 < 128, no
+    wrap; the ``(7f)%10`` offsets are distinct and NON-monotone in f,
+    so the argmax is not vacuously the last frame), palette
+    ``k → (k, 2k, 255−k)``. Decoded px_sum per frame is the closed form
+    ``2·Sk_f + 255·w·h`` with
+    ``Sk_f = w·h·(base + (7f)%10) + h·w(w−1)/2 + 3·w·h(h−1)/2`` —
+    the oracle sweeps frames with a range unnest and replays the argmax
+    (ties impossible by construction; the SQL still orders (sum DESC,
+    idx) for form). A dropped/duplicated frame, a cross-frame LZW state
+    leak, or a mis-advanced block pointer shifts a sum and mismatches.
+    Bytes never leave the stage.
+    """
+    import numpy as np
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        pal = np.stack(
+            [
+                np.arange(128),
+                2 * np.arange(128),
+                255 - np.arange(128),
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "peak_frame_idx": [],
+                "peak_frame_px_sum": [], "first_frame_px_sum": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf, w, h, base = 2 + i % 4, 4 + i % 12, 4 + i % 8, i % 20
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                frames = [
+                    (base + (7 * f) % 10 + xs + 3 * ys).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                dec = codecs.gif_decode_frames(
+                    codecs.gif_encode_frames(frames, pal)
+                )
+                sums = [int(d.sum(dtype=np.int64)) for d in dec]
+                best = int(np.argmax(sums))  # first max = lowest index
+                out["doc_id"].append(i)
+                out["n_frames"].append(len(dec))
+                out["peak_frame_idx"].append(best)
+                out["peak_frame_px_sum"].append(sums[best])
+                out["first_frame_px_sum"].append(sums[0])
+            yield pd.DataFrame(out)
+
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _roundtrip,
+        schema=(
+            "doc_id bigint, n_frames bigint, peak_frame_idx bigint, "
+            "peak_frame_px_sum bigint, first_frame_px_sum bigint"
+        ),
+    )

@@ -244,6 +244,8 @@ PYTHON_ALLOWED = {
     "media_decode_gif",
     "media_decode_jpeg",
     "media_decode_wav",
+    "media_audio_frame_windows",
+    "media_gif_frame_sample",
     "media_dhash",
     "media_dhash_near_dups",
     "media_dup_clusters",

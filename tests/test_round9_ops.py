@@ -671,3 +671,48 @@ def test_threshold_curve_consistent_with_pair_search(spark):
         assert curve[t_ppm][0] == n, t_ppm
     seq = [curve[t] for t in sorted(curve)]
     assert all(a[0] >= b[0] and a[1] >= b[1] for a, b in zip(seq, seq[1:]))
+
+
+def test_gif_multi_frame_roundtrip_and_scope():
+    """Multi-frame GIF: every frame round-trips exactly through the
+    multi-descriptor LZW path (each frame's dictionary is independent —
+    a cross-frame state leak would scramble later frames); the
+    single-frame decoder still reads frame 0 of an animation; and a
+    partial-rect frame is rejected loudly (no composition semantics)."""
+    from mapreduceindex_spark.functions import codecs
+
+    pal = np.stack(
+        [np.arange(128), 2 * np.arange(128), 255 - np.arange(128)], axis=1
+    ).astype(np.uint8)
+    xs = np.arange(6)[None, :]
+    ys = np.arange(5)[:, None]
+    frames = [
+        ((10 + (7 * f) % 10 + xs + 3 * ys)).astype(np.uint8)
+        for f in range(4)
+    ]
+    data = codecs.gif_encode_frames(frames, pal)
+    dec = codecs.gif_decode_frames(data)
+    assert len(dec) == 4
+    for f in range(4):
+        assert (dec[f] == pal[frames[f]]).all()
+    assert (codecs.gif_decode(data) == pal[frames[0]]).all()
+
+    # partial-rect frame: corrupt frame 2's descriptor left-offset
+    mut = bytearray(data)
+    descs = []
+    i = 0
+    while True:
+        i = bytes(mut).find(b"\x2c", i)
+        if i < 0:
+            break
+        descs.append(i)
+        i += 1
+    # descriptor layout: 0x2C left(2) top(2) w(2) h(2) packed(1)
+    target = next(
+        d for d in descs
+        if mut[d + 1 : d + 9]
+        == __import__("struct").pack("<HHHH", 0, 0, 6, 5)
+    )
+    mut[target + 1] = 1  # left = 1
+    with pytest.raises(NotImplementedError, match="partial-rect"):
+        codecs.gif_decode_frames(bytes(mut))
