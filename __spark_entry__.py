@@ -102,6 +102,17 @@ _VERIFY_FIRST = [
     # r04-green, none older) cycles to round 10. KEEP (d) LAST:
     # round-9 additions insert above it, pushing filler past slot 50
     # harmlessly.
+    # ROUND-10 rotation note: the r09 sample = 15 changed/new + the 8
+    # r03 leftovers + the first 27 r04 entries
+    # (asof_error_purchase..minhash_signatures). Front-load in r10:
+    # round-10 changed/new, any r09 non-greens, then the 20-entry r04
+    # TAIL (near_dup_clusters..zorder_skipping — near_dup_clusters,
+    # ngram_jaccard_pairs, per_source_topk_sample, phrase_search,
+    # profile_orders, purchasers_without_errors, quality_by_source,
+    # semantic_dedup, sessionize, shuffle_corpus, simhash,
+    # simhash_near_dups, streaming_hot_tokens, streaming_quality_filter,
+    # streaming_static_enrich, streaming_tumbling, token_pagerank,
+    # user_activity_pivot, zorder_layout, zorder_skipping).
     "asof_error_purchase",
     "asof_prior_purchase",
     "bm25_search",
