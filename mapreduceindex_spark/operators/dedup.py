@@ -205,13 +205,22 @@ def ngram_jaccard_pairs(
     all-docs join (the shingle-df cap then counts *unique* contents,
     which is also the principled reading of "df").
     """
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("ngram_jaccard_pairs")
     return _clone_collapsed_pairs(
         documents,
         n,
         threshold,
         lambda reps: _jaccard_rep_pairs(
-            reps, n, threshold, max_shingle_df, direct_join_max_df2
+            reps,
+            n,
+            threshold,
+            max_shingle_df,
+            direct_join_max_df2,
+            track_key="ngram_jaccard_pairs",
         ),
+        track_key="ngram_jaccard_pairs",
     )
 
 
@@ -237,6 +246,7 @@ def _clone_collapsed_pairs(
     core_fn,
     groups: DataFrame | None = None,
     clone_stats: tuple[int, int] | None = None,
+    track_key: str | None = None,
 ) -> DataFrame:
     """Exact-dup pre-collapse shared by the pairwise similarity operators.
 
@@ -259,6 +269,14 @@ def _clone_collapsed_pairs(
         groups = _md5_clone_groups(documents).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        if track_key:
+            # registered under the PUBLIC operator's key: the non-dup-
+            # free path returns a lazy plan consuming this frame, so it
+            # cannot unpersist here — tracking makes the NEXT call (or
+            # an explicit release) free it instead of leaking it
+            from mapreduceindex_spark.functions import caching
+
+            caching.track(groups, track_key)
     if clone_stats is None:
         row = groups.agg(
             F.count(F.lit(1)).alias("_g"),
@@ -321,17 +339,31 @@ def _jaccard_rep_pairs(
     max_shingle_df: int,
     direct_join_max_df2: int,
     sh: DataFrame | None = None,
+    track_key: str | None = None,
 ) -> DataFrame:
     """Pairwise jaccard over an already-exact-deduped corpus — the two-tier
     core described in ``ngram_jaccard_pairs``. A composing caller
     (``lsh_recall``) passes a prebuilt persisted ``sh`` frame so the
-    shingle front end is scanned once across legs; the caller owns it."""
+    shingle front end is scanned once across legs; the caller owns it.
+    ``track_key`` registers this call's own persists (sh/sdf/ranked)
+    under the PUBLIC operator's caching key, so a repeat invocation
+    releases its predecessor's blocks instead of leaking them for the
+    session's lifetime (the tracked-caching discipline)."""
+    from mapreduceindex_spark.functions import caching
+
+    def _t(df):
+        return caching.track(df, track_key) if track_key else df
+
     if sh is None:
-        sh = _shingle_hashes(documents, n).persist(
+        sh = _t(
+            _shingle_hashes(documents, n).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
+    sdf = _t(
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf")).persist(
-        StorageLevel.MEMORY_AND_DISK
     )
     capped = sh.join(sdf.filter(F.col("sdf") <= max_shingle_df), "sh")
     # Adaptive tier switch, same shape as near_dup_clusters: Σ df² is the
@@ -385,12 +417,14 @@ def _jaccard_rep_pairs(
     from pyspark.sql.window import Window
 
     by_doc = Window.partitionBy("doc_id")
-    ranked = capped.select(
-        "doc_id",
-        "sh",
-        F.row_number().over(by_doc.orderBy("sdf", "sh")).alias("rk"),
-        F.count(F.lit(1)).over(by_doc).alias("n_sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = _t(
+        capped.select(
+            "doc_id",
+            "sh",
+            F.row_number().over(by_doc.orderBy("sdf", "sh")).alias("rk"),
+            F.count(F.lit(1)).over(by_doc).alias("n_sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # ceil guarded against float error pushing the prefix too short
     # (shorter prefix = lost pairs; a hair longer only costs candidates)
     prefix_len = (
@@ -514,13 +548,22 @@ def minhash_lsh_pairs(
     them first changes nothing in the output while removing the clone-
     group hot buckets (measured 4× at a 10×-clone corpus).
     """
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("minhash_lsh_pairs")
     return _clone_collapsed_pairs(
         documents,
         n,
         threshold,
         lambda reps: _minhash_lsh_rep_pairs(
-            reps, n, num_hashes, bands, threshold
+            reps,
+            n,
+            num_hashes,
+            bands,
+            threshold,
+            track_key="minhash_lsh_pairs",
         ),
+        track_key="minhash_lsh_pairs",
     )
 
 
@@ -531,11 +574,14 @@ def _minhash_lsh_rep_pairs(
     bands: int,
     threshold: float,
     sh: DataFrame | None = None,
+    track_key: str | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate join + exact verification over an already
     exact-deduped corpus — the core described in ``minhash_lsh_pairs``.
-    ``sh`` may be a prebuilt persisted shingle frame (see
-    ``_jaccard_rep_pairs``)."""
+    ``sh`` may be a prebuilt persisted shingle frame and ``track_key``
+    the public operator's caching key (see ``_jaccard_rep_pairs``)."""
+    from mapreduceindex_spark.functions import caching
+
     rows_per_band = num_hashes // bands
     # One persisted copy of the hashed pairs feeds the signature build AND
     # the verification sets — the md5+explode front end runs exactly once.
@@ -543,6 +589,8 @@ def _minhash_lsh_rep_pairs(
         sh = _shingle_hashes(documents, n).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        if track_key:
+            caching.track(sh, track_key)
     sig = _signatures_from_hashes(sh, num_hashes)
     band_cols = [
         F.md5(
@@ -647,8 +695,12 @@ def near_dup_clusters(
     # edges per group instead of |members|·(|members|−1)/2 — at a 10×
     # clone factor that is 9 edges vs 45 per group, and the pair source
     # itself runs on the collapsed (unique-content) corpus.
-    groups = _md5_clone_groups(documents).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("near_dup_clusters")
+    groups = caching.track(
+        _md5_clone_groups(documents).persist(StorageLevel.MEMORY_AND_DISK),
+        "near_dup_clusters",
     )
     gstats = groups.agg(
         F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
@@ -680,6 +732,7 @@ def near_dup_clusters(
         pair_df = _jaccard_rep_pairs(
             rep_docs, n, threshold, max_shingle_df=1000,
             direct_join_max_df2=50_000_000,
+            track_key="near_dup_clusters",
         )
     else:
         pair_df = minhash_lsh_pairs(rep_docs, n, threshold=threshold)
@@ -1680,6 +1733,12 @@ def lsh_recall(
     """
     from mapreduceindex_spark.functions import caching
 
+    # two caching keys: "lsh_recall" holds the memoized [groups, sh]
+    # pair (released only on an input-fingerprint change — NEVER here,
+    # or the memo would be voided); "lsh_recall_pairs" holds the legs'
+    # per-call persists (sdf/ranked), released per call like any other
+    # operator's
+    caching.release("lsh_recall_pairs")
     fingerprint = (
         f"{documents._jdf.queryExecution().analyzed().semanticHash()}|{n}"
     )
@@ -1711,7 +1770,8 @@ def lsh_recall(
         n,
         threshold,
         lambda r: _jaccard_rep_pairs(
-            r, n, threshold, 1000, 50_000_000, sh=sh
+            r, n, threshold, 1000, 50_000_000, sh=sh,
+            track_key="lsh_recall_pairs",
         ),
         groups=groups,
         clone_stats=clone_stats,
@@ -1721,7 +1781,8 @@ def lsh_recall(
         n,
         threshold,
         lambda r: _minhash_lsh_rep_pairs(
-            r, n, num_hashes, bands, threshold, sh=sh
+            r, n, num_hashes, bands, threshold, sh=sh,
+            track_key="lsh_recall_pairs",
         ),
         groups=groups,
         clone_stats=clone_stats,
