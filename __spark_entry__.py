@@ -85,6 +85,8 @@ _VERIFY_FIRST = [
     "streaming_event_mix_drift",
     "media_audio_frame_windows",
     "media_gif_frame_sample",
+    "centroid_classifier",
+    "partitioned_scan_prune",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -654,6 +656,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": lambda s, d: CL.kmeans_embeddings(
             _t(s, d, "embeddings"), k=8, max_iter=5
         ),
+        # supervised counterpart: hash-held-out Rocchio confusion matrix
+        "centroid_classifier": lambda s, d: CL.centroid_classifier(
+            _t(s, d, "embeddings")
+        ),
         # structured streaming forms
         "streaming_tumbling": lambda s, d: STREAM.streaming_tumbling_counts(s, d),
         "streaming_sessions": lambda s, d: STREAM.streaming_session_counts(s, d),
@@ -905,6 +911,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: physical layout planning — Z-order file boxes + join
         # skew scouting (operators/layout.py)
         "zorder_layout": lambda s, d: LY.zorder_layout(_t(s, d, "lineitem")),
+        # directory-tier pruning lifecycle (the tier above zorder's
+        # footer stats): day-partitioned rewrite -> pruned trailing read
+        "partitioned_scan_prune": lambda s, d: LY.partitioned_scan_prune(
+            _t(s, d, "events")
+        ),
         "zorder_skipping": lambda s, d: LY.zorder_skipping(
             _t(s, d, "lineitem")
         ),
@@ -3721,6 +3732,44 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             SELECT label, rank::BIGINT AS rank, vec_id, dist2_u
             FROM r WHERE rank <= 3 ORDER BY label, rank
         """,
+        "centroid_classifier": """
+            -- Rocchio fit on the md5(vec_id) % 100 < 80 train split
+            -- (split_by_hash formula), label_outliers' floored-mean
+            -- centroid, argmin ties toward the lower label id
+            WITH dims AS (
+              SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+            ), e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     (('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+                       % 100) AS bucket,
+                     d.dim,
+                     CAST(floor(CAST(embedding[CAST(d.dim + 1 AS INT)]
+                          AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xm
+              FROM embeddings, dims d WHERE d.dim < len(embedding)
+            ), cent AS (
+              SELECT label AS cand, dim,
+                     ((sum(xm)::BIGINT
+                       - ((((sum(xm)::BIGINT) % (count(*))) + (count(*)))
+                          % (count(*))))
+                      // (count(*))) AS c
+              FROM e WHERE bucket < 80 GROUP BY label, dim
+            ), dist AS (
+              SELECT e.vec_id, e.label, c.cand,
+                     sum((e.xm - c.c) * (e.xm - c.c))::BIGINT AS dist2_u
+              FROM e JOIN cent c ON e.dim = c.dim
+              WHERE e.bucket >= 80
+              GROUP BY e.vec_id, e.label, c.cand
+            ), r AS (
+              SELECT vec_id, label, cand, dist2_u,
+                     row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist2_u ASC, cand ASC) AS rn
+              FROM dist
+            )
+            SELECT label, cand AS predicted, count(*)::BIGINT AS n_vecs,
+                   sum(dist2_u)::BIGINT AS sum_dist2_u
+            FROM r WHERE rn = 1 GROUP BY label, cand
+            ORDER BY label, predicted
+        """,
         "active_user_rollup": """
             -- same constant-offset emission the Spark plan uses: each
             -- deduped (user, day) membership lands in every window it
@@ -5257,6 +5306,24 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM j, t
             ORDER BY out_rows DESC, join_key
             LIMIT 20
+        """,
+        "partitioned_scan_prune": """
+            -- same trailing-days readout over the raw view: the oracle
+            -- never sees the partitioned artifact (one ground truth,
+            -- two physical routes)
+            WITH e AS (
+              SELECT event_type, value,
+                     (((CAST(FLOOR(epoch(ts)) AS BIGINT))
+                       - ((((CAST(FLOOR(epoch(ts)) AS BIGINT)) % 86400)
+                          + 86400) % 86400)) // 86400) AS day_num
+              FROM events
+            ), m AS (SELECT max(day_num) AS mx FROM e)
+            SELECT day_num, event_type, count(*)::BIGINT AS n_events,
+                   round(sum(CAST(value AS DECIMAL(15,2))), 4)::DOUBLE
+                     AS sum_value
+            FROM e, m WHERE day_num >= mx - 6
+            GROUP BY day_num, event_type
+            ORDER BY day_num, event_type
         """,
         "compaction_plan": """
             -- single-window cumsum is fine at oracle/metadata scale;

@@ -386,3 +386,92 @@ def embedding_pca_projection(
         )
         .orderBy("bucket")
     )
+
+
+def centroid_classifier(
+    embeddings: DataFrame, train_pct: int = 80
+) -> DataFrame:
+    """Supervised nearest-centroid (Rocchio) classifier over the
+    embedding table with a deterministic hash train/test split — the
+    model-based curation-filter shape (fit a cheap classifier on weakly
+    labeled vectors, score the held-out set, read the confusion matrix
+    before trusting it as a corpus gate). The supervised counterpart of
+    ``kmeans_embeddings``: same integer-micro geometry, but centroids
+    come from the TRAIN labels and quality is measured on held-out rows
+    the fit never saw.
+
+    Split: bucket = portable 60-bit md5 hash of the vec_id string mod
+    100 (the ``split_by_hash`` formula); train = bucket < ``train_pct``.
+    Fit: per (label, dim) FLOORED integer mean of the micro-quantized
+    train components (``exact.floor_div_sql`` — any component sign,
+    translation-equivariant, the ``label_outliers`` centroid). Predict:
+    each held-out vector takes the label of the integer-squared-distance
+    argmin over the fitted centroids, ties toward the lower label id.
+
+    Exactness: quantization is the ``label_outliers`` family formula
+    (floor(x·1e6 + 0.5), identical text on both engines); distances and
+    sums are BIGINT end to end; no float enters any comparison, so fit,
+    argmin, and the confusion matrix are bit-identical across engines
+    and partitionings.
+
+    Scale shape: one exploded scan aggregates the train centroids
+    (|labels|×d rows — model-sized), which broadcast onto a second
+    exploded scan of the held-out rows; the per-vector argmin is a
+    window partitioned BY vec_id (never a global sort), and the output
+    is the |labels|²-bounded confusion matrix. Both scans are one
+    shuffle each (hash aggregates); nothing driver-side but the plan.
+
+    Output: (label, predicted, n_vecs, sum_dist2_u) per confusion cell,
+    ordered — sum_dist2_u pins the winning distances (hence the fitted
+    centroid values) into the correctness hash, not just the cell
+    counts.
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+    from mapreduceindex_spark.functions.text import stable_hash64
+
+    ex = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        (stable_hash64(F.col("vec_id").cast("string")) % 100).alias(
+            "bucket"
+        ),
+        F.posexplode("embedding").alias("dim", "_x"),
+    ).select(
+        "vec_id",
+        "label",
+        "bucket",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(_x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("_xm"),
+    )
+    cent = (
+        ex.filter(F.col("bucket") < train_pct)
+        .groupBy(F.col("label").alias("cand"), "dim")
+        .agg(F.expr(floor_div_sql("sum(_xm)", "count(1)", "DIV")).alias("_c"))
+    )
+    dist = (
+        ex.filter(F.col("bucket") >= train_pct)
+        .join(F.broadcast(cent), ["dim"])
+        .groupBy("vec_id", "label", "cand")
+        .agg(
+            F.sum((F.col("_xm") - F.col("_c")) * (F.col("_xm") - F.col("_c")))
+            .cast("long")
+            .alias("dist2_u")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2_u").asc(), F.col("cand").asc()
+    )
+    return (
+        dist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("label", F.col("cand").alias("predicted"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("dist2_u").cast("long").alias("sum_dist2_u"),
+        )
+        .orderBy("label", "predicted")
+    )

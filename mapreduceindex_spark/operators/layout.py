@@ -543,3 +543,63 @@ def docs_compaction_plan(
         F.expr(f"CAST(doc_id AS BIGINT) DIV {docs_per_file}").alias("file_id")
     ).agg(F.sum("n_chars").cast("long").alias("bytes"))
     return compaction_plan(fs, target_bytes)
+
+
+def partitioned_scan_prune(events: DataFrame, last_days: int = 7) -> DataFrame:
+    """Hive-partition lifecycle: rewrite ``events`` into a
+    ``day_num=<epoch day>``-partitioned parquet layout, read it back
+    with a recency predicate, and aggregate only the surviving
+    partitions — DIRECTORY-level partition pruning, the coarsest (and
+    at 100 TB the most important) skipping tier. ``zorder_skipping``
+    proves file-FOOTER pruning inside a partition; this proves the tier
+    above it: a date predicate on a date-partitioned table must never
+    list, open, or footer-read the out-of-range partitions at all.
+
+    Shape: one write pass (``partitionBy`` on the calendar-correct
+    floored epoch day — ``functions.exact.floor_div_sql``, the
+    registry's epoch-day convention), one single-row probe for the max
+    day (model-sized, the ``zorder_layout`` bounds discipline), then a
+    fresh read of the partitioned artifact filtered to the trailing
+    ``last_days`` days. The filter lands in the scan's
+    ``PartitionFilters`` (plan-asserted in tests), so at a 1000-file
+    30-day table the scan touches only the ~``last_days``/30 of files.
+    The artifact is session-scoped scratch (app-id suffixed, stale dirs
+    purged — the ``formats._scratch`` lifecycle).
+
+    Exactness: the day key is BIGINT floored division (pre-1970-safe);
+    the readout is count + the exact order-independent 4-dp decimal sum
+    of ``value`` (``functions.exact.sum_dec``) per (day_num,
+    event_type) — identical formula text in the DuckDB oracle, which
+    computes the same trailing window over the raw events view (one
+    ground truth, two physical routes: the oracle never sees the
+    partitioned artifact).
+
+    Output: (day_num, event_type, n_events, sum_value), ordered.
+    """
+    from mapreduceindex_spark.functions.exact import floor_div_sql, sum_dec
+    from mapreduceindex_spark.operators.formats import _scratch
+
+    spark = events.sparkSession
+    path = _scratch("partdays", spark)
+    day = F.expr(
+        floor_div_sql("CAST(unix_seconds(ts) AS BIGINT)", 86400, "DIV")
+    ).cast("long")
+    (
+        events.select(
+            "event_id", "user_id", "event_type", "value", day.alias("day_num")
+        )
+        .write.partitionBy("day_num")
+        .parquet(path)
+    )
+    # single-row probe: the newest day in the artifact (model-sized)
+    max_day = events.agg(F.max(day).alias("mx")).collect()[0]["mx"]
+    part = spark.read.parquet(path)
+    return (
+        part.filter(F.col("day_num") >= F.lit(max_day - (last_days - 1)))
+        .groupBy(F.col("day_num").cast("long").alias("day_num"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            sum_dec("value", 4).alias("sum_value"),
+        )
+        .orderBy("day_num", "event_type")
+    )
