@@ -87,6 +87,8 @@ _VERIFY_FIRST = [
     "media_gif_frame_sample",
     "centroid_classifier",
     "partitioned_scan_prune",
+    "revenue_acf",
+    "leakage_safe_split",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -270,6 +272,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "canonical_docs": lambda s, d: D.canonical_docs(
             _t(s, d, "documents"), n=3, threshold=0.5
+        ),
+        # cluster-level split: near-dups never straddle train/test
+        "leakage_safe_split": lambda s, d: C.leakage_safe_split(
+            _t(s, d, "documents")
         ),
         "top_words_per_source": lambda s, d: TA.top_words_per_source(
             _t(s, d, "documents"), k=5
@@ -763,6 +769,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_moving_avg": lambda s, d: R.revenue_moving_avg(
             _t(s, d, "orders")
         ),
+        # seasonality screen: integer ACF over the daily revenue series
+        "revenue_acf": lambda s, d: R.revenue_acf(_t(s, d, "orders")),
         # round 3, beyond the 50-slot sample (rotate forward in round 4)
         "index_delete": lambda s, d: II.flatten_index(
             II.index_delete(
@@ -6170,6 +6178,50 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM e ASOF JOIN p
               ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
+        "revenue_acf": """
+            -- integer ACF: kilodollar-floored daily series, floored-mean
+            -- centering, shared lag-0 normalizer, sign-split ppm fold;
+            -- guards mirror the Spark raise_error bounds via error()
+            WITH daily AS (
+              SELECT o_orderdate,
+                     sum(CAST(round(CAST(o_totalprice AS DECIMAL(15,2))
+                                    * 100, 0) AS BIGINT)) AS cents
+              FROM orders GROUP BY o_orderdate
+            ), s AS (
+              SELECT row_number() OVER (ORDER BY o_orderdate) AS i,
+                     ((cents - (((cents % 100000) + 100000) % 100000))
+                      // 100000) AS x
+              FROM daily
+            ), st AS (SELECT sum(x)::BIGINT AS sm, count(*)::BIGINT AS n
+                      FROM s),
+            z AS (
+              SELECT i, x - ((sm - (((sm % n) + n) % n)) // n) AS z
+              FROM s, st
+            ), g AS (
+              SELECT CASE WHEN max(abs(z)) > 40000000 OR count(1) > 5000
+                     THEN error('revenue_acf: series exceeds the BIGINT '
+                                'sum bounds - pass a coarser unit_cents')
+                     ELSE sum(z * z)::BIGINT END AS den
+              FROM z
+            ), g2 AS (
+              SELECT CASE WHEN den > 9223372036854
+                     THEN error('revenue_acf: den overflows the BIGINT '
+                                'ppm fold - pass a coarser unit_cents')
+                     ELSE den END AS den
+              FROM g
+            ), p AS (
+              SELECT l.lag, count(*)::BIGINT AS n_pairs,
+                     sum(a.z * b.z)::BIGINT AS num
+              FROM range(1, 15) l(lag)
+              JOIN z a ON true JOIN z b ON a.i = b.i + l.lag
+              GROUP BY l.lag
+            )
+            SELECT lag::BIGINT AS lag, n_pairs, num, den::BIGINT AS den,
+                   CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+                        ELSE -(((-num) * 1000000) // den) END AS BIGINT)
+                     AS acf_ppm
+            FROM p, g2 ORDER BY lag
+        """,
         "revenue_moving_avg": """
             WITH m AS (
               SELECT CAST(FLOOR(epoch(date_trunc('month', o_orderdate)))
@@ -6252,5 +6304,38 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                (SELECT CAST(sum(CASE WHEN best_quality >= 0.5
                                  THEN 1 ELSE 0 END) AS BIGINT)
                 FROM canon) AS n_quality_pass
+    """
+    # leakage_safe_split wraps the verified near_dup_clusters SQL the
+    # same way: the cluster assignment is definitionally the one the
+    # clusters query hashes green
+    d["leakage_safe_split"] = f"""
+        WITH clusters AS ({d['near_dup_clusters']}),
+        own AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+                 (('0x' || substr(md5(text), 1, 15))::BIGINT % 100)
+                   AS own_bucket
+          FROM documents
+        ), rep AS (
+          SELECT doc_id AS cluster_rep,
+                 (('0x' || substr(md5(text), 1, 15))::BIGINT % 100)
+                   AS rep_bucket
+          FROM documents
+        ), j AS (
+          SELECT c.cluster_rep, o.chars,
+                 CASE WHEN r.rep_bucket < 80 THEN 'train'
+                      WHEN r.rep_bucket < 90 THEN 'valid'
+                      ELSE 'test' END AS split,
+                 CASE WHEN o.own_bucket < 80 THEN 'train'
+                      WHEN o.own_bucket < 90 THEN 'valid'
+                      ELSE 'test' END AS own_split
+          FROM clusters c JOIN own o USING (doc_id)
+          JOIN rep r USING (cluster_rep)
+        )
+        SELECT split, count(*)::BIGINT AS n_docs,
+               count(DISTINCT cluster_rep)::BIGINT AS n_clusters,
+               sum(chars)::BIGINT AS sum_chars,
+               sum(CASE WHEN own_split <> split THEN 1 ELSE 0 END)::BIGINT
+                 AS n_rescued
+        FROM j GROUP BY split ORDER BY split
     """
     return d

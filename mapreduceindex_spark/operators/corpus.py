@@ -1414,3 +1414,84 @@ def truncation_loss_report(
         )
         .orderBy("source", "budget")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster-level train/valid/test assignment: every member of a
+    near-duplicate cluster follows its REPRESENTATIVE's content-hash
+    bucket, so no two near-duplicates ever straddle a split boundary —
+    the eval-contamination rule ``split_by_hash`` can only enforce for
+    byte-identical copies (same text → same hash), extended to the
+    jaccard ≥ ``threshold`` graph (one paraphrase in train + one in
+    test silently inflates eval scores; this is the split that
+    prevents it).
+
+    Composition: ``dedup.near_dup_clusters`` (LSH-bucketed candidates,
+    two-tier component resolve — never all-pairs) supplies
+    (doc_id, cluster_rep); the rep's ``split_by_hash`` bucket (portable
+    md5 formula) becomes the whole cluster's split. The readout
+    aggregates per split: doc count, cluster count, char mass, and
+    ``n_rescued`` — members whose OWN content bucket disagrees with
+    their cluster's split, i.e. exactly the documents a naive
+    per-document split would have leaked across the boundary. The
+    oracle wraps the already-verified ``near_dup_clusters`` SQL as a
+    CTE (the ``curation_funnel`` composition discipline).
+
+    Scale shape: the cluster resolve is the documented scale path (LSH
+    banding + distributed label propagation past the driver-tier edge
+    guard); after it, two doc_id-keyed hash joins against bucket
+    projections and one |splits|-bounded aggregate. No new shuffle
+    shape beyond the verified components.
+
+    Output: (split, n_docs, n_clusters, sum_chars, n_rescued), ordered.
+    """
+    from mapreduceindex_spark.operators.dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(documents, n=n, threshold=threshold)
+    own = documents.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("_chars"),
+        (stable_hash64("text") % 100).alias("_own_bucket"),
+    )
+    rep = documents.select(
+        F.col("doc_id").alias("cluster_rep"),
+        (stable_hash64("text") % 100).alias("_rep_bucket"),
+    )
+
+    def _split(bucket: str) -> F.Column:
+        return (
+            F.when(F.col(bucket) < train_pct, "train")
+            .when(F.col(bucket) < train_pct + valid_pct, "valid")
+            .otherwise("test")
+        )
+
+    j = (
+        clusters.join(own, "doc_id")
+        .join(rep, "cluster_rep")
+        .select(
+            "cluster_rep",
+            "_chars",
+            _split("_rep_bucket").alias("split"),
+            _split("_own_bucket").alias("_own_split"),
+        )
+    )
+    return (
+        j.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_rep").cast("long").alias("n_clusters"),
+            F.sum("_chars").cast("long").alias("sum_chars"),
+            F.sum(
+                F.when(F.col("_own_split") != F.col("split"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rescued"),
+        )
+        .orderBy("split")
+    )

@@ -2292,3 +2292,114 @@ def top_orders_lateral(
         ) o
         ORDER BY c.c_custkey, o.cents DESC, o.o_orderkey
     """)
+
+
+def revenue_acf(
+    orders: DataFrame, max_lag: int = 14, unit_cents: int = 100_000
+) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at row lags
+    1..``max_lag`` — the seasonality screen run before committing to a
+    forecasting window (a weekly cadence shows as a peak at lag 7;
+    ``weekday_seasonality`` shows WHERE the cadence sits, this shows
+    HOW MUCH of the variance it explains).
+
+    Definition (integer-exact, both engines verbatim): the series is
+    daily revenue floored to whole kilodollars
+    (``floor_div(cents, 1e5)``), indexed by date order; deviations are
+    ``z_t = x_t − floor_div(Σx, n)`` (explicitly FLOORED mean — the
+    documented, engine-agreeing centering); ``num_k = Σ z_t·z_{t−k}``
+    over the observed row pairs, ``den = Σ z_t²`` (the lag-0 term, one
+    shared normalizer — no sqrt anywhere); ``acf_ppm`` is the
+    sign-split truncating BIGINT division ``(1e6·num_k) / den`` (the
+    ``yoy_nation_revenue`` ppm fold). Two explicit guards instead of
+    silent wrap: |z| ≤ 4e7 ∧ n ≤ 5000 keeps the den SUM itself inside
+    int64, and den ≤ (2⁶³−1) DIV 1e6 keeps the ppm fold inside int64
+    (num ≤ den by Cauchy-Schwarz); either trip ``raise_error``s naming
+    the fix — pass a coarser ``unit_cents`` (default 1e5 = whole
+    kilodollars, good to ~sf1 TPC-H daily volumes; sf100 wants 1e8).
+
+    Scale shape: ONE hash aggregate over the fact table produces the
+    date-bounded daily series (~2.5k rows for TPC-H's 7-year span at
+    ANY scale factor); everything after — the row_number index, the
+    lag self-join against a broadcast 1..max_lag frame, the ppm fold —
+    runs over that model-sized series (the ``revenue_moving_avg``
+    precedent). The centered series persists tracked (one
+    materialization feeds the normalizer and both join sides).
+
+    Output: (lag, n_pairs, num, den, acf_ppm), ordered by lag.
+    """
+    from mapreduceindex_spark.functions import caching
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    spark = orders.sparkSession
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.round(_dec2("o_totalprice") * 100, 0).cast("long")).alias(
+            "_cents"
+        )
+    )
+    x = F.expr(floor_div_sql("_cents", int(unit_cents), "DIV")).alias("x")
+    idx = F.row_number().over(Window.orderBy("o_orderdate")).alias("i")
+    series = daily.select(idx, x)
+    stats = series.agg(
+        F.sum("x").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    mu = F.expr(floor_div_sql("_s", "_n", "DIV"))
+    key = "revenue_acf"
+    caching.release(key)
+    z = caching.track(
+        series.join(F.broadcast(stats))
+        .select("i", (F.col("x") - mu).alias("z"))
+        .persist(),
+        key,
+    )
+    guard = z.agg(
+        F.expr(
+            # pre-guard: den's SUM can't silently wrap under these
+            "CASE WHEN max(abs(z)) > 40000000 OR count(1) > 5000 "
+            "THEN raise_error('revenue_acf: series exceeds the BIGINT "
+            "sum bounds - pass a coarser unit_cents') "
+            "ELSE sum(z * z) END"
+        )
+        .cast("long")
+        .alias("den"),
+    ).select(
+        # fold-guard: num <= den, so den <= (2^63-1) DIV 1e6 keeps
+        # num*1e6 inside BIGINT
+        F.expr(
+            "CASE WHEN den > 9223372036854 "
+            "THEN raise_error('revenue_acf: den overflows the BIGINT "
+            "ppm fold - pass a coarser unit_cents') ELSE den END"
+        )
+        .cast("long")
+        .alias("den")
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    shifted = z.join(F.broadcast(lags)).select(
+        (F.col("i") + F.col("lag")).alias("i"),
+        "lag",
+        F.col("z").alias("_zprev"),
+    )
+    num = (
+        z.join(shifted, ["i"])
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("z") * F.col("_zprev")).cast("long").alias("num"),
+        )
+    )
+    return (
+        num.join(F.broadcast(guard))
+        .select(
+            "lag",
+            "n_pairs",
+            "num",
+            "den",
+            F.expr(
+                "CASE WHEN num >= 0 THEN (num * 1000000) DIV den "
+                "ELSE -(((-num) * 1000000) DIV den) END"
+            )
+            .cast("long")
+            .alias("acf_ppm"),
+        )
+        .orderBy("lag")
+    )

@@ -857,3 +857,79 @@ def test_partitioned_scan_prune_reads_only_surviving_files(spark):
     m = re.search(r"partition count: (\d+)", plan)
     if m:  # format varies across Spark minors; the filter assert above
         assert int(m.group(1)) <= 3
+
+
+# ---------------------------------------------------------------------------
+# revenue_acf (integer autocorrelation of the daily revenue series)
+# ---------------------------------------------------------------------------
+
+
+def _mk_orders(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, 1, "O", float(price), dt.date(2024, 1, day), "1-URGENT", "c", 0, "")
+            for i, (day, price) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    )
+
+
+def test_revenue_acf_alternating_series_hand_values(spark):
+    """Alternating 0 / 10000-kilodollar days: mean 5000, z = ±5000,
+    den = 8·25e6 = 2e8; lag-1 has 7 all-negative products (num −1.75e8
+    -> −875000 ppm), lag-2 has 6 all-positive (num 1.5e8 -> 750000 ppm)."""
+    from mapreduceindex_spark.operators.relational import revenue_acf
+
+    orders = _mk_orders(
+        spark,
+        [(d, 100.00 if d % 2 == 1 else 10_000_000.00) for d in range(1, 9)],
+    )
+    rows = {r["lag"]: tuple(r) for r in revenue_acf(orders, max_lag=2).collect()}
+    assert rows[1] == (1, 7, -175_000_000, 200_000_000, -875_000)
+    assert rows[2] == (2, 6, 150_000_000, 200_000_000, 750_000)
+
+
+def test_revenue_acf_overflow_guard_raises(spark):
+    """A series whose variance exceeds the ppm-fold bound must raise the
+    named error on the Spark side (never wrap silently)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from mapreduceindex_spark.operators.relational import revenue_acf
+
+    orders = _mk_orders(
+        spark, [(1, 100.00), (2, 8_000_000_000.00)]
+    )
+    with pytest.raises(SparkRuntimeException, match="revenue_acf"):
+        revenue_acf(orders, max_lag=1).collect()
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split (cluster-level train/valid/test assignment)
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_rescues_straddling_near_dup(spark):
+    """Two near-dups (shingle jaccard 0.6) whose OWN content buckets
+    land on opposite sides of the boundary (23 -> train, 91 -> test)
+    must both follow the representative's split, and the disagreeing
+    member is counted as rescued. A singleton keeps its own bucket."""
+    from mapreduceindex_spark.operators.corpus import leakage_safe_split
+
+    a = "alpha beta gamma delta epsilon zeta"    # md5 bucket 23 (train)
+    b = "alpha beta gamma delta epsilon sigma"   # md5 bucket 91 (test)
+    c = "foo bar baz qux quux corge"             # md5 bucket 97 (test)
+    docs = spark.createDataFrame(
+        [
+            (1, a, "en", "s", len(a)),
+            (2, b, "en", "s", len(b)),
+            (3, c, "en", "s", len(c)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = [tuple(r) for r in leakage_safe_split(docs).collect()]
+    assert rows == [
+        ("test", 1, 1, len(c), 0),
+        ("train", 2, 1, len(a) + len(b), 1),
+    ]
