@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     "partitioned_scan_prune",
     "revenue_acf",
     "leakage_safe_split",
+    "cdc_chunk_dedup",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -832,6 +833,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "asof_error_purchase": lambda s, d: E.asof_error_purchase(
             _t(s, d, "events")
+        ),
+        # shift-robust chunk-level dedup (clamp-free CDC boundaries)
+        "cdc_chunk_dedup": lambda s, d: D.cdc_chunk_dedup(
+            _t(s, d, "documents")
         ),
         "dup_spans": lambda s, d: D.dup_spans(
             _t(s, d, "documents"), n=8, min_docs=2
@@ -5917,6 +5922,51 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                      AS lag_sec
             FROM e ASOF JOIN p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "cdc_chunk_dedup": f"""
+            -- clamp-free CDC: cut after pos p iff the 3-token window
+            -- hash ending at p ≡ 0 (mod 8); chunk content hash =
+            -- portable 60-bit md5 of the pos-ordered token run
+            WITH base AS (
+              SELECT doc_id, {ws} AS arr FROM documents
+            ), e AS (
+              SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,
+                     arr[CAST(t.i AS INT)] AS w
+              FROM base, range(1, 8193) t(i) WHERE t.i <= len(arr)
+            ), f AS (
+              SELECT doc_id, pos, w,
+                CASE WHEN pos >= 2 AND
+                  ((('0x' || substr(md5(
+                      lag(w, 2) OVER wp || ' ' || lag(w, 1) OVER wp
+                      || ' ' || w), 1, 15))::BIGINT % 8) + 8) % 8 = 0
+                THEN 1 ELSE 0 END AS cut
+              FROM e WINDOW wp AS (PARTITION BY doc_id ORDER BY pos)
+            ), c AS (
+              SELECT doc_id, pos, w,
+                     sum(prev_cut) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS chunk_id
+              FROM (
+                SELECT doc_id, pos, w,
+                       lag(cut, 1, 0) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS prev_cut
+                FROM f
+              )
+            ), chk AS (
+              SELECT doc_id, chunk_id, count(*)::BIGINT AS n_toks,
+                     ('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)),
+                                     1, 15))::BIGINT AS ch
+              FROM c GROUP BY doc_id, chunk_id
+            ), occ AS (
+              SELECT ch, count(*) AS occ FROM chk GROUP BY ch
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_chunks,
+                   sum(n_toks)::BIGINT AS n_tokens,
+                   sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dup_chunks,
+                   sum(CASE WHEN occ >= 2 THEN n_toks ELSE 0 END)::BIGINT
+                     AS dup_tokens
+            FROM chk JOIN occ USING (ch)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "dup_spans": f"""
             WITH base AS (

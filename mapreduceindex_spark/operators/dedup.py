@@ -1862,3 +1862,112 @@ def near_dup_threshold_curve(
         )
         .orderBy("threshold_ppm")
     )
+
+
+def cdc_chunk_dedup(
+    documents: DataFrame, window: int = 3, divisor: int = 8
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup report: split each document
+    into chunks whose boundaries are decided by LOCAL content (a token
+    position closes a chunk iff the hash of the ``window``-token n-gram
+    ending there ≡ 0 mod ``divisor``), then count, per document, the
+    chunks whose content recurs anywhere in the corpus — the
+    rsync/storage-dedup technique applied at token granularity.
+    Fixed-width chunking (``doc_chunks``) loses all alignment after one
+    inserted word; a content-defined boundary re-synchronizes
+    immediately, so shared passages dedup even when their offsets
+    differ (pinned by test: prepending a preamble to a clone leaves
+    its interior chunks byte-identical).
+
+    This is the clamp-free CDC variant: no min/max chunk clamps, so the
+    cut decision is a pure projection per position (embarrassingly
+    parallel — no sequential scan state), with expected chunk length =
+    ``divisor`` tokens. Clamped variants trade that independence for
+    bounded chunk sizes; at 100 TB the projection form is the one that
+    needs no per-partition carry-over.
+
+    Exactness: the boundary hash and the chunk-content hash are both
+    the portable 60-bit md5 (``stable_hash64``) — identical formula in
+    the oracle; the boundary rule uses the floored modulo
+    (``exact.floor_mod_sql``); chunk content is the pos-ordered
+    space-joined token run (DuckDB ``string_agg(... ORDER BY pos)``).
+
+    Scale shape: one posexplode + per-doc window pass emits cut flags
+    and running chunk ids; one (doc, chunk) aggregate builds
+    chunk-content hashes; chunk-hash occurrence counts are one more
+    hash aggregate joined back on the 8-byte hash. Every exchange
+    carries hashes/positions, never text (the ``dup_spans``
+    discipline). Per-doc window state is the doc's own tokens.
+
+    Output: (doc_id, n_chunks, n_tokens, n_dup_chunks, dup_tokens),
+    ordered by doc_id — ``dup_tokens`` is the per-doc token mass in
+    chunks whose content occurs ≥ 2 times corpus-wide (the storage /
+    training-redundancy saving a chunk-store would realize).
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.exact import floor_mod_sql
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    lags = [F.lag("w", j).over(by_pos) for j in range(window - 1, 0, -1)]
+    win_ng = F.concat_ws(" ", *lags, F.col("w"))
+    cut = F.when(
+        (F.col("pos") >= window - 1)
+        & (
+            F.expr(
+                floor_mod_sql(
+                    # inline the window hash so the modulo sees a BIGINT
+                    "_wh",
+                    divisor,
+                )
+            )
+            == 0
+        ),
+        1,
+    ).otherwise(0)
+    flagged = toks.select(
+        "doc_id", "pos", "w", stable_hash64(win_ng).alias("_wh")
+    ).select("doc_id", "pos", "w", cut.alias("_cut"))
+    chunked = flagged.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.lag("_cut", 1, 0).over(by_pos).alias("_prev_cut"),
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum("_prev_cut")
+        .over(by_pos.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        stable_hash64(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            )
+        ).alias("ch"),
+    )
+    occ = chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("_occ"))
+    return (
+        chunks.join(occ, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("_occ") >= 2, F.col("n_toks")).otherwise(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .orderBy("doc_id")
+    )
