@@ -90,6 +90,7 @@ _VERIFY_FIRST = [
     "revenue_acf",
     "leakage_safe_split",
     "cdc_chunk_dedup",
+    "skipgram_cooccurrence",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -746,6 +747,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ngram_novelty": lambda s, d: C.ngram_novelty(
             _t(s, d, "documents"), n=3
+        ),
+        "skipgram_cooccurrence": lambda s, d: C.skipgram_cooccurrence(
+            _t(s, d, "documents")
         ),
         "bigram_lift": lambda s, d: C.bigram_lift(
             _t(s, d, "documents"), top_k=50
@@ -5055,6 +5059,38 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          THEN per.n_novel::DOUBLE / per.n_shingles
                          ELSE 0.0 END, 6) AS novelty_ratio
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "skipgram_cooccurrence": f"""
+            -- oracle does the O(N·window) position range join; the
+            -- engine's plan is window LEADs (one pass, no self-join)
+            WITH base AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), uni AS (
+              SELECT u.word, count(*) AS n_uni
+              FROM base, unnest(w) AS u(word) GROUP BY 1
+            ), tot AS (
+              SELECT sum(n_uni) AS n_total FROM uni
+            ), e AS (
+              SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,
+                     w[CAST(t.i AS INT)] AS tok
+              FROM base, range(1, 8193) t(i) WHERE t.i <= len(w)
+            ), pr AS (
+              SELECT least(a.tok, b.tok) AS w_a,
+                     greatest(a.tok, b.tok) AS w_b, count(*) AS n_ab
+              FROM e a JOIN e b ON a.doc_id = b.doc_id
+                AND b.pos > a.pos AND b.pos <= a.pos + 4
+              WHERE a.tok <> b.tok
+              GROUP BY 1, 2
+              ORDER BY n_ab DESC, w_a ASC, w_b ASC LIMIT 50
+            )
+            SELECT w_a || ' ' || w_b AS pair,
+                   n_ab::BIGINT AS n_ab,
+                   a.n_uni::BIGINT AS n_a,
+                   b.n_uni::BIGINT AS n_b,
+                   round((n_ab * n_total)::DOUBLE
+                         / (a.n_uni * b.n_uni)::DOUBLE, 6) AS lift
+            FROM pr, tot, uni a, uni b
+            WHERE a.word = w_a AND b.word = w_b
         """,
         "bigram_lift": f"""
             WITH base AS (

@@ -1495,3 +1495,73 @@ def leakage_safe_split(
         )
         .orderBy("split")
     )
+
+
+def skipgram_cooccurrence(
+    documents: DataFrame, window: int = 4, top_k: int = 50
+) -> DataFrame:
+    """Windowed co-occurrence association: the strongest UNORDERED word
+    pairs appearing within ``window`` tokens of each other —
+    ``bigram_lift`` generalized past adjacency (the skip-gram statistic
+    word2vec factorizes; topical affinity like "minhash … jaccard"
+    shows up here long before the words ever touch). Same exact
+    rational as ``bigram_lift``: ``lift = n_ab · N / (n_a · n_b)``
+    (PMI's argument, integer-born — no cross-engine ``ln``).
+
+    Counting rule (both engines verbatim): every ordered position pair
+    (p, q) with ``p < q ≤ p + window`` in one document contributes one
+    event to its canonical pair ``(least(w_p, w_q), greatest(...))``;
+    equal-word pairs are dropped (self-association is a repetition
+    signal — ``repetition_profile``'s job, noise here).
+
+    Scale shape: the pair emit is ``window`` LEADs over the per-doc
+    position window — one pass, ``window``·N rows of (word, word), no
+    self-join of the token table (the oracle does the O(N·window)
+    range join precisely because it doesn't need to scale); the
+    count aggregate keys on word pairs; top-k cuts before the two
+    broadcast unigram joins (vocabulary ≪ corpus).
+
+    Output: (pair, n_ab, n_a, n_b, lift), (n_ab DESC, pair ASC).
+    """
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    unigrams = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_uni"))
+    total = toks.select(F.count(F.lit(1)).alias("n_total"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    neigh = F.array(
+        *[F.lead("w", j).over(win) for j in range(1, window + 1)]
+    )
+    pairs = (
+        toks.select(F.col("w"), neigh.alias("_nb"))
+        .select(F.col("w"), F.explode("_nb").alias("w2"))
+        .filter(F.col("w2").isNotNull() & (F.col("w") != F.col("w2")))
+        .select(
+            F.least("w", "w2").alias("w_a"),
+            F.greatest("w", "w2").alias("w_b"),
+        )
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.col("n_ab").desc(), F.col("w_a").asc(), F.col("w_b").asc())
+        .limit(top_k)
+    )
+    return (
+        pairs.join(
+            F.broadcast(unigrams.withColumnRenamed("w", "w_a")), "w_a"
+        )
+        .withColumnRenamed("n_uni", "n_a")
+        .join(F.broadcast(unigrams.withColumnRenamed("w", "w_b")), "w_b")
+        .withColumnRenamed("n_uni", "n_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "w_a", "w_b").alias("pair"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                (F.col("n_ab") * F.col("n_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), F.col("pair").asc())
+    )

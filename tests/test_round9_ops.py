@@ -1012,3 +1012,21 @@ def test_cdc_chunk_dedup_shift_robust_and_matches_reference(spark):
     by_doc = {r[0]: r for r in got}
     assert by_doc[1][3] >= 1 and by_doc[2][3] >= 1
     assert by_doc[1][4] >= 10 and by_doc[2][4] >= 10
+
+
+def test_skipgram_cooccurrence_hand_counts(spark):
+    """'a b c a', window 4: unordered events a-b ×2 (positions 0-1 and
+    1-3), a-c ×2 (0-2, 2-3), b-c ×1; the a-a pair (0,3) is dropped.
+    Unigrams a=2 b=1 c=1, N=4 -> lifts 4.0 everywhere."""
+    from mapreduceindex_spark.operators.corpus import skipgram_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = [tuple(r) for r in skipgram_cooccurrence(docs).collect()]
+    assert rows == [
+        ("a b", 2, 2, 1, 4.0),
+        ("a c", 2, 2, 1, 4.0),
+        ("b c", 1, 1, 1, 4.0),
+    ]
