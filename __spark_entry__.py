@@ -91,6 +91,8 @@ _VERIFY_FIRST = [
     "leakage_safe_split",
     "cdc_chunk_dedup",
     "skipgram_cooccurrence",
+    "token_burstiness",
+    "weighted_sample",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -749,6 +751,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), n=3
         ),
         "skipgram_cooccurrence": lambda s, d: C.skipgram_cooccurrence(
+            _t(s, d, "documents")
+        ),
+        "token_burstiness": lambda s, d: TA.token_burstiness(
+            _t(s, d, "documents")
+        ),
+        "weighted_sample": lambda s, d: C.weighted_sample(
             _t(s, d, "documents")
         ),
         "bigram_lift": lambda s, d: C.bigram_lift(
@@ -5059,6 +5067,33 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          THEN per.n_novel::DOUBLE / per.n_shingles
                          ELSE 0.0 END, 6) AS novelty_ratio
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "token_burstiness": f"""
+            -- zeros-included dispersion numerator: N scales the sum,
+            -- absent docs contribute nothing to either statistic
+            WITH base AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), pd AS (
+              SELECT doc_id, u.word, count(*) AS c
+              FROM base, unnest(w) AS u(word) GROUP BY 1, 2
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), st AS (
+              SELECT word, count(*)::BIGINT AS df, sum(c)::BIGINT AS n_occ,
+                     sum(c * c)::BIGINT AS sum_c2
+              FROM pd GROUP BY word
+            )
+            SELECT word, df, n_occ, sum_c2,
+                   CAST(n * sum_c2 - n_occ * n_occ AS BIGINT) AS disp
+            FROM st, nd ORDER BY disp DESC, word ASC LIMIT 50
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source,
+                   greatest(CAST(n_chars AS BIGINT), 1) AS weight,
+                   (('0x' || substr(md5(text), 1, 15))::BIGINT
+                    // greatest(CAST(n_chars AS BIGINT), 1)) AS priority
+            FROM documents
+            ORDER BY priority ASC, doc_id ASC LIMIT 50
         """,
         "skipgram_cooccurrence": f"""
             -- oracle does the O(N·window) position range join; the

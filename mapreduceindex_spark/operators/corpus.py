@@ -1565,3 +1565,49 @@ def skipgram_cooccurrence(
         )
         .orderBy(F.col("n_ab").desc(), F.col("pair").asc())
     )
+
+
+def weighted_sample(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Deterministic weight-proportional sample: the ``k`` documents
+    with the smallest ``priority = hash DIV weight`` where the weight
+    is the document's char mass — heavier documents draw
+    proportionally smaller priorities, so the sample leans toward mass
+    the way a token-budgeted eval set should (``deterministic_sample``
+    is the uniform-rate cousin; ``per_source_topk_sample`` the fixed
+    per-group budget). Content-keyed (the ``split_by_hash`` md5), so
+    the draw is stable across runs, engines, and ingestion order.
+
+    This is the integer surrogate of A-ES exponential-jump sampling
+    (priority u^(1/w)): the DIV form keeps the draw integer-exact and
+    oracle-replayable where the float exponentiation would hang the
+    correctness gate on libm differences; it preserves the monotone
+    weight bias (E[rank] strictly decreasing in w), not A-ES's exact
+    inclusion probabilities — documented trade.
+
+    Scale shape: one projection computes priorities; the global top-k
+    is Spark's TakeOrdered (per-partition heaps + k-row driver merge),
+    never a full sort. Zero-mass docs (weight clamped to ≥ 1) stay
+    drawable.
+
+    Output: (doc_id, source, weight, priority), priority ASC.
+    """
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            w.alias("weight"),
+            stable_hash64("text").alias("_h"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            # hash >= 0, weight >= 1: truncating DIV == floor here, and
+            # it stays in BIGINT (a float `/` would round the 60-bit
+            # hash through a 53-bit mantissa — engine-divergent)
+            F.expr("_h DIV weight").cast("long").alias("priority"),
+        )
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )

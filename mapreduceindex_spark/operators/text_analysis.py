@@ -1295,3 +1295,60 @@ def bpe_fertility_learned(
         .otherwise(F.lit(0).cast("long"))
         .alias("tokens_per_char_micro"),
     )
+
+
+def token_burstiness(documents: DataFrame, top_k: int = 50) -> DataFrame:
+    """Per-word burstiness: how much a word CLUMPS into few documents
+    versus spreading evenly — the dispersion screen separating topical
+    content words (bursty: high within-doc counts, low df) from
+    function words (uniform), the signal behind stopword induction and
+    tokenizer-vocabulary design (``token_zipf_fit`` ranks by mass; this
+    ranks by clumping).
+
+    Statistic (integer-born, no division): the variance-to-mean
+    NUMERATOR over per-document counts with zeros included —
+    ``disp = N·Σc² − (Σc)²`` where the sum runs over the word's
+    per-doc counts c and N is the CORPUS doc count (absent docs
+    contribute c = 0, exactly — they add nothing to either sum but
+    scale the N factor). Uniform words have disp ≈ Poisson baseline;
+    bursty words blow past it. Emitted with the exact sufficient
+    statistics so the caller can form any normalized index; ranking is
+    (disp DESC, word ASC) over the top ``top_k``.
+
+    Scale shape: one token pass → one (doc, word) count aggregate →
+    one word-keyed aggregate carrying 3 BIGINTs; the corpus doc count
+    is a broadcast scalar. Overflow bounds: |c| ≤ doc length (~1e4),
+    c² ≤ 1e8, and N·Σc² stays in BIGINT to ~1e9 docs × 1e6 word mass —
+    the DECIMAL(38,0) swap is the documented escape past that.
+
+    Output: (word, df, n_occ, sum_c2, disp), (disp DESC, word ASC).
+    """
+    from mapreduceindex_spark.functions.text import words
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select("doc_id", F.explode("ws").alias("w"))
+    per_doc = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_docs = documents.select(
+        F.countDistinct("doc_id").alias("_nd")
+    )
+    stats = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("n_occ"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("w").alias("word"),
+            "df",
+            "n_occ",
+            "sum_c2",
+            (F.col("_nd") * F.col("sum_c2") - F.col("n_occ") * F.col("n_occ"))
+            .cast("long")
+            .alias("disp"),
+        )
+        .orderBy(F.col("disp").desc(), F.col("word").asc())
+        .limit(top_k)
+    )

@@ -1030,3 +1030,49 @@ def test_skipgram_cooccurrence_hand_counts(spark):
         ("a c", 2, 2, 1, 4.0),
         ("b c", 1, 1, 1, 4.0),
     ]
+
+
+def test_token_burstiness_hand_stats(spark):
+    """d1='a a a b', d2='b c' (N=2): a clumps (disp 2·9−9=9), c is a
+    singleton (2·1−1=1), b is perfectly uniform (2·2−4=0)."""
+    from mapreduceindex_spark.operators.text_analysis import token_burstiness
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "en", "s", 7), (2, "b c", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = [tuple(r) for r in token_burstiness(docs).collect()]
+    assert rows == [
+        ("a", 1, 3, 9, 9),
+        ("c", 1, 1, 1, 1),
+        ("b", 2, 2, 2, 0),
+    ]
+
+
+def test_weighted_sample_integer_priorities_and_clamp(spark):
+    """Priorities are exact integer hash DIV weight (no float rounding
+    of the 60-bit hash), zero-mass docs clamp to weight 1, and the k
+    cut keeps the smallest priorities."""
+    import hashlib
+
+    from mapreduceindex_spark.operators.corpus import weighted_sample
+
+    texts = {1: "alpha beta gamma", 2: "delta", 3: ""}
+    chars = {1: len(texts[1]), 2: len(texts[2]), 3: 0}
+
+    def pri(t, w):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) // max(w, 1)
+
+    docs = spark.createDataFrame(
+        [(i, texts[i], "en", "s", chars[i]) for i in texts],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    want = sorted(
+        (
+            (i, "s", max(chars[i], 1), pri(texts[i], chars[i]))
+            for i in texts
+        ),
+        key=lambda r: (r[3], r[0]),
+    )[:2]
+    got = [tuple(r) for r in weighted_sample(docs, k=2).collect()]
+    assert got == want
