@@ -93,6 +93,7 @@ _VERIFY_FIRST = [
     "skipgram_cooccurrence",
     "token_burstiness",
     "weighted_sample",
+    "association_rules",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -110,11 +111,16 @@ _VERIFY_FIRST = [
     # r04-green, none older) cycles to round 10. KEEP (d) LAST:
     # round-9 additions insert above it, pushing filler past slot 50
     # harmlessly.
-    # ROUND-10 rotation note: the r09 sample = 15 changed/new + the 8
-    # r03 leftovers + the first 27 r04 entries
-    # (asof_error_purchase..minhash_signatures). Front-load in r10:
-    # round-10 changed/new, any r09 non-greens, then the 20-entry r04
-    # TAIL (near_dup_clusters..zorder_skipping — near_dup_clusters,
+    # ROUND-10 rotation note: the r09 sample = 23 changed/new + the 8
+    # r03 leftovers + the first 19 r04 entries
+    # (asof_error_purchase..inverted_index). Front-load in r10:
+    # round-10 changed/new, any r09 non-greens, then the REMAINING r04
+    # cohort — first the 8 entries the 50-slot window cut this round
+    # (inverted_index_salted, ivf_topk_trained, join_hotspots,
+    # kmeans_embeddings, label_quality_profile, minhash_accuracy,
+    # minhash_lsh_pairs, minhash_signatures), then
+    # the 20-entry r04 TAIL (near_dup_clusters..zorder_skipping —
+    # near_dup_clusters,
     # ngram_jaccard_pairs, per_source_topk_sample, phrase_search,
     # profile_orders, purchasers_without_errors, quality_by_source,
     # semantic_dedup, sessionize, shuffle_corpus, simhash,
@@ -501,6 +507,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # round 7: market-basket support counts — within-order self-join
         # (fanout C(lines,2)), deterministic global top-k
+        "association_rules": lambda s, d: R.association_rules(
+            _t(s, d, "lineitem")
+        ),
         "copurchase_pairs": lambda s, d: R.copurchase_pairs(
             _t(s, d, "lineitem")
         ),
@@ -3711,6 +3720,37 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    ((g.dupg * 1000000) // g.ng)::BIGINT AS dup_2gram_ppm
             FROM wstats w JOIN gstats g USING (doc_id)
             ORDER BY doc_id
+        """,
+        "association_rules": """
+            -- division-first lift fold: conf_ppm <= 1e6, so
+            -- conf_ppm * N stays in BIGINT at any order count
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), tot AS (
+              SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM op
+            ), supp AS (
+              SELECT l_partkey, count(*)::BIGINT AS n_part
+              FROM op GROUP BY l_partkey
+            ), pairs AS (
+              SELECT a.l_partkey AS p_a, b.l_partkey AS p_b,
+                     count(*)::BIGINT AS n_ab
+              FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              ORDER BY n_ab DESC, p_a ASC, p_b ASC LIMIT 50
+            ), dirs AS (
+              SELECT p_a AS antecedent, p_b AS consequent, n_ab FROM pairs
+              UNION ALL
+              SELECT p_b, p_a, n_ab FROM pairs
+            )
+            SELECT antecedent, consequent, n_ab,
+                   sa.n_part AS n_ante, sc.n_part AS n_cons,
+                   CAST((n_ab * 1000000) // sa.n_part AS BIGINT) AS conf_ppm,
+                   CAST(((n_ab * 1000000) // sa.n_part) * n_orders
+                        // sc.n_part AS BIGINT) AS lift_ppm
+            FROM dirs, tot, supp sa, supp sc
+            WHERE sa.l_partkey = antecedent AND sc.l_partkey = consequent
+            ORDER BY n_ab DESC, antecedent ASC, consequent ASC
         """,
         "copurchase_pairs": """
             WITH op AS (

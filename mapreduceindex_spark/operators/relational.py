@@ -2403,3 +2403,93 @@ def revenue_acf(
         )
         .orderBy("lag")
     )
+
+
+def association_rules(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
+    """Directed association rules over the market basket:
+    ``copurchase_pairs``' support core extended to the decision
+    statistics — per direction, ``confidence(a→b) = P(b|a)`` and
+    ``lift = P(a,b)/(P(a)P(b))`` — the "customers who bought X also
+    buy Y, Z× more than chance" readout recommendation and
+    cross-sell pipelines act on.
+
+    Exactness: both statistics are floored integer ppm folds —
+    ``conf_ppm = n_ab·10⁶ DIV n_ante`` and (division-first so the
+    intermediate never outgrows BIGINT at any order count)
+    ``lift_ppm = conf_ppm·N DIV n_cons`` — no floats, no rationals
+    left to the reader. Support ties at the top-k cut break on
+    (n_ab DESC, p_a, p_b), the ``copurchase_pairs`` total order.
+
+    Scale shape: identical to ``copurchase_pairs`` (within-order
+    self-join, Σ lines² fanout, pair-keyed aggregate, TakeOrdered
+    top-k) plus one broadcast join against the part-support frame and
+    one broadcast total — the directed expansion is a 2× projection of
+    the top-k rows only.
+
+    Output: (antecedent, consequent, n_ab, n_ante, n_cons, conf_ppm,
+    lift_ppm), one row per direction of each top-``top_k`` pair,
+    ordered (n_ab DESC, antecedent, consequent).
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    total = op.select(
+        F.countDistinct("l_orderkey").cast("long").alias("_n_orders")
+    )
+    supp = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_part")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("p_b")
+    )
+    pairs = (
+        a.join(b, "_o")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .orderBy(F.col("n_ab").desc(), F.col("p_a").asc(), F.col("p_b").asc())
+        .limit(top_k)
+    )
+    fwd = pairs.select(
+        F.col("p_a").alias("antecedent"),
+        F.col("p_b").alias("consequent"),
+        "n_ab",
+    )
+    rev = pairs.select(
+        F.col("p_b").alias("antecedent"),
+        F.col("p_a").alias("consequent"),
+        "n_ab",
+    )
+    both = fwd.unionByName(rev)
+    return (
+        both.join(
+            F.broadcast(supp.withColumnRenamed("l_partkey", "antecedent")),
+            "antecedent",
+        )
+        .withColumnRenamed("_n_part", "n_ante")
+        .join(
+            F.broadcast(supp.withColumnRenamed("l_partkey", "consequent")),
+            "consequent",
+        )
+        .withColumnRenamed("_n_part", "n_cons")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_ante",
+            "n_cons",
+            F.expr("(n_ab * 1000000) DIV n_ante").cast("long").alias(
+                "conf_ppm"
+            ),
+            F.expr("((n_ab * 1000000) DIV n_ante) * _n_orders DIV n_cons")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(
+            F.col("n_ab").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+    )

@@ -44,8 +44,15 @@ def main():
     n = cloned.count()
 
     timings = {}
+    only = None
+    import os
+
+    if os.environ.get("ONLY"):
+        only = set(os.environ["ONLY"].split(","))
 
     def timed(name, fn):
+        if only is not None and name not in only:
+            return
         t0 = time.time()
         out = fn()
         cnt = out.count()
@@ -331,6 +338,11 @@ def main():
         "span_scrub_10x",
         lambda: D.span_scrub(cloned).filter("n_removed_words >= 0"),
     )
+    # round-9 CDC chunking: boundaries are a pure per-position
+    # projection, so the clone corpus (10× positions, maximal chunk
+    # recurrence — every chunk has ≥ clone_factor twins) must scale
+    # ~linearly in positions; dup-chunk accounting rides one hash join.
+    timed("cdc_chunk_dedup_10x", lambda: D.cdc_chunk_dedup(cloned))
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 

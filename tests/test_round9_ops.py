@@ -1076,3 +1076,22 @@ def test_weighted_sample_integer_priorities_and_clamp(spark):
     )[:2]
     got = [tuple(r) for r in weighted_sample(docs, k=2).collect()]
     assert got == want
+
+
+def test_association_rules_hand_confidence_and_lift(spark):
+    """Baskets {10,20},{10,20},{10}: support 10=3, 20=2, pair=2, N=3.
+    10->20: conf 2e6 DIV 3 = 666666, lift 666666·3 DIV 2 = 999999.
+    20->10: conf 1e6, lift 1e6·3 DIV 3 = 1e6 (exactly chance-neutral
+    because 10 is in every basket containing 20... and in all baskets
+    at rate 1 — the fold is floored, shown by the 999999)."""
+    from mapreduceindex_spark.operators.relational import association_rules
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 10)],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = [tuple(r) for r in association_rules(li).collect()]
+    assert rows == [
+        (10, 20, 2, 3, 2, 666666, 999999),
+        (20, 10, 2, 2, 3, 1000000, 1000000),
+    ]
