@@ -591,8 +591,16 @@ def partitioned_scan_prune(events: DataFrame, last_days: int = 7) -> DataFrame:
         .write.partitionBy("day_num")
         .parquet(path)
     )
-    # single-row probe: the newest day in the artifact (model-sized)
+    # single-row probe: the newest day in the artifact (model-sized).
+    # Empty input: nothing was written (parquet leaves no readable
+    # schema), so emit the empty readout directly.
     max_day = events.agg(F.max(day).alias("mx")).collect()[0]["mx"]
+    if max_day is None:
+        return spark.createDataFrame(
+            [],
+            "day_num long, event_type string, n_events long, "
+            "sum_value double",
+        )
     part = spark.read.parquet(path)
     return (
         part.filter(F.col("day_num") >= F.lit(max_day - (last_days - 1)))

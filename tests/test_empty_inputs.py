@@ -113,6 +113,15 @@ EMPTY_SAFE = [
     "yoy_nation_revenue",
     "top_parts_dense_rank",
     "weekday_seasonality",
+    # round-9 second half
+    "partitioned_scan_prune",
+    "revenue_acf",
+    "cdc_chunk_dedup",
+    "token_burstiness",
+    "weighted_sample",
+    "association_rules",
+    "centroid_classifier",
+    "skipgram_cooccurrence",
 ]
 
 
