@@ -94,6 +94,8 @@ _VERIFY_FIRST = [
     "token_burstiness",
     "weighted_sample",
     "association_rules",
+    "events_holt",
+    "rfm_migration",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -432,6 +434,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": lambda s, d: R.order_priority_checking(
             _t(s, d, "orders"), _t(s, d, "lineitem")
         ),
+        "rfm_migration": lambda s, d: R.rfm_migration(
+            _t(s, d, "orders")
+        ),
         "rfm_segments": lambda s, d: R.rfm_segments(_t(s, d, "orders")),
         "abc_analysis": lambda s, d: R.abc_analysis(_t(s, d, "lineitem")),
         "price_outliers": lambda s, d: R.price_outliers(_t(s, d, "orders")),
@@ -543,6 +548,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "lineitem")
         ),
         "events_ewma": lambda s, d: E.events_ewma(_t(s, d, "events")),
+        # level+trend smoothing: the second sequential-fold surface
+        "events_holt": lambda s, d: E.events_holt(_t(s, d, "events")),
         "pii_scrub_stats": lambda s, d: TA.pii_scrub_stats(
             _t(s, d, "documents")
         ),
@@ -4061,6 +4068,36 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
             WHERE (n_common * 1000000) // sa.n_sh >= 600000
         """,
+        "rfm_migration": """
+            -- halves by the floored epoch-day midpoint; NTILE per half
+            -- with the rfm_segments tie-break; absent halves -> 0
+            WITH od AS (
+              SELECT o_custkey,
+                     (CAST(FLOOR(epoch(o_orderdate::TIMESTAMP)) AS BIGINT)
+                      // 86400) AS d,
+                     CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100,
+                                0) AS BIGINT) AS c
+              FROM orders
+            ), st AS (SELECT min(d) AS lo, max(d) AS hi FROM od),
+            per AS (
+              SELECT CASE WHEN d < (lo + hi + 1) // 2 THEN 'a'
+                          ELSE 'b' END AS half,
+                     o_custkey, sum(c) AS cents
+              FROM od, st GROUP BY 1, 2
+            ), sc AS (
+              SELECT half, o_custkey,
+                     ntile(5) OVER (PARTITION BY half
+                        ORDER BY cents DESC, o_custkey ASC) AS m
+              FROM per
+            )
+            SELECT coalesce(a.m, 0)::BIGINT AS m_before,
+                   coalesce(b.m, 0)::BIGINT AS m_after,
+                   count(*)::BIGINT AS n_customers
+            FROM (SELECT o_custkey, m FROM sc WHERE half = 'a') a
+            FULL OUTER JOIN (SELECT o_custkey, m FROM sc WHERE half = 'b') b
+              USING (o_custkey)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "rfm_segments": """
             WITH per_cust AS (
               SELECT o_custkey,
@@ -4503,6 +4540,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                      AS intercept_micro
             FROM g
         """,
+        "events_holt": E.holt_oracle_sql(),
         "events_ewma": """
             -- the identical integer recursion (all operands >= 0, so
             -- truncating // == floor == Spark DIV), dense day grid

@@ -1485,3 +1485,120 @@ def mix_drift_from_counts(counts: DataFrame) -> DataFrame:
         .agg(F.sum("_d").cast("long").alias("drift_ppm"))
         .orderBy("day_num")
     )
+
+
+def events_holt(
+    events: DataFrame, alpha_ppm: int = 300_000, beta_ppm: int = 100_000
+) -> DataFrame:
+    """Holt double exponential smoothing of the daily event count —
+    ``events_ewma`` plus a TREND state, the forecasting shape for
+    series that drift (an EWMA lags a ramp forever; Holt's trend term
+    closes the gap), and the second member of the sequential-fold
+    family the window API cannot express.
+
+    Exact integer recursion in micro-units over the dense day grid
+    (gap days decay with c = 0), both engines verbatim:
+
+        l(lo) = c(lo)·1e6,  b(lo) = 0
+        l(t)  = α·c(t) + fdiv((1e6−α)·(l(t−1)+b(t−1)), 1e6)
+        b(t)  = fdiv(β·(l(t)−l(t−1)), 1e6) + fdiv((1e6−β)·b(t−1), 1e6)
+
+    where ``fdiv`` is the FLOORED division (``exact.floor_div_sql``'s
+    formula; Python's ``//`` natively) — required, unlike the EWMA,
+    because the trend state goes NEGATIVE on declining series and a
+    truncating DIV would round the two engines apart. Per-day counts
+    past ~9.2e6 raise loudly (the micro-fold overflow guard).
+
+    Scale shape: ONE day-keyed fact aggregate (the only data-scale
+    exchange); the fold runs driver-side over the collected
+    day-cardinality series — the ``events_ewma`` physical trade,
+    measured there against Spark 4's per-day-join ``WITH RECURSIVE``.
+    The DuckDB oracle runs the same recursion as a recursive CTE.
+
+    Output: (day_num, n_events, level_micro, trend_micro), day order.
+    """
+    spark = events.sparkSession
+    a, b_ = int(alpha_ppm), int(beta_ppm)
+    daily = (
+        events.select(_epoch_day().alias("day"))
+        .groupBy("day")
+        .agg(
+            F.expr(
+                "CASE WHEN count(1) > 9000000 THEN raise_error("
+                "'events_holt: daily count overflows the micro fold') "
+                "ELSE CAST(count(1) AS BIGINT) END"
+            ).alias("c")
+        )
+    )
+    rows = {int(r["day"]): int(r["c"]) for r in daily.collect()}
+    out_schema = "day_num long, n_events long, level_micro long, trend_micro long"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    lo, hi = min(rows), max(rows)
+    lev = rows[lo] * 1_000_000
+    trend = 0
+    out = [(lo, rows[lo], lev, trend)]
+    for day in range(lo + 1, hi + 1):
+        c = rows.get(day, 0)
+        prev = lev
+        lev = a * c + ((1_000_000 - a) * (prev + trend)) // 1_000_000
+        trend = (b_ * (lev - prev)) // 1_000_000 + (
+            (1_000_000 - b_) * trend
+        ) // 1_000_000
+        out.append((day, c, lev, trend))
+    return spark.createDataFrame(out, out_schema)
+
+
+def holt_oracle_sql(
+    alpha_ppm: int = 300_000, beta_ppm: int = 100_000
+) -> str:
+    """DuckDB twin of :func:`events_holt` — the same recursion as a
+    recursive CTE. The new trend depends on the NEW level, which SQL
+    cannot alias inside one SELECT, so the level expression is inlined
+    twice (built here programmatically to keep the two copies
+    identical). ``fdiv`` is the floored division valid for the
+    negative trend state (``exact.floor_div_sql`` with ``//``)."""
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    a, b_ = int(alpha_ppm), int(beta_ppm)
+
+    def fdiv(x: str) -> str:
+        return floor_div_sql(x, 1_000_000, "//")
+
+    lev_new = (
+        f"{a} * coalesce(d.c, 0) + "
+        + fdiv(f"{1_000_000 - a} * (e.lev + e.tr)")
+    )
+    tr_new = (
+        fdiv(f"{b_} * (({lev_new}) - e.lev)")
+        + " + "
+        + fdiv(f"{1_000_000 - b_} * e.tr")
+    )
+    return f"""
+        WITH RECURSIVE daily AS (
+          SELECT day, count(1)::BIGINT AS c FROM (
+            SELECT ((epochb - (((epochb % 86400) + 86400) % 86400))
+                    // 86400) AS day
+            FROM (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS epochb
+                  FROM events)
+          ) GROUP BY day
+        ), b AS (
+          SELECT min(day) AS lo, max(day) AS hi FROM daily
+        ), hw(day_num, hi, lev, tr) AS (
+          SELECT b.lo, b.hi,
+                 (SELECT c FROM daily WHERE day = b.lo)
+                   * CAST(1000000 AS BIGINT),
+                 CAST(0 AS BIGINT)
+          FROM b WHERE b.lo IS NOT NULL
+          UNION ALL
+          SELECT e.day_num + 1, e.hi, {lev_new}, {tr_new}
+          FROM hw e LEFT JOIN daily d ON d.day = e.day_num + 1
+          WHERE e.day_num < e.hi
+        )
+        SELECT hw.day_num,
+               coalesce(d.c, 0)::BIGINT AS n_events,
+               hw.lev::BIGINT AS level_micro,
+               hw.tr::BIGINT AS trend_micro
+        FROM hw LEFT JOIN daily d ON d.day = hw.day_num
+        ORDER BY day_num
+    """

@@ -2493,3 +2493,74 @@ def association_rules(lineitem: DataFrame, top_k: int = 50) -> DataFrame:
             F.col("consequent").asc(),
         )
     )
+
+
+def rfm_migration(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
+    """Monetary-segment MIGRATION matrix: split the order history into
+    its two calendar halves, score each customer's spend quintile in
+    each half (the ``rfm_segments`` M dimension), and count every
+    (before → after) transition — including churn (active → bucket 0)
+    and acquisition (bucket 0 → active). ``rfm_segments`` is the
+    static cube; this is its time derivative, the readout retention
+    programs actually act on ("how many tier-1 spenders slid to
+    tier 3?").
+
+    Determinism and exactness: spend is BIGINT cents; the half split
+    is the floored midpoint of the epoch-day order-date range
+    (probe-free — the min/max frame broadcasts); quintiles are NTILE
+    over (cents DESC, custkey ASC) per half, the ``rfm_segments``
+    tie-break; absent halves coalesce to bucket 0.
+
+    Scale shape: one custkey×half hash aggregate is the only
+    data-scale exchange; both NTILE windows partition BY HALF over the
+    per-customer frame (dimension cardinality — the documented
+    ``rfm_segments`` bound); the transition join is a per-customer
+    full-outer self-join of that same frame; output ≤ (buckets+1)².
+
+    Output: (m_before, m_after, n_customers), ordered.
+    """
+    day = F.expr(
+        "CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) "
+        "DIV 86400"
+    )
+    od = orders.select(
+        "o_custkey",
+        day.alias("_day"),
+        F.round(_dec2("o_totalprice") * 100, 0).cast("long").alias("_c"),
+    )
+    stats = od.agg(F.min("_day").alias("_lo"), F.max("_day").alias("_hi"))
+    per = (
+        od.join(F.broadcast(stats))
+        .select(
+            "o_custkey",
+            "_c",
+            F.expr(
+                "CASE WHEN _day < (_lo + _hi + 1) DIV 2 THEN 'a' "
+                "ELSE 'b' END"
+            ).alias("_half"),
+        )
+        .groupBy("_half", "o_custkey")
+        .agg(F.sum("_c").alias("_cents"))
+    )
+    w = Window.partitionBy("_half").orderBy(
+        F.col("_cents").desc(), F.col("o_custkey").asc()
+    )
+    scored = per.select(
+        "_half", "o_custkey", F.ntile(n_buckets).over(w).alias("_m")
+    )
+    a = scored.filter(F.col("_half") == "a").select(
+        "o_custkey", F.col("_m").alias("_ma")
+    )
+    b = scored.filter(F.col("_half") == "b").select(
+        "o_custkey", F.col("_m").alias("_mb")
+    )
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("_ma", F.lit(0)).cast("long").alias("m_before"),
+            F.coalesce("_mb", F.lit(0)).cast("long").alias("m_after"),
+        )
+        .groupBy("m_before", "m_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("m_before", "m_after")
+    )

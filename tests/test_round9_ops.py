@@ -1095,3 +1095,57 @@ def test_association_rules_hand_confidence_and_lift(spark):
         (10, 20, 2, 3, 2, 666666, 999999),
         (20, 10, 2, 2, 3, 1000000, 1000000),
     ]
+
+
+def test_events_holt_declining_series_negative_trend(spark):
+    """10 events on day 1, none for two days, 1 on day 4: the trend
+    state goes negative and every fold value is pinned by hand —
+    the floored-division path a truncating DIV would get wrong."""
+    from mapreduceindex_spark.operators.events import events_holt
+
+    events = _mk_events(
+        spark,
+        [(1, h, u, "view", 1.0) for h in range(2) for u in range(5)]
+        + [(4, 0, 1, "view", 1.0)],
+    )
+    d0 = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).days
+    rows = [tuple(r) for r in events_holt(events).collect()]
+    assert rows == [
+        (d0, 10, 10_000_000, 0),
+        (d0 + 1, 0, 7_000_000, -300_000),
+        (d0 + 2, 0, 4_690_000, -501_000),
+        (d0 + 3, 1, 3_232_300, -596_670),
+    ]
+
+
+def test_rfm_migration_hand_transitions(spark):
+    """Five customers spend in descending order in half A and reversed
+    in half B; customer 1 churns, customer 6 is acquired — every
+    transition cell is pinned, including the 0-bucket churn rows."""
+    from mapreduceindex_spark.operators.relational import rfm_migration
+
+    rows = []
+    # half A (Jan 1; range Jan 1..10 -> midpoint day 6)
+    for cust, price in [(1, 500.0), (2, 400.0), (3, 300.0), (4, 200.0), (5, 100.0)]:
+        rows.append((1, price, cust))
+    # half B (Jan 10), reversed + a new customer
+    for cust, price in [(2, 100.0), (3, 200.0), (4, 300.0), (5, 400.0), (6, 500.0)]:
+        rows.append((10, price, cust))
+    orders = spark.createDataFrame(
+        [
+            (i, c, "O", p, dt.date(2024, 1, d), "1-URGENT", "c", 0, "")
+            for i, (d, p, c) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    )
+    got = [tuple(r) for r in rfm_migration(orders).collect()]
+    assert got == [
+        (0, 1, 1),
+        (1, 0, 1),
+        (2, 5, 1),
+        (3, 4, 1),
+        (4, 3, 1),
+        (5, 2, 1),
+    ]
