@@ -96,6 +96,8 @@ _VERIFY_FIRST = [
     "association_rules",
     "events_holt",
     "rfm_migration",
+    "ann_recall_curve",
+    "ann_multiprobe_topk",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -298,6 +300,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_lsh_topk": lambda s, d: S.ann_lsh_topk(
             _t(s, d, "embeddings"), n_queries=10, k=5, n_planes=8, dim=64
+        ),
+        "ann_multiprobe_topk": lambda s, d: S.ann_multiprobe_topk(
+            _t(s, d, "embeddings")
+        ),
+        "ann_recall_curve": lambda s, d: S.ann_recall_curve(
+            _t(s, d, "embeddings")
         ),
         "ann_recall": lambda s, d: S.ann_recall(
             _t(s, d, "embeddings"), n_queries=10, k=5, n_planes=8, dim=64
@@ -1832,6 +1840,74 @@ ORDER BY qs.query_id
 """
 
 
+def _ann_multiprobe_sql(
+    n_queries: int, k: int, n_planes: int, dim: int
+) -> str:
+    from mapreduceindex_spark.operators.similarity import hyperplane_literals
+
+    planes = hyperplane_literals(n_planes, dim)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(c) for c in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    flips = ", ".join(f"xor(bucket, {1 << i})" for i in range(n_planes))
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({terms})::BIGINT AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS emb, bucket
+  FROM bucketed WHERE vec_id < {n_queries}
+), probes AS (
+  SELECT query_id, emb,
+         unnest([bucket, {flips}]) AS bucket
+  FROM q
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS emb, bucket FROM bucketed
+), scored AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id, {_COSINE} AS cosine
+  FROM c JOIN probes q ON c.bucket = q.bucket
+    AND c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def _ann_recall_curve_sql(
+    n_queries: int, ks: tuple, n_planes: int, dim: int
+) -> str:
+    # one exact + one approx top-max(ks) ranking (the verified oracles,
+    # composed verbatim); every smaller k is a prefix intersection
+    mk = max(ks)
+    ks_vals = ", ".join(str(int(k)) for k in ks)
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id, rank AS er
+  FROM ({_cosine_topk_sql(n_queries, mk)})
+), approx AS (
+  SELECT query_id, neighbor_id, rank AS ar
+  FROM ({_ann_lsh_sql(n_queries, mk, n_planes, dim)})
+), j AS (
+  SELECT e.query_id, e.er, a.ar
+  FROM exact e JOIN approx a USING (query_id, neighbor_id)
+), ks AS (
+  SELECT unnest([{ks_vals}]) AS k
+), h AS (
+  SELECT ks.k, count(*) AS n_hits
+  FROM j, ks WHERE j.er <= ks.k AND j.ar <= ks.k GROUP BY ks.k
+)
+SELECT ks.k::BIGINT AS k, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) * 1000000
+        // ({n_queries} * ks.k))::BIGINT AS recall_ppm
+FROM ks LEFT JOIN h ON ks.k = h.k ORDER BY k
+"""
+
+
 def _ivf_sql(n_queries: int, k: int, n_centroids: int, n_probe: int) -> str:
     def cos(a: str, b: str) -> str:
         return XQ.q6_sql(
@@ -2932,6 +3008,8 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "cosine_topk": _cosine_topk_sql(10, 5),
         "ann_lsh_topk": _ann_lsh_sql(10, 5, 8, 64),
         "ann_recall": _ann_recall_sql(10, 5, 8, 64),
+        "ann_recall_curve": _ann_recall_curve_sql(10, (1, 2, 5, 10), 8, 64),
+        "ann_multiprobe_topk": _ann_multiprobe_sql(10, 5, 8, 64),
         "ivf_topk": _ivf_sql(10, 5, 16, 4),
         "embedding_near_dups": f"""
             WITH q AS (

@@ -1069,3 +1069,128 @@ def label_outliers(embeddings: DataFrame, top_k: int = 3) -> DataFrame:
         .select("label", "rank", "vec_id", "dist2_u")
         .orderBy("label", "rank")
     )
+
+
+def ann_recall_curve(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    ks: tuple = (1, 2, 5, 10),
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k SWEEP for the LSH index: ``ann_recall`` at one k tells
+    you whether the index clears a bar; the curve tells you WHICH k
+    budget the index can serve — the tuning table (like
+    ``near_dup_threshold_curve`` for dedup thresholds) an index
+    operator reads before fixing the retrieval fan-out.
+
+    One exact and one approximate top-``max(ks)`` ranking are computed
+    ONCE; every smaller k is a prefix intersection of the same two
+    rankings (never a re-search — rankings are nested in k by
+    construction of row_number). ``recall@k = Σ_q |exact_q^k ∩
+    approx_q^k| / (n_queries·k)`` as a floored integer ppm.
+
+    Scale shape: both rankings are the verified operators' plans (the
+    |Q|·N exact side IS the calibration cost, run on a query sample);
+    the sweep itself is a (hits × |ks|)-bounded broadcast cross +
+    one |ks|-row aggregate, zero-filled from the broadcast k frame.
+
+    Output: (k, n_hits, recall_ppm), ordered by k.
+    """
+    mk = max(ks)
+    spark = embeddings.sparkSession
+    exact = cosine_topk(embeddings, n_queries, mk).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_er")
+    )
+    approx = ann_lsh_topk(embeddings, n_queries, mk, n_planes, dim).select(
+        "query_id", "neighbor_id", F.col("rank").alias("_ar")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"])
+    ksdf = spark.createDataFrame([(int(k),) for k in ks], "k long")
+    hits = (
+        j.crossJoin(F.broadcast(ksdf))
+        .filter((F.col("_er") <= F.col("k")) & (F.col("_ar") <= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("_h"))
+    )
+    return (
+        ksdf.join(hits, "k", "left")
+        .select(
+            "k",
+            F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"(coalesce(_h, 0) * 1000000) DIV ({int(n_queries)} * k)"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+def ann_multiprobe_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-k: candidates from the query's own bucket
+    PLUS every 1-bit-flip neighbor bucket (the Lv et al. multi-probe
+    idea — a near neighbor that lands just across one hyperplane is in
+    a Hamming-1 bucket, so probing those buckets buys recall WITHOUT
+    more hash tables). Expected candidate volume is
+    ``(n_planes+1)·N/2^planes`` versus one table per extra probe for
+    the classic fix; recall is provably ≥ the single-bucket
+    ``ann_lsh_topk`` (the candidate set grows under the same total
+    order, so the top-k intersection with the exact ranking is
+    monotone — pinned by test).
+
+    Scale shape: the probe expansion multiplies only the QUERY frame
+    ((n_planes+1)·|Q| rows, broadcast); candidates join on the 8-byte
+    bucket key exactly as the single-probe plan; the pair set dedups
+    on (query, neighbor) before ranking (a neighbor can land in
+    several probes). Same output shape as ``ann_lsh_topk``.
+    """
+    planes = _hyperplanes(n_planes, dim)
+    bucketed = embeddings.select(
+        "vec_id", "embedding", _bucket_expr("embedding", planes).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    probe_list = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"CAST(bucket ^ {1 << i} AS BIGINT)")
+            for i in range(n_planes)
+        ],
+    )
+    probes = q.select(
+        "query_id", "q_emb", F.explode(probe_list).alias("bucket")
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1149,3 +1149,59 @@ def test_rfm_migration_hand_transitions(spark):
         (4, 3, 1),
         (5, 2, 1),
     ]
+
+
+def test_ann_recall_curve_nested_and_consistent_with_ann_recall(spark):
+    """Prefix nesting: n_hits is non-decreasing in k (both rankings are
+    nested by construction). Cross-operator consistency: the curve's
+    k=5 point equals the sum of ann_recall's per-query hits at k=5."""
+    from mapreduceindex_spark.operators.similarity import (
+        ann_recall,
+        ann_recall_curve,
+    )
+    from mapreduceindex_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    curve = {r["k"]: r["n_hits"] for r in ann_recall_curve(emb).collect()}
+    ks = sorted(curve)
+    assert all(curve[a] <= curve[b] for a, b in zip(ks, ks[1:]))
+    per_q = sum(r["n_hits"] for r in ann_recall(emb).collect())
+    assert curve[5] == per_q
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    """The Hamming-1 probe set strictly contains the single bucket, and
+    top-k under one total order is monotone in the candidate set — so
+    multi-probe recall vs the exact ranking must be >= single-probe,
+    per query. Also: the single-bucket pairs are a subset of the
+    multi-probe pairs."""
+    from mapreduceindex_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_multiprobe_topk,
+        cosine_topk,
+    )
+    from mapreduceindex_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_multiprobe_topk(emb).collect()
+    }
+    from collections import Counter
+
+    def hits_per_q(s):
+        return Counter(q for q, n in s & exact)
+
+    hs, hm = hits_per_q(single), hits_per_q(multi)
+    assert all(hm[q] >= hs[q] for q in hs)
+    assert sum(hm.values()) >= sum(hs.values())
