@@ -98,6 +98,7 @@ _VERIFY_FIRST = [
     "rfm_migration",
     "ann_recall_curve",
     "ann_multiprobe_topk",
+    "vocab_pruning_report",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -775,6 +776,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), n=3
         ),
         "skipgram_cooccurrence": lambda s, d: C.skipgram_cooccurrence(
+            _t(s, d, "documents")
+        ),
+        "vocab_pruning_report": lambda s, d: TA.vocab_pruning_report(
             _t(s, d, "documents")
         ),
         "token_burstiness": lambda s, d: TA.token_burstiness(
@@ -5223,6 +5227,42 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          THEN per.n_novel::DOUBLE / per.n_shingles
                          ELSE 0.0 END, 6) AS novelty_ratio
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "vocab_pruning_report": f"""
+            -- the sweep crosses only the VOCABULARY frame; the df
+            -- ceiling compares df*1e6 vs n_docs*max_df_ppm in integers
+            WITH base AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), toks AS (
+              SELECT doc_id, u.word FROM base, unnest(w) AS u(word)
+            ), pw AS (
+              SELECT word, count(DISTINCT doc_id)::BIGINT AS df,
+                     count(*)::BIGINT AS n_occ
+              FROM toks GROUP BY word
+            ), nd AS (
+              SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents
+            ), tot AS (
+              SELECT count(*)::BIGINT AS tw, sum(n_occ)::BIGINT AS toc
+              FROM pw
+            ), mdf AS (
+              SELECT unnest([1, 2, 5, 10])::BIGINT AS min_df
+            ), kept AS (
+              SELECT m.min_df, count(*)::BIGINT AS n_words_kept,
+                     sum(pw.n_occ)::BIGINT AS n_occ_kept
+              FROM pw, nd, mdf m
+              WHERE pw.df >= m.min_df
+                AND pw.df * 1000000 <= nd.n * 800000
+              GROUP BY m.min_df
+            )
+            SELECT m.min_df,
+                   coalesce(k.n_words_kept, 0)::BIGINT AS n_words_kept,
+                   coalesce(k.n_occ_kept, 0)::BIGINT AS n_occ_kept,
+                   (coalesce(k.n_words_kept, 0) * 1000000 // tw)::BIGINT
+                     AS words_share_ppm,
+                   (coalesce(k.n_occ_kept, 0) * 1000000 // toc)::BIGINT
+                     AS occ_share_ppm
+            FROM mdf m LEFT JOIN kept k ON m.min_df = k.min_df, tot
+            ORDER BY m.min_df
         """,
         "token_burstiness": f"""
             -- zeros-included dispersion numerator: N scales the sum,

@@ -1352,3 +1352,83 @@ def token_burstiness(documents: DataFrame, top_k: int = 50) -> DataFrame:
         .orderBy(F.col("disp").desc(), F.col("word").asc())
         .limit(top_k)
     )
+
+
+def vocab_pruning_report(
+    documents: DataFrame,
+    min_dfs: tuple = (1, 2, 5, 10),
+    max_df_ppm: int = 800_000,
+) -> DataFrame:
+    """Vocabulary-pruning sweep: for each candidate ``min_df`` floor
+    (with one shared ``max_df_ppm`` ceiling — words in more than that
+    share of documents are function-word noise), report the vocabulary
+    and token mass RETAINED — the table a tokenizer/feature designer
+    reads before fixing df cutoffs, the vocabulary-side companion of
+    ``truncation_loss_report`` (sequence budget) and
+    ``near_dup_threshold_curve`` (dedup threshold).
+
+    One pass builds per-word (df, n_occ); the sweep is a broadcast
+    cross against the |min_dfs|-row frame over the VOCABULARY frame
+    (never the corpus — the ``bigram_lift`` "vocabulary ≪ corpus"
+    bound), zero-filled. Shares are floored BIGINT ppm of the
+    unpruned totals; the ceiling compares df·10⁶ against
+    n_docs·max_df_ppm in integers (no ratio ever materializes).
+
+    Output: (min_df, n_words_kept, n_occ_kept, words_share_ppm,
+    occ_share_ppm), ordered by min_df.
+    """
+    from mapreduceindex_spark.functions.text import words
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select("doc_id", F.explode("ws").alias("w"))
+    per_word = (
+        toks.groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+    )
+    n_docs = documents.select(
+        F.countDistinct("doc_id").cast("long").alias("_nd")
+    )
+    totals = per_word.agg(
+        F.count(F.lit(1)).cast("long").alias("_tw"),
+        F.sum("n_occ").cast("long").alias("_to"),
+    )
+    spark = documents.sparkSession
+    mdf = spark.createDataFrame(
+        [(int(m),) for m in min_dfs], "min_df long"
+    )
+    kept = (
+        per_word.join(F.broadcast(n_docs))
+        .join(F.broadcast(mdf))
+        .filter(
+            (F.col("df") >= F.col("min_df"))
+            & (F.col("df") * 1_000_000 <= F.col("_nd") * max_df_ppm)
+        )
+        .groupBy("min_df")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words_kept"),
+            F.sum("n_occ").cast("long").alias("n_occ_kept"),
+        )
+    )
+    return (
+        mdf.join(kept, "min_df", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "min_df",
+            F.coalesce("n_words_kept", F.lit(0)).cast("long").alias(
+                "n_words_kept"
+            ),
+            F.coalesce("n_occ_kept", F.lit(0)).cast("long").alias(
+                "n_occ_kept"
+            ),
+            F.expr("(coalesce(n_words_kept, 0) * 1000000) DIV _tw")
+            .cast("long")
+            .alias("words_share_ppm"),
+            F.expr("(coalesce(n_occ_kept, 0) * 1000000) DIV _to")
+            .cast("long")
+            .alias("occ_share_ppm"),
+        )
+        .orderBy("min_df")
+    )

@@ -1205,3 +1205,29 @@ def test_multiprobe_recall_dominates_single_bucket(spark):
     hs, hm = hits_per_q(single), hits_per_q(multi)
     assert all(hm[q] >= hs[q] for q in hs)
     assert sum(hm.values()) >= sum(hs.values())
+
+
+def test_vocab_pruning_report_hand_sweep(spark):
+    """3 docs: 'a' in all 3 (df 3 = 100% > 80% ceiling -> always
+    pruned), 'b' in 2 (3 occs), 'c' in 1 (1 occ). Unpruned totals:
+    3 words, 9 occs. min_df=1 keeps {b,c} (2 words, 4 occs ->
+    444444 ppm); min_df=2 keeps {b} only."""
+    from mapreduceindex_spark.operators.text_analysis import (
+        vocab_pruning_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s", 5),
+            (2, "a b b", "en", "s", 5),
+            (3, "a a a", "en", "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = [
+        tuple(r) for r in vocab_pruning_report(docs, min_dfs=(1, 2)).collect()
+    ]
+    assert rows == [
+        (1, 2, 4, 666666, 444444),
+        (2, 1, 3, 333333, 333333),
+    ]
