@@ -99,6 +99,7 @@ _VERIFY_FIRST = [
     "ann_recall_curve",
     "ann_multiprobe_topk",
     "vocab_pruning_report",
+    "vocab_growth_curve",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -776,6 +777,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), n=3
         ),
         "skipgram_cooccurrence": lambda s, d: C.skipgram_cooccurrence(
+            _t(s, d, "documents")
+        ),
+        "vocab_growth_curve": lambda s, d: TA.vocab_growth_curve(
             _t(s, d, "documents")
         ),
         "vocab_pruning_report": lambda s, d: TA.vocab_pruning_report(
@@ -5227,6 +5231,27 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          THEN per.n_novel::DOUBLE / per.n_shingles
                          ELSE 0.0 END, 6) AS novelty_ratio
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "vocab_growth_curve": f"""
+            -- first-occurrence bucketing; never a per-prefix rescan
+            WITH base AS (
+              SELECT doc_id, {ws} AS w FROM documents
+            ), toks AS (
+              SELECT doc_id, u.word FROM base, unnest(w) AS u(word)
+            ), fw AS (
+              SELECT word, min(doc_id) AS fd FROM toks GROUP BY word
+            ), pb AS (
+              SELECT (CAST(fd AS BIGINT) // 100) AS bucket,
+                     count(*)::BIGINT AS new_words
+              FROM fw GROUP BY 1
+            )
+            SELECT bucket,
+                   ((bucket + 1) * 100 - 1)::BIGINT AS docs_through,
+                   new_words,
+                   sum(new_words) OVER (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum_vocab
+            FROM pb ORDER BY bucket
         """,
         "vocab_pruning_report": f"""
             -- the sweep crosses only the VOCABULARY frame; the df

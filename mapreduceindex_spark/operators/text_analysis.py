@@ -1432,3 +1432,51 @@ def vocab_pruning_report(
         )
         .orderBy("min_df")
     )
+
+
+def vocab_growth_curve(
+    documents: DataFrame, bucket_docs: int = 100
+) -> DataFrame:
+    """Vocabulary growth along ingestion order (Heaps'-law readout):
+    cumulative distinct-word count after each ``bucket_docs``-document
+    prefix of the corpus in doc_id order — the curve that decides
+    whether a tokenizer's vocab budget has saturated or the crawl is
+    still discovering words (sub-linear growth = saturating; linear =
+    the corpus keeps bringing new vocabulary, or the cleaning is
+    letting noise through).
+
+    Exact and one-pass: a word contributes to the bucket of its FIRST
+    occurrence (min doc_id over the word's postings — one word-keyed
+    aggregate, the same exchange ``word_counts`` pays), buckets then
+    cumulative-sum over the bucket-cardinality frame. No per-prefix
+    rescans — the naive "count distinct per prefix" is quadratic and
+    the oracle doesn't run it either. The cumsum window is global by
+    construction (a running total IS sequential): size ``bucket_docs``
+    so the curve stays plot-sized (~10³ points — it's a human readout;
+    at 1e9 docs pass bucket_docs=1e6), which keeps that window frame
+    metadata-bounded at any corpus size.
+
+    Output: (bucket, docs_through, new_words, cum_vocab), bucket order;
+    ``docs_through`` = the doc_id ceiling the bucket summarizes.
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.text import words
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select("doc_id", F.explode("ws").alias("w"))
+    first = toks.groupBy("w").agg(F.min("doc_id").alias("_fd"))
+    per_bucket = first.groupBy(
+        F.expr(f"CAST(_fd AS BIGINT) DIV {int(bucket_docs)}").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_words"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        ((F.col("bucket") + 1) * bucket_docs - 1).cast("long").alias(
+            "docs_through"
+        ),
+        "new_words",
+        F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+    ).orderBy("bucket")

@@ -155,6 +155,8 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "revenue_moving_avg",  # frame over the ~80-row monthly rollup
         "revenue_acf",  # row index over the ~2.5k-row daily rollup
         # (date-bounded at ANY scale factor: TPC-H spans ~7 years)
+        "vocab_growth_curve",  # cumsum over the bucket frame — a plot
+        # (size bucket_docs so the curve stays ~1e3 points; docstring)
         "domain_mixture",  # whole-frame total over source-cardinality agg
         "hybrid_search",  # rank frames over ≤ 2·k_each fused candidates
         "skyline_orders",  # exclusive cummax over ≤ n_buckets metadata rows

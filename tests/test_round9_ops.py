@@ -1231,3 +1231,23 @@ def test_vocab_pruning_report_hand_sweep(spark):
         (1, 2, 4, 666666, 444444),
         (2, 1, 3, 333333, 333333),
     ]
+
+
+def test_vocab_growth_curve_first_occurrence_buckets(spark):
+    """Words bucket by FIRST occurrence: a,b,c first appear in docs
+    0-1 (bucket 0), d in doc 2 (bucket 1); cumulative 3 then 4."""
+    from mapreduceindex_spark.operators.text_analysis import (
+        vocab_growth_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b", "en", "s", 3),
+            (1, "a c", "en", "s", 3),
+            (2, "d", "en", "s", 1),
+            (3, "a", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = [tuple(r) for r in vocab_growth_curve(docs, bucket_docs=2).collect()]
+    assert rows == [(0, 1, 3, 3), (1, 3, 1, 4)]
