@@ -100,6 +100,7 @@ _VERIFY_FIRST = [
     "ann_multiprobe_topk",
     "vocab_pruning_report",
     "vocab_growth_curve",
+    "streaming_cdc_chunk_store",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -879,6 +880,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         # shift-robust chunk-level dedup (clamp-free CDC boundaries)
+        "streaming_cdc_chunk_store": lambda s, d: (
+            STREAM.streaming_cdc_chunk_store(s, d)
+        ),
         "cdc_chunk_dedup": lambda s, d: D.cdc_chunk_dedup(
             _t(s, d, "documents")
         ),
@@ -6214,6 +6218,53 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                      AS lag_sec
             FROM e ASOF JOIN p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "streaming_cdc_chunk_store": f"""
+            -- same chunk CTEs as cdc_chunk_dedup, grouped by content
+            -- hash: the store row is (surviving instance, copy count)
+            WITH base AS (
+              SELECT doc_id, {ws} AS arr FROM documents
+            ), e AS (
+              SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos,
+                     arr[CAST(t.i AS INT)] AS w
+              FROM base, range(1, 8193) t(i) WHERE t.i <= len(arr)
+            ), f AS (
+              SELECT doc_id, pos, w,
+                CASE WHEN pos >= 2 AND
+                  ((('0x' || substr(md5(
+                      lag(w, 2) OVER wp || ' ' || lag(w, 1) OVER wp
+                      || ' ' || w), 1, 15))::BIGINT % 8) + 8) % 8 = 0
+                THEN 1 ELSE 0 END AS cut
+              FROM e WINDOW wp AS (PARTITION BY doc_id ORDER BY pos)
+            ), c AS (
+              SELECT doc_id, pos, w,
+                     sum(prev_cut) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS chunk_id
+              FROM (
+                SELECT doc_id, pos, w,
+                       lag(cut, 1, 0) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS prev_cut
+                FROM f
+              )
+            ), chk AS (
+              SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                     count(*)::BIGINT AS n_toks,
+                     ('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)),
+                                     1, 15))::BIGINT AS ch
+              FROM c GROUP BY doc_id, chunk_id
+            ), occ AS (
+              SELECT ch, min(n_toks)::BIGINT AS n_toks,
+                     count(*)::BIGINT AS n_instances
+              FROM chk GROUP BY ch
+            ), keep AS (
+              SELECT ch, doc_id AS keep_doc_id, chunk_id AS keep_chunk_id
+              FROM (SELECT chk.*, row_number() OVER (PARTITION BY ch
+                      ORDER BY doc_id, chunk_id) AS rn FROM chk)
+              WHERE rn = 1
+            )
+            SELECT ch, n_toks, n_instances,
+                   keep_doc_id, keep_chunk_id::BIGINT AS keep_chunk_id
+            FROM occ JOIN keep USING (ch) ORDER BY ch
         """,
         "cdc_chunk_dedup": f"""
             -- clamp-free CDC: cut after pos p iff the 3-token window

@@ -1971,3 +1971,97 @@ def cdc_chunk_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+def cdc_chunk_rows(
+    documents: DataFrame, divisor: int = 8
+) -> DataFrame:
+    """Row-local (HOF) form of the ``cdc_chunk_dedup`` chunker:
+    (doc_id, chunk_id, n_toks, ch) computed entirely inside one
+    Catalyst expression tree per row — no window, no shuffle, no state
+    — so a STREAMING row can be chunked on sight (the batch operator's
+    per-doc window is equivalent but needs a partitioned sort; a test
+    pins the two bit-equal on the fixture corpus).
+
+    Same rule text as the batch chunker: 0-based position p ≥ 2 cuts
+    iff the portable 60-bit hash of the 3-token window ending at p ≡ 0
+    (mod ``divisor``); chunk c spans (cut_{c-1}, cut_c]; a trailing
+    cut leaves no empty chunk; chunk hash = the 60-bit md5 of the
+    space-joined run.
+
+    The word list and cut-position list are bound as LAMBDA VARIABLES
+    (``transform(array(x), v -> ...)`` — evaluated once per row) rather
+    than projected columns: Catalyst's CollapseProject inlines a
+    projected expression into EVERY downstream reference, which turned
+    the per-position references to the word array into O(L²) re-runs of
+    the tokenizer per row (measured: 500 fixture docs took 160 s; the
+    bound form is linear — the same blowup class the repo's
+    tracked-persist rules guard against, at expression scope).
+    """
+
+    def h60(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    def chunks_of(wsv):
+        bp = F.filter(
+            F.sequence(F.lit(0), F.size(wsv) - 1),
+            lambda i: (i >= 2)
+            & (
+                F.pmod(
+                    h60(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(wsv, i - 1),
+                            F.element_at(wsv, i),
+                            F.element_at(wsv, i + 1),
+                        )
+                    ),
+                    F.lit(int(divisor)),
+                )
+                == 0
+            ),
+        )
+
+        def spans_of(bpv):
+            raw = F.transform(
+                F.sequence(F.lit(0), F.size(bpv)),
+                lambda c: F.struct(
+                    F.when(c == 0, F.lit(0))
+                    .otherwise(F.element_at(bpv, c) + 1)
+                    .alias("s"),
+                    F.when(c == F.size(bpv), F.size(wsv) - 1)
+                    .otherwise(F.element_at(bpv, c + 1))
+                    .alias("e"),
+                    c.alias("cid"),
+                ),
+            )
+            return F.transform(
+                F.filter(raw, lambda st: st["s"] <= st["e"]),
+                lambda st: F.struct(
+                    st["cid"].cast("long").alias("chunk_id"),
+                    (st["e"] - st["s"] + 1).cast("long").alias("n_toks"),
+                    h60(
+                        F.array_join(
+                            F.slice(wsv, st["s"] + 1, st["e"] - st["s"] + 1),
+                            " ",
+                        )
+                    ).alias("ch"),
+                ),
+            )
+
+        # bind bp once (lambda var), then build the spans from it
+        return F.element_at(
+            F.transform(F.array(bp), lambda bpv: spans_of(bpv)), 1
+        )
+
+    cs = F.element_at(
+        F.transform(
+            F.array(words(F.col("text"))), lambda wsv: chunks_of(wsv)
+        ),
+        1,
+    )
+    return (
+        documents.select("doc_id", cs.alias("_cs"))
+        .select("doc_id", F.explode("_cs").alias("_c"))
+        .select("doc_id", "_c.chunk_id", "_c.n_toks", "_c.ch")
+    )

@@ -1622,3 +1622,57 @@ def streaming_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction (active-days × event-types)
     local = spark.createDataFrame(counts.collect(), counts.schema)
     return mix_drift_from_counts(local)
+
+
+def streaming_cdc_chunk_store(
+    spark: SparkSession, sf_dir: str, divisor: int = 8
+) -> DataFrame:
+    """Streaming content-addressed CHUNK STORE: documents are CDC-chunked
+    on sight (the row-local ``dedup.cdc_chunk_rows`` expression tree —
+    no window, no pre-shuffle) and the stream maintains, per chunk
+    content hash, the surviving instance and the copy count — the
+    ingest-time form of ``cdc_chunk_dedup``, and the chunk-granular
+    sibling of ``streaming_exact_dedup``: what a dedup ingest tier
+    actually stores is chunks, so shifted re-crawls dedup against the
+    store even when no whole document matches.
+
+    Order-independence by construction: the stateful aggregate keys on
+    the chunk hash with ``min(struct(doc_id, chunk_id))`` + count —
+    identical however the stream is micro-batched (no first-arrival
+    semantics to diverge from the batch oracle; the
+    ``streaming_exact_dedup`` discipline). State scales with DISTINCT
+    chunk content, ~positions/divisor entries of 4 BIGINTs — the store
+    itself, not a leak. Raw text never enters the state store: chunking
+    happens in the scan stage and only (hash, ids, length) shuffles.
+
+    Output: (ch, n_toks, n_instances, keep_doc_id, keep_chunk_id),
+    ordered by ch — bit-identical to grouping the batch chunker by
+    content hash (shared oracle ground truth).
+    """
+    from mapreduceindex_spark.operators.dedup import cdc_chunk_rows
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = cdc_chunk_rows(stream, divisor).groupBy("ch").agg(
+        F.min("n_toks").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_instances"),
+        F.min(F.struct("doc_id", "chunk_id")).alias("_keep"),
+    )
+    out = _run_to_table(agg, "complete")
+    return (
+        out.select(
+            "ch",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.col("n_instances").cast("long").alias("n_instances"),
+            F.col("_keep.doc_id").cast("long").alias("keep_doc_id"),
+            F.col("_keep.chunk_id").cast("long").alias("keep_chunk_id"),
+        )
+        .orderBy("ch")
+    )

@@ -1251,3 +1251,62 @@ def test_vocab_growth_curve_first_occurrence_buckets(spark):
     )
     rows = [tuple(r) for r in vocab_growth_curve(docs, bucket_docs=2).collect()]
     assert rows == [(0, 1, 3, 3), (1, 3, 1, 4)]
+
+
+def test_cdc_chunk_rows_hof_equals_window_chunker(spark):
+    """The row-local lambda-bound chunker (streaming form) must be
+    bit-equal to cdc_chunk_dedup's window-based chunking — same cuts,
+    same chunk ids, same content hashes — on the fixture corpus."""
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.exact import floor_mod_sql
+    from mapreduceindex_spark.functions.text import stable_hash64, words
+    from mapreduceindex_spark.operators.dedup import cdc_chunk_rows
+    from mapreduceindex_spark.session import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    hof = sorted(tuple(r) for r in cdc_chunk_rows(docs).collect())
+
+    base = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    win_ng = F.concat_ws(
+        " ", F.lag("w", 2).over(by_pos), F.lag("w", 1).over(by_pos), F.col("w")
+    )
+    cut = (
+        F.when(
+            (F.col("pos") >= 2) & (F.expr(floor_mod_sql("_wh", 8)) == 0), 1
+        ).otherwise(0)
+    )
+    flagged = toks.select(
+        "doc_id", "pos", "w", stable_hash64(win_ng).alias("_wh")
+    ).select("doc_id", "pos", "w", cut.alias("_cut"))
+    chunked = flagged.select(
+        "doc_id", "pos", "w", F.lag("_cut", 1, 0).over(by_pos).alias("_pc")
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum("_pc")
+        .over(by_pos.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("chunk_id"),
+    )
+    win = sorted(
+        tuple(r)
+        for r in chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            stable_hash64(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                )
+            ).alias("ch"),
+        )
+        .collect()
+    )
+    assert hof == win and len(hof) > 100
