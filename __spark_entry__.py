@@ -101,6 +101,7 @@ _VERIFY_FIRST = [
     "vocab_pruning_report",
     "vocab_growth_curve",
     "streaming_cdc_chunk_store",
+    "hll_distinct_users",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -645,6 +646,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "kmv_distinct_users": lambda s, d: SK.kmv_distinct_users(
+            _t(s, d, "events")
+        ),
+        "hll_distinct_users": lambda s, d: SK.hll_distinct_users(
             _t(s, d, "events")
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
@@ -1248,6 +1252,15 @@ def _shingles_sql(ws: str, n: int = 3) -> str:
 def _hash60_sql(x: str) -> str:
     """Portable 60-bit hash — mirrors functions.text.stable_hash64."""
     return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+#: HLL estimate expression for the hll_distinct_users oracle — rendered
+#: from the SAME template the Spark operator evaluates, so the only
+#: double in the result is produced by identical expression text.
+_SK_HLL_EST = SK._HLL_EST_SQL.format(
+    np="n_present", m=64, mm=4096.0, alpha=0.709, zcap=56,
+    z="z_scaled", lim=160.0,
+)
 
 
 def _power_iteration_sql(iters: int = 4) -> str:
@@ -4299,6 +4312,36 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          4) AS est_users
             FROM mins WHERE rn <= 32
             GROUP BY event_type
+        """,
+        "hll_distinct_users": f"""
+            -- identical HLL register vector (same md5 hash, same
+            -- length(bin())-based integer rho), exact BIGINT z_scaled;
+            -- the estimate double comes from SK._HLL_EST_SQL — the SAME
+            -- expression text the Spark side evaluates
+            WITH h AS (
+              SELECT event_type,
+                     {_hash60_sql("user_id::VARCHAR")} AS u
+              FROM events),
+            regs AS (
+              SELECT event_type, u % 64 AS reg,
+                     max(CASE WHEN u // 64 = 0 THEN 55
+                              ELSE 55 - length(bin(u // 64)) END) AS mj
+              FROM h GROUP BY 1, 2),
+            z AS (
+              SELECT event_type, count(*) AS n_present,
+                     (sum((1::BIGINT << CAST(56 - mj AS INT)))::BIGINT
+                      + (64 - count(*)) * (1::BIGINT << 56)) AS z_scaled
+              FROM regs GROUP BY 1),
+            ex AS (
+              SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+              FROM events GROUP BY 1)
+            SELECT z.event_type, 64::BIGINT AS m,
+                   (64 - n_present)::BIGINT AS n_zero_regs,
+                   z_scaled::BIGINT AS z_scaled,
+                   {_SK_HLL_EST} AS est_users,
+                   n_exact
+            FROM z JOIN ex USING (event_type)
+            ORDER BY event_type
         """,
         "bloom_prefilter": f"""
             -- identical Bloom bitmap reconstruction (same md5 positions,

@@ -117,6 +117,95 @@ def kmv_distinct_users(events: DataFrame, k: int = 32) -> DataFrame:
     )
 
 
+#: Shared HLL estimate expression (SQL text, identical on both engines so
+#: the doubles are bit-equal): raw HLL α·m²·2^zcap / Z with the standard
+#: small-range linear-counting fallback m·ln(m/V) when the raw estimate
+#: is ≤ 2.5·m and zero registers remain. Callers format with
+#: m / mm (=m²) / alpha / zcap / z (Z column name) / np (n_present col).
+_HLL_EST_SQL = (
+    "round(CASE WHEN {np} < {m} AND ({alpha} * {mm} * pow(2.0, {zcap}) "
+    "/ CAST({z} AS DOUBLE)) <= {lim} "
+    "THEN {m}.0 * ln({m}.0 / CAST({m} - {np} AS DOUBLE)) "
+    "ELSE {alpha} * {mm} * pow(2.0, {zcap}) / CAST({z} AS DOUBLE) END, 4)"
+)
+
+
+def hll_distinct_users(events: DataFrame, m: int = 64) -> DataFrame:
+    """Grouped HyperLogLog sketch: estimated distinct users per event
+    type, with the exact count joined alongside as the calibration
+    column — (event_type, m, n_zero_regs, z_scaled, est_users, n_exact).
+
+    Why next to KMV: the KMV sketch needs a *distinct* pass (a dedup
+    shuffle) before the k-smallest selection; HLL registers need none —
+    ``max`` is idempotent, so duplicate users fold away inside the
+    map-side partial aggregate. At 100 TB this is the cheaper shape by
+    far: two hash aggregates (``(type, register) → max ρ`` then
+    ``type → Σ``), both map-side combined, state O(types · m), never a
+    window and never a distinct. This operator is the readout of that
+    register state plus the standard estimator; the exact leg exists to
+    make the sketch's error visible (the ``minhash_accuracy`` /
+    ``cms_hot_tokens`` calibration discipline).
+
+    Deterministic + engine-portable, unlike engine-native HLLs: the
+    register index is ``stable_hash64(user) % m`` and ρ counts the
+    leading zeros of the remaining ``60 - log2(m)`` hash bits via
+    ``length(bin(w))`` — integer-exact string length, no float log —
+    so the DuckDB oracle rebuilds the identical register vector.
+    ``z_scaled = Σ_j 2^(zcap - M_j)`` (absent registers contribute
+    ``2^zcap``) is an exact BIGINT (≤ m·2^zcap = 2^62); only the final
+    estimate is a double, computed from that integer by the SAME
+    expression text on both engines and rounded to the 1e-6-safe grid
+    (``floataudit`` contract; the KMV precedent).
+    """
+    lb = m.bit_length() - 1
+    assert m == 1 << lb, "m must be a power of two"
+    wbits = 60 - lb  # remaining hash bits after the register index
+    zcap = wbits + 2  # scale exponent: max exponent below is zcap-1
+    rho_max = wbits + 1
+    hashed = events.select(
+        "event_type",
+        stable_hash64(F.col("user_id").cast("string")).alias("u"),
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            (F.col("u") % m).alias("reg"),
+            F.expr(
+                f"CASE WHEN u DIV {m} = 0 THEN {rho_max} "
+                f"ELSE {rho_max} - length(bin(u DIV {m})) END"
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mj"))
+    )
+    z = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        (
+            F.sum(F.expr(f"shiftleft(1L, CAST({zcap} - mj AS INT))"))
+            + (m - F.count(F.lit(1))) * F.lit(1 << zcap)
+        ).alias("z_scaled"),
+    )
+    est = _HLL_EST_SQL.format(
+        np="n_present", m=m, mm=float(m * m), alpha=0.709, zcap=zcap,
+        z="z_scaled", lim=float(2.5 * m),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        z.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.lit(m).cast("long").alias("m"),
+            (m - F.col("n_present")).cast("long").alias("n_zero_regs"),
+            F.col("z_scaled").cast("long").alias("z_scaled"),
+            F.expr(est).alias("est_users"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def nearest_rank_pick(bucketed, value_col, tiebreak_col, rank_for,
                       label_schema):
     """The shared two-phase percentile_disc engine (``price_quantiles``

@@ -99,3 +99,61 @@ def test_cms_one_sided_guarantee_and_exactness(spark):
     tight = cms_hot_tokens(docs, depth=2, width=2, k=15).collect()
     assert all(r["cms_est"] >= r["n_exact"] for r in tight)
     assert any(r["overestimate"] > 0 for r in tight)
+
+
+def test_hll_registers_match_pure_python(spark):
+    """The (register, rho) state is a pure function of md5 — recompute it
+    row-by-row in Python on a tiny frame and require the identical
+    z_scaled/zero-register readout (what oracle parity checks on the
+    fixture, pinned here on hand-built rows where every hash path —
+    including rho via bit_length — is independently derived)."""
+    import hashlib
+
+    from mapreduceindex_spark.operators.sketches import hll_distinct_users
+
+    users = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]
+    rows = [(i, "t", u) for i, u in enumerate(users)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long"
+    )
+    regs: dict[int, int] = {}
+    for u in users:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        w = h // 64
+        rho = 55 if w == 0 else 55 - w.bit_length()
+        r = h % 64
+        regs[r] = max(regs.get(r, 0), rho)
+    z_expected = sum(1 << (56 - mj) for mj in regs.values()) + (
+        64 - len(regs)
+    ) * (1 << 56)
+    out = hll_distinct_users(df).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["z_scaled"] == z_expected
+    assert row["n_zero_regs"] == 64 - len(regs)
+    assert row["n_exact"] == len(users)
+
+
+def test_hll_estimate_close_and_linear_branch(spark):
+    """Estimate accuracy on the fixture (HLL σ ≈ 1.04/√64 ≈ 13%; allow
+    3σ) and the small-range linear-counting branch: with n ≪ m the
+    estimate must be m·ln(m/V) — near-exact for tiny cardinalities."""
+    import math
+
+    from mapreduceindex_spark.operators.sketches import hll_distinct_users
+
+    events = load_table(spark, SF, "events")
+    for r in hll_distinct_users(events).collect():
+        assert abs(r["est_users"] - r["n_exact"]) / r["n_exact"] < 0.4, (
+            r["event_type"], r["est_users"], r["n_exact"],
+        )
+    tiny = spark.createDataFrame(
+        [(i, "t", i % 3) for i in range(30)],
+        "event_id long, event_type string, user_id long",
+    )
+    row = hll_distinct_users(tiny).collect()[0]
+    assert row["n_exact"] == 3
+    v = row["n_zero_regs"]
+    # libm vs JVM ln may differ in the last ulp; the 1e-4 grid absorbs it
+    assert abs(row["est_users"] - 64.0 * math.log(64.0 / v)) < 1e-3
+    assert abs(row["est_users"] - 3) < 1.0
