@@ -102,6 +102,7 @@ _VERIFY_FIRST = [
     "vocab_growth_curve",
     "streaming_cdc_chunk_store",
     "hll_distinct_users",
+    "scd2_priority_history",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -445,6 +446,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q4_order_priority": lambda s, d: R.order_priority_checking(
             _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "scd2_priority_history": lambda s, d: R.scd2_priority_history(
+            _t(s, d, "orders")
         ),
         "rfm_migration": lambda s, d: R.rfm_migration(
             _t(s, d, "orders")
@@ -4170,6 +4174,41 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                      AS containment_ppm
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
             WHERE (n_common * 1000000) // sa.n_sh >= 600000
+        """,
+        "scd2_priority_history": """
+            -- SCD2 gaps-and-islands: runs from lag() IS DISTINCT FROM
+            -- under the (epoch-day, orderkey) total order
+            WITH o AS (
+              SELECT o_custkey, o_orderkey, o_orderpriority,
+                     (CAST(FLOOR(epoch(o_orderdate::TIMESTAMP)) AS BIGINT)
+                      // 86400) AS d
+              FROM orders),
+            seq AS (
+              SELECT o_custkey, o_orderpriority, d, o_orderkey,
+                     CASE WHEN lag(o_orderpriority) OVER (
+                            PARTITION BY o_custkey ORDER BY d, o_orderkey)
+                          IS DISTINCT FROM o_orderpriority
+                          THEN 1 ELSE 0 END AS chg
+              FROM o),
+            runs AS (
+              SELECT o_custkey, o_orderpriority, d,
+                     sum(chg) OVER (PARTITION BY o_custkey
+                                    ORDER BY d, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM seq),
+            agg AS (
+              SELECT o_custkey, run_id,
+                     min(o_orderpriority) AS priority,
+                     min(d)::BIGINT AS valid_from_day,
+                     count(*)::BIGINT AS n_orders
+              FROM runs GROUP BY 1, 2)
+            SELECT o_custkey, priority, valid_from_day,
+                   lead(valid_from_day) OVER (
+                     PARTITION BY o_custkey ORDER BY run_id)
+                     AS valid_to_day,
+                   n_orders
+            FROM agg
+            ORDER BY o_custkey, valid_from_day
         """,
         "rfm_migration": """
             -- halves by the floored epoch-day midpoint; NTILE per half

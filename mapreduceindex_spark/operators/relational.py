@@ -2564,3 +2564,64 @@ def rfm_migration(orders: DataFrame, n_buckets: int = 5) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("m_before", "m_after")
     )
+
+
+def scd2_priority_history(orders: DataFrame) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 build: collapse each customer's
+    order-priority history into validity intervals — one row per
+    consecutive run of equal ``o_orderpriority`` under the (epoch-day,
+    orderkey) total order, carrying ``[valid_from_day, valid_to_day)``
+    where ``valid_to_day`` is the first day of the NEXT run (NULL for
+    the customer's current run). This is the warehouse dimension-build
+    staple (gaps-and-islands): the change-data shape every SCD2
+    dimension table load produces, here derived from the order stream
+    itself.
+
+    Exactness: run boundaries come from ``lag() IS DISTINCT FROM``
+    under a total order (same-day orders tie-break on orderkey), so
+    both engines compute identical runs; days are positive epoch days
+    (all order dates are post-1970 — the pre-1970 floored family in
+    ``functions/exact.py`` is not needed here).
+
+    Scale shape: every window is partitioned by ``o_custkey`` — ONE
+    hash exchange on the natural key, then per-customer frames
+    (bounded by a customer's order count); the run aggregate reuses
+    the same partitioning. No global window, no join.
+
+    Output: (o_custkey, priority, valid_from_day, valid_to_day,
+    n_orders), ordered.
+    """
+    day = F.expr(
+        "CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) "
+        "DIV 86400"
+    )
+    o = orders.select(
+        "o_custkey", "o_orderkey", "o_orderpriority", day.alias("_d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("_d", "o_orderkey")
+    seq = o.withColumn(
+        "_chg",
+        F.expr(
+            "CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey "
+            "ORDER BY _d, o_orderkey) IS DISTINCT FROM o_orderpriority "
+            "THEN 1 ELSE 0 END"
+        ),
+    ).withColumn(
+        "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = seq.groupBy("o_custkey", "_run").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("_d").cast("long").alias("valid_from_day"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("_run")
+    return (
+        runs.select(
+            "o_custkey",
+            "priority",
+            "valid_from_day",
+            F.lead("valid_from_day").over(wv).alias("valid_to_day"),
+            "n_orders",
+        )
+        .orderBy("o_custkey", "valid_from_day")
+    )

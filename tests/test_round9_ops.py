@@ -1310,3 +1310,81 @@ def test_cdc_chunk_rows_hof_equals_window_chunker(spark):
         .collect()
     )
     assert hof == win and len(hof) > 100
+
+
+# ---------------------------------------------------------------------------
+# scd2_priority_history
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_hand_fixture(spark):
+    """Runs collapse under the (day, orderkey) total order; valid_to is
+    the next run's valid_from; the live run is open (NULL); same-day
+    orders tie-break on orderkey."""
+    import datetime as _dt
+
+    from mapreduceindex_spark.operators.relational import (
+        scd2_priority_history,
+    )
+
+    def ts(day):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(days=day)
+
+    rows = [
+        # cust 1: A(d1), A(d2), B(d3), A(d5)
+        (101, 1, "1-URGENT", ts(1)),
+        (102, 1, "1-URGENT", ts(2)),
+        (103, 1, "2-HIGH", ts(3)),
+        (104, 1, "1-URGENT", ts(5)),
+        # cust 2: same-day flip — orderkey order decides the runs
+        (201, 2, "2-HIGH", ts(4)),
+        (202, 2, "1-URGENT", ts(4)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderdate timestamp",
+    )
+    out = [
+        (r["o_custkey"], r["priority"], r["valid_from_day"],
+         r["valid_to_day"], r["n_orders"])
+        for r in scd2_priority_history(df).collect()
+    ]
+    assert out == [
+        (1, "1-URGENT", 1, 3, 2),
+        (1, "2-HIGH", 3, 5, 1),
+        (1, "1-URGENT", 5, None, 1),
+        (2, "2-HIGH", 4, 4, 1),
+        (2, "1-URGENT", 4, None, 1),
+    ]
+
+
+def test_scd2_chain_properties(spark):
+    """On the fixture: per customer the intervals chain (valid_to ==
+    next valid_from), exactly one open interval per customer, adjacent
+    runs always change priority, and n_orders sums to the customer's
+    order count."""
+    from mapreduceindex_spark.operators.relational import (
+        scd2_priority_history,
+    )
+    from mapreduceindex_spark.session import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    rows = scd2_priority_history(orders).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    totals = {
+        r["o_custkey"]: r["n"]
+        for r in orders.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(by_cust) == set(totals)
+    for ck, ivs in by_cust.items():
+        assert sum(r["n_orders"] for r in ivs) == totals[ck]
+        assert sum(1 for r in ivs if r["valid_to_day"] is None) == 1
+        assert ivs[-1]["valid_to_day"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_day"] == b["valid_from_day"]
+            assert a["priority"] != b["priority"]
