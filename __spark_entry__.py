@@ -103,6 +103,7 @@ _VERIFY_FIRST = [
     "streaming_cdc_chunk_store",
     "hll_distinct_users",
     "scd2_priority_history",
+    "copurchase_bfs_depth",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -601,6 +602,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "orc_roundtrip_doc_stats": lambda s, d: (
             FMT.orc_roundtrip_doc_stats(_t(s, d, "documents"))
+        ),
+        "copurchase_bfs_depth": lambda s, d: G.copurchase_bfs_depth(
+            _t(s, d, "lineitem"), _t(s, d, "part")
         ),
         "copurchase_triangles": lambda s, d: G.copurchase_triangles(
             _t(s, d, "lineitem"), _t(s, d, "part")
@@ -4769,6 +4773,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             ORDER BY user_id, event_type
         """,
 
+        "copurchase_bfs_depth": G.copurchase_bfs_oracle_sql(),
         "copurchase_triangles": """
             -- canonical a<b<c enumeration over the oriented edge list:
             -- middle-vertex join + closing-edge semi probe

@@ -277,3 +277,125 @@ def copurchase_triangles(
         )
         .orderBy("p_a", "p_b", "p_c")
     )
+
+
+def copurchase_bfs_depth(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: int = 2,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Bounded BFS over the co-purchase graph: the hop distance (≤
+    ``max_depth``) from the graph's highest-degree part to every
+    reachable part — the "how many recommendation hops away is X from
+    the hub" readout, and the repo's third iterative-algorithm shape
+    (after k-means and PageRank): min-distance label propagation.
+
+    Seed rule (deterministic): the node with the largest undirected
+    degree in the support-filtered edge list, ties to the smaller
+    partkey. Per round, in pure integer arithmetic::
+
+        D_{i+1}(v) = min(D_i(v), min_{(u,v)∈E} D_i(u) + 1)
+
+    — a union + min-aggregate, never an all-pairs product. Unreached
+    parts are absent (no sentinel row), so the output is exactly the
+    ≤``max_depth`` ball around the hub.
+
+    Scale shape: the edge list is support-bounded (dimension-scale
+    after the HAVING — `_copurchase_edges`); each of the ``max_depth``
+    rounds is one edge⋈frontier hash join + one min aggregate over
+    ≤|part| rows. The seed probe is a single-row collect of a bounded
+    aggregate. Iteration frames persist via ``functions.caching`` (the
+    consumer is the returned lazy plan) — one tracked cache set per
+    invocation, released on re-entry.
+    """
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("copurchase_bfs_depth")
+    edges = _copurchase_edges(lineitem, part, min_support)
+    und = caching.track(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        "copurchase_bfs_depth",
+    )
+    seed = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .orderBy(F.col("_deg").desc(), F.col("src").asc())
+        .limit(1)
+        .collect()
+    )
+    spark = lineitem.sparkSession
+    if not seed:
+        return spark.createDataFrame([], "p_partkey long, depth long")
+    dist = spark.createDataFrame(
+        [(int(seed[0]["src"]), 0)], "p_partkey long, depth long"
+    )
+    for _ in range(max_depth):
+        nxt = dist.join(
+            und, dist["p_partkey"] == und["src"]
+        ).select(
+            F.col("dst").alias("p_partkey"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        dist = caching.track(
+            dist.unionByName(nxt)
+            .groupBy("p_partkey")
+            .agg(F.min("depth").cast("long").alias("depth"))
+            .persist(StorageLevel.MEMORY_AND_DISK),
+            "copurchase_bfs_depth",
+        )
+    return dist.orderBy("p_partkey")
+
+
+def copurchase_bfs_oracle_sql(
+    min_support: int = 2, max_depth: int = 4
+) -> str:
+    """DuckDB twin of :func:`copurchase_bfs_depth` — the same
+    ``max_depth`` min-propagation rounds unrolled as chained CTEs over
+    the identical edge basis and seed rule."""
+    ctes = [
+        f"""op AS (
+          SELECT DISTINCT l.l_orderkey, l.l_partkey
+          FROM lineitem l
+          WHERE l.l_partkey IN (SELECT p_partkey FROM part)
+        ), e0 AS (
+          SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY p_a, p_b HAVING count(*) >= {min_support}
+        ), und AS (
+          SELECT p_a AS src, p_b AS dst FROM e0
+          UNION ALL
+          SELECT p_b AS src, p_a AS dst FROM e0
+        ), seed AS (
+          SELECT src FROM und GROUP BY src
+          ORDER BY count(*) DESC, src ASC LIMIT 1
+        ), d0 AS (
+          SELECT src AS p, 0 AS depth FROM seed
+        )"""
+    ]
+    for i in range(max_depth):
+        ctes.append(
+            f"""d{i + 1} AS (
+          SELECT p, min(depth) AS depth FROM (
+            SELECT p, depth FROM d{i}
+            UNION ALL
+            SELECT und.dst AS p, d{i}.depth + 1 AS depth
+            FROM d{i} JOIN und ON und.src = d{i}.p
+          ) GROUP BY p
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT p::BIGINT AS p_partkey, depth::BIGINT AS depth
+        FROM d{max_depth} ORDER BY p_partkey"""
+    )

@@ -1388,3 +1388,59 @@ def test_scd2_chain_properties(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to_day"] == b["valid_from_day"]
             assert a["priority"] != b["priority"]
+
+
+# ---------------------------------------------------------------------------
+# copurchase_bfs_depth
+# ---------------------------------------------------------------------------
+
+
+def _li_from_orders(spark, orders):
+    rows = [
+        (ok, pk) for ok, parts in orders.items() for pk in parts
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    parts = sorted({pk for ps in orders.values() for pk in ps})
+    part = spark.createDataFrame([(p,) for p in parts], "p_partkey long")
+    return li, part
+
+
+def test_bfs_depths_and_ball_bound(spark):
+    """Path + star fixture: the hub seeds (highest degree), distances
+    are min-hop, and nodes beyond max_depth are absent."""
+    from mapreduceindex_spark.operators.graph import copurchase_bfs_depth
+
+    li, part = _li_from_orders(
+        spark,
+        {
+            1: [1, 2], 2: [2, 3], 3: [3, 4], 4: [4, 5], 5: [5, 6],
+            6: [2, 7], 7: [2, 8],
+        },
+    )
+    out = {
+        r["p_partkey"]: r["depth"]
+        for r in copurchase_bfs_depth(
+            li, part, min_support=1, max_depth=2
+        ).collect()
+    }
+    assert out == {2: 0, 1: 1, 3: 1, 7: 1, 8: 1, 4: 2}
+
+
+def test_bfs_seed_tiebreak_and_empty_graph(spark):
+    """Equal degrees seed at the smaller partkey; a support-filtered
+    empty edge list yields an empty result (no crash)."""
+    from mapreduceindex_spark.operators.graph import copurchase_bfs_depth
+
+    li, part = _li_from_orders(spark, {1: [10, 20]})
+    out = {
+        r["p_partkey"]: r["depth"]
+        for r in copurchase_bfs_depth(
+            li, part, min_support=1, max_depth=3
+        ).collect()
+    }
+    assert out == {10: 0, 20: 1}
+    # min_support=2 filters the single co-purchase away entirely
+    assert (
+        copurchase_bfs_depth(li, part, min_support=2, max_depth=3).count()
+        == 0
+    )
