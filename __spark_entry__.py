@@ -104,6 +104,7 @@ _VERIFY_FIRST = [
     "hll_distinct_users",
     "scd2_priority_history",
     "copurchase_bfs_depth",
+    "knn_classifier",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -706,6 +707,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings"), k=8, max_iter=5
         ),
         # supervised counterpart: hash-held-out Rocchio confusion matrix
+        "knn_classifier": lambda s, d: CL.knn_classifier(
+            _t(s, d, "embeddings")
+        ),
         "centroid_classifier": lambda s, d: CL.centroid_classifier(
             _t(s, d, "embeddings")
         ),
@@ -3914,6 +3918,48 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             )
             SELECT label, rank::BIGINT AS rank, vec_id, dist2_u
             FROM r WHERE rank <= 3 ORDER BY label, rank
+        """,
+        "knn_classifier": """
+            -- k-NN (k=5) on the same md5 split: integer squared
+            -- distances over micro-quantized lists, neighbor ties to
+            -- the lower train vec_id, vote ties to the lower label
+            WITH q AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     (('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+                       % 100) AS bucket,
+                     list_transform(embedding::DOUBLE[], x ->
+                       CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings
+            ), tr AS (
+              SELECT vec_id AS tid, label AS tlabel, qv AS tv
+              FROM q WHERE bucket < 80
+            ), te AS (
+              SELECT vec_id AS sid, label AS slabel, qv AS sv
+              FROM q WHERE bucket >= 80
+            ), scored AS (
+              SELECT sid, slabel, tid, tlabel,
+                     list_sum(list_transform(list_zip(sv, tv), s ->
+                       (s[1] - s[2]) * (s[1] - s[2])))::BIGINT AS dist2_u
+              FROM te CROSS JOIN tr
+            ), nn AS (
+              SELECT sid, slabel, tlabel,
+                     row_number() OVER (PARTITION BY sid
+                        ORDER BY dist2_u ASC, tid ASC) AS rn
+              FROM scored
+            ), votes AS (
+              SELECT sid, slabel, tlabel, count(*)::BIGINT AS n_votes
+              FROM nn WHERE rn <= 5 GROUP BY sid, slabel, tlabel
+            ), win AS (
+              SELECT sid, slabel, tlabel, n_votes,
+                     row_number() OVER (PARTITION BY sid
+                        ORDER BY n_votes DESC, tlabel ASC) AS rw
+              FROM votes
+            )
+            SELECT slabel AS label, tlabel AS predicted,
+                   count(*)::BIGINT AS n_vecs,
+                   sum(n_votes)::BIGINT AS sum_votes
+            FROM win WHERE rw = 1 GROUP BY slabel, tlabel
+            ORDER BY label, predicted
         """,
         "centroid_classifier": """
             -- Rocchio fit on the md5(vec_id) % 100 < 80 train split

@@ -475,3 +475,92 @@ def centroid_classifier(
         )
         .orderBy("label", "predicted")
     )
+
+
+def knn_classifier(
+    embeddings: DataFrame, k: int = 5, train_pct: int = 80
+) -> DataFrame:
+    """Supervised k-nearest-neighbor classifier over the embedding table
+    with the same deterministic hash train/test split as
+    ``centroid_classifier`` — the non-parametric counterpart: where
+    Rocchio compresses each label to one centroid, k-NN votes the raw
+    train neighborhood, so the two confusion matrices bracket how much
+    label structure a single prototype loses.
+
+    Predict: each held-out vector takes the majority label of its ``k``
+    nearest TRAIN vectors under integer squared distance (micro-
+    quantized components, the ``label_outliers`` formula); neighbor
+    ties break toward the lower train vec_id, vote ties toward the
+    lower label id — a total order, so both engines pick identical
+    neighbors and winners.
+
+    Scale shape: this is the exact/calibration tier (the
+    ``cosine_topk`` discipline — brute-force scoring IS the oracle
+    baseline; the LSH/IVF tiers in ``operators/similarity`` are the
+    100 TB path for neighbor retrieval). The held-out side (the smaller
+    fraction) broadcasts onto one pass over the train side; the top-k
+    and vote argmax are windows partitioned BY query vector — never a
+    global sort; output is the |labels|²-bounded confusion matrix.
+
+    Output: (label, predicted, n_vecs, sum_votes) per confusion cell —
+    sum_votes (Σ winning vote counts) pins the neighbor sets into the
+    correctness hash, not just the argmax.
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.text import stable_hash64
+
+    q = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        (stable_hash64(F.col("vec_id").cast("string")) % 100).alias(
+            "bucket"
+        ),
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    train = q.filter(F.col("bucket") < train_pct).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").alias("tlabel"),
+        F.col("qv").alias("tv"),
+    )
+    test = q.filter(F.col("bucket") >= train_pct).select(
+        F.col("vec_id").alias("sid"),
+        F.col("label").alias("slabel"),
+        F.col("qv").alias("sv"),
+    )
+    scored = train.join(F.broadcast(test)).select(
+        "sid",
+        "slabel",
+        "tid",
+        "tlabel",
+        F.expr(
+            "aggregate(zip_with(sv, tv, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, v) -> acc + v)"
+        ).alias("dist2_u"),
+    )
+    wk = Window.partitionBy("sid").orderBy(
+        F.col("dist2_u").asc(), F.col("tid").asc()
+    )
+    votes = (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .groupBy("sid", "slabel", "tlabel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    wv = Window.partitionBy("sid").orderBy(
+        F.col("n_votes").desc(), F.col("tlabel").asc()
+    )
+    return (
+        votes.withColumn("_rw", F.row_number().over(wv))
+        .filter(F.col("_rw") == 1)
+        .groupBy(F.col("slabel").alias("label"),
+                 F.col("tlabel").alias("predicted"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("n_votes").cast("long").alias("sum_votes"),
+        )
+        .orderBy("label", "predicted")
+    )

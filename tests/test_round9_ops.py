@@ -1444,3 +1444,55 @@ def test_bfs_seed_tiebreak_and_empty_graph(spark):
         copurchase_bfs_depth(li, part, min_support=2, max_depth=3).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_classifier
+# ---------------------------------------------------------------------------
+
+
+def test_knn_matches_independent_numpy_reimpl(spark):
+    """Full independent replay: numpy brute-force k-NN with the same
+    md5 split, micro quantization, (dist, tid) neighbor order and
+    (votes desc, label asc) vote rule must produce the identical
+    confusion matrix on the sf0.001 fixture."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mapreduceindex_spark.operators.clustering import knn_classifier
+    from mapreduceindex_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = [
+        (r["label"], r["predicted"], r["n_vecs"], r["sum_votes"])
+        for r in knn_classifier(emb).collect()
+    ]
+
+    pdf = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    rows = []
+    for _, r in pdf.iterrows():
+        b = int(hashlib.md5(str(int(r["vec_id"])).encode()).hexdigest()[:15], 16) % 100
+        qv = [int(np.floor(float(x) * 1_000_000 + 0.5)) for x in r["embedding"]]
+        rows.append((int(r["vec_id"]), int(r["label"]), b, qv))
+    train = [(t, l, v) for t, l, b, v in rows if b < 80]
+    test = [(t, l, v) for t, l, b, v in rows if b >= 80]
+    cells: dict[tuple, list] = {}
+    for sid, slabel, sv in test:
+        ds = sorted(
+            (sum((a - b) ** 2 for a, b in zip(sv, tv)), tid, tlabel)
+            for tid, tlabel, tv in train
+        )[:5]
+        votes: dict[int, int] = {}
+        for _, _, tl in ds:
+            votes[tl] = votes.get(tl, 0) + 1
+        win = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        cell = cells.setdefault((slabel, win[0]), [0, 0])
+        cell[0] += 1
+        cell[1] += win[1]
+    want = sorted(
+        (l, p, n, sv) for (l, p), (n, sv) in cells.items()
+    )
+    assert sorted(got) == want
+    assert sum(n for _, _, n, _ in got) == len(test)
