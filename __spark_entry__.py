@@ -105,6 +105,7 @@ _VERIFY_FIRST = [
     "scd2_priority_history",
     "copurchase_bfs_depth",
     "knn_classifier",
+    "matryoshka_recall",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -309,6 +310,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings"), n_queries=10, k=5, n_planes=8, dim=64
         ),
         "ann_multiprobe_topk": lambda s, d: S.ann_multiprobe_topk(
+            _t(s, d, "embeddings")
+        ),
+        "matryoshka_recall": lambda s, d: S.matryoshka_recall(
             _t(s, d, "embeddings")
         ),
         "ann_recall_curve": lambda s, d: S.ann_recall_curve(
@@ -1945,6 +1949,51 @@ FROM ks LEFT JOIN h ON ks.k = h.k ORDER BY k
 """
 
 
+def _matryoshka_sql(n_queries: int, k: int, dims: tuple) -> str:
+    # truncated cosine = the _COSINE formula over [1:d] list prefixes,
+    # same q6 rounding and (cosine DESC, neighbor ASC) order; the exact
+    # side composes the verified cosine_topk oracle verbatim
+    dvals = ", ".join(str(int(d)) for d in dims)
+    tcos = XQ.q6_sql(
+        "(list_dot_product(q.emb[1:dl.d]::DOUBLE[], "
+        "c.emb[1:dl.d]::DOUBLE[]) / "
+        "(sqrt(list_dot_product(q.emb[1:dl.d]::DOUBLE[], "
+        "q.emb[1:dl.d]::DOUBLE[])) * "
+        "sqrt(list_dot_product(c.emb[1:dl.d]::DOUBLE[], "
+        "c.emb[1:dl.d]::DOUBLE[]))))"
+    )
+    return f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id
+  FROM ({_cosine_topk_sql(n_queries, k)})
+), dl AS (
+  SELECT unnest([{dvals}]) AS d
+), q AS (
+  SELECT vec_id AS query_id, embedding AS emb
+  FROM embeddings WHERE vec_id < {n_queries}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS emb FROM embeddings
+), tr AS (
+  SELECT dl.d, q.query_id, c.neighbor_id, {tcos} AS cosine
+  FROM c CROSS JOIN q CROSS JOIN dl
+  WHERE c.neighbor_id <> q.query_id
+), r AS (
+  SELECT d, query_id, neighbor_id,
+         row_number() OVER (PARTITION BY d, query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM tr
+), h AS (
+  SELECT r.d, count(*) AS n_hits
+  FROM r JOIN exact e USING (query_id, neighbor_id)
+  WHERE r.rn <= {k} GROUP BY r.d
+)
+SELECT dl.d::BIGINT AS dims, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) * 1000000
+        // ({n_queries} * {k}))::BIGINT AS recall_ppm
+FROM dl LEFT JOIN h ON h.d = dl.d ORDER BY dims
+"""
+
+
 def _ivf_sql(n_queries: int, k: int, n_centroids: int, n_probe: int) -> str:
     def cos(a: str, b: str) -> str:
         return XQ.q6_sql(
@@ -3046,6 +3095,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "ann_lsh_topk": _ann_lsh_sql(10, 5, 8, 64),
         "ann_recall": _ann_recall_sql(10, 5, 8, 64),
         "ann_recall_curve": _ann_recall_curve_sql(10, (1, 2, 5, 10), 8, 64),
+        "matryoshka_recall": _matryoshka_sql(10, 5, (8, 16, 32, 64)),
         "ann_multiprobe_topk": _ann_multiprobe_sql(10, 5, 8, 64),
         "ivf_topk": _ivf_sql(10, 5, 16, 4),
         "embedding_near_dups": f"""

@@ -1194,3 +1194,89 @@ def ann_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    dims: tuple = (8, 16, 32, 64),
+) -> DataFrame:
+    """Truncated-dimension retrieval quality: recall@``k`` of the
+    top-``k`` ranking computed over only the FIRST ``d`` embedding
+    components, versus the full-dimension exact ranking — one row per
+    ``d``. This is the matryoshka/prefix-truncation readout a vector
+    pipeline consults before shipping shortened embeddings: how many
+    trailing dimensions can the index drop (4× memory / bandwidth at
+    d=16 of 64) before recall falls off the cliff.
+
+    Every truncated ranking uses the same q6-rounded cosine and
+    (cosine DESC, neighbor ASC) total order as ``cosine_topk``, so the
+    full-dimension row is the exact ranking by construction —
+    recall@max(dims) ≡ 1e6 ppm, a built-in self-check (pinned by test).
+
+    Scale shape: ONE candidate scan scores all |dims| prefixes — the
+    query frame is exploded by the broadcast dims list (|Q|·|dims|
+    rows) before the broadcast cross, and the per-(d, query) top-k is
+    a window partitioned by (d, query_id). Like the rest of the
+    calibration family, the exact side runs on a query SAMPLE; the
+    production retrieval path stays LSH/IVF.
+
+    Output: (dims, n_hits, recall_ppm), ordered by dims.
+    """
+    spark = embeddings.sparkSession
+    exact = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    ddf = spark.createDataFrame([(int(d),) for d in dims], "d long")
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    qx = q.crossJoin(F.broadcast(ddf)).select(
+        "query_id",
+        "d",
+        F.expr("slice(q_emb, 1, CAST(d AS INT))").alias("q_sl"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qx))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "d",
+            "query_id",
+            "neighbor_id",
+            q6(
+                cosine_similarity(
+                    F.col("q_sl"),
+                    F.expr("slice(c_emb, 1, CAST(d AS INT))"),
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    hits = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .join(exact, ["query_id", "neighbor_id"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("_h"))
+    )
+    return (
+        ddf.join(hits, "d", "left")
+        .select(
+            F.col("d").alias("dims"),
+            F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"(coalesce(_h, 0) * 1000000) DIV ({int(n_queries)} * {int(k)})"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("dims")
+    )

@@ -1496,3 +1496,25 @@ def test_knn_matches_independent_numpy_reimpl(spark):
     )
     assert sorted(got) == want
     assert sum(n for _, _, n, _ in got) == len(test)
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_recall
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_full_dim_row_is_exact_and_bounded(spark):
+    """recall@k at d = full dimension must be exactly 1e6 ppm (same
+    ranking, same tie-break as the exact side); every row is bounded
+    by [0, 1e6] and n_hits by n_queries*k."""
+    from mapreduceindex_spark.operators.similarity import matryoshka_recall
+    from mapreduceindex_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {r["dims"]: r for r in matryoshka_recall(emb).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    assert rows[64]["recall_ppm"] == 1_000_000
+    assert rows[64]["n_hits"] == 50
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= 50
+        assert 0 <= r["recall_ppm"] <= 1_000_000
