@@ -106,6 +106,7 @@ _VERIFY_FIRST = [
     "copurchase_bfs_depth",
     "knn_classifier",
     "matryoshka_recall",
+    "streaming_hll_distinct",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -939,6 +940,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per user
         "streaming_last_event_per_user": lambda s, d: (
             STREAM.streaming_last_event_per_user(s, d)
+        ),
+        # round 9: HLL registers as bounded streaming state — max(rho)
+        # is idempotent + commutative, so the register vector (and the
+        # batch-side estimate readout) is micro-batching-independent
+        "streaming_hll_distinct": lambda s, d: (
+            STREAM.streaming_hll_distinct(s, d)
         ),
         # round 9: the distribution-shift alarm online — stateful
         # (day, type) counts + the shared batch-side drift fold
@@ -5759,6 +5766,31 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                     THEN (tokens_lost * 1000000) // tokens_total
                     ELSE 0 END)::BIGINT AS loss_ppm
             FROM agg ORDER BY source, budget
+        """,
+        "streaming_hll_distinct": f"""
+            -- the hll_distinct_users register SQL minus the exact
+            -- calibration leg (bounded streaming state has no exact
+            -- distinct); same _HLL_EST_SQL expression text
+            WITH h AS (
+              SELECT event_type,
+                     {_hash60_sql("user_id::VARCHAR")} AS u
+              FROM events),
+            regs AS (
+              SELECT event_type, u % 64 AS reg,
+                     max(CASE WHEN u // 64 = 0 THEN 55
+                              ELSE 55 - length(bin(u // 64)) END) AS mj
+              FROM h GROUP BY 1, 2),
+            z AS (
+              SELECT event_type, count(*) AS n_present,
+                     (sum((1::BIGINT << CAST(56 - mj AS INT)))::BIGINT
+                      + (64 - count(*)) * (1::BIGINT << 56)) AS z_scaled
+              FROM regs GROUP BY 1)
+            SELECT event_type, 64::BIGINT AS m,
+                   (64 - n_present)::BIGINT AS n_zero_regs,
+                   z_scaled::BIGINT AS z_scaled,
+                   {_SK_HLL_EST} AS est_users
+            FROM z
+            ORDER BY event_type
         """,
         "streaming_last_event_per_user": """
             -- batch argmax over the (ts, event_id) total order — the

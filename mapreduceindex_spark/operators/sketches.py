@@ -157,28 +157,61 @@ def hll_distinct_users(events: DataFrame, m: int = 64) -> DataFrame:
     expression text on both engines and rounded to the 1e-6-safe grid
     (``floataudit`` contract; the KMV precedent).
     """
+    regs = hll_registers(events, ["event_type"], F.col("user_id"), m)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        hll_estimate(regs, ["event_type"], m)
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "m",
+            "n_zero_regs",
+            "z_scaled",
+            "est_users",
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hll_registers(
+    df: DataFrame, keys: list, value, m: int = 64
+) -> DataFrame:
+    """Per-key HLL register state: (keys..., reg, mj). ``max`` is
+    idempotent and commutative, so this aggregate is micro-batch- and
+    partitioning-order-independent — the property that makes it valid
+    streaming state (``streaming_hll_distinct``) as well as a plain
+    batch aggregate."""
     lb = m.bit_length() - 1
     assert m == 1 << lb, "m must be a power of two"
-    wbits = 60 - lb  # remaining hash bits after the register index
-    zcap = wbits + 2  # scale exponent: max exponent below is zcap-1
-    rho_max = wbits + 1
-    hashed = events.select(
-        "event_type",
-        stable_hash64(F.col("user_id").cast("string")).alias("u"),
+    rho_max = (60 - lb) + 1
+    hashed = df.select(
+        *keys, stable_hash64(value.cast("string")).alias("u")
     )
-    regs = (
+    return (
         hashed.select(
-            "event_type",
+            *keys,
             (F.col("u") % m).alias("reg"),
             F.expr(
                 f"CASE WHEN u DIV {m} = 0 THEN {rho_max} "
                 f"ELSE {rho_max} - length(bin(u DIV {m})) END"
             ).alias("rho"),
         )
-        .groupBy("event_type", "reg")
+        .groupBy(*keys, "reg")
         .agg(F.max("rho").alias("mj"))
     )
-    z = regs.groupBy("event_type").agg(
+
+
+def hll_estimate(regs: DataFrame, keys: list, m: int = 64) -> DataFrame:
+    """Estimate readout over an ``hll_registers``-shaped frame: per key,
+    (m, n_zero_regs, z_scaled BIGINT, est_users double). The only float
+    is produced by ``_HLL_EST_SQL`` — callers' oracles render the SAME
+    template."""
+    lb = m.bit_length() - 1
+    zcap = (60 - lb) + 2
+    z = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_present"),
         (
             F.sum(F.expr(f"shiftleft(1L, CAST({zcap} - mj AS INT))"))
@@ -189,20 +222,12 @@ def hll_distinct_users(events: DataFrame, m: int = 64) -> DataFrame:
         np="n_present", m=m, mm=float(m * m), alpha=0.709, zcap=zcap,
         z="z_scaled", lim=float(2.5 * m),
     )
-    exact = events.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_exact")
-    )
-    return (
-        z.join(exact, "event_type")
-        .select(
-            "event_type",
-            F.lit(m).cast("long").alias("m"),
-            (m - F.col("n_present")).cast("long").alias("n_zero_regs"),
-            F.col("z_scaled").cast("long").alias("z_scaled"),
-            F.expr(est).alias("est_users"),
-            F.col("n_exact").cast("long").alias("n_exact"),
-        )
-        .orderBy("event_type")
+    return z.select(
+        *keys,
+        F.lit(m).cast("long").alias("m"),
+        (m - F.col("n_present")).cast("long").alias("n_zero_regs"),
+        F.col("z_scaled").cast("long").alias("z_scaled"),
+        F.expr(est).alias("est_users"),
     )
 
 

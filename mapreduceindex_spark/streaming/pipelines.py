@@ -1676,3 +1676,33 @@ def streaming_cdc_chunk_store(
         )
         .orderBy("ch")
     )
+
+
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type distinct-user estimation via HLL registers —
+    the mergeable-sketch state shape: the stateful aggregate keys on
+    ``(event_type, register)`` and keeps ``max(rho)``, which is
+    idempotent AND commutative, so the final register vector is
+    identical however the stream is micro-batched or partitioned, and
+    state size is ``types × m`` FOREVER — a distinct-user counter whose
+    state does not grow with the stream (contrast
+    ``streaming_first_seen``, whose state is one row per distinct
+    user). The estimate readout runs batch-side over the materialized
+    (types × m)-row register table; only integers cross the state
+    store.
+
+    The streaming twin of ``sketches.hll_distinct_users`` (minus the
+    exact calibration column — an exact distinct would defeat the
+    bounded-state point); the oracle is the same register SQL.
+    """
+    from mapreduceindex_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    stream = _stream_events(spark, sf_dir)
+    regs = hll_registers(stream, ["event_type"], F.col("user_id"))
+    out = _run_to_table(regs, "complete")
+    return hll_estimate(out, ["event_type"]).orderBy("event_type")

@@ -1518,3 +1518,45 @@ def test_matryoshka_full_dim_row_is_exact_and_bounded(spark):
     for r in rows.values():
         assert 0 <= r["n_hits"] <= 50
         assert 0 <= r["recall_ppm"] <= 1_000_000
+
+
+def test_streaming_hll_micro_batching_independent(spark, tmp_path, monkeypatch):
+    """The HLL register state is max-folded, so a forced
+    one-file-per-trigger three-batch run must produce the identical
+    readout as the batch operator on the concatenated events (minus
+    the exact calibration column)."""
+    from mapreduceindex_spark.operators.sketches import hll_distinct_users
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming import pipelines as P
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    src = tmp_path / "src"
+    src.mkdir()
+    # users deliberately repeat across files: idempotent max must fold
+    rows = [
+        [(1, t0, 5, "view"), (2, t0 + sec, 9, "view")],
+        [(3, t0 + 2 * sec, 5, "click"), (4, t0 + 3 * sec, 14, "view")],
+        [(5, t0 + 4 * sec, 9, "view"), (6, t0 + 5 * sec, 23, "view")],
+    ]
+    for i, rws in enumerate(rows):
+        _write_events_file(src / f"{chr(97 + i)}.parquet", rws)
+    monkeypatch.setattr(
+        P,
+        "_stream_events",
+        lambda spark_, _dir: _one_file_per_trigger(spark_, str(src)),
+    )
+    got = sorted(
+        (r["event_type"], r["m"], r["n_zero_regs"], r["z_scaled"],
+         r["est_users"])
+        for r in P.streaming_hll_distinct(spark, "unused").collect()
+    )
+    batch = spark.read.parquet(str(src)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = sorted(
+        (r["event_type"], r["m"], r["n_zero_regs"], r["z_scaled"],
+         r["est_users"])
+        for r in hll_distinct_users(batch).collect()
+    )
+    assert got == want
