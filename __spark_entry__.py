@@ -107,6 +107,7 @@ _VERIFY_FIRST = [
     "knn_classifier",
     "matryoshka_recall",
     "streaming_hll_distinct",
+    "lsh_band_sweep",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -237,6 +238,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # dedup (EXT1)
         "exact_dedup": lambda s, d: D.exact_dedup(_t(s, d, "documents")),
+        "lsh_band_sweep": lambda s, d: D.lsh_band_sweep(
+            _t(s, d, "documents")
+        ),
         "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
             _t(s, d, "documents"), n=3, threshold=0.5
         ),
@@ -1540,6 +1544,87 @@ WHERE j.jaccard >= 0.5
     )
 
 
+def _lsh_band_sweep_sql(
+    num_hashes: int = 16,
+    bands_list: tuple = (1, 2, 4, 8, 16),
+    threshold: float = 0.5,
+) -> str:
+    """Replay of dedup.lsh_band_sweep: same signature CTE, the
+    _JACCARD_BASE truth tier, band keys byte-identical to
+    _minhash_lsh_sql's, probe pairs from bucket sizes only."""
+    pieces = [
+        _minhash_sig_cte(num_hashes)
+        + f""", sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+        >= {threshold}
+), tj AS (
+  SELECT t.doc_a, t.doc_b,
+         {", ".join(f"sa.mh_{i} AS a_{i}, sb.mh_{i} AS b_{i}" for i in range(num_hashes))}
+  FROM truth t
+  JOIN sig sa ON sa.doc_id = t.doc_a
+  JOIN sig sb ON sb.doc_id = t.doc_b
+)"""
+    ]
+    selects = []
+    for b in bands_list:
+        rows = num_hashes // b
+        share = " OR ".join(
+            "("
+            + " AND ".join(
+                f"a_{bi * rows + r} = b_{bi * rows + r}" for r in range(rows)
+            )
+            + ")"
+            for bi in range(b)
+        )
+        band_exprs = ", ".join(
+            "md5(concat_ws('_', "
+            + ", ".join(
+                [str(bi)]
+                + [f"mh_{bi * rows + r}::VARCHAR" for r in range(rows)]
+            )
+            + f")) AS band_{bi}"
+            for bi in range(b)
+        )
+        band_list = ", ".join(f"band_{bi}" for bi in range(b))
+        pieces.append(
+            f""", rec_{b} AS (
+  SELECT count(*)::BIGINT AS n_truth,
+         coalesce(sum(CASE WHEN {share} THEN 1 ELSE 0 END), 0)::BIGINT
+           AS n_recalled
+  FROM tj
+), probe_{b} AS (
+  SELECT coalesce(sum(s * (s - 1) // 2), 0)::BIGINT AS n_probe_pairs
+  FROM (SELECT count(*) AS s
+        FROM (SELECT doc_id, {band_exprs} FROM sig) bb,
+             unnest([{band_list}]) AS u(bucket)
+        GROUP BY u.bucket)
+)"""
+        )
+        selects.append(
+            f"""SELECT {b}::BIGINT AS bands, {rows}::BIGINT AS rows_per_band,
+       p.n_probe_pairs, r.n_truth, r.n_recalled,
+       (CASE WHEN r.n_truth = 0 THEN 0
+             ELSE r.n_recalled * 1000000 // r.n_truth END)::BIGINT
+         AS recall_ppm
+FROM probe_{b} p, rec_{b} r"""
+        )
+    return (
+        "".join(pieces)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY bands"
+    )
+
+
 def _incremental_dedup_sql(
     num_hashes: int = 16,
     bands: int = 4,
@@ -2658,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dc USING (threshold_ppm)
             ORDER BY threshold_ppm
         """,
+        "lsh_band_sweep": _lsh_band_sweep_sql(),
         "ngram_jaccard_pairs": _JACCARD_BASE
         + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5",
         "minhash_signatures": _minhash_sig_cte(16) + "SELECT * FROM sig",

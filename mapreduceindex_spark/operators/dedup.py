@@ -2065,3 +2065,212 @@ def cdc_chunk_rows(
         .select("doc_id", F.explode("_cs").alias("_c"))
         .select("doc_id", "_c.chunk_id", "_c.n_toks", "_c.ch")
     )
+
+
+def lsh_band_sweep(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands_list: tuple = (1, 2, 4, 8, 16),
+) -> DataFrame:
+    """LSH banding TUNING TABLE: for every way of splitting one
+    ``num_hashes`` MinHash signature into ``b`` bands of ``r`` rows
+    (b·r = num_hashes), the candidate-join COST (probe pairs the band
+    buckets would generate on the raw corpus) against the RECALL of the
+    exact ≥-threshold truth — the (b, r) trade every banded-dedup
+    deployment fixes before burning a 100 TB pass. ``lsh_recall``
+    scores the ONE shipped configuration end-to-end; this sweep is how
+    that configuration gets chosen: more bands ⇒ higher recall AND more
+    probe work, and the table shows both numbers per config from one
+    signature build.
+
+    Cost is counted, never materialized: ``n_probe_pairs = Σ_buckets
+    C(size, 2)`` comes from bucket SIZES alone (with multiplicity — a
+    pair sharing two bands costs two probes, which is exactly the join
+    work), so even the b=num_hashes row (single-minhash buckets, the
+    quadratic-risk config) is one hash aggregate. Recall is decided
+    directly on the truth pairs: join each truth pair to its two
+    signatures and test band equality — never through a candidate
+    join. Band keys are byte-identical to ``minhash_lsh_pairs``'s
+    (md5(band_index ∥ row values)), so the sweep prices the production
+    join, not an approximation of it.
+
+    Shared front end (the ``lsh_recall`` discipline): ONE clone-group
+    scan and ONE rep-level shingle frame feed the truth leg AND the
+    signatures, and only REPRESENTATIVES are ever shingled or signed
+    (clones carry identical shingle sets, hence identical signatures —
+    the `_clone_collapsed_pairs` invariant): raw-corpus bucket sizes
+    come from a group-size-weighted aggregate over rep signatures
+    (bucket size = Σ group sizes ⇒ C(S, 2) probe pairs, exactly the
+    uncollapsed count), and the truth pairs route to rep signatures
+    through the slim (doc → rep) map. After the front end the sweep is
+    one recall aggregate producing every config's hit count (stacked to
+    rows) and one tagged weighted-bucket aggregate producing every
+    config's probe count.
+
+    Output: (bands, rows_per_band, n_probe_pairs, n_truth, n_recalled,
+    recall_ppm), one row per config, ordered by bands.
+    """
+    from functools import reduce as _reduce
+
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("lsh_band_sweep")
+    for b in bands_list:
+        assert num_hashes % b == 0, (b, num_hashes)
+    groups = caching.track(
+        _md5_clone_groups(documents).persist(StorageLevel.MEMORY_AND_DISK),
+        "lsh_band_sweep",
+    )
+    row = groups.agg(
+        F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
+    ).collect()[0]
+    clone_stats = (row["_g"], row["_d"])
+    reps = documents.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    sh_reps = caching.track(
+        _shingle_hashes(reps, n).persist(StorageLevel.MEMORY_AND_DISK),
+        "lsh_band_sweep",
+    )
+    sig_reps = caching.track(
+        _signatures_from_hashes(sh_reps, num_hashes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        ),
+        "lsh_band_sweep",
+    )
+    truth = _clone_collapsed_pairs(
+        documents,
+        n,
+        threshold,
+        lambda r: _jaccard_rep_pairs(
+            r, n, threshold, 1000, 50_000_000, sh=sh_reps,
+            track_key="lsh_band_sweep",
+        ),
+        groups=groups,
+        clone_stats=clone_stats,
+    ).select("doc_a", "doc_b")
+    # slim (doc → rep) map instead of a per-doc 17-column signature
+    # expansion: clones carry their rep's signature by the collapse
+    # invariant, so the truth join routes through the map
+    docmap = groups.select(
+        F.explode("members").alias("doc_id"), F.col("rep")
+    )
+    sa = docmap.withColumnRenamed("doc_id", "doc_a").join(
+        sig_reps.select(
+            F.col("doc_id").alias("rep"),
+            *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+        ),
+        "rep",
+    ).drop("rep")
+    sb = docmap.withColumnRenamed("doc_id", "doc_b").join(
+        sig_reps.select(
+            F.col("doc_id").alias("rep"),
+            *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+        ),
+        "rep",
+    ).drop("rep")
+    joined = truth.join(sa, "doc_a").join(sb, "doc_b")
+
+    def _share(b: int):
+        rows = num_hashes // b
+        return _reduce(
+            lambda x, y: x | y,
+            [
+                _reduce(
+                    lambda x, y: x & y,
+                    [
+                        F.col(f"a_{bi * rows + r}")
+                        == F.col(f"b_{bi * rows + r}")
+                        for r in range(rows)
+                    ],
+                )
+                for bi in range(b)
+            ],
+        )
+
+    rec = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        *[
+            F.coalesce(F.sum(_share(b).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"rec_{b}")
+            for b in bands_list
+        ],
+    )
+    stack_args = ", ".join(
+        f"{int(b)}L, rec_{b}" for b in bands_list
+    )
+    recall_rows = rec.select(
+        F.expr(
+            f"stack({len(bands_list)}, {stack_args}) "
+            "AS (bands, n_recalled)"
+        ),
+        "n_truth",
+    )
+    tagged = []
+    for b in bands_list:
+        rows = num_hashes // b
+        for bi in range(b):
+            tagged.append(
+                F.struct(
+                    F.lit(b).cast("long").alias("bands"),
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit(bi),
+                            *[
+                                F.col(f"mh_{bi * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+            )
+    # raw-corpus bucket sizes WITHOUT expanding clones: a clone group of
+    # size g contributes g copies of its rep's band keys, so bucket size
+    # = Σ group sizes — one weighted aggregate over the rep signatures
+    gw = groups.select(
+        F.col("rep").alias("doc_id"),
+        F.size("members").cast("long").alias("_w"),
+    )
+    probes = (
+        sig_reps.join(gw, "doc_id")
+        .select(F.explode(F.array(*tagged)).alias("s"), "_w")
+        .select("s.bands", "s.bucket", "_w")
+        .groupBy("bands", "bucket")
+        .agg(F.sum("_w").alias("_s"))
+        .groupBy("bands")
+        .agg(
+            F.coalesce(F.sum(F.expr("_s * (_s - 1) DIV 2")), F.lit(0))
+            .cast("long")
+            .alias("n_probe_pairs")
+        )
+    )
+    cfg = documents.sparkSession.createDataFrame(
+        [(int(b), int(num_hashes // b)) for b in bands_list],
+        "bands long, rows_per_band long",
+    )
+    return (
+        cfg.join(probes, "bands", "left")
+        .join(recall_rows, "bands", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_probe_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_probe_pairs"),
+            F.coalesce("n_truth", F.lit(0)).cast("long").alias("n_truth"),
+            F.coalesce("n_recalled", F.lit(0))
+            .cast("long")
+            .alias("n_recalled"),
+            F.expr(
+                "CASE WHEN coalesce(n_truth, 0) = 0 THEN 0 "
+                "ELSE coalesce(n_recalled, 0) * 1000000 DIV n_truth END"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("bands")
+    )

@@ -1560,3 +1560,93 @@ def test_streaming_hll_micro_batching_independent(spark, tmp_path, monkeypatch):
         for r in hll_distinct_users(batch).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# lsh_band_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_band_sweep_monotone_ladder(spark):
+    """On the nested power-of-two ladder, a pair sharing a coarse band
+    shares both of its halves at the next config, so recall AND probe
+    counts are monotone non-decreasing in bands; recall at any config
+    is bounded by n_truth; the full-signature config (b=1) has minimal
+    probe cost."""
+    from mapreduceindex_spark.operators.dedup import lsh_band_sweep
+    from mapreduceindex_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = lsh_band_sweep(docs).collect()
+    assert [r["bands"] for r in rows] == [1, 2, 4, 8, 16]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_recalled"] <= b["n_recalled"]
+        assert a["n_probe_pairs"] <= b["n_probe_pairs"]
+    for r in rows:
+        assert r["n_recalled"] <= r["n_truth"]
+        assert r["bands"] * r["rows_per_band"] == 16
+
+
+def test_band_sweep_clone_weighted_probes_match_naive(spark):
+    """On a corpus WITH byte-identical clones, the group-size-weighted
+    probe count and the map-routed recall must equal a naive
+    un-collapsed replay (per-doc signatures, explicit bucket sizes)."""
+    from mapreduceindex_spark.operators.dedup import (
+        _shingle_hashes,
+        _signatures_from_hashes,
+        lsh_band_sweep,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "s"),
+            (2, base, "s"),      # clone of 1
+            (3, base, "s"),      # clone of 1
+            (4, near, "s"),      # near-dup of the clone group
+            (5, "completely different words here entirely", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["bands"]: r for r in lsh_band_sweep(docs).collect()}
+
+    # naive replay: per-doc signatures, no collapse anywhere
+    sig = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(16)]
+        for r in _signatures_from_hashes(
+            _shingle_hashes(docs, 3), 16
+        ).collect()
+    }
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    for b, r in got.items():
+        rows_pb = 16 // b
+        # probe pairs: per band, bucket sizes over ALL docs
+        n_probe = 0
+        for bi in range(b):
+            buckets: dict[tuple, int] = {}
+            for d, s in sig.items():
+                key = tuple(s[bi * rows_pb: (bi + 1) * rows_pb])
+                buckets[(bi,) + key] = buckets.get((bi,) + key, 0) + 1
+            n_probe += sum(c * (c - 1) // 2 for c in buckets.values())
+        assert r["n_probe_pairs"] == n_probe, (b, r["n_probe_pairs"], n_probe)
+        # recall: truth pairs sharing any band
+        n_rec = 0
+        for a_, b_ in truth:
+            sa, sb = sig[a_], sig[b_]
+            if any(
+                sa[bi * rows_pb: (bi + 1) * rows_pb]
+                == sb[bi * rows_pb: (bi + 1) * rows_pb]
+                for bi in range(b)
+            ):
+                n_rec += 1
+        assert r["n_truth"] == len(truth)
+        assert r["n_recalled"] == n_rec, (b, r["n_recalled"], n_rec)
+    # the clone triangle (3 pairs at jaccard 1) must be in truth and
+    # recalled at every config — identical signatures share every band
+    assert {(1, 2), (1, 3), (2, 3)} <= truth
+    assert all(r["n_recalled"] >= 3 for r in got.values())
