@@ -108,6 +108,7 @@ _VERIFY_FIRST = [
     "matryoshka_recall",
     "streaming_hll_distinct",
     "lsh_band_sweep",
+    "copurchase_kcore",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -612,6 +613,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "orc_roundtrip_doc_stats": lambda s, d: (
             FMT.orc_roundtrip_doc_stats(_t(s, d, "documents"))
+        ),
+        "copurchase_kcore": lambda s, d: G.copurchase_kcore(
+            _t(s, d, "lineitem"), _t(s, d, "part")
         ),
         "copurchase_bfs_depth": lambda s, d: G.copurchase_bfs_depth(
             _t(s, d, "lineitem"), _t(s, d, "part")
@@ -4963,6 +4967,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         """,
 
         "copurchase_bfs_depth": G.copurchase_bfs_oracle_sql(),
+        "copurchase_kcore": G.copurchase_kcore_oracle_sql(),
         "copurchase_triangles": """
             -- canonical a<b<c enumeration over the oriented edge list:
             -- middle-vertex join + closing-edge semi probe

@@ -399,3 +399,113 @@ def copurchase_bfs_oracle_sql(
         SELECT p::BIGINT AS p_partkey, depth::BIGINT AS depth
         FROM d{max_depth} ORDER BY p_partkey"""
     )
+
+
+def copurchase_kcore(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: int = 2,
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded k-core peel of the co-purchase graph: ``rounds``
+    iterations of "drop every part with fewer than ``k`` qualifying
+    co-purchase partners, then recompute degrees over the survivors" —
+    the community-mining preprocessing that separates stable product
+    neighborhoods from chains and stars (a triangle count says a bundle
+    exists; the k-core says which parts sit in densely interlocked
+    assortments). Output: the surviving parts and their degree inside
+    the peeled subgraph.
+
+    Fixed ``rounds`` rather than run-to-convergence — the bounded-
+    iteration discipline shared with ``token_pagerank`` (iters) and
+    ``copurchase_bfs_depth`` (max_depth): identical cost and an exactly
+    replayable oracle on both engines. Peeling is monotone (each round
+    only removes nodes), so a fixture that converges earlier is simply
+    stable through the remaining rounds; the test pins a fixture that
+    NEEDS multiple rounds (a chain collapsing from its ends).
+
+    Scale shape: the edge basis is the shared support-filtered
+    `_copurchase_edges` (dimension-scale after the HAVING); each round
+    is one degree aggregate + two semi-joins over the shrinking edge
+    frame — never a join against |lineitem|. Survivor frames persist
+    via ``functions.caching``.
+    """
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("copurchase_kcore")
+    edges = _copurchase_edges(lineitem, part, min_support)
+    und = caching.track(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        "copurchase_kcore",
+    )
+    cur = und
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("src")
+        )
+        cur = caching.track(
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK),
+            "copurchase_kcore",
+        )
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("src").cast("long").alias("p_partkey"), "degree")
+        .orderBy("p_partkey")
+    )
+
+
+def copurchase_kcore_oracle_sql(
+    min_support: int = 2, k: int = 3, rounds: int = 4
+) -> str:
+    """DuckDB twin of :func:`copurchase_kcore` — the same ``rounds``
+    peel iterations unrolled as chained CTEs over the identical edge
+    basis."""
+    ctes = [
+        f"""op AS (
+          SELECT DISTINCT l.l_orderkey, l.l_partkey
+          FROM lineitem l
+          WHERE l.l_partkey IN (SELECT p_partkey FROM part)
+        ), e0 AS (
+          SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY p_a, p_b HAVING count(*) >= {min_support}
+        ), u0 AS (
+          SELECT p_a AS src, p_b AS dst FROM e0
+          UNION ALL
+          SELECT p_b AS src, p_a AS dst FROM e0
+        )"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""k{i} AS (
+          SELECT src FROM u{i} GROUP BY src HAVING count(*) >= {k}
+        ), u{i + 1} AS (
+          SELECT src, dst FROM u{i}
+          WHERE src IN (SELECT src FROM k{i})
+            AND dst IN (SELECT src FROM k{i})
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT src::BIGINT AS p_partkey, count(*)::BIGINT AS degree
+        FROM u{rounds} GROUP BY src HAVING count(*) >= {k}
+        ORDER BY p_partkey"""
+    )

@@ -1650,3 +1650,32 @@ def test_band_sweep_clone_weighted_probes_match_naive(spark):
     # recalled at every config — identical signatures share every band
     assert {(1, 2), (1, 3), (2, 3)} <= truth
     assert all(r["n_recalled"] >= 3 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# copurchase_kcore
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_chain_over_multiple_rounds(spark):
+    """K4 with a pendant chain (4-5-6-7): at k=2 the chain collapses
+    one node per round from the free end — needing three peel rounds —
+    while the clique survives at degree 3. At k=4 everything dies."""
+    from mapreduceindex_spark.operators.graph import copurchase_kcore
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    li, part = _li_from_orders(
+        spark,
+        {i + 1: list(e) for i, e in enumerate(clique + chain)},
+    )
+    out = {
+        r["p_partkey"]: r["degree"]
+        for r in copurchase_kcore(
+            li, part, min_support=1, k=2, rounds=4
+        ).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert (
+        copurchase_kcore(li, part, min_support=1, k=4, rounds=4).count() == 0
+    )
