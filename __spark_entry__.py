@@ -109,6 +109,7 @@ _VERIFY_FIRST = [
     "streaming_hll_distinct",
     "lsh_band_sweep",
     "copurchase_kcore",
+    "readability_scores",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -222,6 +223,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": lambda s, d: TA.token_counts_bpe(_t(s, d, "documents")),
         "language_id": lambda s, d: TA.language_id(_t(s, d, "documents")),
         "quality_score": lambda s, d: TA.quality_score(_t(s, d, "documents")),
+        "readability_scores": lambda s, d: TA.readability_scores(
+            _t(s, d, "documents")
+        ),
         "doc_fingerprint": lambda s, d: TA.doc_fingerprint(_t(s, d, "documents")),
         "tf_idf": lambda s, d: TA.tf_idf(_t(s, d, "documents")),
         "rare_token_ratio": lambda s, d: TA.rare_token_ratio(
@@ -6743,6 +6747,29 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             )
             SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_docs
             FROM degrees GROUP BY 1
+        """,
+        "readability_scores": f"""
+            -- vowel-group syllable proxy + [.!?]+ sentence runs, both
+            -- via regexp_extract_all over RE2-and-Java-identical
+            -- character classes; floored ppm ratios, zero-guarded
+            WITH per_doc AS (
+              SELECT source,
+                     len({_words_sql()})::BIGINT AS w,
+                     len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS s,
+                     len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT
+                       AS v
+              FROM documents)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(w)::BIGINT AS n_words,
+                   sum(s)::BIGINT AS n_sentences,
+                   sum(v)::BIGINT AS n_vowel_groups,
+                   (CASE WHEN sum(s) = 0 THEN 0
+                         ELSE sum(w) * 1000000 // sum(s) END)::BIGINT
+                     AS words_per_sentence_ppm,
+                   (CASE WHEN sum(w) = 0 THEN 0
+                         ELSE sum(v) * 1000000 // sum(w) END)::BIGINT
+                     AS syllables_per_word_ppm
+            FROM per_doc GROUP BY source ORDER BY source
         """,
         "quality_by_source": f"""
             WITH base AS (

@@ -1480,3 +1480,65 @@ def vocab_growth_curve(
         "new_words",
         F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
     ).orderBy("bucket")
+
+
+def readability_scores(documents: DataFrame) -> DataFrame:
+    """Per-source readability profile — the corpus-curation signal that
+    complements ``quality_score`` (junk detection) and ``lm_doc_scores``
+    (model fit): HOW HARD is each source's prose, via the two classic
+    readability inputs, words-per-sentence and syllables-per-word.
+    Syllables use the standard vowel-group proxy (maximal ``[aeiou]+``
+    runs in the lowercased text); sentences are maximal ``[.!?]+`` runs.
+    Both are counted with ``regexp_extract_all`` over patterns in the
+    RE2∩Java common subset (the ``pii_scrub_stats`` discipline), so the
+    DuckDB oracle counts the identical runs.
+
+    Exactness: all counts are BIGINT; the two ratios are floored
+    integer ppm (``DIV``), zero-guarded for sources whose documents
+    carry no sentence punctuation.
+
+    Scale shape: one document scan computing three per-doc integers
+    (two regexp passes + the shared normalized-word count), then ONE
+    per-source hash aggregate — map-side combinable, output is
+    |sources| rows.
+
+    Output: (source, n_docs, n_words, n_sentences, n_vowel_groups,
+    words_per_sentence_ppm, syllables_per_word_ppm), ordered.
+    """
+    from mapreduceindex_spark.functions.text import words
+
+    per_doc = documents.select(
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("_w"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[.!?]+', 0)")
+        ).cast("long").alias("_s"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")
+        ).cast("long").alias("_v"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("n_words"),
+            F.sum("_s").cast("long").alias("n_sentences"),
+            F.sum("_v").cast("long").alias("n_vowel_groups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_vowel_groups",
+            F.expr(
+                "CASE WHEN n_sentences = 0 THEN 0 "
+                "ELSE n_words * 1000000 DIV n_sentences END"
+            ).cast("long").alias("words_per_sentence_ppm"),
+            F.expr(
+                "CASE WHEN n_words = 0 THEN 0 "
+                "ELSE n_vowel_groups * 1000000 DIV n_words END"
+            ).cast("long").alias("syllables_per_word_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1679,3 +1679,30 @@ def test_kcore_peels_chain_over_multiple_rounds(spark):
     assert (
         copurchase_kcore(li, part, min_support=1, k=4, rounds=4).count() == 0
     )
+
+
+def test_readability_hand_counts(spark):
+    """Vowel-group and sentence-run counting pinned on a hand doc:
+    'Hello!! How are you? Fine.' → 3 sentence runs; vowel groups of
+    the lowercased text counted by maximal [aeiou]+ runs."""
+    from mapreduceindex_spark.operators.text_analysis import (
+        readability_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello!! How are you? Fine.", "s"),
+            (2, "no punctuation here", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = readability_scores(docs).collect()[0]
+    # sentences: '!!', '?', '.' → 3
+    assert r["n_sentences"] == 3
+    # words: hello how are you fine no punctuation here → 8
+    assert r["n_words"] == 8
+    # vowel runs: h(e)ll(o) h(o)w (a)r(e) y(ou) f(i)n(e) = 8 +
+    # n(o) p(u)nct(ua)t(io)n h(e)r(e) = 6 → 14
+    assert r["n_vowel_groups"] == 14
+    assert r["words_per_sentence_ppm"] == 8 * 1_000_000 // 3
+    assert r["syllables_per_word_ppm"] == 14 * 1_000_000 // 8
