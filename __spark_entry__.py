@@ -110,6 +110,7 @@ _VERIFY_FIRST = [
     "lsh_band_sweep",
     "copurchase_kcore",
     "readability_scores",
+    "ivf_nprobe_sweep",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -333,6 +334,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "embedding_near_dups": lambda s, d: S.embedding_near_dups(
             _t(s, d, "embeddings"), threshold=0.95
+        ),
+        "ivf_nprobe_sweep": lambda s, d: S.ivf_nprobe_sweep(
+            _t(s, d, "embeddings")
         ),
         "ivf_topk": lambda s, d: S.ivf_topk(
             _t(s, d, "embeddings"), n_queries=10, k=5, n_centroids=16, n_probe=4
@@ -2094,6 +2098,85 @@ FROM dl LEFT JOIN h ON h.d = dl.d ORDER BY dims
 """
 
 
+def _ivf_nprobe_sweep_sql(
+    n_queries: int, k: int, n_centroids: int, probes_list: tuple
+) -> str:
+    def cos(a: str, b: str) -> str:
+        return XQ.q6_sql(
+            f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+            f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+            f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+        )
+
+    max_p = max(probes_list)
+    base = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb
+  FROM embeddings WHERE vec_id < {n_centroids}
+), a AS (
+  SELECT vec_id AS member_id, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY csim DESC, cent_id ASC) AS crank
+  FROM (SELECT e.vec_id, c.cent_id,
+               {cos('e.embedding', 'c.cent_emb')} AS csim
+        FROM embeddings e CROSS JOIN cent c)
+), cells AS (
+  SELECT member_id, cent_id FROM a WHERE crank = 1
+), sizes AS (
+  SELECT cent_id, count(*)::BIGINT AS sz FROM cells GROUP BY cent_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {n_queries}
+), qp AS (
+  SELECT query_id, cent_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY csim DESC, cent_id ASC) AS crank
+  FROM (SELECT q.query_id, c.cent_id,
+               {cos('q.q_emb', 'c.cent_emb')} AS csim
+        FROM q CROSS JOIN cent c)
+), exact AS (
+  SELECT query_id, neighbor_id FROM ({_cosine_topk_sql(n_queries, k)})
+), scored AS (
+  SELECT qp.query_id, m.vec_id AS neighbor_id, qp.crank AS cell_crank,
+         {cos('q.q_emb', 'm.embedding')} AS cosine
+  FROM qp
+  JOIN cells cl ON cl.cent_id = qp.cent_id
+  JOIN embeddings m ON m.vec_id = cl.member_id
+  JOIN q ON q.query_id = qp.query_id
+  WHERE qp.crank <= {max_p} AND m.vec_id <> qp.query_id
+)"""
+    pieces = [base]
+    selects = []
+    for p in probes_list:
+        pieces.append(
+            f""", r_{p} AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored WHERE cell_crank <= {p}
+), h_{p} AS (
+  SELECT count(*)::BIGINT AS n_hits
+  FROM r_{p} r JOIN exact e USING (query_id, neighbor_id)
+  WHERE r.rn <= {k}
+), c_{p} AS (
+  SELECT (coalesce(sum(sz), 0) - {n_queries})::BIGINT AS n_candidates
+  FROM qp JOIN sizes USING (cent_id) WHERE qp.crank <= {p}
+)"""
+        )
+        selects.append(
+            f"""SELECT {p}::BIGINT AS n_probe, c.n_candidates,
+       {n_queries * k}::BIGINT AS n_truth, h.n_hits,
+       (h.n_hits * 1000000 // {n_queries * k})::BIGINT AS recall_ppm
+FROM c_{p} c, h_{p} h"""
+        )
+    return (
+        "".join(pieces)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY n_probe"
+    )
+
+
 def _ivf_sql(n_queries: int, k: int, n_centroids: int, n_probe: int) -> str:
     def cos(a: str, b: str) -> str:
         return XQ.q6_sql(
@@ -3199,6 +3282,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "matryoshka_recall": _matryoshka_sql(10, 5, (8, 16, 32, 64)),
         "ann_multiprobe_topk": _ann_multiprobe_sql(10, 5, 8, 64),
         "ivf_topk": _ivf_sql(10, 5, 16, 4),
+        "ivf_nprobe_sweep": _ivf_nprobe_sweep_sql(10, 5, 16, (1, 2, 4, 8)),
         "embedding_near_dups": f"""
             WITH q AS (
               SELECT vec_id AS vec_a, embedding AS emb FROM embeddings

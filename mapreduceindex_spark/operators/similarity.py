@@ -1280,3 +1280,128 @@ def matryoshka_recall(
         )
         .orderBy("dims")
     )
+
+
+def ivf_nprobe_sweep(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    probes_list: tuple = (1, 2, 4, 8),
+) -> DataFrame:
+    """IVF probe-budget TUNING TABLE — the vector-index counterpart of
+    ``lsh_band_sweep``: for every probe budget ``p``, the candidate
+    volume the probed cells would feed the scorer (the cost dial)
+    against recall@``k`` of the resulting ranking vs the exact one.
+    ``ivf_topk`` ships ONE n_probe; this sweep is how that number gets
+    chosen before an index serves a 100 TB corpus.
+
+    One assignment, one probe ranking, one scored frame: cell
+    membership and the per-query cell ranking are computed once up to
+    ``max(probes_list)`` (cell rankings are nested in p by
+    row_number construction), and every budget's top-k is a window
+    over the SAME scored candidate frame restricted to ``cell_crank ≤
+    p`` — never a re-score. Candidate counts come from probed-cell
+    SIZES (Σ sizes − one self-occurrence per query: a query's top-1
+    probed cell is the cell it is assigned to, same argmax, same
+    tie-break), so the cost column never materializes candidates.
+
+    Output: (n_probe, n_candidates, n_truth, n_hits, recall_ppm),
+    ordered by n_probe. recall@max_p < 1 remains possible (a true
+    neighbor can live in an unprobed cell) — the table shows exactly
+    when paying more probes stops buying recall.
+    """
+    max_p = max(probes_list)
+    cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+
+    def _cell_rank(df: DataFrame, id_col: str, n_keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col("vec_id").alias(id_col),
+            "cent_id",
+            q6(cosine_similarity("embedding", "cent_emb")).alias("csim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("csim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n_keep)
+            .select(id_col, "cent_id", "crank")
+        )
+
+    cells = _cell_rank(embeddings, "member_id", 1).drop("crank")
+    sizes = cells.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    queries = embeddings.filter(F.col("vec_id") < n_queries)
+    qprobe = _cell_rank(queries, "query_id", max_p)
+    q_emb = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    members = cells.join(
+        embeddings.select(
+            F.col("vec_id").alias("member_id"),
+            F.col("embedding").alias("c_emb"),
+        ),
+        "member_id",
+    )
+    scored = (
+        members.join(F.broadcast(qprobe), "cent_id")
+        .filter(F.col("member_id") != F.col("query_id"))
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            F.col("member_id").alias("neighbor_id"),
+            F.col("crank").alias("cell_crank"),
+            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
+        )
+    )
+    exact = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    spark = embeddings.sparkSession
+    out = []
+    for p in probes_list:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        hits = (
+            scored.filter(F.col("cell_crank") <= p)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        cand = (
+            qprobe.filter(F.col("crank") <= p)
+            .join(sizes, "cent_id")
+            .agg(
+                (
+                    F.coalesce(F.sum("_sz"), F.lit(0))
+                    - F.lit(int(n_queries))
+                )
+                .cast("long")
+                .alias("n_candidates")
+            )
+        )
+        out.append(
+            cand.crossJoin(hits).select(
+                F.lit(int(p)).cast("long").alias("n_probe"),
+                "n_candidates",
+                F.lit(int(n_queries * k)).cast("long").alias("n_truth"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.expr(
+                    f"coalesce(n_hits, 0) * 1000000 DIV "
+                    f"{int(n_queries * k)}"
+                )
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("n_probe")

@@ -1706,3 +1706,43 @@ def test_readability_hand_counts(spark):
     assert r["n_vowel_groups"] == 14
     assert r["words_per_sentence_ppm"] == 8 * 1_000_000 // 3
     assert r["syllables_per_word_ppm"] == 14 * 1_000_000 // 8
+
+
+# ---------------------------------------------------------------------------
+# ivf_nprobe_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_sweep_monotone_and_consistent_with_ivf_topk(spark):
+    """More probes never reduce candidates or recall; recall at the
+    shipped n_probe=4 equals ann_recall's composition of ivf_topk with
+    the exact ranking (one frame, two readouts); n_candidates is
+    positive once p >= 1 (every query scores its own cell's other
+    members)."""
+    from mapreduceindex_spark.operators.similarity import (
+        cosine_topk,
+        ivf_nprobe_sweep,
+        ivf_topk,
+    )
+    from mapreduceindex_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = ivf_nprobe_sweep(emb).collect()
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_candidates"] <= b["n_candidates"]
+        assert a["n_hits"] <= b["n_hits"]
+    assert rows[0]["n_candidates"] > 0
+    # cross-check the p=4 row against composing the public operators
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, 10, 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, 10, 5, 16, 4).collect()
+    }
+    want_hits = len(exact & approx)
+    got = {r["n_probe"]: r for r in rows}
+    assert got[4]["n_hits"] == want_hits
+    assert got[4]["recall_ppm"] == want_hits * 1_000_000 // 50
