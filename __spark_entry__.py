@@ -128,22 +128,14 @@ _VERIFY_FIRST = [
     # r04-green, none older) cycles to round 10. KEEP (d) LAST:
     # round-9 additions insert above it, pushing filler past slot 50
     # harmlessly.
-    # ROUND-10 rotation note: the r09 sample = 23 changed/new + the 8
-    # r03 leftovers + the first 19 r04 entries
-    # (asof_error_purchase..inverted_index). Front-load in r10:
-    # round-10 changed/new, any r09 non-greens, then the REMAINING r04
-    # cohort — first the 8 entries the 50-slot window cut this round
-    # (inverted_index_salted, ivf_topk_trained, join_hotspots,
-    # kmeans_embeddings, label_quality_profile, minhash_accuracy,
-    # minhash_lsh_pairs, minhash_signatures), then
-    # the 20-entry r04 TAIL (near_dup_clusters..zorder_skipping —
-    # near_dup_clusters,
-    # ngram_jaccard_pairs, per_source_topk_sample, phrase_search,
-    # profile_orders, purchasers_without_errors, quality_by_source,
-    # semantic_dedup, sessionize, shuffle_corpus, simhash,
-    # simhash_near_dups, streaming_hot_tokens, streaming_quality_filter,
-    # streaming_static_enrich, streaming_tumbling, token_pagerank,
-    # user_activity_pivot, zorder_layout, zorder_skipping).
+    # ROUND-10 rotation note: the continuous round-9 build grew the
+    # changed/new block to 37 entries, so the r09 50-slot sample =
+    # 4 changed + 37 new + the 8 r03 leftovers + ONE r04 entry
+    # (asof_error_purchase). Front-load in r10: round-10 changed/new,
+    # any r09 non-greens, then the ENTIRE remaining r04 cohort — the
+    # 46 alphabetical entries below from asof_prior_purchase through
+    # zorder_skipping (they are all r04-green, nothing older remains
+    # anywhere). Whatever the 50-slot window cuts cycles to r11.
     "asof_error_purchase",
     "asof_prior_purchase",
     "bm25_search",

@@ -343,6 +343,17 @@ def main():
     # recurrence — every chunk has ≥ clone_factor twins) must scale
     # ~linearly in positions; dup-chunk accounting rides one hash join.
     timed("cdc_chunk_dedup_10x", lambda: D.cdc_chunk_dedup(cloned))
+    # round-9 third wave: the band sweep's clone discipline under its
+    # adversarial shape — group-size-WEIGHTED bucket sizes mean 10×
+    # cloning grows only the clone-group map, never the signature or
+    # probe-aggregate row counts; probe counts still price the raw
+    # (uncollapsed) corpus, so n_probe_pairs grows ~100× while runtime
+    # must track the rep-level work.
+    timed("lsh_band_sweep_10x", lambda: D.lsh_band_sweep(cloned))
+    # readability is a pure scan+agg: 10× docs ⇒ ~10× scan, flat agg
+    from mapreduceindex_spark.operators import text_analysis as TX2
+
+    timed("readability_scores_10x", lambda: TX2.readability_scores(cloned))
     print(json.dumps({"n_docs": n, "clone_factor": clones, "timings": timings}))
 
 
