@@ -111,6 +111,8 @@ _VERIFY_FIRST = [
     "copurchase_kcore",
     "readability_scores",
     "ivf_nprobe_sweep",
+    "customers_with_full_set",
+    "streaming_value_histogram",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -458,6 +460,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q4_order_priority": lambda s, d: R.order_priority_checking(
             _t(s, d, "orders"), _t(s, d, "lineitem")
+        ),
+        "customers_with_full_set": lambda s, d: R.customers_with_full_set(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "part")
         ),
         "scd2_priority_history": lambda s, d: R.scd2_priority_history(
             _t(s, d, "orders")
@@ -954,6 +959,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-side estimate readout) is micro-batching-independent
         "streaming_hll_distinct": lambda s, d: (
             STREAM.streaming_hll_distinct(s, d)
+        ),
+        # round 9: the exact-percentile engine's phase-1 histogram as
+        # streaming state (commutative counts -> batching-independent)
+        "streaming_value_histogram": lambda s, d: (
+            STREAM.streaming_value_histogram(s, d)
         ),
         # round 9: the distribution-shift alarm online — stateful
         # (day, type) counts + the shared batch-side drift fold
@@ -4452,6 +4462,31 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
             WHERE (n_common * 1000000) // sa.n_sh >= 600000
         """,
+        "customers_with_full_set": """
+            -- relational division by count-match: |target brands the
+            -- customer bought| = |target| (top-3 most-ordered brands,
+            -- ties to the lexicographically smaller brand)
+            WITH ob AS (
+              SELECT DISTINCT l.l_orderkey, p.p_brand
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            ), target AS (
+              SELECT p_brand FROM ob GROUP BY p_brand
+              ORDER BY count(*) DESC, p_brand ASC LIMIT 3
+            ), bought AS (
+              SELECT o.o_custkey, ob.p_brand, ob.l_orderkey
+              FROM ob
+              JOIN target t ON t.p_brand = ob.p_brand
+              JOIN orders o ON o.o_orderkey = ob.l_orderkey
+            ), per_cust AS (
+              SELECT o_custkey,
+                     count(DISTINCT p_brand)::BIGINT AS n_target_brands,
+                     count(DISTINCT l_orderkey)::BIGINT
+                       AS n_orders_on_targets
+              FROM bought GROUP BY o_custkey
+            )
+            SELECT * FROM per_cust WHERE n_target_brands = 3
+            ORDER BY o_custkey
+        """,
         "scd2_priority_history": """
             -- SCD2 gaps-and-islands: runs from lag() IS DISTINCT FROM
             -- under the (epoch-day, orderkey) total order
@@ -5937,6 +5972,35 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                     THEN (tokens_lost * 1000000) // tokens_total
                     ELSE 0 END)::BIGINT AS loss_ppm
             FROM agg ORDER BY source, budget
+        """,
+        "streaming_value_histogram": """
+            -- the histogram state replayed batch-side: counting is
+            -- commutative, so the final state equals the batch
+            -- histogram; picked bucket = first with running count
+            -- >= ceil(p*n) (positive-operand ceil, same on DIV and //)
+            WITH h AS (
+              SELECT event_type,
+                     (CAST(floor(value * 100 + 0.5) AS BIGINT) // 500)
+                       AS bucket,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            cum AS (
+              SELECT event_type, bucket,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS n_le,
+                     sum(n) OVER (PARTITION BY event_type) AS tot
+              FROM h),
+            ps AS (SELECT unnest([500000, 900000, 990000]) AS p_ppm),
+            pick AS (
+              SELECT event_type, p_ppm,
+                     min(bucket)::BIGINT AS bucket,
+                     arg_min(n_le, bucket)::BIGINT AS n_le
+              FROM cum, ps
+              WHERE n_le >= (p_ppm * tot + 999999) // 1000000
+              GROUP BY 1, 2)
+            SELECT event_type, p_ppm::BIGINT AS p_ppm, bucket,
+                   (bucket * 500)::BIGINT AS bucket_lo_cents, n_le
+            FROM pick ORDER BY event_type, p_ppm
         """,
         "streaming_hll_distinct": f"""
             -- the hll_distinct_users register SQL minus the exact

@@ -2625,3 +2625,65 @@ def scd2_priority_history(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_custkey", "valid_from_day")
     )
+
+
+def customers_with_full_set(
+    lineitem: DataFrame, orders: DataFrame, part: DataFrame, top_n: int = 3
+) -> DataFrame:
+    """Relational DIVISION — the classic "÷" the star-schema surface was
+    missing: customers whose order history covers EVERY brand in a
+    target set (the ``top_n`` most-ordered brands — a deterministic,
+    data-derived divisor with enough coverage to be satisfiable).
+    Division is the "for all" join shape (suppliers-who-stock-all-
+    parts, users-who-hit-every-funnel-step); this implements it as the
+    count-match formulation — |distinct target brands the customer
+    bought| = |target| — one semi-joined aggregate, not a nested
+    NOT EXISTS pair.
+
+    Deterministic divisor: brands ranked by distinct-order count, ties
+    to the lexicographically smaller brand, top ``top_n``.
+
+    Scale shape: the brand map is a broadcast of the part dim; the
+    divisor is a ``top_n``-row broadcast; the fact scan joins to the
+    target brands BEFORE any per-customer aggregate (the heavy pass
+    touches only target-brand lines), then one (custkey, brand)
+    distinct + one per-customer count — map-side-combinable aggregates
+    on the natural keys. Output: qualifying customers with their
+    distinct target-order count.
+
+    Output: (o_custkey, n_target_brands, n_orders_on_targets), ordered.
+    """
+    ob = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(
+                part.select(
+                    F.col("p_partkey").alias("l_partkey"), "p_brand"
+                )
+            ),
+            "l_partkey",
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    target = (
+        ob.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("p_brand").asc())
+        .limit(top_n)
+        .select("p_brand")
+    )
+    bought = ob.join(F.broadcast(target), "p_brand").join(
+        orders.select("o_orderkey", "o_custkey"),
+        ob["l_orderkey"] == F.col("o_orderkey"),
+    )
+    per_cust = bought.groupBy("o_custkey").agg(
+        F.count_distinct("p_brand").cast("long").alias("n_target_brands"),
+        F.count_distinct("l_orderkey").cast("long").alias(
+            "n_orders_on_targets"
+        ),
+    )
+    return (
+        per_cust.filter(F.col("n_target_brands") == top_n)
+        .orderBy("o_custkey")
+    )

@@ -1706,3 +1706,74 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = hll_registers(stream, ["event_type"], F.col("user_id"))
     out = _run_to_table(regs, "complete")
     return hll_estimate(out, ["event_type"]).orderBy("event_type")
+
+
+def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-quantile FIRST PHASE as state: per event type, a
+    fixed-width value histogram (5-dollar buckets over integer cents)
+    kept as a complete-mode counting aggregate — counts are commutative,
+    so the final histogram is micro-batching- and order-independent and
+    state is (types × occupied buckets), bounded by the value range,
+    never by stream length. The batch-side readout then walks the
+    materialized histogram to the p50/p90/p99 BUCKETS (first bucket
+    whose running count reaches ceil(p·n) — ``nearest_rank_pick``'s
+    phase-1 logic): the streaming half of the two-phase exact
+    percentile engine in ``operators/sketches.py``, with the second
+    (within-bucket) pass left to a batch query over the named bucket.
+
+    Output: (event_type, p_ppm, bucket, bucket_lo_cents, n_le), ordered
+    — n_le pins the running count at the picked bucket into the hash.
+    """
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    stream = _stream_events(spark, sf_dir)
+    hist = (
+        stream.select(
+            "event_type",
+            F.expr(
+                "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+                "DIV 500"
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(hist, "complete")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = out.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "n_le"
+        ),
+        F.sum("n").over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_tot"),
+    )
+    ps = spark.createDataFrame(
+        [(500000,), (900000,), (990000,)], "p_ppm long"
+    )
+    picked = (
+        cum.crossJoin(F.broadcast(ps))
+        .filter(
+            F.col("n_le")
+            >= F.expr("(p_ppm * _tot + 999999) DIV 1000000")
+        )
+        .groupBy("event_type", "p_ppm")
+        .agg(
+            F.min("bucket").cast("long").alias("bucket"),
+            F.min_by("n_le", "bucket").cast("long").alias("n_le"),
+        )
+    )
+    return picked.select(
+        "event_type",
+        "p_ppm",
+        "bucket",
+        (F.col("bucket") * 500).cast("long").alias("bucket_lo_cents"),
+        "n_le",
+    ).orderBy("event_type", "p_ppm")

@@ -1746,3 +1746,116 @@ def test_ivf_sweep_monotone_and_consistent_with_ivf_topk(spark):
     got = {r["n_probe"]: r for r in rows}
     assert got[4]["n_hits"] == want_hits
     assert got[4]["recall_ppm"] == want_hits * 1_000_000 // 50
+
+
+# ---------------------------------------------------------------------------
+# customers_with_full_set (relational division)
+# ---------------------------------------------------------------------------
+
+
+def test_division_hand_fixture(spark):
+    """Divisor = top-3 brands by distinct orders (ties to the smaller
+    brand); only the customer covering all three qualifies, and the
+    order count only counts target-brand orders."""
+    from mapreduceindex_spark.operators.relational import (
+        customers_with_full_set,
+    )
+
+    # parts 100/200/300/400 carry brands A/B/C/D
+    part = spark.createDataFrame(
+        [(100, "A"), (200, "B"), (300, "C"), (400, "D")],
+        "p_partkey long, p_brand string",
+    )
+    li = spark.createDataFrame(
+        # brand popularity by distinct orders: A=4, B=3, C=2, D=2
+        # -> target = {A, B, C} (C beats D on the brand tie)
+        [
+            (1, 100), (1, 200), (1, 300),
+            (2, 100), (2, 200),
+            (3, 100), (3, 300),
+            (4, 100), (4, 400),
+            (5, 200), (5, 400),
+            (6, 100),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (5, 2), (6, 2)],
+        "o_orderkey long, o_custkey long",
+    )
+    # cust 1 bought brands A,B,C,D -> covers; cust 2 bought B,D,A ->
+    # misses C. cust 1's target-brand orders: 1,2,3,4 (order 4 has A)
+    out = [
+        (r["o_custkey"], r["n_target_brands"], r["n_orders_on_targets"])
+        for r in customers_with_full_set(li, orders, part).collect()
+    ]
+    assert out == [(1, 3, 4)]
+
+
+# ---------------------------------------------------------------------------
+# streaming_value_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_histogram_batching_independent_and_rank_exact(
+    spark, tmp_path, monkeypatch
+):
+    """Forced three-batch run: the picked quantile buckets equal a
+    batch recompute over the concatenated events (counts are
+    commutative), and the picked bucket is exactly the first whose
+    running count reaches ceil(p*n)."""
+    import math
+
+    from mapreduceindex_spark.streaming import pipelines as P
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    src = tmp_path / "src"
+    src.mkdir()
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0]
+    rows = [
+        [(i, t0 + i * sec, i, "view") for i in range(3)],
+        [(i, t0 + i * sec, i, "view") for i in range(3, 6)],
+        [(i, t0 + i * sec, i, "view") for i in range(6, 9)],
+    ]
+    # _write_events_file pins value=1.0; write custom values instead
+    for fi, rws in enumerate(rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rws], pa.int64()),
+                "ts": pa.array([r[1] for r in rws], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rws], pa.int64()),
+                "event_type": pa.array([r[3] for r in rws], pa.string()),
+                "value": pa.array(
+                    [vals[r[0]] for r in rws], pa.float64()
+                ),
+                "props": pa.array(["{}"] * len(rws), pa.string()),
+            }
+        )
+        pq.write_table(table, str(src / f"{chr(97 + fi)}.parquet"))
+    monkeypatch.setattr(
+        P,
+        "_stream_events",
+        lambda spark_, _dir: _one_file_per_trigger(spark_, str(src)),
+    )
+    got = {
+        (r["event_type"], r["p_ppm"]): (
+            r["bucket"], r["bucket_lo_cents"], r["n_le"]
+        )
+        for r in P.streaming_value_histogram(spark, "unused").collect()
+    }
+    # hand replay: buckets = floor(v*100+0.5) DIV 500
+    buckets = sorted(int(math.floor(v * 100 + 0.5)) // 500 for v in vals)
+    n = len(buckets)
+    for p_ppm in (500_000, 900_000, 990_000):
+        rank = (p_ppm * n + 999_999) // 1_000_000
+        # first bucket whose running count reaches the rank
+        seen: dict[int, int] = {}
+        for b in buckets:
+            seen[b] = seen.get(b, 0) + 1
+        cum = 0
+        for b in sorted(seen):
+            cum += seen[b]
+            if cum >= rank:
+                assert got[("view", p_ppm)] == (b, b * 500, cum)
+                break
