@@ -113,6 +113,7 @@ _VERIFY_FIRST = [
     "ivf_nprobe_sweep",
     "customers_with_full_set",
     "streaming_value_histogram",
+    "media_luma_histogram",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -792,6 +793,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             M.media_gif_frame_sample(_t(s, d, "documents"))
         ),
         "media_dhash": lambda s, d: M.media_dhash(
+            _t(s, d, "documents")
+        ),
+        # round 9: full-image decode fidelity — 8-bin luminance
+        # histogram over REAL-codec round-tripped pixels (PNG/GIF)
+        "media_luma_histogram": lambda s, d: M.media_luma_histogram(
             _t(s, d, "documents")
         ),
         "media_dhash_near_dups": lambda s, d: M.media_dhash_near_dups(
@@ -5501,6 +5507,40 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    energy AS peak_window_energy,
                    peak AS peak_abs_sample
             FROM best WHERE rn = 1 ORDER BY doc_id
+        """,
+        "media_luma_histogram": """
+            -- closed-form replay of the synth texture over EVERY pixel
+            -- (full-image fidelity: any decode defect shifts a bin);
+            -- modal bin = per-image argmax count, ties to the lower bin
+            WITH d AS (
+              SELECT doc_id, 8 + doc_id % 41 AS w, 8 + doc_id % 37 AS h,
+                     doc_id % 97 AS k
+              FROM documents),
+            px AS (
+              SELECT d.doc_id,
+                     (((k + 3 * x.range + 5 * y.range) % 251) // 32) AS bin
+              FROM d, range(0, 48) x, range(0, 44) y
+              WHERE x.range < w AND y.range < h),
+            per AS (
+              SELECT doc_id, bin, count(*)::BIGINT AS c
+              FROM px GROUP BY 1, 2),
+            modal AS (
+              SELECT doc_id, bin FROM (
+                SELECT doc_id, bin,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY c DESC, bin ASC) AS rn
+                FROM per) WHERE rn = 1),
+            bins AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS bin),
+            s1 AS (SELECT bin, sum(c)::BIGINT AS n_pixels
+                   FROM per GROUP BY 1),
+            s2 AS (SELECT bin, count(*)::BIGINT AS n_images_modal
+                   FROM modal GROUP BY 1)
+            SELECT bins.bin::BIGINT AS bin, (bins.bin * 32)::BIGINT AS bin_lo,
+                   coalesce(s1.n_pixels, 0)::BIGINT AS n_pixels,
+                   coalesce(s2.n_images_modal, 0)::BIGINT AS n_images_modal
+            FROM bins LEFT JOIN s1 ON s1.bin = bins.bin
+            LEFT JOIN s2 ON s2.bin = bins.bin
+            ORDER BY bin
         """,
         "media_dhash": """
             -- closed form of the synth -> encode -> NN-resize(9x8) ->

@@ -992,3 +992,90 @@ def media_gif_frame_sample(documents: DataFrame) -> DataFrame:
             "peak_frame_px_sum bigint, first_frame_px_sum bigint"
         ),
     )
+
+
+def media_luma_histogram(documents: DataFrame) -> DataFrame:
+    """Decode → feature-extract → aggregate, the canonical multimodal
+    curation pipeline, with a REAL codec in the middle: per doc a
+    synthetic grayscale image (the ``media_dhash`` texture
+    ``px(y,x) = (id%97 + 3x + 5y) % 251``, dims ``w = 8+id%41,
+    h = 8+id%37``) round-trips the full-size wire — PNG for even ids,
+    GIF (gray-identity palette) for odd — and the DECODED pixels feed
+    an 8-bin luminance histogram (bin = px DIV 32). Corpus rollup:
+    pixels per bin plus how many images are MODAL in each bin (argmax
+    count, ties to the lower bin) — the exposure-profile readout an
+    image-corpus curator filters on (all-dark / blown-out detection).
+
+    The oracle replays the texture in closed form (doc × range(w) ×
+    range(h)), so a decode defect at ANY pixel — not just the dHash's
+    sampled thumbnail grid — shifts a bin count and hash-mismatches:
+    this is the full-image-fidelity complement of the dHash oracle.
+
+    Scale shape: bytes never leave the ``mapInPandas`` stage (synth +
+    encode + decode + per-image bincount inside one Arrow batch); only
+    (doc_id, bin, n_px, is_modal) rows — ≤ 8 per image — shuffle to
+    ONE bin-keyed aggregate. Output: 8 rows.
+
+    Output: (bin, bin_lo, n_pixels, n_images_modal), ordered by bin.
+    """
+    import numpy as np
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        gray_pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "bin": [], "n_px": [], "is_modal": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, k = 8 + i % 41, 8 + i % 37, i % 97
+                xs = np.arange(w, dtype=np.int64)
+                ys = np.arange(h, dtype=np.int64)
+                arr = (
+                    (k + 3 * xs[None, :] + 5 * ys[:, None]) % 251
+                ).astype(np.uint8)
+                if i % 2:
+                    dec = codecs.gif_decode(codecs.gif_encode(arr, gray_pal))[
+                        :, :, 0
+                    ]
+                else:
+                    dec = codecs.png_decode(codecs.png_encode(arr))
+                counts = np.bincount(
+                    (dec.astype(np.int64) // 32).ravel(), minlength=8
+                )
+                modal = int(np.argmax(counts))  # argmax takes lowest tie
+                for b in range(8):
+                    if counts[b] == 0 and b != modal:
+                        continue
+                    out["doc_id"].append(i)
+                    out["bin"].append(b)
+                    out["n_px"].append(int(counts[b]))
+                    out["is_modal"].append(1 if b == modal else 0)
+            yield pd.DataFrame(out)
+
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    rows = spread.mapInPandas(
+        _hist, schema="doc_id bigint, bin bigint, n_px bigint, is_modal bigint"
+    )
+    spark = documents.sparkSession
+    bins = spark.createDataFrame([(b,) for b in range(8)], "bin long")
+    agg = rows.groupBy("bin").agg(
+        F.sum("n_px").cast("long").alias("n_pixels"),
+        F.sum("is_modal").cast("long").alias("n_images_modal"),
+    )
+    return (
+        bins.join(agg, "bin", "left")
+        .select(
+            "bin",
+            (F.col("bin") * 32).cast("long").alias("bin_lo"),
+            F.coalesce("n_pixels", F.lit(0)).cast("long").alias("n_pixels"),
+            F.coalesce("n_images_modal", F.lit(0))
+            .cast("long")
+            .alias("n_images_modal"),
+        )
+        .orderBy("bin")
+    )

@@ -1859,3 +1859,43 @@ def test_streaming_histogram_batching_independent_and_rank_exact(
             if cum >= rank:
                 assert got[("view", p_ppm)] == (b, b * 500, cum)
                 break
+
+
+# ---------------------------------------------------------------------------
+# media_luma_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_luma_histogram_conservation_and_numpy_replay(spark):
+    """Pixel counts partition the total pixel area (sum over bins =
+    sum of w*h), every image is modal in exactly one bin, and a direct
+    numpy replay of the texture (no codec) matches — so the codec
+    round trip is pixel-faithful end to end."""
+    from mapreduceindex_spark.operators.multimodal import (
+        media_luma_histogram,
+    )
+
+    ids = [0, 1, 2, 3, 5, 8, 13, 21, 40, 41, 96, 97]
+    docs = spark.createDataFrame([(i, "t", "s") for i in ids],
+                                 "doc_id long, text string, source string")
+    rows = {r["bin"]: r for r in media_luma_histogram(docs).collect()}
+    assert set(rows) == set(range(8))
+    want = {b: [0, 0] for b in range(8)}
+    total_area = 0
+    for i in ids:
+        w, h, k = 8 + i % 41, 8 + i % 37, i % 97
+        counts = [0] * 8
+        for y in range(h):
+            for x in range(w):
+                counts[((k + 3 * x + 5 * y) % 251) // 32] += 1
+        total_area += w * h
+        for b in range(8):
+            want[b][0] += counts[b]
+        modal = max(range(8), key=lambda b: (counts[b], -b))
+        want[modal][1] += 1
+    assert sum(r["n_pixels"] for r in rows.values()) == total_area
+    assert sum(r["n_images_modal"] for r in rows.values()) == len(ids)
+    for b in range(8):
+        assert rows[b]["n_pixels"] == want[b][0], b
+        assert rows[b]["n_images_modal"] == want[b][1], b
+        assert rows[b]["bin_lo"] == b * 32
