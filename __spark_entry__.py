@@ -114,6 +114,7 @@ _VERIFY_FIRST = [
     "customers_with_full_set",
     "streaming_value_histogram",
     "media_luma_histogram",
+    "label_compactness",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -726,6 +727,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings"), k=8, max_iter=5
         ),
         # supervised counterpart: hash-held-out Rocchio confusion matrix
+        "label_compactness": lambda s, d: CL.label_compactness(
+            _t(s, d, "embeddings")
+        ),
         "knn_classifier": lambda s, d: CL.knn_classifier(
             _t(s, d, "embeddings")
         ),
@@ -4161,6 +4165,53 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             )
             SELECT label, rank::BIGINT AS rank, vec_id, dist2_u
             FROM r WHERE rank <= 3 ORDER BY label, rank
+        """,
+        "label_compactness": """
+            -- label_outliers' floored-mean integer centroid; distances
+            -- BIGINT; mean = plain floor (non-negative); nearest other
+            -- centroid ties to the lower label id
+            WITH dims AS (
+              SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+            ), e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label, d.dim,
+                     CAST(floor(CAST(embedding[CAST(d.dim + 1 AS INT)]
+                          AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xm
+              FROM embeddings, dims d WHERE d.dim < len(embedding)
+            ), cent AS (
+              SELECT label, dim,
+                     ((sum(xm)::BIGINT
+                       - ((((sum(xm)::BIGINT) % (count(*))) + (count(*)))
+                          % (count(*))))
+                      // (count(*))) AS c
+              FROM e GROUP BY label, dim
+            ), dist AS (
+              SELECT e.vec_id, e.label,
+                     sum((e.xm - c.c) * (e.xm - c.c))::BIGINT AS d2
+              FROM e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+              GROUP BY e.vec_id, e.label
+            ), per_label AS (
+              SELECT label, count(*)::BIGINT AS n_vecs,
+                     (sum(d2) // count(*))::BIGINT AS mean_dist2_u,
+                     max(d2)::BIGINT AS max_dist2_u
+              FROM dist GROUP BY label
+            ), gaps AS (
+              SELECT a.label AS la, b.label AS lb,
+                     sum((a.c - b.c) * (a.c - b.c))::BIGINT AS g2
+              FROM cent a JOIN cent b
+                ON a.dim = b.dim AND a.label <> b.label
+              GROUP BY 1, 2
+            ), nearest AS (
+              SELECT la AS label, lb AS nearest_other_label,
+                     g2 AS centroid_gap2_u
+              FROM (SELECT la, lb, g2,
+                           row_number() OVER (PARTITION BY la
+                               ORDER BY g2 ASC, lb ASC) AS rn
+                    FROM gaps) WHERE rn = 1
+            )
+            SELECT p.label, p.n_vecs, p.mean_dist2_u, p.max_dist2_u,
+                   n.nearest_other_label, n.centroid_gap2_u
+            FROM per_label p JOIN nearest n USING (label)
+            ORDER BY label
         """,
         "knn_classifier": """
             -- k-NN (k=5) on the same md5 split: integer squared

@@ -564,3 +564,108 @@ def knn_classifier(
         )
         .orderBy("label", "predicted")
     )
+
+
+def label_compactness(embeddings: DataFrame) -> DataFrame:
+    """Cluster-quality readout over the labeled embedding table: per
+    label, how TIGHT the class is (mean and max integer squared
+    distance of members to their own centroid) and how SEPARATED
+    (squared distance from the label's centroid to the nearest OTHER
+    centroid, ties to the lower label id) — the compactness/separation
+    pair behind Davies-Bouldin/silhouette-style diagnostics, kept as
+    raw exact integers instead of a float index so both engines agree
+    bit-for-bit. Read it before trusting ``label`` as a curation
+    signal: a label with max_dist2 ≫ mean_dist2 is polluted; one whose
+    centroid_gap2 < its mean_dist2 overlaps its neighbor.
+
+    Exactness: the ``label_outliers``/``centroid_classifier`` centroid
+    formula (micro-quantized components, FLOORED per-dim integer mean);
+    distances are BIGINT end to end; the mean is the floored integer
+    quotient (distances are non-negative, so plain ``DIV`` IS the
+    floor).
+
+    Scale shape: one exploded scan fits the |labels|·d centroid frame
+    (model-sized, broadcast back); one more pass aggregates per-member
+    distances; the centroid-vs-centroid gap is a |labels|² self-join of
+    the model frame. Output: |labels| rows.
+
+    Output: (label, n_vecs, mean_dist2_u, max_dist2_u,
+    nearest_other_label, centroid_gap2_u), ordered by label.
+    """
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    ex = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "_x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(_x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("_xm"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.expr(floor_div_sql("sum(_xm)", "count(1)", "DIV")).alias("_c")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("_xm") - F.col("_c")) * (F.col("_xm") - F.col("_c"))
+            )
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    per_label = dist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("sum(_d2) DIV count(1)").cast("long").alias("mean_dist2_u"),
+        F.max("_d2").cast("long").alias("max_dist2_u"),
+    )
+    ca = cent.select(
+        F.col("label").alias("_la"), "dim", F.col("_c").alias("_ca")
+    )
+    cb = cent.select(
+        F.col("label").alias("_lb"), "dim", F.col("_c").alias("_cb")
+    )
+    gaps = (
+        ca.join(cb, "dim")
+        .filter(F.col("_la") != F.col("_lb"))
+        .groupBy("_la", "_lb")
+        .agg(
+            F.sum(
+                (F.col("_ca") - F.col("_cb")) * (F.col("_ca") - F.col("_cb"))
+            )
+            .cast("long")
+            .alias("_g2")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy("_la").orderBy(
+        F.col("_g2").asc(), F.col("_lb").asc()
+    )
+    nearest = (
+        gaps.withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_la").alias("label"),
+            F.col("_lb").alias("nearest_other_label"),
+            F.col("_g2").alias("centroid_gap2_u"),
+        )
+    )
+    return (
+        per_label.join(nearest, "label")
+        .select(
+            "label",
+            "n_vecs",
+            "mean_dist2_u",
+            "max_dist2_u",
+            F.col("nearest_other_label").cast("long"),
+            F.col("centroid_gap2_u").cast("long"),
+        )
+        .orderBy("label")
+    )

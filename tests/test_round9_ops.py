@@ -1899,3 +1899,43 @@ def test_luma_histogram_conservation_and_numpy_replay(spark):
         assert rows[b]["n_pixels"] == want[b][0], b
         assert rows[b]["n_images_modal"] == want[b][1], b
         assert rows[b]["bin_lo"] == b * 32
+
+
+# ---------------------------------------------------------------------------
+# label_compactness
+# ---------------------------------------------------------------------------
+
+
+def test_label_compactness_hand_fixture(spark):
+    """Two tight clusters far apart + one spread cluster: mean/max
+    distances and nearest-other assignment pinned against hand
+    integers (micro scale: components are exact micros)."""
+    from mapreduceindex_spark.operators.clustering import label_compactness
+
+    rows = [
+        # label 0: points at 0.0 and 0.000002 on dim 0 -> centroid 1 micro
+        (0, 0, [0.0, 0.0]),
+        (1, 0, [0.000002, 0.0]),
+        # label 1: both exactly at 1.0 -> centroid 1e6, zero spread
+        (2, 1, [1.0, 0.0]),
+        (3, 1, [1.0, 0.0]),
+        # label 2: single point at 10.0
+        (4, 2, [10.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["label"]: r for r in label_compactness(df).collect()}
+    # label 0: centroid micro = (0+2) DIV 2 = 1; dists 1 and 1
+    assert out[0]["n_vecs"] == 2
+    assert out[0]["mean_dist2_u"] == 1
+    assert out[0]["max_dist2_u"] == 1
+    # label 1: zero spread
+    assert out[1]["mean_dist2_u"] == 0 and out[1]["max_dist2_u"] == 0
+    # nearest-other: 0<->1 gap = (1e6-1)^2; label 2 is 9e6+ away
+    assert out[0]["nearest_other_label"] == 1
+    assert out[1]["nearest_other_label"] == 0
+    assert out[2]["nearest_other_label"] == 1
+    assert out[0]["centroid_gap2_u"] == (1_000_000 - 1) ** 2
+    assert out[1]["centroid_gap2_u"] == (1_000_000 - 1) ** 2
+    assert out[2]["centroid_gap2_u"] == (10_000_000 - 1_000_000) ** 2
