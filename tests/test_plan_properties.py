@@ -247,6 +247,7 @@ PYTHON_ALLOWED = {
     "media_audio_frame_windows",
     "media_gif_frame_sample",
     "media_dhash",
+    "media_luma_histogram",
     "media_dhash_near_dups",
     "media_dup_clusters",
     "asof_error_purchase",
