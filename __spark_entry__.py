@@ -2171,7 +2171,8 @@ WITH cent AS (
   FROM r_{p} r JOIN exact e USING (query_id, neighbor_id)
   WHERE r.rn <= {k}
 ), c_{p} AS (
-  SELECT (coalesce(sum(sz), 0) - {n_queries})::BIGINT AS n_candidates
+  SELECT (coalesce(sum(sz), 0)
+          - count(DISTINCT query_id))::BIGINT AS n_candidates
   FROM qp JOIN sizes USING (cent_id) WHERE qp.crank <= {p}
 )"""
         )

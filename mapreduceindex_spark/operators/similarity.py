@@ -1381,7 +1381,14 @@ def ivf_nprobe_sweep(
             .agg(
                 (
                     F.coalesce(F.sum("_sz"), F.lit(0))
-                    - F.lit(int(n_queries))
+                    # one self-occurrence per PRESENT query (its own
+                    # assignment cell is always probed and always
+                    # contains it) — count_distinct, not the configured
+                    # n_queries, so an empty/short table reports 0, not
+                    # a negative count
+                    - F.coalesce(
+                        F.count_distinct("query_id"), F.lit(0)
+                    )
                 )
                 .cast("long")
                 .alias("n_candidates")

@@ -122,6 +122,21 @@ EMPTY_SAFE = [
     "association_rules",
     "centroid_classifier",
     "skipgram_cooccurrence",
+    # round-9 third wave: empty register frame, no runs, empty graph
+    # (the BFS seed guard), empty split sides, no sources, no brands,
+    # no labels, no vocabulary. The sweeps/histogram
+    # (lsh_band_sweep, matryoshka_recall, ivf_nprobe_sweep,
+    # media_luma_histogram) are REPORT queries — config rows even when
+    # empty — with their own zero-report tests below.
+    "hll_distinct_users",
+    "scd2_priority_history",
+    "copurchase_bfs_depth",
+    "copurchase_kcore",
+    "knn_classifier",
+    "readability_scores",
+    "customers_with_full_set",
+    "label_compactness",
+    "vocab_growth_curve",
 ]
 
 
@@ -193,3 +208,38 @@ def test_orders_cube_empty_emits_grand_total_row(spark, empty_tables):
     (r,) = rows
     assert (r.order_year, r.o_orderstatus, r.grp_id) == (-1, "ALL", 3)
     assert r.n_orders == 0 and r.revenue_cents is None
+
+
+def test_tuning_sweeps_empty_are_zero_reports(spark, empty_tables):
+    """The round-9 tuning tables report one row per configured setting
+    even on empty inputs, with every count and ppm pinned to zero —
+    the recall-DIV-zero guards must kick in, not divide."""
+    q = entrymod._all_queries()
+    bands = q["lsh_band_sweep"](spark, SF_SMALL).collect()
+    assert [r.bands for r in bands] == [1, 2, 4, 8, 16]
+    assert all(
+        (r.n_probe_pairs, r.n_truth, r.n_recalled, r.recall_ppm)
+        == (0, 0, 0, 0)
+        for r in bands
+    )
+    dims = q["matryoshka_recall"](spark, SF_SMALL).collect()
+    assert [r.dims for r in dims] == [8, 16, 32, 64]
+    assert all((r.n_hits, r.recall_ppm) == (0, 0) for r in dims)
+    probes = q["ivf_nprobe_sweep"](spark, SF_SMALL).collect()
+    assert [r.n_probe for r in probes] == [1, 2, 4, 8]
+    # self-occurrence subtraction counts PRESENT queries, so the empty
+    # report is 0, never the configured -n_queries
+    assert all(
+        (r.n_candidates, r.n_hits, r.recall_ppm) == (0, 0, 0)
+        for r in probes
+    )
+
+
+def test_luma_histogram_empty_is_zero_report(spark, empty_tables):
+    """media_luma_histogram reports all 8 bins on an empty corpus,
+    zero-filled."""
+    rows = entrymod._all_queries()["media_luma_histogram"](
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 8
+    assert all((r.n_pixels, r.n_images_modal) == (0, 0) for r in rows)
