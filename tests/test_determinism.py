@@ -109,6 +109,20 @@ NAMES = [
     "yoy_nation_revenue",
     "top_parts_dense_rank",
     "weekday_seasonality",
+    # round-9 third wave: register max/sum folds, bucket-size
+    # aggregates with rep tie rules, integer argmin/vote ties,
+    # min-propagation and peel rounds, floored centroid means,
+    # gaps-and-islands windows, Arrow-stage bincounts — none may leak
+    # partitioning into results
+    "hll_distinct_users",
+    "lsh_band_sweep",
+    "knn_classifier",
+    "copurchase_bfs_depth",
+    "copurchase_kcore",
+    "ivf_nprobe_sweep",
+    "label_compactness",
+    "scd2_priority_history",
+    "media_luma_histogram",
 ]
 
 
