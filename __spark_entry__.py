@@ -115,6 +115,7 @@ _VERIFY_FIRST = [
     "streaming_value_histogram",
     "media_luma_histogram",
     "label_compactness",
+    "jl_distortion_report",
     # (streaming_timeout_sessions_tws self-enables with protobuf; it
     # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
     # the registry)
@@ -330,6 +331,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "embedding_near_dups": lambda s, d: S.embedding_near_dups(
             _t(s, d, "embeddings"), threshold=0.95
+        ),
+        "jl_distortion_report": lambda s, d: S.jl_distortion_report(
+            _t(s, d, "embeddings")
         ),
         "ivf_nprobe_sweep": lambda s, d: S.ivf_nprobe_sweep(
             _t(s, d, "embeddings")
@@ -2110,6 +2114,55 @@ FROM dl LEFT JOIN h ON h.d = dl.d ORDER BY dims
 """
 
 
+def _jl_distortion_sql(k: int = 8, n_queries: int = 10) -> str:
+    # ±1 signs from the portable md5 hash of (row ∥ ':' ∥ dim) — the
+    # same integers the Spark projection sums; everything BIGINT
+    pcols = ", ".join(
+        f"sum((1 - 2 * ({_hash60_sql(chr(39) + str(j) + ':' + chr(39) + ' || dim::VARCHAR')} % 2)) * xm)::BIGINT AS p_{j}"
+        for j in range(k)
+    )
+    pd2 = " + ".join(
+        f"(qp.p_{j} - cp.p_{j}) * (qp.p_{j} - cp.p_{j})" for j in range(k)
+    )
+    return f"""
+WITH dims AS (
+  SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+), e AS (
+  SELECT vec_id, d.dim,
+         CAST(floor(CAST(embedding[CAST(d.dim + 1 AS INT)] AS DOUBLE)
+              * 1000000 + 0.5) AS BIGINT) AS xm
+  FROM embeddings, dims d WHERE d.dim < len(embedding)
+), pv AS (
+  SELECT vec_id, {pcols} FROM e GROUP BY vec_id
+), qarr AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x ->
+           CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS arr
+  FROM embeddings
+), pairs AS (
+  SELECT list_sum(list_transform(list_zip(qa.arr, ca.arr), s ->
+           (s[1] - s[2]) * (s[1] - s[2])))::BIGINT AS d2,
+         ({pd2})::BIGINT AS pd2
+  FROM qarr qa
+  JOIN pv qp ON qp.vec_id = qa.vec_id
+  JOIN qarr ca ON ca.vec_id > qa.vec_id
+  JOIN pv cp ON cp.vec_id = ca.vec_id
+  WHERE qa.vec_id < {n_queries}
+), p2 AS (
+  SELECT d2, {S._JL_PPM_EXPR.format(k=k, div='//').replace('_pd2', 'pd2').replace('_d2', 'd2')} AS ppm
+  FROM pairs
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       coalesce(sum(CASE WHEN d2 = 0 THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_zero_dist,
+       min(ppm)::BIGINT AS min_ppm,
+       (sum(ppm) // count(ppm))::BIGINT AS mean_ppm,
+       max(ppm)::BIGINT AS max_ppm,
+       coalesce(sum(CASE WHEN ppm BETWEEN 700000 AND 1300000
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_within_30pct
+FROM p2
+"""
+
+
 def _ivf_nprobe_sweep_sql(
     n_queries: int, k: int, n_centroids: int, probes_list: tuple
 ) -> str:
@@ -3296,6 +3349,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "ann_multiprobe_topk": _ann_multiprobe_sql(10, 5, 8, 64),
         "ivf_topk": _ivf_sql(10, 5, 16, 4),
         "ivf_nprobe_sweep": _ivf_nprobe_sweep_sql(10, 5, 16, (1, 2, 4, 8)),
+        "jl_distortion_report": _jl_distortion_sql(8, 10),
         "embedding_near_dups": f"""
             WITH q AS (
               SELECT vec_id AS vec_a, embedding AS emb FROM embeddings

@@ -1412,3 +1412,146 @@ def ivf_nprobe_sweep(
     for df in out[1:]:
         res = res.unionByName(df)
     return res.orderBy("n_probe")
+
+
+#: shared scale-reduced distortion-ppm template (Spark div="DIV",
+#: DuckDB div="//" — identical floored-integer semantics for the
+#: all-positive operands); column names _pd2/_d2 are fixed
+_JL_PPM_EXPR = (
+    "CASE WHEN _d2 = 0 THEN NULL ELSE "
+    "((_pd2 {div} (1 + ({k} * _d2) {div} 10000000000)) * 1000000) {div} "
+    "(({k} * _d2) {div} (1 + ({k} * _d2) {div} 10000000000)) END"
+)
+
+
+def jl_distortion_report(
+    embeddings: DataFrame, k: int = 8, n_queries: int = 10
+) -> DataFrame:
+    """Johnson–Lindenstrauss projection AUDIT: project every embedding
+    to ``k`` dimensions with a deterministic ±1 sign matrix and report
+    how well pairwise squared distances survive — the
+    dimensionality-reduction counterpart of ``matryoshka_recall``
+    (prefix truncation asks "which dims can I drop"; JL asks "how few
+    RANDOM combinations preserve geometry"). For a ±1 (unnormalized)
+    projection ``E[‖P(a−b)‖²] = k·‖a−b‖²``, so the per-pair distortion
+    ``‖Pa−Pb‖²·1e6 DIV (k·‖a−b‖²)`` is an integer ppm centered on 1e6;
+    the report aggregates it over the query-sample pair set.
+
+    Everything is EXACT integer arithmetic end to end: components
+    micro-quantize (the ``label_outliers`` formula), the sign matrix is
+    ``+1/−1`` from the portable md5 hash of ``(row ∥ ':' ∥ dim)``, each
+    projected coordinate is a plain BIGINT signed sum, and both
+    distances are BIGINT — the oracle replays every number bit-for-bit
+    (a float Gaussian projection could never be cross-engine-checked).
+
+    Scale shape: the projection is ONE exploded scan + one
+    ``k``-column hash aggregate per vector (sign lookup is an
+    expression, no matrix shuffle); distances ride the established
+    broadcast query-sample pattern (``cosine_topk``); output is one
+    row. Degenerate pairs (identical vectors, d² = 0) are counted
+    separately, never divided by.
+
+    Output: (n_pairs, n_zero_dist, min_ppm, mean_ppm, max_ppm,
+    n_within_30pct) — one row.
+    """
+    from mapreduceindex_spark.functions.text import stable_hash64
+
+    ex = embeddings.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "_x"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(_x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("_xm"),
+    )
+    projs = [
+        F.sum(
+            (
+                F.lit(1)
+                - 2
+                * (
+                    stable_hash64(
+                        F.concat(
+                            F.lit(f"{j}:"), F.col("dim").cast("string")
+                        )
+                    )
+                    % 2
+                )
+            )
+            * F.col("_xm")
+        )
+        .cast("long")
+        .alias(f"p_{j}")
+        for j in range(k)
+    ]
+    pv = ex.groupBy("vec_id").agg(*projs)
+    qv = embeddings.select(
+        F.col("vec_id").alias("qid"),
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("qarr"),
+    )
+    # query sample side: original array + projection, broadcast
+    qside = (
+        qv.filter(F.col("qid") < n_queries)
+        .join(
+            pv.select(
+                F.col("vec_id").alias("qid"),
+                *[F.col(f"p_{j}").alias(f"qp_{j}") for j in range(k)],
+            ),
+            "qid",
+        )
+    )
+    cside = qv.select(
+        F.col("qid").alias("cid"), F.col("qarr").alias("carr")
+    ).join(
+        pv.select(
+            F.col("vec_id").alias("cid"),
+            *[F.col(f"p_{j}").alias(f"cp_{j}") for j in range(k)],
+        ),
+        "cid",
+    )
+    proj_d2 = None
+    for j in range(k):
+        term = (F.col(f"qp_{j}") - F.col(f"cp_{j}")) * (
+            F.col(f"qp_{j}") - F.col(f"cp_{j}")
+        )
+        proj_d2 = term if proj_d2 is None else proj_d2 + term
+    pairs = (
+        cside.join(F.broadcast(qside), F.col("cid") > F.col("qid"))
+        .select(
+            F.expr(
+                "aggregate(zip_with(qarr, carr, (x, y) -> "
+                "(x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+            ).alias("_d2"),
+            proj_d2.cast("long").alias("_pd2"),
+        )
+        .select(
+            "_d2",
+            # scale-reduced floored ppm: pd2·1e6 overflows int64 on far
+            # pairs (pd2 ≤ k·d·d2 ≈ 1e17), so both operands shift down
+            # by s = 1 + (k·d2) DIV 1e10 first — identical integer ops
+            # on both engines (positive operands, DIV ≡ //), precision
+            # loss ≤ 1e-4 relative and only on already-huge distances
+            F.expr(_JL_PPM_EXPR.format(k=k, div="DIV")).alias("_ppm"),
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("_d2") == 0).cast("long"))
+        .cast("long")
+        .alias("n_zero_dist"),
+        F.min("_ppm").cast("long").alias("min_ppm"),
+        F.expr("sum(_ppm) DIV count(_ppm)").cast("long").alias("mean_ppm"),
+        F.max("_ppm").cast("long").alias("max_ppm"),
+        F.sum(
+            (
+                (F.col("_ppm") >= 700000) & (F.col("_ppm") <= 1300000)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_within_30pct"),
+    )

@@ -1939,3 +1939,77 @@ def test_label_compactness_hand_fixture(spark):
     assert out[0]["centroid_gap2_u"] == (1_000_000 - 1) ** 2
     assert out[1]["centroid_gap2_u"] == (1_000_000 - 1) ** 2
     assert out[2]["centroid_gap2_u"] == (10_000_000 - 1_000_000) ** 2
+
+
+# ---------------------------------------------------------------------------
+# jl_distortion_report
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_matches_numpy_and_concentrates(spark):
+    """The ±1 projection replayed in numpy (same md5 signs) matches the
+    pair distortions exactly, and on the fixture the JL concentration
+    holds: most sampled pairs land within ±30% of 1e6 ppm."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from mapreduceindex_spark.operators.similarity import (
+        jl_distortion_report,
+    )
+    from mapreduceindex_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    row = jl_distortion_report(emb).collect()[0]
+
+    pdf = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).to_pandas()
+    vecs = {
+        int(r["vec_id"]): [
+            int(np.floor(float(x) * 1_000_000 + 0.5)) for x in r["embedding"]
+        ]
+        for _, r in pdf.iterrows()
+    }
+    d = len(next(iter(vecs.values())))
+    signs = [
+        [
+            1
+            - 2
+            * (
+                int(
+                    hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:15], 16
+                )
+                % 2
+            )
+            for i in range(d)
+        ]
+        for j in range(8)
+    ]
+    proj = {
+        v: [sum(s[i] * x[i] for i in range(d)) for s in signs]
+        for v, x in vecs.items()
+    }
+    ppms = []
+    n_zero = 0
+    for q in [v for v in vecs if v < 10]:
+        for c in vecs:
+            if c <= q:
+                continue
+            d2 = sum((a - b) ** 2 for a, b in zip(vecs[q], vecs[c]))
+            pd2 = sum((a - b) ** 2 for a, b in zip(proj[q], proj[c]))
+            if d2 == 0:
+                n_zero += 1
+                continue
+            s = 1 + (8 * d2) // 10_000_000_000
+            ppms.append(((pd2 // s) * 1_000_000) // ((8 * d2) // s))
+    assert row["n_pairs"] == len(ppms) + n_zero
+    assert row["n_zero_dist"] == n_zero
+    assert row["min_ppm"] == min(ppms)
+    assert row["max_ppm"] == max(ppms)
+    assert row["mean_ppm"] == sum(ppms) // len(ppms)
+    within = sum(1 for p in ppms if 700_000 <= p <= 1_300_000)
+    assert row["n_within_30pct"] == within
+    # JL concentration: k=8 is coarse (relative sigma ~ sqrt(2/8) =
+    # 50%, so +/-30%% is only ~0.6 sigma; ~45%% expected, measured 47%%)
+    assert 0.3 < within / len(ppms) < 0.7
