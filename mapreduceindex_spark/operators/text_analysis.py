@@ -223,13 +223,17 @@ def tf_idf(documents: DataFrame) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("tf_idf")
     pairs = _tokens(documents).filter(F.length("word") > 0).select(
         "doc_id", "word"
     )
-    tf = (
+    tf = caching.track(
         pairs.groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        "tf_idf",
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     total = documents.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -339,7 +343,10 @@ def lm_doc_scores(documents: DataFrame) -> DataFrame:
         "doc_id", F.posexplode("ws").alias("pos", "w")
     ).filter(F.length("w") > 0)
     win = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("lm_doc_scores")
+    big = caching.track(
         toks.select(
             "doc_id",
             F.col("w").alias("w1"),
@@ -347,7 +354,8 @@ def lm_doc_scores(documents: DataFrame) -> DataFrame:
         )
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "w1", F.concat_ws(" ", "w1", "w2").alias("bg"))
-        .persist()
+        .persist(),
+        "lm_doc_scores",
     )
     c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
