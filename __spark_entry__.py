@@ -2106,11 +2106,15 @@ WITH exact AS (
   SELECT r.d, count(*) AS n_hits
   FROM r JOIN exact e USING (query_id, neighbor_id)
   WHERE r.rn <= {k} GROUP BY r.d
+), t AS (
+  SELECT count(*)::BIGINT AS n_truth FROM exact
 )
-SELECT dl.d::BIGINT AS dims, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-       (coalesce(h.n_hits, 0) * 1000000
-        // ({n_queries} * {k}))::BIGINT AS recall_ppm
-FROM dl LEFT JOIN h ON h.d = dl.d ORDER BY dims
+SELECT dl.d::BIGINT AS dims, t.n_truth,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (CASE WHEN t.n_truth = 0 THEN 0
+             ELSE coalesce(h.n_hits, 0) * 1000000 // t.n_truth
+        END)::BIGINT AS recall_ppm
+FROM dl LEFT JOIN h ON h.d = dl.d CROSS JOIN t ORDER BY dims
 """
 
 
@@ -2209,6 +2213,8 @@ WITH cent AS (
   JOIN embeddings m ON m.vec_id = cl.member_id
   JOIN q ON q.query_id = qp.query_id
   WHERE qp.crank <= {max_p} AND m.vec_id <> qp.query_id
+), t AS (
+  SELECT count(*)::BIGINT AS n_truth FROM exact
 )"""
     pieces = [base]
     selects = []
@@ -2231,9 +2237,10 @@ WITH cent AS (
         )
         selects.append(
             f"""SELECT {p}::BIGINT AS n_probe, c.n_candidates,
-       {n_queries * k}::BIGINT AS n_truth, h.n_hits,
-       (h.n_hits * 1000000 // {n_queries * k})::BIGINT AS recall_ppm
-FROM c_{p} c, h_{p} h"""
+       t.n_truth, h.n_hits,
+       (CASE WHEN t.n_truth = 0 THEN 0
+             ELSE h.n_hits * 1000000 // t.n_truth END)::BIGINT AS recall_ppm
+FROM c_{p} c, h_{p} h, t"""
         )
     return (
         "".join(pieces)
@@ -6123,13 +6130,17 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             -- the histogram state replayed batch-side: counting is
             -- commutative, so the final state equals the batch
             -- histogram; picked bucket = first with running count
-            -- >= ceil(p*n) (positive-operand ceil, same on DIV and //)
+            -- >= ceil(p*n) (positive-operand ceil, same on DIV and //);
+            -- bucket = FLOORED division (floor_div_sql twin) so negative
+            -- cents bucket identically on both engines
             WITH h AS (
               SELECT event_type,
-                     (CAST(floor(value * 100 + 0.5) AS BIGINT) // 500)
-                       AS bucket,
+                     ((c - (((c % 500) + 500) % 500)) // 500) AS bucket,
                      count(*)::BIGINT AS n
-              FROM events GROUP BY 1, 2),
+              FROM (SELECT event_type,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                    FROM events)
+              GROUP BY 1, 2),
             cum AS (
               SELECT event_type, bucket,
                      sum(n) OVER (PARTITION BY event_type ORDER BY bucket

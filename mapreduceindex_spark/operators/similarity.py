@@ -1214,6 +1214,11 @@ def matryoshka_recall(
     (cosine DESC, neighbor ASC) total order as ``cosine_topk``, so the
     full-dimension row is the exact ranking by construction —
     recall@max(dims) ≡ 1e6 ppm, a built-in self-check (pinned by test).
+    The denominator is the ACTUAL exact-truth row count (the
+    ``lsh_band_sweep`` discipline), not the configured ``n_queries·k``,
+    so the self-check holds even on tables with fewer than
+    ``n_queries`` vectors or fewer than ``k`` neighbors per query
+    (ADVICE r09).
 
     Scale shape: ONE candidate scan scores all |dims| prefixes — the
     query frame is exploded by the broadcast dims list (|Q|·|dims|
@@ -1267,13 +1272,17 @@ def matryoshka_recall(
         .groupBy("d")
         .agg(F.count(F.lit(1)).cast("long").alias("_h"))
     )
+    truth_n = exact.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     return (
         ddf.join(hits, "d", "left")
+        .crossJoin(F.broadcast(truth_n))
         .select(
             F.col("d").alias("dims"),
+            "n_truth",
             F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
             F.expr(
-                f"(coalesce(_h, 0) * 1000000) DIV ({int(n_queries)} * {int(k)})"
+                "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (coalesce(_h, 0) * 1000000) DIV n_truth END"
             )
             .cast("long")
             .alias("recall_ppm"),
@@ -1362,6 +1371,7 @@ def ivf_nprobe_sweep(
     exact = cosine_topk(embeddings, n_queries, k).select(
         "query_id", "neighbor_id"
     )
+    truth_n = exact.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     spark = embeddings.sparkSession
     out = []
     for p in probes_list:
@@ -1395,14 +1405,17 @@ def ivf_nprobe_sweep(
             )
         )
         out.append(
-            cand.crossJoin(hits).select(
+            cand.crossJoin(hits).crossJoin(F.broadcast(truth_n)).select(
                 F.lit(int(p)).cast("long").alias("n_probe"),
                 "n_candidates",
-                F.lit(int(n_queries * k)).cast("long").alias("n_truth"),
+                # ACTUAL exact-truth count, not the configured
+                # n_queries·k — on a short table recall would otherwise
+                # be understated (ADVICE r09; lsh_band_sweep discipline)
+                "n_truth",
                 F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
                 F.expr(
-                    f"coalesce(n_hits, 0) * 1000000 DIV "
-                    f"{int(n_queries * k)}"
+                    "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
+                    "ELSE coalesce(n_hits, 0) * 1000000 DIV n_truth END"
                 )
                 .cast("long")
                 .alias("recall_ppm"),
@@ -1453,8 +1466,31 @@ def jl_distortion_report(
 
     Output: (n_pairs, n_zero_dist, min_ppm, mean_ppm, max_ppm,
     n_within_30pct) — one row.
+
+    **Int64 headroom bound (ADVICE r09)**: with micro-quantized
+    components ``|x| ≤ X``, a projected coordinate is at most
+    ``d·X·1e6`` in magnitude, a squared coordinate difference at most
+    ``4·(d·X·1e6)²``, and ``_pd2`` sums ``k`` of them — so the BIGINT
+    accumulation needs ``4·k·(d·X)²·1e12 < 2^63``, i.e. ``d·X ≲ 537``
+    at k=8 (the 64-dim, ``|x| ≤ 0.53`` fixture sits 150× inside). The
+    dimension side is guarded loudly at call time under the documented
+    unit-magnitude assumption (Spark long arithmetic would WRAP
+    silently where DuckDB raises, so an unguarded overflow would
+    surface as an inscrutable hash mismatch); callers with
+    ``max|x| > 1`` must scale down first.
     """
     from mapreduceindex_spark.functions.text import stable_hash64
+
+    first = embeddings.select(F.size("embedding").alias("_d")).first()
+    d_dims = int(first["_d"]) if first is not None else 0
+    if 4 * k * (d_dims**2) * (10**12) >= (1 << 63):
+        raise ValueError(
+            f"jl_distortion_report: {d_dims}-dim embeddings exceed the "
+            f"int64 distortion-accumulator headroom at k={k} "
+            f"(need 4·k·d²·1e12 < 2^63, d ≤ "
+            f"{int(((1 << 63) / (4 * k * 10**12)) ** 0.5)}); "
+            "reduce k or project/scale the embeddings first"
+        )
 
     ex = embeddings.select(
         "vec_id",

@@ -1724,17 +1724,21 @@ def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (event_type, p_ppm, bucket, bucket_lo_cents, n_le), ordered
     — n_le pins the running count at the picked bucket into the hash.
     """
+    from mapreduceindex_spark.functions.exact import floor_div_sql
     from mapreduceindex_spark.session import ensure_session_confs
 
     ensure_session_confs(spark)
     stream = _stream_events(spark, sf_dir)
+    # floored (not truncating) bucket division so a negative value
+    # (e.g. a refund event at -6.00 → -600 cents → bucket -2, not -1)
+    # lands in the same bucket on both engines and the bucket grid
+    # stays uniform-width through zero (ADVICE r09: bare DIV truncates
+    # toward zero on Spark while DuckDB's // floors)
+    cents = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
     hist = (
         stream.select(
             "event_type",
-            F.expr(
-                "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) "
-                "DIV 500"
-            ).alias("bucket"),
+            F.expr(floor_div_sql(cents, 500, "DIV")).alias("bucket"),
         )
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
