@@ -1897,18 +1897,35 @@ _COSINE = XQ.q6_sql(_COSINE_RAW)
 #: Closed form of the coarse-parameter dHash pipeline shared by
 #: media_dhash_near_dups and media_dup_clusters: synth params k=id%13,
 #: w=8+id%5, h=8+id%7, quadratic texture (k + 7sx² + 11sy² + 3·sx·sy) % 251
-#: at the NN-resized source coords, bits packed into two 32-bit halves.
+#: at the NN-resized source coords for the PNG (id%3=0) / GIF (id%3=1)
+#: lossless wires; ids ≡ 2 (mod 3) ride the JPEG general-AC wire with
+#: the DCT-exact coarse 4-term pattern (multimodal._jpeg_params:
+#: c0=(id%11)*10-50, c1=(id%3)*5-5, c2=(id%5)*4-8, c3=(id%7)*3-9,
+#: block-independent; s(t)=+1 iff t%4 in (0,3)); bits packed into two
+#: 32-bit halves either way.
 _DHASH_COARSE_CTE = """m AS (
               SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h,
                      doc_id % 13 AS k
               FROM documents
+            ), src AS (
+              SELECT m.doc_id, m.k, yy.y AS y, xx.x AS x,
+                     (xx.x * m.w) // 9 AS sx, (yy.y * m.h) // 8 AS sy
+              FROM m, unnest(range(0, 8)) AS yy(y),
+                      unnest(range(0, 9)) AS xx(x)
             ), px AS (
-              SELECT m.doc_id, yy.y AS y, xx.x AS x,
-                     (m.k + 7 * ((xx.x * m.w) // 9) * ((xx.x * m.w) // 9)
-                          + 11 * ((yy.y * m.h) // 8) * ((yy.y * m.h) // 8)
-                          + 3 * ((xx.x * m.w) // 9) * ((yy.y * m.h) // 8))
-                       % 251 AS v
-              FROM m, unnest(range(0, 8)) AS yy(y), unnest(range(0, 9)) AS xx(x)
+              SELECT doc_id, y, x,
+                CASE WHEN doc_id % 3 = 2 THEN
+                  128 + ((doc_id % 11) * 10 - 50)
+                  + ((doc_id % 3) * 5 - 5)
+                    * (CASE WHEN (sy % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                  + ((doc_id % 5) * 4 - 8)
+                    * (CASE WHEN (sx % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                  + ((doc_id % 7) * 3 - 9)
+                    * (CASE WHEN (sy % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                    * (CASE WHEN (sx % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                ELSE (k + 7 * sx * sx + 11 * sy * sy + 3 * sx * sy) % 251
+                END AS v
+              FROM src
             ), cells AS (
               SELECT a.doc_id, a.y, a.x, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
               FROM px a JOIN px b
@@ -5657,23 +5674,45 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         """,
         "media_dhash": """
             -- closed form of the synth -> encode -> NN-resize(9x8) ->
-            -- decode -> difference-hash pipeline in media_dhash:
-            -- px(y,x) = (id%97 + 3*((x*w)//9) + 5*((y*h)//8)) % 251,
-            -- bit(y,x) = px(y,x+1) > px(y,x), rows 0-3 pack into
-            -- dhash_lo and rows 4-7 into dhash_hi (bit y%4*8 + x)
+            -- decode -> difference-hash pipeline in media_dhash.
+            -- PNG (id%3=0) / GIF (id%3=1) wires (lossless):
+            --   px(y,x) = (id%97 + 3*sx + 5*sy) % 251
+            -- JPEG general-AC wire (id%3=2): the DCT-exact 4-term
+            -- pattern (multimodal._jpeg_params, fine variant) at the
+            -- source coords' block/offset decomposition:
+            --   px = 128 + c0 + c1*s(yy) + c2*s(xx) + c3*s(yy)*s(xx)
+            -- with s(t) = +1 iff t%4 in (0,3) else -1, sx=(x*w)//9,
+            -- sy=(y*h)//8; bit(y,x) = px(y,x+1) > px(y,x); rows 0-3
+            -- pack into dhash_lo, rows 4-7 into dhash_hi (bit y%4*8+x)
             WITH m AS (
               SELECT doc_id, 8 + doc_id % 41 AS w, 8 + doc_id % 37 AS h,
                      doc_id % 97 AS k
               FROM documents
+            ), src AS (
+              SELECT m.doc_id, m.k, yy.y AS y, xx.x AS x,
+                     (xx.x * m.w) // 9 AS sx, (yy.y * m.h) // 8 AS sy
+              FROM m, unnest(range(0, 8)) AS yy(y),
+                      unnest(range(0, 9)) AS xx(x)
+            ), px AS (
+              SELECT doc_id, y, x,
+                CASE WHEN doc_id % 3 = 2 THEN
+                  128
+                  + ((doc_id + 5 * (sx // 8) + 3 * (sy // 8)) % 193) - 96
+                  + (((doc_id // 3 + sx // 8) % 21) - 10)
+                    * (CASE WHEN (sy % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                  + (((doc_id // 5 + sy // 8) % 21) - 10)
+                    * (CASE WHEN (sx % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                  + (((doc_id // 7 + sx // 8 + sy // 8) % 21) - 10)
+                    * (CASE WHEN (sy % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                    * (CASE WHEN (sx % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)
+                ELSE (k + 3 * sx + 5 * sy) % 251 END AS v
+              FROM src
             ), cells AS (
-              SELECT m.doc_id, yy.y AS y, xx.x AS x,
-                     CASE WHEN
-                       (m.k + 3 * (((xx.x + 1) * m.w) // 9)
-                            + 5 * ((yy.y * m.h) // 8)) % 251
-                       > (m.k + 3 * ((xx.x * m.w) // 9)
-                            + 5 * ((yy.y * m.h) // 8)) % 251
-                     THEN 1 ELSE 0 END AS bit
-              FROM m, unnest(range(0, 8)) AS yy(y), unnest(range(0, 8)) AS xx(x)
+              SELECT a.doc_id, a.y, a.x,
+                     CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+              FROM px a JOIN px b
+                ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+              WHERE a.x < 8
             )
             SELECT doc_id,
                    sum(CASE WHEN y < 4

@@ -1019,6 +1019,106 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
 
 
+def jpeg_encode_gray_ac(coefs: np.ndarray) -> bytes:
+    """Encode a grayscale baseline JPEG from RASTER-domain integer
+    coefficient blocks ``coefs[by, bx]`` (shape (bh, bw, 8, 8)) with a
+    flat all-ones quantization table — the GENERAL-AC entropy path:
+    canonical DC + AC Huffman tables, DC DPCM, zig-zag scan with
+    run/size coding, ZRL for >15-zero runs, EOB.
+
+    The caller owns coefficient choice. Arbitrary pixel content is NOT
+    exactly representable this way — the decoder computes
+    ``round(IDCT(C))``, and the image of the integer coefficient
+    lattice under the orthonormal IDCT is a rotated lattice whose
+    rounding regions miss ~2/3 of integer pixel vectors (measured on
+    the dHash fixtures; this is why ``jpeg_encode_gray_dc`` exists).
+    Exactness IS available for coefficient patterns whose IDCT is
+    integral by construction — e.g. the span of the (0,0), (4,0),
+    (0,4), (4,4) basis pairs, where the per-axis irrationals √8 and
+    2√2 cancel: ``IDCT(8·c at (4,4)) = c·s(y)·s(x)`` with
+    ``s = (+,−,−,+,+,−,−,+)`` — which the dHash JPEG wire
+    (``multimodal._jpeg_ac_thumb``) exploits for a closed-form pixel
+    oracle over a real lossy-format bitstream.
+
+    Coefficient magnitudes must stay within the 10-bit AC / 11-bit DC
+    category range (|AC| ≤ 1023, |DC diff| ≤ 2047) — raises ValueError
+    beyond (loud-failure discipline).
+    """
+    coefs = np.asarray(coefs, dtype=np.int64)
+    if coefs.ndim != 4 or coefs.shape[2:] != (8, 8):
+        raise ValueError("coefs must be (bh, bw, 8, 8)")
+    bh, bw = coefs.shape[:2]
+    h, w = bh * 8, bw * 8
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    # DQT: all ones (order-invariant under zigzag)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )
+    # DHT DC0: twelve 4-bit codes, canonical ⇒ code == category value
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 12)
+        + b"\x00" + dc_bits + bytes(range(12))
+    )
+    # DHT AC0: all 162 baseline AC symbols as 8-bit codes (canonical ⇒
+    # code == symbol index; 162 < 255 keeps the all-ones code unused)
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_index = {sym: j for j, sym in enumerate(ac_syms)}
+    ac_bits = bytes([0] * 7 + [len(ac_syms)] + [0] * 8)
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(ac_syms))
+        + b"\x10" + ac_bits + bytes(ac_syms)
+    )
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    bwtr = _BitWriter()
+    prev = 0
+
+    def _mag(v: int, s: int) -> int:
+        return v if v >= 0 else v + (1 << s) - 1
+
+    for by in range(bh):
+        for bx in range(bw):
+            blk = coefs[by, bx]
+            zz = [int(blk.flat[JPEG_ZIGZAG[z]]) for z in range(64)]
+            diff = zz[0] - prev
+            prev = zz[0]
+            s = abs(diff).bit_length()
+            if s > 11:
+                raise ValueError(f"DC diff {diff} exceeds category 11")
+            bwtr.write(s, 4)
+            if s:
+                bwtr.write(_mag(diff, s), s)
+            run = 0
+            for z in range(1, 64):
+                v = zz[z]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bwtr.write(ac_index[0xF0], 8)  # ZRL
+                    run -= 16
+                s = abs(v).bit_length()
+                if s > 10:
+                    raise ValueError(f"AC value {v} exceeds size 10")
+                bwtr.write(ac_index[(run << 4) | s], 8)
+                bwtr.write(_mag(v, s), s)
+                run = 0
+            if run:
+                bwtr.write(ac_index[0x00], 8)  # EOB
+    bwtr.flush()
+    out += bwtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_encode_gray_dc(blocks: np.ndarray, q_dc: int = 8) -> bytes:
     """Encode a grayscale baseline JPEG whose 8×8 blocks are all FLAT:
     ``blocks[by, bx]`` is the DC coefficient of block (bx, by), every AC

@@ -571,6 +571,81 @@ def _gif_gray_thumb(arr, codecs, np):
     return codecs.gif_decode(codecs.gif_encode(t, gray_pal))[:, :, 0]
 
 
+def _jpeg_params(i: int, bx, by, coarse: bool):
+    """Closed-form per-block JPEG pattern parameters (c0, c1, c2, c3)
+    for doc ``i`` — ONE definition mirrored literally by the oracle SQL.
+    ``bx``/``by`` may be ints or numpy index grids."""
+    if coarse:
+        # block-independent, small parameter space so near-dup clusters
+        # form (the coarse fixture's job)
+        return (
+            (i % 11) * 10 - 50,
+            (i % 3) * 5 - 5,
+            (i % 5) * 4 - 8,
+            (i % 7) * 3 - 9,
+        )
+    return (
+        ((i + 5 * bx + 3 * by) % 193) - 96,
+        ((i // 3 + bx) % 21) - 10,
+        ((i // 5 + by) % 21) - 10,
+        ((i // 7 + bx + by) % 21) - 10,
+    )
+
+
+def _jpeg_ac_thumb(i: int, w: int, h: int, codecs, np, coarse: bool = False):
+    """JPEG-wire 9×8 grayscale thumbnail through the GENERAL-AC codec
+    path: per-block 4-term pattern → integer DCT coefficients at
+    (0,0)/(4,0)/(0,4)/(4,4) → ``jpeg_encode_gray_ac`` (full AC Huffman
+    run/size entropy coding) → real ``jpeg_decode`` → fidelity gate →
+    floor-index NN-resize (the exact ``png_resize_nearest`` arithmetic).
+
+    Why THIS pattern: a lossy wire can carry a bit-exact closed-form
+    pixel oracle only where ``round(IDCT(C))`` is exactly the intended
+    pixels. Arbitrary content fails (the integer-coefficient lattice's
+    IDCT image misses ~2/3 of integer pixel vectors — measured on the
+    gradient fixture: quant-1 round trips flip dHash comparison bits on
+    0.1–9% of docs), but the span of the (0,0)/(4,0)/(0,4)/(4,4) DCT
+    basis pairs is integral by construction:
+    ``px(y,x) = 128 + c0 + c1·s(y) + c2·s(x) + c3·s(y)s(x)`` with
+    ``s = (+,−,−,+,+,−,−,+)`` (the u=4 cosine's exact sign pattern) has
+    coefficients exactly ``8·c``. So the bitstream is a REAL baseline
+    JPEG exercising the decoder's AC machinery (run/size decode, ZRL,
+    dezigzag, float IDCT with nonzero ACs, DC DPCM across blocks), and
+    the decoded pixels are still a two-line SQL formula. The decode is
+    verified against that formula per image — a decoder defect raises
+    here rather than silently shifting hashes (the
+    ``media_luma_histogram`` loud-fidelity discipline).
+
+    The thumbnail is hashed directly from the decoded plane (no second
+    wire pass): a 9×8 crop of the pattern is not itself in the exactly
+    codable family, so a thumb re-encode would reintroduce the lossy
+    divergence the pattern exists to eliminate. PNG/GIF legs keep their
+    full thumb re-encode — they are lossless.
+    """
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    ii, s = np.arange(8), np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    coefs = np.zeros((bh, bw, 8, 8), dtype=np.int64)
+    exp = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            c0, c1, c2, c3 = _jpeg_params(i, bx, by, coarse)
+            coefs[by, bx, 0, 0] = 8 * c0
+            coefs[by, bx, 4, 0] = 8 * c1
+            coefs[by, bx, 0, 4] = 8 * c2
+            coefs[by, bx, 4, 4] = 8 * c3
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                128 + c0 + c1 * s[:, None] + c2 * s[None, :]
+                + c3 * s[:, None] * s[None, :]
+            )
+    dec = codecs.jpeg_decode(codecs.jpeg_encode_gray_ac(coefs))[:h, :w]
+    if not np.array_equal(dec.astype(np.int64), exp[:h, :w]):
+        raise RuntimeError(
+            f"JPEG decode fidelity violated for doc {i}: the general-AC "
+            "round trip no longer reproduces the 4-term pattern exactly"
+        )
+    return dec[(np.arange(8) * h) // 8][:, (np.arange(9) * w) // 9]
+
+
 def media_dhash(documents: DataFrame) -> DataFrame:
     """Image near-dup fingerprint through the real codec path: per-doc
     synthetic grayscale PNG → encode → **nearest-neighbor resize to
@@ -595,12 +670,16 @@ def media_dhash(documents: DataFrame) -> DataFrame:
     gray-path encode/decode defect, or a bit-packing error all
     hash-mismatch.
 
-    **Two wire formats, one fingerprint**: even ids round-trip through
-    PNG, odd ids through GIF (gray-identity palette), full thumbnail
-    re-encode included — both codecs are lossless, so the dHash is
-    wire-invariant and the near-dup pipeline spans both container
-    formats under the SAME closed-form oracle. A lossy or index-
-    scrambling GIF path would hash-mismatch half the corpus.
+    **Three wire formats, one fingerprint family**: ids ≡ 0 (mod 3)
+    round-trip through PNG, ids ≡ 1 through GIF (gray-identity
+    palette) — both lossless, full thumbnail re-encode included, so
+    for those the dHash is wire-invariant over the SAME gradient
+    synth. Ids ≡ 2 ride the **JPEG general-AC wire**
+    (``_jpeg_ac_thumb``): a real lossy-format bitstream whose 4-term
+    DCT-exact pattern keeps the pixel oracle in closed form — the
+    r09 scope cut ("dHash is lossless-only") closed without giving up
+    the bit-exact oracle. A lossy-divergent or index-scrambling path
+    on ANY of the three wires hash-mismatches its third of the corpus.
     """
     import numpy as np
 
@@ -617,7 +696,9 @@ def media_dhash(documents: DataFrame) -> DataFrame:
                 arr = ((k + 3 * xs[None, :] + 5 * ys[:, None]) % 251).astype(
                     np.uint8
                 )
-                if i % 2:
+                if i % 3 == 2:
+                    thumb = _jpeg_ac_thumb(i, w, h, codecs, np)
+                elif i % 3 == 1:
                     thumb = _gif_gray_thumb(arr, codecs, np)
                 else:
                     thumb = codecs.png_decode(
@@ -648,8 +729,12 @@ def _dhash_frame_coarse(documents: DataFrame) -> DataFrame:
     by the near-dup pipeline (see ``media_dhash_near_dups``): quadratic
     texture ``(k + 7x² + 11y² + 3xy) % 251`` with ``k = id%13,
     w = 8+id%5, h = 8+id%7``, fingerprinted through the real codec
-    round trip — PNG wire for even ids, GIF wire (gray-identity
-    palette) for odd ids; both lossless, one fingerprint."""
+    round trip — PNG wire for ids ≡ 0 (mod 3), GIF wire (gray-identity
+    palette) for ids ≡ 1 (both lossless, one fingerprint), and the
+    JPEG general-AC wire for ids ≡ 2 with the coarse block-independent
+    4-term pattern (small parameter space — lcm(11,3,5,7)-periodic —
+    so JPEG-wire near-dup clusters still form; see
+    ``_jpeg_ac_thumb``)."""
     import numpy as np
 
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -665,7 +750,9 @@ def _dhash_frame_coarse(documents: DataFrame) -> DataFrame:
                 arr = (
                     (k + 7 * xs * xs + 11 * ys * ys + 3 * xs * ys) % 251
                 ).astype(np.uint8)
-                if i % 2:
+                if i % 3 == 2:
+                    thumb = _jpeg_ac_thumb(i, w, h, codecs, np, coarse=True)
+                elif i % 3 == 1:
                     # GIF wire: lossless, so the fingerprint — and the
                     # near-dup pairs — are wire-format-invariant (one
                     # shared thumb definition: _gif_gray_thumb)

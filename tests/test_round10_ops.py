@@ -1,0 +1,274 @@
+"""Round-10 semantics tests: the general-AC JPEG encoder + the
+dHash JPEG wire (DCT-exact 4-term pattern), the shared dedup-family
+front end memo, recall denominators, and the floored histogram bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# jpeg_encode_gray_ac: general-AC entropy path, exact by construction
+# ---------------------------------------------------------------------------
+
+_S = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+
+
+def _four_term_block(c0, c1, c2, c3):
+    coef = np.zeros((8, 8), dtype=np.int64)
+    coef[0, 0], coef[4, 0], coef[0, 4], coef[4, 4] = (
+        8 * c0, 8 * c1, 8 * c2, 8 * c3,
+    )
+    pix = (
+        128 + c0 + c1 * _S[:, None] + c2 * _S[None, :]
+        + c3 * _S[:, None] * _S[None, :]
+    )
+    return coef, pix
+
+
+def test_jpeg_ac_roundtrip_exact_over_param_sweep():
+    """decode(encode_ac(C)) reproduces the 4-term pattern pixels exactly
+    for every parameter combination the dHash fixtures can emit (fine:
+    c0 ∈ ±96 / c ∈ ±10; coarse: the id-mod grids), including multi-block
+    images with DC DPCM chains and ZRL runs."""
+    from mapreduceindex_spark.functions import codecs
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        coefs = np.zeros((bh, bw, 8, 8), dtype=np.int64)
+        exp = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                c = [
+                    int(rng.integers(-96, 97)),
+                    int(rng.integers(-10, 11)),
+                    int(rng.integers(-10, 11)),
+                    int(rng.integers(-10, 11)),
+                ]
+                coefs[by, bx], blk = _four_term_block(*c)
+                exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        dec = codecs.jpeg_decode(codecs.jpeg_encode_gray_ac(coefs))
+        assert np.array_equal(dec.astype(np.int64), exp)
+
+
+def test_jpeg_ac_rejects_out_of_category_coefficients():
+    from mapreduceindex_spark.functions import codecs
+
+    coefs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    coefs[0, 0, 3, 3] = 1024  # size 11 > AC max 10
+    with pytest.raises(ValueError, match="size 10"):
+        codecs.jpeg_encode_gray_ac(coefs)
+
+
+def test_jpeg_ac_stream_is_real_baseline_jpeg():
+    """The emitted bytes parse as baseline JPEG with nonzero AC
+    coefficients — i.e. the decoder's AC Huffman/ZRL/dezigzag path runs,
+    not the DC-only shortcut."""
+    from mapreduceindex_spark.functions import codecs
+
+    coefs = np.zeros((1, 2, 8, 8), dtype=np.int64)
+    coefs[0, 0], _ = _four_term_block(10, -3, 7, 2)
+    coefs[0, 1], _ = _four_term_block(-5, 9, 0, -8)
+    data = codecs.jpeg_encode_gray_ac(coefs)
+    assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+    dec = codecs.jpeg_decode(data)
+    # AC structure present: pixels vary WITHIN one 8x8 block
+    assert len({int(v) for v in dec[:8, :8].ravel()}) > 1
+
+
+# ---------------------------------------------------------------------------
+# dHash JPEG wire
+# ---------------------------------------------------------------------------
+
+
+def _closed_form_fine(i):
+    """Replica of the media_dhash oracle's pixel formula (both wires)."""
+    w, h, k = 8 + i % 41, 8 + i % 37, i % 97
+    px = np.zeros((8, 9), dtype=np.int64)
+    for y in range(8):
+        for x in range(9):
+            sx, sy = (x * w) // 9, (y * h) // 8
+            if i % 3 == 2:
+                bx, by = sx // 8, sy // 8
+                xx, yy = sx % 8, sy % 8
+                sgx = 1 if xx % 4 in (0, 3) else -1
+                sgy = 1 if yy % 4 in (0, 3) else -1
+                c0 = ((i + 5 * bx + 3 * by) % 193) - 96
+                c1 = ((i // 3 + bx) % 21) - 10
+                c2 = ((i // 5 + by) % 21) - 10
+                c3 = ((i // 7 + bx + by) % 21) - 10
+                px[y, x] = 128 + c0 + c1 * sgy + c2 * sgx + c3 * sgy * sgx
+            else:
+                px[y, x] = (k + 3 * sx + 5 * sy) % 251
+    bits = px[:, 1:] > px[:, :-1]
+    weights = (1 << np.arange(32, dtype=np.int64)).reshape(4, 8)
+    return int((bits[:4] * weights).sum()), int((bits[4:] * weights).sum())
+
+
+def test_media_dhash_jpeg_wire_matches_closed_form(spark):
+    """Every wire's engine-side hash equals the oracle's closed form —
+    including ids ≡ 2 (mod 3), which now ride the general-AC JPEG
+    bitstream through the real decoder."""
+    from mapreduceindex_spark.operators.multimodal import media_dhash
+
+    ids = list(range(0, 60)) + [193, 194, 197, 1154, 1155, 1156, 4001]
+    docs = spark.createDataFrame([(i, "x") for i in ids], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dhash_lo"], r["dhash_hi"])
+        for r in media_dhash(docs).collect()
+    }
+    assert set(got) == set(ids)
+    for i in ids:
+        assert got[i] == _closed_form_fine(i), f"doc {i} (wire {i % 3})"
+
+
+def test_media_dhash_fidelity_gate_raises_on_decode_defect(spark, monkeypatch):
+    """The JPEG leg verifies the decoded plane against the 4-term
+    pattern and raises loudly — a decoder defect must not silently
+    shift hashes."""
+    from mapreduceindex_spark.functions import codecs
+    from mapreduceindex_spark.operators import multimodal
+
+    real = codecs.jpeg_decode
+
+    def corrupt(data):
+        out = real(data).copy()
+        out[0, 0] ^= 1
+        return out
+
+    monkeypatch.setattr(codecs, "jpeg_decode", corrupt)
+    with pytest.raises(RuntimeError, match="fidelity"):
+        multimodal._jpeg_ac_thumb(2, 12, 10, codecs, np)
+
+
+def test_coarse_jpeg_wire_period_forms_hamming0_pair(spark):
+    """Coarse JPEG params have period lcm(11,3,5,7) = 1155 (a multiple
+    of the wire split 3), so ids 2 and 1157 are both JPEG-wire with
+    identical patterns and dims — the near-dup search must report them
+    at hamming 0."""
+    from mapreduceindex_spark.operators.multimodal import media_dhash_near_dups
+
+    docs = spark.createDataFrame(
+        [(2, "a"), (1157, "b"), (40, "c")], ["doc_id", "text"]
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in media_dhash_near_dups(docs).collect()
+    }
+    assert rows.get((2, 1157)) == 0
+
+
+# ---------------------------------------------------------------------------
+# shared dedup front end (caching.memo) semantics
+# ---------------------------------------------------------------------------
+
+
+def test_pair_front_end_memo_reuses_frames_for_same_input(spark):
+    from mapreduceindex_spark.functions import caching
+    from mapreduceindex_spark.operators.dedup import _pair_front_end
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        ["doc_id", "text"],
+    )
+    caching.release()
+    g1, s1, st1 = _pair_front_end(docs, 3)
+    g2, s2, st2 = _pair_front_end(docs, 3)
+    assert g1 is g2 and s1 is s2 and st1 == st2 == (2, 3)
+    # a different n releases and rebuilds (single-slot bound)
+    g3, _s3, _ = _pair_front_end(docs, 2)
+    assert g3 is not g1
+    caching.release()
+
+
+def test_release_unmemoized_keeps_memo_frames(spark):
+    from mapreduceindex_spark.functions import caching
+    from mapreduceindex_spark.operators.dedup import _pair_front_end
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    caching.release()
+    groups, sh, _ = _pair_front_end(docs, 3)
+    tracked = caching.track(
+        docs.select("doc_id").persist(), "some_operator"
+    )
+    tracked.count()
+    caching.release_unmemoized()
+    assert not (
+        tracked.storageLevel.useMemory or tracked.storageLevel.useDisk
+    )
+    assert groups.storageLevel.useMemory or groups.storageLevel.useDisk
+    caching.release()
+
+
+def test_dedup_compositions_agree_after_memo_sharing(spark):
+    """canonical_docs / curation_funnel still agree with first-principles
+    recomputation after the front-end sharing (same docs through
+    independent operators)."""
+    from mapreduceindex_spark.functions import caching
+    from mapreduceindex_spark.operators.corpus import curation_funnel
+    from mapreduceindex_spark.operators.dedup import canonical_docs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over a lazy dog"),
+        (4, "completely different text about spark engines"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    caching.release()
+    canon = canonical_docs(docs).collect()
+    reps = {r["cluster_rep"] for r in canon}
+    assert 4 in reps and 5 in reps  # singleton + empty stay their own
+    funnel = curation_funnel(docs).collect()[0]
+    assert funnel["n_raw"] == 5
+    assert funnel["n_exact_unique"] == 4  # docs 1,2 share content
+    assert funnel["n_canonical"] == len(canon)
+    caching.release()
+
+
+# ---------------------------------------------------------------------------
+# recall denominators + histogram bucket (ADVICE r09)
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_recall_denominator_is_actual_truth_count(spark):
+    """On a table with fewer than n_queries·k truth rows the full-dims
+    self-check must still read 1e6 ppm."""
+    from mapreduceindex_spark.operators.similarity import matryoshka_recall
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+        for i in range(6)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {
+        r["dims"]: r for r in matryoshka_recall(
+            emb, n_queries=10, k=5, dims=(4, 8)
+        ).collect()
+    }
+    # 6 vectors -> 6 queries x 5 neighbors = 30 truth rows, not 50
+    assert out[8]["n_truth"] == 30
+    assert out[8]["recall_ppm"] == 1_000_000
+
+
+def test_value_histogram_bucket_floors_negative_cents():
+    """The engine-side bucket formula floors (bucket -2 for -6.00), it
+    does not truncate toward zero."""
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    import duckdb
+
+    expr = floor_div_sql(
+        "CAST(floor(CAST(v AS DOUBLE) * 100 + 0.5) AS BIGINT)", 500, "//"
+    )
+    got = duckdb.sql(
+        f"SELECT {expr} FROM (VALUES (-6.00), (-0.01), (0.0), (4.99), (5.0))"
+        " t(v)"
+    ).fetchall()
+    assert [r[0] for r in got] == [-2, -1, 0, 0, 1]
