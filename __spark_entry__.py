@@ -737,6 +737,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classifier": lambda s, d: CL.knn_classifier(
             _t(s, d, "embeddings")
         ),
+        "knn_classifier_ann": lambda s, d: CL.knn_classifier_ann(
+            _t(s, d, "embeddings")
+        ),
         "centroid_classifier": lambda s, d: CL.centroid_classifier(
             _t(s, d, "embeddings")
         ),
@@ -4307,8 +4310,10 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               SELECT vec_id AS tid, label AS tlabel, qv AS tv
               FROM q WHERE bucket < 80
             ), te AS (
+              -- bounded deterministic query sample (vec_id < 2000):
+              -- the broadcast side must not grow with the corpus
               SELECT vec_id AS sid, label AS slabel, qv AS sv
-              FROM q WHERE bucket >= 80
+              FROM q WHERE bucket >= 80 AND vec_id < 2000
             ), scored AS (
               SELECT sid, slabel, tid, tlabel,
                      list_sum(list_transform(list_zip(sv, tv), s ->
@@ -4333,6 +4338,115 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    sum(n_votes)::BIGINT AS sum_votes
             FROM win WHERE rw = 1 GROUP BY slabel, tlabel
             ORDER BY label, predicted
+        """,
+        "knn_classifier_ann": """
+            -- IVF-probed k-NN vs the exact tier, per-label calibration:
+            -- anchors = vec_id < 16, train assigns to nearest anchor,
+            -- queries probe their 4 closest cells; same integer squared
+            -- distance, same tie orders, bounded query sample
+            WITH q AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     (('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+                       % 100) AS bucket,
+                     list_transform(embedding::DOUBLE[], x ->
+                       CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings
+            ), tr AS (
+              SELECT vec_id AS tid, label AS tlabel, qv AS tv
+              FROM q WHERE bucket < 80
+            ), te AS (
+              SELECT vec_id AS sid, label AS slabel, qv AS sv
+              FROM q WHERE bucket >= 80 AND vec_id < 2000
+            ), cent AS (
+              SELECT vec_id AS cent_id, qv AS cv FROM q WHERE vec_id < 16
+            ), cells AS (
+              SELECT tid, tlabel, tv, cent_id FROM (
+                SELECT tr.tid, tr.tlabel, tr.tv, cent.cent_id,
+                       row_number() OVER (PARTITION BY tr.tid ORDER BY
+                         list_sum(list_transform(list_zip(tv, cv), s ->
+                           (s[1] - s[2]) * (s[1] - s[2]))) ASC,
+                         cent_id ASC) AS cr
+                FROM tr CROSS JOIN cent)
+              WHERE cr = 1
+            ), qprobe AS (
+              SELECT sid, cent_id FROM (
+                SELECT te.sid, cent.cent_id,
+                       row_number() OVER (PARTITION BY te.sid ORDER BY
+                         list_sum(list_transform(list_zip(sv, cv), s ->
+                           (s[1] - s[2]) * (s[1] - s[2]))) ASC,
+                         cent_id ASC) AS cr
+                FROM te CROSS JOIN cent)
+              WHERE cr <= 4
+            ), ann_nn AS (
+              SELECT sid, slabel, tid, tlabel FROM (
+                SELECT te.sid, te.slabel, c.tid, c.tlabel,
+                       row_number() OVER (PARTITION BY te.sid ORDER BY
+                         list_sum(list_transform(list_zip(sv, tv), s ->
+                           (s[1] - s[2]) * (s[1] - s[2]))) ASC,
+                         c.tid ASC) AS rn
+                FROM qprobe p
+                JOIN cells c ON c.cent_id = p.cent_id
+                JOIN te ON te.sid = p.sid)
+              WHERE rn <= 5
+            ), exact_nn AS (
+              SELECT sid, slabel, tid, tlabel FROM (
+                SELECT te.sid, te.slabel, tr.tid, tr.tlabel,
+                       row_number() OVER (PARTITION BY te.sid ORDER BY
+                         list_sum(list_transform(list_zip(sv, tv), s ->
+                           (s[1] - s[2]) * (s[1] - s[2]))) ASC,
+                         tr.tid ASC) AS rn
+                FROM te CROSS JOIN tr)
+              WHERE rn <= 5
+            ), ann_pred AS (
+              SELECT sid, tlabel AS pred_ann FROM (
+                SELECT sid, tlabel,
+                       row_number() OVER (PARTITION BY sid ORDER BY
+                         count(*) DESC, tlabel ASC) AS rw
+                FROM ann_nn GROUP BY sid, tlabel)
+              WHERE rw = 1
+            ), exact_pred AS (
+              SELECT sid, tlabel AS pred_exact FROM (
+                SELECT sid, tlabel,
+                       row_number() OVER (PARTITION BY sid ORDER BY
+                         count(*) DESC, tlabel ASC) AS rw
+                FROM exact_nn GROUP BY sid, tlabel)
+              WHERE rw = 1
+            ), ov AS (
+              SELECT a.sid, count(*)::BIGINT AS n_ov
+              FROM ann_nn a
+              WHERE EXISTS (SELECT 1 FROM exact_nn e
+                            WHERE e.sid = a.sid AND e.tid = a.tid)
+              GROUP BY a.sid
+            ), tn AS (
+              SELECT sid, count(*)::BIGINT AS n_t FROM exact_nn GROUP BY sid
+            ), per_sid AS (
+              SELECT te.sid, te.slabel, ep.pred_exact, ap.pred_ann,
+                     coalesce(ov.n_ov, 0) AS n_ov, tn.n_t
+              FROM te
+              JOIN exact_pred ep ON ep.sid = te.sid
+              LEFT JOIN ann_pred ap ON ap.sid = te.sid
+              LEFT JOIN ov ON ov.sid = te.sid
+              JOIN tn ON tn.sid = te.sid
+            ), agg AS (
+              SELECT slabel AS label,
+                     count(*)::BIGINT AS n_vecs,
+                     count(pred_ann)::BIGINT AS n_pred_ann,
+                     sum(CASE WHEN pred_ann = pred_exact THEN 1 ELSE 0
+                         END)::BIGINT AS n_agree,
+                     sum(CASE WHEN pred_ann = slabel THEN 1 ELSE 0
+                         END)::BIGINT AS n_correct_ann,
+                     sum(CASE WHEN pred_exact = slabel THEN 1 ELSE 0
+                         END)::BIGINT AS n_correct_exact,
+                     sum(n_ov)::BIGINT AS nbr_overlap,
+                     sum(n_t)::BIGINT AS n_truth
+              FROM per_sid GROUP BY slabel
+            )
+            SELECT label, n_vecs, n_pred_ann, n_agree, n_correct_ann,
+                   n_correct_exact, nbr_overlap, n_truth,
+                   (CASE WHEN n_truth = 0 THEN 0
+                         ELSE nbr_overlap * 1000000 // n_truth
+                    END)::BIGINT AS nbr_recall_ppm
+            FROM agg ORDER BY label
         """,
         "centroid_classifier": """
             -- Rocchio fit on the md5(vec_id) % 100 < 80 train split

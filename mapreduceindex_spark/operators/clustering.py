@@ -478,7 +478,10 @@ def centroid_classifier(
 
 
 def knn_classifier(
-    embeddings: DataFrame, k: int = 5, train_pct: int = 80
+    embeddings: DataFrame,
+    k: int = 5,
+    train_pct: int = 80,
+    max_query_ids: int = 2000,
 ) -> DataFrame:
     """Supervised k-nearest-neighbor classifier over the embedding table
     with the same deterministic hash train/test split as
@@ -496,10 +499,15 @@ def knn_classifier(
 
     Scale shape: this is the exact/calibration tier (the
     ``cosine_topk`` discipline — brute-force scoring IS the oracle
-    baseline; the LSH/IVF tiers in ``operators/similarity`` are the
-    100 TB path for neighbor retrieval). The held-out side (the smaller
-    fraction) broadcasts onto one pass over the train side; the top-k
-    and vote argmax are windows partitioned BY query vector — never a
+    baseline; ``knn_classifier_ann`` is the IVF-probed production
+    path, recall-calibrated against this one). The broadcast query
+    side is BOUNDED: held-out vectors restricted to the deterministic
+    ``vec_id < max_query_ids`` sample (the ``jl_distortion_report``
+    pattern — r09 VERDICT: the full 20% held-out fraction grows with
+    the corpus, so the broadcast was a corpus fraction, not a
+    constant), so one pass over the train side carries at most
+    ``max_query_ids`` query rows regardless of scale. The top-k and
+    vote argmax are windows partitioned BY query vector — never a
     global sort; output is the |labels|²-bounded confusion matrix.
 
     Output: (label, predicted, n_vecs, sum_votes) per confusion cell —
@@ -526,7 +534,10 @@ def knn_classifier(
         F.col("label").alias("tlabel"),
         F.col("qv").alias("tv"),
     )
-    test = q.filter(F.col("bucket") >= train_pct).select(
+    test = q.filter(
+        (F.col("bucket") >= train_pct)
+        & (F.col("vec_id") < max_query_ids)
+    ).select(
         F.col("vec_id").alias("sid"),
         F.col("label").alias("slabel"),
         F.col("qv").alias("sv"),
@@ -563,6 +574,202 @@ def knn_classifier(
             F.sum("n_votes").cast("long").alias("sum_votes"),
         )
         .orderBy("label", "predicted")
+    )
+
+
+def knn_classifier_ann(
+    embeddings: DataFrame,
+    k: int = 5,
+    train_pct: int = 80,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    max_query_ids: int = 2000,
+) -> DataFrame:
+    """The APPROXIMATE-tier k-NN classifier, recall-calibrated against
+    the exact one — the missing twin the r09 VERDICT named: ANN
+    retrieval has ``ann_recall_curve``; classification now has this.
+
+    Retrieval: train vectors assign to their nearest of ``n_centroids``
+    anchor cells (``vec_id < n_centroids``, the ``ivf_topk`` anchor
+    convention) under the SAME integer squared distance as
+    ``knn_classifier``; each query probes its ``n_probe`` closest cells
+    and votes only among train vectors living there — the IVF plan
+    whose 100 TB candidate volume is ``n_probe/n_centroids`` of the
+    corpus instead of all of it. Ties: assignment and probe rankings
+    break toward the lower cent_id, neighbors toward the lower train
+    id, votes toward the lower label — total orders, both engines
+    identical.
+
+    Calibration readout (per label): how often the IVF-probed
+    prediction AGREES with the exact brute-force one (``n_agree``),
+    both tiers' correctness against ground truth, and the NEIGHBOR
+    recall of the probed candidate sets against the exact top-k sets —
+    ``n_truth`` is the ACTUAL exact-neighbor row count (the
+    ``lsh_band_sweep`` denominator discipline), so the ppm is honest
+    on short tables. A query whose probed cells hold no train vector
+    has no ANN prediction (counted in ``n_vecs`` but not
+    ``n_pred_ann``) — the exact-tier join is inner on sid, so both
+    engines drop or keep identical rows.
+
+    Scale shape: the query side is the SAME bounded deterministic
+    sample as ``knn_classifier`` (≤ ``max_query_ids`` broadcast rows);
+    the anchor frame is model-sized and broadcast; the one corpus-scale
+    pass is the train→cell assignment (|train|·n_centroids distance
+    evaluations, embarrassingly parallel, no shuffle besides the
+    assignment window).
+
+    Output: (label, n_vecs, n_pred_ann, n_agree, n_correct_ann,
+    n_correct_exact, nbr_overlap, n_truth, nbr_recall_ppm), by label.
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.text import stable_hash64
+
+    dist2 = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    q = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        (stable_hash64(F.col("vec_id").cast("string")) % 100).alias(
+            "bucket"
+        ),
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    train = q.filter(F.col("bucket") < train_pct).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").alias("tlabel"),
+        F.col("qv").alias("tv"),
+    )
+    test = q.filter(
+        (F.col("bucket") >= train_pct)
+        & (F.col("vec_id") < max_query_ids)
+    ).select(
+        F.col("vec_id").alias("sid"),
+        F.col("label").alias("slabel"),
+        F.col("qv").alias("sv"),
+    )
+    cent = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
+    )
+    # train → cell assignment (the corpus-scale pass)
+    wa = Window.partitionBy("tid").orderBy(
+        F.col("cdist").asc(), F.col("cent_id").asc()
+    )
+    cells = (
+        train.join(F.broadcast(cent))
+        .select(
+            "tid", "tlabel", "tv", "cent_id",
+            F.expr(dist2.format(a="tv", b="cv")).alias("cdist"),
+        )
+        .withColumn("_cr", F.row_number().over(wa))
+        .filter(F.col("_cr") == 1)
+        .select("tid", "tlabel", "tv", "cent_id")
+    )
+    # query → probed cells (bounded frame)
+    wp = Window.partitionBy("sid").orderBy(
+        F.col("cdist").asc(), F.col("cent_id").asc()
+    )
+    qprobe = (
+        test.join(F.broadcast(cent))
+        .select(
+            "sid", "cent_id",
+            F.expr(dist2.format(a="sv", b="cv")).alias("cdist"),
+        )
+        .withColumn("_cr", F.row_number().over(wp))
+        .filter(F.col("_cr") <= n_probe)
+        .select("sid", "cent_id")
+    )
+    wk = Window.partitionBy("sid").orderBy(
+        F.col("dist2_u").asc(), F.col("tid").asc()
+    )
+    ann_nn = (
+        cells.join(F.broadcast(qprobe), "cent_id")
+        .join(F.broadcast(test), "sid")
+        .select(
+            "sid", "slabel", "tid", "tlabel",
+            F.expr(dist2.format(a="sv", b="tv")).alias("dist2_u"),
+        )
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("sid", "slabel", "tid", "tlabel")
+    )
+    exact_nn = (
+        train.join(F.broadcast(test))
+        .select(
+            "sid", "slabel", "tid", "tlabel",
+            F.expr(dist2.format(a="sv", b="tv")).alias("dist2_u"),
+        )
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("sid", "slabel", "tid", "tlabel")
+    )
+
+    def _pred(nn):
+        wv = Window.partitionBy("sid").orderBy(
+            F.col("n_votes").desc(), F.col("tlabel").asc()
+        )
+        return (
+            nn.groupBy("sid", "tlabel")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+            .withColumn("_rw", F.row_number().over(wv))
+            .filter(F.col("_rw") == 1)
+            .select("sid", F.col("tlabel").alias("pred"))
+        )
+
+    ann_pred = _pred(ann_nn).withColumnRenamed("pred", "pred_ann")
+    exact_pred = _pred(exact_nn).withColumnRenamed("pred", "pred_exact")
+    overlap = (
+        ann_nn.select("sid", "tid")
+        .join(exact_nn.select("sid", "tid"), ["sid", "tid"], "left_semi")
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ov"))
+    )
+    truth_n = exact_nn.groupBy("sid").agg(
+        F.count(F.lit(1)).cast("long").alias("_nt")
+    )
+    per_sid = (
+        test.select("sid", "slabel")
+        .join(exact_pred, "sid")
+        .join(ann_pred, "sid", "left")
+        .join(overlap, "sid", "left")
+        .join(truth_n, "sid")
+    )
+    return (
+        per_sid.groupBy(F.col("slabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count("pred_ann").cast("long").alias("n_pred_ann"),
+            F.sum(
+                F.when(F.col("pred_ann") == F.col("pred_exact"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_agree"),
+            F.sum(
+                F.when(F.col("pred_ann") == F.col("slabel"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_correct_ann"),
+            F.sum(
+                F.when(F.col("pred_exact") == F.col("slabel"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_correct_exact"),
+            F.sum(F.coalesce("_ov", F.lit(0)))
+            .cast("long")
+            .alias("nbr_overlap"),
+            F.sum("_nt").cast("long").alias("n_truth"),
+        )
+        .select(
+            "label", "n_vecs", "n_pred_ann", "n_agree",
+            "n_correct_ann", "n_correct_exact", "nbr_overlap", "n_truth",
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE nbr_overlap * 1000000 DIV n_truth END"
+            ).cast("long").alias("nbr_recall_ppm"),
+        )
+        .orderBy("label")
     )
 
 

@@ -272,3 +272,66 @@ def test_value_histogram_bucket_floors_negative_cents():
         " t(v)"
     ).fetchall()
     assert [r[0] for r in got] == [-2, -1, 0, 0, 1]
+
+
+# ---------------------------------------------------------------------------
+# k-NN: bounded query sample + ANN tier
+# ---------------------------------------------------------------------------
+
+
+def test_knn_classifier_query_cap_bounds_broadcast_side(spark):
+    """Held-out vectors at or past max_query_ids must not be scored."""
+    from mapreduceindex_spark.operators.clustering import knn_classifier
+
+    vecs = [
+        (i, i % 3, [float((i * 5 + j) % 7 - 3) for j in range(4)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "label", "embedding"])
+    full = knn_classifier(emb, max_query_ids=10_000)
+    capped = knn_classifier(emb, max_query_ids=50)
+    n_full = full.agg(F.sum("n_vecs")).collect()[0][0]
+    n_capped = capped.agg(F.sum("n_vecs")).collect()[0][0]
+    assert n_capped < n_full  # the cap binds on this table
+
+
+def test_knn_ann_recall_is_total_at_full_probe_budget(spark):
+    """Probing every cell makes the candidate set the whole train side,
+    so the ANN tier must reproduce the exact tier: full agreement and
+    neighbor recall 1e6 ppm."""
+    from mapreduceindex_spark.operators.clustering import knn_classifier_ann
+
+    vecs = [
+        (i, i % 3, [float((i * 7 + j * 3) % 11 - 5) for j in range(6)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "label", "embedding"])
+    out = knn_classifier_ann(
+        emb, n_centroids=4, n_probe=4
+    ).collect()
+    assert out, "no labels scored"
+    for r in out:
+        assert r["n_pred_ann"] == r["n_vecs"]
+        assert r["n_agree"] == r["n_vecs"]
+        assert r["n_correct_ann"] == r["n_correct_exact"]
+        assert r["nbr_recall_ppm"] == 1_000_000
+
+
+def test_knn_ann_recall_monotone_in_probe_budget(spark):
+    from mapreduceindex_spark.operators.clustering import knn_classifier_ann
+
+    vecs = [
+        (i, i % 4, [float((i * 13 + j * 5) % 17 - 8) for j in range(6)])
+        for i in range(150)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "label", "embedding"])
+
+    def total_recall(p):
+        rows = knn_classifier_ann(emb, n_centroids=8, n_probe=p).collect()
+        return sum(r["nbr_overlap"] for r in rows), sum(
+            r["n_truth"] for r in rows
+        )
+
+    ov1, t1 = total_recall(1)
+    ov8, t8 = total_recall(8)
+    assert t1 == t8 and ov1 <= ov8 and ov8 == t8
