@@ -1194,14 +1194,14 @@ _WORDS = (
 
 def _tws_runtime_available() -> bool:
     """True iff transformWithStateInPandas can actually run here: its
-    state-server protocol needs the protobuf package at query start
-    (the API surface itself imports fine without it)."""
-    try:
-        import google.protobuf.descriptor  # noqa: F401
+    state-server protocol needs a ``google.protobuf`` runtime at query
+    start (the API surface itself imports fine without it). The
+    vendored wire-subset shim (``mapreduceindex_spark.vendor``)
+    satisfies it when no real distribution is installed; the query
+    itself ships the shim to workers via addPyFile."""
+    from mapreduceindex_spark.vendor import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 def _words_sql(t: str = "text") -> str:

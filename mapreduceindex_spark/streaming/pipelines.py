@@ -1266,6 +1266,16 @@ def streaming_timeout_sessions_tws(
         StatefulProcessorHandle,
     )
 
+    from mapreduceindex_spark.vendor import ensure_protobuf
+
+    # the state clients deserialize StateMessage protos INSIDE the
+    # Python workers — ship the vendored runtime shim there (addPyFile)
+    # unless a real protobuf distribution is installed
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime"
+        )
+
     gap_us = int(gap_sec) * 1_000_000
     gap_ms = int(gap_sec) * 1_000
     ev = (
