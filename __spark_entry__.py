@@ -63,93 +63,51 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the back; local pytest still oracle-checks all of them every run, so
 #: rotation costs no coverage.
 _VERIFY_FIRST = [
-    # ROUND-9 rotation (the r08 VERDICT's #1 ask: clear the r03/r04
-    # stale-green tail). (a) queries whose CODE or ORACLE changed this
-    # round — re-verify first: the sessionizer's shared fold + emit-now
-    # watermark guard + earlier-session routing, the zero-variance
-    # raise_error guard, lsh_recall's shared shingle front end, and the
-    # session-scoped stored-index artifact.
-    "streaming_timeout_sessions",
-    "price_qty_regression",
-    "lsh_recall",
-    "index_lifecycle",
-    # (b) round-9 additions — first driver row (extended as each lands)
-    "bpe_train",
-    "bpe_fertility_learned",
-    "span_scrub",
-    "media_decode_jpeg",
-    "truncation_loss_report",
-    "streaming_last_event_per_user",
-    "embedding_pca_projection",
-    "near_dup_threshold_curve",
-    "streaming_event_mix_drift",
-    "media_audio_frame_windows",
-    "media_gif_frame_sample",
-    "centroid_classifier",
-    "partitioned_scan_prune",
-    "revenue_acf",
-    "leakage_safe_split",
-    "cdc_chunk_dedup",
-    "skipgram_cooccurrence",
-    "token_burstiness",
-    "weighted_sample",
-    "association_rules",
-    "events_holt",
-    "rfm_migration",
-    "ann_recall_curve",
-    "ann_multiprobe_topk",
-    "vocab_pruning_report",
-    "vocab_growth_curve",
-    "streaming_cdc_chunk_store",
-    "hll_distinct_users",
-    "scd2_priority_history",
-    "copurchase_bfs_depth",
+    # ROUND-10 rotation (enacting the r09 VERDICT plan at
+    # __spark_entry__.py:136-143 of that revision): (a) queries whose
+    # CODE or ORACLE changed this round — re-verify first: the two new
+    # registrations (the tws sessionizer, unblocked by the vendored
+    # protobuf shim, and the IVF-probed k-NN twin), the dHash family's
+    # JPEG general-AC wire, the bounded k-NN query sample, the floored
+    # histogram bucket, the true recall denominators, and the whole
+    # dedup family now routed through the shared memoized front end.
+    "streaming_timeout_sessions_tws",
+    "knn_classifier_ann",
+    "token_pagerank",
     "knn_classifier",
-    "matryoshka_recall",
-    "streaming_hll_distinct",
-    "lsh_band_sweep",
-    "copurchase_kcore",
-    "readability_scores",
-    "ivf_nprobe_sweep",
-    "customers_with_full_set",
+    "media_dhash",
+    "media_dhash_near_dups",
+    "media_dup_clusters",
     "streaming_value_histogram",
-    "media_luma_histogram",
-    "label_compactness",
+    "matryoshka_recall",
+    "ivf_nprobe_sweep",
     "jl_distortion_report",
-    # (streaming_timeout_sessions_tws self-enables with protobuf; it
-    # cannot sit here unconditionally — _VERIFY_FIRST is asserted ⊆
-    # the registry)
-    # (c) the 8 r03-stale leftovers (oldest driver-green rows anywhere)
-    "retention_cohorts",
-    "revenue_moving_avg",
-    "streaming_dedup",
-    "streaming_first_seen",
-    "streaming_inverted_index",
-    "streaming_range_join",
-    "token_length_histogram",
-    "vocab_stats",
-    # (d) the 47-entry r04 cohort, alphabetical — whatever fits inside
-    # the 50-slot sample gets fresh rows this round; the remainder (all
-    # r04-green, none older) cycles to round 10. KEEP (d) LAST:
-    # round-9 additions insert above it, pushing filler past slot 50
-    # harmlessly.
-    # ROUND-10 rotation note: the continuous round-9 build grew the
-    # changed/new block to 37 entries, so the r09 50-slot sample =
-    # 4 changed + 37 new + the 8 r03 leftovers + ONE r04 entry
-    # (asof_error_purchase). Front-load in r10: round-10 changed/new,
-    # any r09 non-greens, then the ENTIRE remaining r04 cohort — the
-    # 46 alphabetical entries below from asof_prior_purchase through
-    # zorder_skipping (they are all r04-green, nothing older remains
-    # anywhere). Whatever the 50-slot window cuts cycles to r11.
-    "asof_error_purchase",
+    "lsh_recall",
+    "lsh_band_sweep",
+    "near_dup_threshold_curve",
+    "leakage_safe_split",
+    "canonical_docs",
+    "curation_funnel",
+    "minhash_accuracy",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    "dup_graph_stats",
+    "tf_idf",
+    "lm_doc_scores",
+    "boilerplate_score",
+    "ngram_novelty",
+    # (b) the REMAINDER of the r04 cohort (oldest green rows left
+    # anywhere), alphabetical; the dedup-family members of that cohort
+    # already sit in block (a). The 50-slot driver window covers (a)
+    # plus the first ~25 here; whatever it cuts cycles to r11 —
+    # front-load THOSE in the r11 rotation, then asof_error_purchase
+    # (r09-green) and the r09 cohort as the next-oldest tiers.
     "asof_prior_purchase",
     "bm25_search",
-    "canonical_docs",
     "cms_hot_tokens",
     "cross_source_overlap",
-    "curation_funnel",
     "dedup_rate_by_source",
-    "dup_graph_stats",
     "dup_spans",
     "events_anomaly",
     "events_json_stats",
@@ -165,11 +123,7 @@ _VERIFY_FIRST = [
     "join_hotspots",
     "kmeans_embeddings",
     "label_quality_profile",
-    "minhash_accuracy",
-    "minhash_lsh_pairs",
     "minhash_signatures",
-    "near_dup_clusters",
-    "ngram_jaccard_pairs",
     "per_source_topk_sample",
     "phrase_search",
     "profile_orders",
@@ -184,7 +138,6 @@ _VERIFY_FIRST = [
     "streaming_quality_filter",
     "streaming_static_enrich",
     "streaming_tumbling",
-    "token_pagerank",
     "user_activity_pivot",
     "zorder_layout",
     "zorder_skipping",

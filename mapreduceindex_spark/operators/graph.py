@@ -42,12 +42,17 @@ def token_pagerank(
     weight ``n_ab`` exists per distinct adjacent pair (adjacency never
     crosses document boundaries). Per iteration, in BIGINT micro-units::
 
-        rank'(v) = (100-d)% base  +  d% · Σ_{a→v} (rank(a)·n_ab) DIV out_w(a)
+        rank'(v) = (100-d)% base
+                 + d% · (Σ_{a→v} (rank(a)·n_ab) DIV out_w(a)
+                         + dangling DIV N)
 
-    with ``base = SCALE DIV N`` mass spread uniformly. Dangling-node
-    mass (tokens that never precede another token) is dropped rather
-    than redistributed — a documented simplification that keeps every
-    term a pure integer expression on both engines.
+    with ``base = SCALE DIV N`` mass spread uniformly and ``dangling``
+    = Σ rank over nodes with no out-edge (tokens that never precede
+    another token), redistributed uniformly each round as a FLOORED
+    integer share — standard PageRank dangling-mass semantics, kept as
+    pure integer expressions on both engines (the floored N-way share
+    is the one deliberate deviation from the real-valued formula; it
+    under-counts each node by < 1 micro-unit per round).
 
     Scale shape: the graph frames are VOCABULARY-bounded (nodes = vocab,
     edges = distinct bigrams), a property of the language, not the
@@ -80,12 +85,22 @@ def token_pagerank(
     edges2 = edges.join(out_w, "a").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = toks.select("w").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     ncnt = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # dangling nodes: tokens that never PRECEDE another token (no
+    # out-edge) — their rank mass redistributes uniformly each round
+    # (floored integer share), matching standard PageRank semantics
+    # instead of dropping the mass (r09 VERDICT "what's missing" #4)
+    no_out = nodes.join(
+        out_w.select(F.col("a").alias("w")), "w", "left_anti"
+    )
 
     d = int(damping_pct)
     ranks = nodes.join(F.broadcast(ncnt)).select(
         "w", F.expr(f"CAST({_SCALE} DIV _n AS BIGINT)").alias("r")
     )
     for _ in range(iters):
+        dsum = ranks.join(no_out, "w", "left_semi").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_ds")
+        )
         contrib = (
             edges2.join(ranks, edges2["a"] == ranks["w"])
             .select(
@@ -98,11 +113,13 @@ def token_pagerank(
         ranks = (
             nodes.join(F.broadcast(ncnt))
             .join(contrib, nodes["w"] == contrib["b"], "left")
+            .crossJoin(F.broadcast(dsum))
             .select(
                 "w",
                 F.expr(
                     f"CAST({(100 - d) * _SCALE // 100} DIV _n "
-                    f"+ {d} * coalesce(cs, 0) DIV 100 AS BIGINT)"
+                    f"+ {d} * (coalesce(cs, 0) + _ds DIV _n) DIV 100 "
+                    "AS BIGINT)"
                 ).alias("r"),
             )
         )
@@ -145,6 +162,10 @@ def token_pagerank_oracle_sql(
         ),
         "ncnt AS (SELECT count(*)::BIGINT AS n FROM nodes)",
         (
+            "noout AS (SELECT w FROM nodes "
+            "WHERE w NOT IN (SELECT a FROM ow))"
+        ),
+        (
             f"r0 AS (SELECT w, CAST({_SCALE} // n AS BIGINT) AS r "
             "FROM nodes, ncnt)"
         ),
@@ -152,15 +173,20 @@ def token_pagerank_oracle_sql(
     prev = "r0"
     for i in range(1, iters + 1):
         ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(r), 0)::BIGINT AS ds "
+            f"FROM {prev} JOIN noout USING (w))"
+        )
+        ctes.append(
             f"c{i} AS (SELECT e2.b, "
             f"sum(CAST({prev}.r * e2.n_ab // e2.out_w AS BIGINT))::BIGINT "
             f"AS cs FROM e2 JOIN {prev} ON {prev}.w = e2.a GROUP BY e2.b)"
         )
         ctes.append(
             f"r{i} AS (SELECT nodes.w, "
-            f"CAST({base} // n + {d} * coalesce(c{i}.cs, 0) // 100 "
+            f"CAST({base} // n "
+            f"+ {d} * (coalesce(c{i}.cs, 0) + ds // n) // 100 "
             f"AS BIGINT) AS r "
-            f"FROM nodes CROSS JOIN ncnt "
+            f"FROM nodes CROSS JOIN ncnt CROSS JOIN d{i} "
             f"LEFT JOIN c{i} ON nodes.w = c{i}.b)"
         )
         prev = f"r{i}"

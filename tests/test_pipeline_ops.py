@@ -296,5 +296,8 @@ def test_token_pagerank_empty_and_single_doc(spark):
     assert G.token_pagerank(empty).count() == 0
     one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     got = G.token_pagerank(one).collect()
-    # single node, no edges: rank = base share = 150000, all mass dangles
-    assert [(r["token"], r["rank_micro"]) for r in got] == [("solo", 150000)]
+    # single node, no edges: its whole mass dangles and redistributes
+    # back to itself — 0.15 base + 0.85 dangling = full SCALE (standard
+    # PageRank dangling semantics; before round 10 the mass was dropped
+    # and this pinned 150000)
+    assert [(r["token"], r["rank_micro"]) for r in got] == [("solo", 1000000)]
