@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     # dedup family now routed through the shared memoized front end.
     "streaming_timeout_sessions_tws",
     "knn_classifier_ann",
+    "semantic_dup_threshold_curve",
     "token_pagerank",
     "knn_classifier",
     "media_dhash",
@@ -950,6 +951,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             STREAM.streaming_lsh_dedup_pairs(
                 s, d, n=3, num_hashes=16, bands=4, threshold=0.5
             )
+        ),
+        "semantic_dup_threshold_curve": lambda s, d: (
+            S.semantic_dup_threshold_curve(_t(s, d, "embeddings"))
         ),
         "semantic_dedup": lambda s, d: S.semantic_dedup(
             _t(s, d, "embeddings"), threshold=0.95
@@ -7257,6 +7261,45 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    count(*)::BIGINT AS n_shared_ngrams
             FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
             GROUP BY 1, 2
+        """,
+        "semantic_dup_threshold_curve": f"""
+            -- brute-force q6 cosine over all a<b pairs (the exact tier
+            -- the engine's calibration sweep also uses), tie-free ppm
+            -- integers, zero-filled threshold sweep
+            WITH q AS (
+              SELECT vec_id AS vec_a, embedding AS emb FROM embeddings
+            ), c AS (
+              SELECT vec_id AS vec_b, embedding AS emb FROM embeddings
+            ), pairs AS (
+              SELECT CAST(floor({_COSINE} * 1000000 + 0.5) AS BIGINT)
+                       AS cppm,
+                     q.vec_a, c.vec_b
+              FROM q JOIN c ON q.vec_a < c.vec_b
+            ), th AS (
+              SELECT unnest([800000, 900000, 950000, 990000])
+                       AS threshold_ppm
+            ), qual AS (
+              SELECT th.threshold_ppm, p.vec_a, p.vec_b
+              FROM pairs p JOIN th ON p.cppm >= th.threshold_ppm
+            ), pc AS (
+              SELECT threshold_ppm, count(*)::BIGINT AS n_pairs
+              FROM qual GROUP BY 1
+            ), vc AS (
+              SELECT threshold_ppm,
+                     count(DISTINCT v)::BIGINT AS n_vecs_affected
+              FROM (SELECT threshold_ppm, vec_a AS v FROM qual
+                    UNION ALL
+                    SELECT threshold_ppm, vec_b FROM qual)
+              GROUP BY 1
+            )
+            SELECT th.threshold_ppm::BIGINT AS threshold_ppm,
+                   coalesce(pc.n_pairs, 0)::BIGINT AS n_pairs,
+                   coalesce(vc.n_vecs_affected, 0)::BIGINT
+                     AS n_vecs_affected
+            FROM th
+            LEFT JOIN pc USING (threshold_ppm)
+            LEFT JOIN vc USING (threshold_ppm)
+            ORDER BY threshold_ppm
         """,
         "semantic_dedup": f"""
             WITH RECURSIVE q AS (

@@ -642,6 +642,74 @@ def semantic_dedup(
     )
 
 
+def semantic_dup_threshold_curve(
+    embeddings: DataFrame,
+    thresholds: tuple[float, ...] = (0.8, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """The SEMANTIC dedup-policy tuning table — the embedding-space
+    twin of ``dedup.near_dup_threshold_curve``: for each candidate
+    cosine threshold, how many vector pairs qualify and how many
+    vectors they touch, the curve read before committing a SemDeDup
+    threshold (too low: topic-mates merge; too high: paraphrases
+    survive).
+
+    One pair search at the LOWEST threshold dominates every higher
+    one; the sweep is a broadcast explode over the (output-
+    proportional) pair set. The pair source is the EXACT tier
+    (``embedding_near_dups(method="exact")`` — block-nested BLAS,
+    recall 1.0): a calibration sweep must rank thresholds against
+    ground truth, and the banded sign-LSH tier's recall FALLS with the
+    threshold (≈0.73 at 0.80 cosine under the shipped r=8, b=8 —
+    exactly the distortion a tuning table cannot carry). Production
+    dedup then runs the LSH tier AT the chosen threshold, where its
+    banding is sized. Comparisons are tie-free ppm integers
+    (floor(q6·1e6 + 0.5) ≥ t_ppm, the ``near_dup_threshold_curve``
+    discipline); empty thresholds zero-fill.
+
+    Output: (threshold_ppm, n_pairs, n_vecs_affected), by threshold.
+    """
+    spark = embeddings.sparkSession
+    t_ppms = sorted(int(round(t * 1_000_000)) for t in thresholds)
+    pairs = embedding_near_dups(
+        embeddings, threshold=min(thresholds), method="exact"
+    ).select(
+        "vec_a",
+        "vec_b",
+        F.expr("CAST(floor(cosine * 1000000 + 0.5) AS BIGINT)").alias(
+            "_cppm"
+        ),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in t_ppms], "threshold_ppm bigint"
+    )
+    qual = pairs.join(
+        F.broadcast(th), F.col("_cppm") >= F.col("threshold_ppm")
+    )
+    pair_counts = qual.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    vec_counts = (
+        qual.select(
+            "threshold_ppm",
+            F.explode(F.array("vec_a", "vec_b")).alias("_v"),
+        )
+        .groupBy("threshold_ppm")
+        .agg(F.countDistinct("_v").cast("long").alias("n_vecs_affected"))
+    )
+    return (
+        th.join(pair_counts, "threshold_ppm", "left")
+        .join(vec_counts, "threshold_ppm", "left")
+        .select(
+            "threshold_ppm",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_vecs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_vecs_affected"),
+        )
+        .orderBy("threshold_ppm")
+    )
+
+
 def ivf_topk_trained(
     embeddings: DataFrame,
     n_queries: int = 10,
