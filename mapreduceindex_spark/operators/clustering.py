@@ -477,6 +477,75 @@ def centroid_classifier(
     )
 
 
+def _exact_knn_neighbors(train: DataFrame, test: DataFrame, k: int) -> DataFrame:
+    """(sid, slabel, tid, tlabel) of each test vector's ``k`` nearest
+    train vectors under EXACT integer squared distance — the shared
+    scoring core of both k-NN classifier tiers.
+
+    Execution: the bounded test side (≤ ``max_query_ids`` rows by the
+    callers' construction) collects into the kernel closure as one
+    int64 matrix; one ``mapInPandas`` pass over the train side computes
+    ``d² = |x|² + |t|² − 2·x·t`` with an int64 numpy matmul — EXACT
+    integer arithmetic, bit-identical to the per-pair
+    ``aggregate(zip_with(...))`` fold it replaces, which ran
+    interpreted (outside codegen) and cost ~8 s at sf0.1's 1600×400
+    pair grid vs ~1 s for BLAS. Each batch emits its LOCAL top-k per
+    query under the global (d², tid) order — a superset of every
+    batch's contribution to the global top-k — and one window settles
+    the final ranking over the batches·k·|test|-bounded candidate set.
+
+    Headroom: micro components |v| ≤ ~1e6 give cross terms ≤ d·1e12 and
+    d² ≤ 4·d·1e12 — int64-safe to ~10⁵ dimensions.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    spark = train.sparkSession
+    schema = "sid long, slabel long, tid long, tlabel long, dist2_u long"
+    rows = test.collect()  # bounded by construction (max_query_ids)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    T = np.array([r["sv"] for r in rows], dtype=np.int64)
+    sids = np.array([r["sid"] for r in rows], dtype=np.int64)
+    slabels = np.array([r["slabel"] for r in rows], dtype=np.int64)
+    t_norm2 = (T * T).sum(axis=1)
+
+    def _kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["tv"].to_numpy()).astype(np.int64)
+            tids = pdf["tid"].to_numpy()
+            tlabels = pdf["tlabel"].to_numpy()
+            x_norm2 = (X * X).sum(axis=1)
+            d2 = (
+                x_norm2[:, None] + t_norm2[None, :] - 2 * (X @ T.T)
+            )  # |batch| × |test|, exact int64
+            kk = min(k, len(tids))
+            out = {c: [] for c in
+                   ("sid", "slabel", "tid", "tlabel", "dist2_u")}
+            for j in range(len(sids)):
+                order = np.lexsort((tids, d2[:, j]))[:kk]
+                out["sid"].extend([int(sids[j])] * len(order))
+                out["slabel"].extend([int(slabels[j])] * len(order))
+                out["tid"].extend(tids[order].tolist())
+                out["tlabel"].extend(tlabels[order].tolist())
+                out["dist2_u"].extend(d2[order, j].tolist())
+            yield pd.DataFrame(out)
+
+    cand = train.mapInPandas(_kernel, schema=schema)
+    wk = Window.partitionBy("sid").orderBy(
+        F.col("dist2_u").asc(), F.col("tid").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("sid", "slabel", "tid", "tlabel", "dist2_u")
+    )
+
+
 def knn_classifier(
     embeddings: DataFrame,
     k: int = 5,
@@ -506,9 +575,12 @@ def knn_classifier(
     pattern — r09 VERDICT: the full 20% held-out fraction grows with
     the corpus, so the broadcast was a corpus fraction, not a
     constant), so one pass over the train side carries at most
-    ``max_query_ids`` query rows regardless of scale. The top-k and
-    vote argmax are windows partitioned BY query vector — never a
-    global sort; output is the |labels|²-bounded confusion matrix.
+    ``max_query_ids`` query rows regardless of scale. Scoring runs in
+    the shared int64-BLAS kernel (``_exact_knn_neighbors`` — exact
+    integer arithmetic, one Arrow pass over the train side, ~8× the
+    interpreted per-pair fold it replaced); the vote argmax is a
+    window partitioned BY query vector — never a global sort; output
+    is the |labels|²-bounded confusion matrix.
 
     Output: (label, predicted, n_vecs, sum_votes) per confusion cell —
     sum_votes (Σ winning vote counts) pins the neighbor sets into the
@@ -542,22 +614,8 @@ def knn_classifier(
         F.col("label").alias("slabel"),
         F.col("qv").alias("sv"),
     )
-    scored = train.join(F.broadcast(test)).select(
-        "sid",
-        "slabel",
-        "tid",
-        "tlabel",
-        F.expr(
-            "aggregate(zip_with(sv, tv, (x, y) -> (x - y) * (x - y)), "
-            "0L, (acc, v) -> acc + v)"
-        ).alias("dist2_u"),
-    )
-    wk = Window.partitionBy("sid").orderBy(
-        F.col("dist2_u").asc(), F.col("tid").asc()
-    )
     votes = (
-        scored.withColumn("_rn", F.row_number().over(wk))
-        .filter(F.col("_rn") <= k)
+        _exact_knn_neighbors(train, test, k)
         .groupBy("sid", "slabel", "tlabel")
         .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
     )
@@ -684,29 +742,72 @@ def knn_classifier_ann(
         .filter(F.col("_cr") <= n_probe)
         .select("sid", "cent_id")
     )
+    # probed-cell candidate scoring: per-CELL int64 BLAS (the
+    # _exact_knn_neighbors kernel shape restricted to each cell's
+    # members × the queries probing it — the IVF plan's per-cell work,
+    # vectorized; the interpreted per-pair fold it replaces cost 3.5 s
+    # of the query's 5.2 s at sf0.1). Closure state is bounded: the
+    # test matrix (≤ max_query_ids) and the m·n_probe probe map.
+    import numpy as np
+    import pandas as pd
+
+    test_rows = test.collect()  # bounded by max_query_ids
+    probe_rows = qprobe.collect()  # ≤ |test| · n_probe
+    T = (
+        np.array([r["sv"] for r in test_rows], dtype=np.int64)
+        if test_rows
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    s_index = {int(r["sid"]): i for i, r in enumerate(test_rows)}
+    slabel_by_sid = {
+        int(r["sid"]): int(r["slabel"]) for r in test_rows
+    }
+    t_norm2 = (T * T).sum(axis=1) if len(test_rows) else None
+    probes_by_cell: dict[int, list[int]] = {}
+    for r in probe_rows:
+        probes_by_cell.setdefault(int(r["cent_id"]), []).append(
+            int(r["sid"])
+        )
+
+    def _cell_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ("sid", "slabel", "tid", "tlabel", "dist2_u")
+        empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        probing = probes_by_cell.get(int(key[0]), [])
+        if not probing or pdf.empty:
+            return empty
+        X = np.stack(pdf["tv"].to_numpy()).astype(np.int64)
+        tids = pdf["tid"].to_numpy()
+        tlabels = pdf["tlabel"].to_numpy()
+        x_norm2 = (X * X).sum(axis=1)
+        kk = min(k, len(tids))
+        out = {c: [] for c in cols}
+        for sid in probing:
+            j = s_index[sid]
+            d2 = x_norm2 + t_norm2[j] - 2 * (X @ T[j])
+            order = np.lexsort((tids, d2))[:kk]
+            out["sid"].extend([sid] * len(order))
+            out["slabel"].extend([slabel_by_sid[sid]] * len(order))
+            out["tid"].extend(tids[order].tolist())
+            out["tlabel"].extend(tlabels[order].tolist())
+            out["dist2_u"].extend(d2[order].tolist())
+        return pd.DataFrame(out)
+
     wk = Window.partitionBy("sid").orderBy(
         F.col("dist2_u").asc(), F.col("tid").asc()
     )
     ann_nn = (
-        cells.join(F.broadcast(qprobe), "cent_id")
-        .join(F.broadcast(test), "sid")
-        .select(
-            "sid", "slabel", "tid", "tlabel",
-            F.expr(dist2.format(a="sv", b="tv")).alias("dist2_u"),
+        cells.groupBy("cent_id")
+        .applyInPandas(
+            _cell_kernel,
+            schema="sid long, slabel long, tid long, tlabel long, "
+            "dist2_u long",
         )
         .withColumn("_rn", F.row_number().over(wk))
         .filter(F.col("_rn") <= k)
         .select("sid", "slabel", "tid", "tlabel")
     )
-    exact_nn = (
-        train.join(F.broadcast(test))
-        .select(
-            "sid", "slabel", "tid", "tlabel",
-            F.expr(dist2.format(a="sv", b="tv")).alias("dist2_u"),
-        )
-        .withColumn("_rn", F.row_number().over(wk))
-        .filter(F.col("_rn") <= k)
-        .select("sid", "slabel", "tid", "tlabel")
+    exact_nn = _exact_knn_neighbors(train, test, k).select(
+        "sid", "slabel", "tid", "tlabel"
     )
 
     def _pred(nn):
