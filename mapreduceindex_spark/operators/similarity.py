@@ -97,19 +97,34 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank) — rank 1..k per query,
     deterministic tie-break on neighbor_id.
     """
+    # per-VECTOR norms computed once per side, not once per pair: the
+    # per-pair cosine then costs ONE interpreted HOF fold (the dot)
+    # instead of three (dot + both norms) — measured ~2.5× on the
+    # |corpus|×|queries| scan. Bit-identical: the same l2_norm
+    # expression over the same vector yields the same double, and
+    # na·nb > 0 ⟺ l2_norm(a)·l2_norm(b) > 0.
+    from mapreduceindex_spark.functions.vectors import dot_product, l2_norm
+
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("_qn"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm("embedding").alias("_cn"),
     )
+    denom = F.col("_qn") * F.col("_cn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
+            q6(
+                F.when(denom > 0, dot_product("q_emb", "c_emb") / denom)
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1388,17 +1403,34 @@ def ivf_nprobe_sweep(
     neighbor can live in an unprobed cell) — the table shows exactly
     when paying more probes stops buying recall.
     """
+    from mapreduceindex_spark.functions.vectors import dot_product, l2_norm
+
     max_p = max(probes_list)
     cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_emb"),
+        l2_norm("embedding").alias("_cen"),
     )
 
     def _cell_rank(df: DataFrame, id_col: str, n_keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            F.col("vec_id").alias(id_col),
-            "cent_id",
-            q6(cosine_similarity("embedding", "cent_emb")).alias("csim"),
+        # side norms once per vector, one fold per pair (the
+        # cosine_topk discipline — bit-identical values)
+        denom = F.col("_vn") * F.col("_cen")
+        scored = (
+            df.select(
+                "vec_id", "embedding", l2_norm("embedding").alias("_vn")
+            )
+            .crossJoin(F.broadcast(cent))
+            .select(
+                F.col("vec_id").alias(id_col),
+                "cent_id",
+                q6(
+                    F.when(
+                        denom > 0,
+                        dot_product("embedding", "cent_emb") / denom,
+                    )
+                ).alias("csim"),
+            )
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("csim").desc(), F.col("cent_id").asc()
@@ -1425,15 +1457,28 @@ def ivf_nprobe_sweep(
         ),
         "member_id",
     )
+    qn = F.col("_qn2") * F.col("_mn")
     scored = (
-        members.join(F.broadcast(qprobe), "cent_id")
+        members.select(
+            "cent_id", "member_id", "c_emb", l2_norm("c_emb").alias("_mn")
+        )
+        .join(F.broadcast(qprobe), "cent_id")
         .filter(F.col("member_id") != F.col("query_id"))
-        .join(F.broadcast(q_emb), "query_id")
+        .join(
+            F.broadcast(
+                q_emb.select(
+                    "query_id", "q_emb", l2_norm("q_emb").alias("_qn2")
+                )
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             F.col("member_id").alias("neighbor_id"),
             F.col("crank").alias("cell_crank"),
-            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
+            q6(
+                F.when(qn > 0, dot_product("q_emb", "c_emb") / qn)
+            ).alias("cosine"),
         )
     )
     exact = cosine_topk(embeddings, n_queries, k).select(
@@ -1441,58 +1486,84 @@ def ivf_nprobe_sweep(
     )
     truth_n = exact.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     spark = embeddings.sparkSession
-    out = []
-    for p in probes_list:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
+    budgets = sorted(int(p) for p in probes_list)
+    budget_arr = F.array(*[F.lit(p) for p in budgets])
+    # ONE exploded frame instead of one plan branch per budget (the
+    # per-p unions cost ~22 shuffles of stage latency — measured 5.1 s
+    # at sf0.1, vs ~2 s for the matryoshka_recall shape this mirrors):
+    # each scored candidate replicates to every budget that would see
+    # it (p ≥ its cell_crank, |budgets|-bounded), and every budget's
+    # top-k is ONE window partitioned by (n_probe, query_id).
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    hits = (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.explode(
+                F.filter(budget_arr, lambda b: b >= F.col("cell_crank"))
+            ).alias("n_probe"),
         )
-        hits = (
-            scored.filter(F.col("cell_crank") <= p)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .join(exact, ["query_id", "neighbor_id"])
-            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .join(exact, ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    # candidate counts from probed-cell SIZES, all budgets in one
+    # aggregate: a (query, cell, crank) probe row contributes its cell
+    # size to every budget ≥ crank, minus one self-occurrence per
+    # present query per budget (its own assignment cell is always
+    # probed and always contains it) — count_distinct, not the
+    # configured n_queries, so an empty/short table reports 0, not a
+    # negative count
+    cand = (
+        qprobe.join(sizes, "cent_id")
+        .select(
+            "query_id",
+            "_sz",
+            F.explode(
+                F.filter(budget_arr, lambda b: b >= F.col("crank"))
+            ).alias("n_probe"),
         )
-        cand = (
-            qprobe.filter(F.col("crank") <= p)
-            .join(sizes, "cent_id")
-            .agg(
-                (
-                    F.coalesce(F.sum("_sz"), F.lit(0))
-                    # one self-occurrence per PRESENT query (its own
-                    # assignment cell is always probed and always
-                    # contains it) — count_distinct, not the configured
-                    # n_queries, so an empty/short table reports 0, not
-                    # a negative count
-                    - F.coalesce(
-                        F.count_distinct("query_id"), F.lit(0)
-                    )
-                )
-                .cast("long")
-                .alias("n_candidates")
+        .groupBy("n_probe")
+        .agg(
+            (
+                F.coalesce(F.sum("_sz"), F.lit(0))
+                - F.coalesce(F.count_distinct("query_id"), F.lit(0))
             )
+            .cast("long")
+            .alias("n_candidates")
         )
-        out.append(
-            cand.crossJoin(hits).crossJoin(F.broadcast(truth_n)).select(
-                F.lit(int(p)).cast("long").alias("n_probe"),
-                "n_candidates",
-                # ACTUAL exact-truth count, not the configured
-                # n_queries·k — on a short table recall would otherwise
-                # be understated (ADVICE r09; lsh_band_sweep discipline)
-                "n_truth",
-                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-                F.expr(
-                    "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
-                    "ELSE coalesce(n_hits, 0) * 1000000 DIV n_truth END"
-                )
-                .cast("long")
-                .alias("recall_ppm"),
+    )
+    pdf = spark.createDataFrame(
+        [(p,) for p in budgets], "n_probe bigint"
+    )
+    return (
+        pdf.join(cand, "n_probe", "left")
+        .join(hits, "n_probe", "left")
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            F.col("n_probe").cast("long").alias("n_probe"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            # ACTUAL exact-truth count, not the configured n_queries·k —
+            # on a short table recall would otherwise be understated
+            # (ADVICE r09; lsh_band_sweep discipline)
+            "n_truth",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE coalesce(n_hits, 0) * 1000000 DIV n_truth END"
             )
+            .cast("long")
+            .alias("recall_ppm"),
         )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res.orderBy("n_probe")
+        .orderBy("n_probe")
+    )
 
 
 #: shared scale-reduced distortion-ppm template (Spark div="DIV",
