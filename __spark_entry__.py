@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "streaming_timeout_sessions_tws",
     "knn_classifier_ann",
     "semantic_dup_threshold_curve",
+    "streaming_semantic_dedup_pairs",
     "token_pagerank",
     "knn_classifier",
     "media_dhash",
@@ -946,6 +947,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "streaming_asof_enrich": lambda s, d: (
             STREAM.streaming_asof_enrich(s, d)
+        ),
+        "streaming_semantic_dedup_pairs": lambda s, d: (
+            STREAM.streaming_semantic_dedup_pairs(s, d)
         ),
         "streaming_lsh_dedup_pairs": lambda s, d: (
             STREAM.streaming_lsh_dedup_pairs(
@@ -3339,6 +3343,29 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               SELECT vec_id AS vec_a, embedding AS emb FROM embeddings
             ), c AS (
               SELECT vec_id AS vec_b, embedding AS emb FROM embeddings
+            ), scored AS (
+              SELECT q.vec_a, c.vec_b, {_COSINE} AS cosine
+              FROM q JOIN c ON q.vec_a < c.vec_b
+            )
+            SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.95
+        """,
+        "streaming_semantic_dedup_pairs": f"""
+            -- bounded-stream ground truth over the AUGMENTED table
+            -- (each vector re-ingested under vec_id + 1e6 — the
+            -- fixture dup-injection harness; the raw fixture has no
+            -- cosine >= 0.95 pairs): brute-force >= threshold pair
+            -- set — injected duplicates carry bit-identical buckets,
+            -- so the banded index provably recalls every one, and
+            -- exact verification admits nothing else (max
+            -- cross-content cosine ~ 0.51)
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings
+            ), q AS (
+              SELECT vec_id AS vec_a, embedding AS emb FROM u
+            ), c AS (
+              SELECT vec_id AS vec_b, embedding AS emb FROM u
             ), scored AS (
               SELECT q.vec_a, c.vec_b, {_COSINE} AS cosine
               FROM q JOIN c ON q.vec_a < c.vec_b

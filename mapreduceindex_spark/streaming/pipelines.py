@@ -788,6 +788,34 @@ def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+def _make_bucket_index_fold(id_col: str, out_a: str, out_b: str):
+    """The streaming dedup-INDEX state fold shared by the lexical
+    (``streaming_lsh_dedup_pairs``) and semantic
+    (``streaming_semantic_dedup_pairs``) ingest dedup operators: state
+    per bucket is the sorted id list seen so far; each arriving batch
+    emits (old × new) + (new × new) candidate pairs, so every pair is
+    emitted exactly once regardless of how the stream micro-batches
+    (order-independence pinned by the split-corpus tests)."""
+    import pandas as pd
+
+    def _fold(key, pdfs, state):
+        old = list(state.get[0]) if state.exists else []
+        new_ids = sorted(
+            {int(d) for pdf in pdfs for d in pdf[id_col]} - set(old)
+        )
+        pairs = [(min(a, b), max(a, b)) for a in old for b in new_ids]
+        pairs += [
+            (new_ids[i], new_ids[j])
+            for i in range(len(new_ids))
+            for j in range(i + 1, len(new_ids))
+        ]
+        state.update((sorted(old + new_ids),))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=[out_a, out_b])
+
+    return _fold
+
+
 def streaming_lsh_dedup_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -912,23 +940,8 @@ def streaming_lsh_dedup_pairs(
         "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
     )
 
-    def _bucket_pairs(key, pdfs, state: GroupState):
-        old = list(state.get[0]) if state.exists else []
-        new_ids = sorted(
-            {int(d) for pdf in pdfs for d in pdf["doc_id"]} - set(old)
-        )
-        pairs = [(min(a, b), max(a, b)) for a in old for b in new_ids]
-        pairs += [
-            (new_ids[i], new_ids[j])
-            for i in range(len(new_ids))
-            for j in range(i + 1, len(new_ids))
-        ]
-        state.update((sorted(old + new_ids),))
-        if pairs:
-            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
-
     cand_stream = stacked.groupBy("bucket").applyInPandasWithState(
-        _bucket_pairs,
+        _make_bucket_index_fold("doc_id", "doc_a", "doc_b"),
         outputStructType="doc_a bigint, doc_b bigint",
         stateStructType="ids array<bigint>",
         outputMode="append",
@@ -957,6 +970,168 @@ def streaming_lsh_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def streaming_semantic_dedup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_planes: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+    source_dir: str | None = None,
+    source_glob: str = "embeddings.parquet",
+    max_files_per_trigger: int = 4,
+    reingest_offset: int | None = 1_000_000,
+) -> DataFrame:
+    """Ingest-time SEMANTIC near-duplicate detection over the embedding
+    stream — the vector-space twin of ``streaming_lsh_dedup_pairs``:
+    as each embedding arrives, its banded sign-LSH buckets are checked
+    against every vector seen so far and candidate pairs emit
+    immediately. The front-door SemDeDup gate an LLM-data ingest
+    pipeline runs next to the lexical one (paraphrases and
+    re-encodings share no shingles; only the vector gate catches
+    them).
+
+    Three stages, mirroring the lexical operator:
+
+    1. **Stateless per-row bucketing** — the SAME deterministic
+       hyperplanes, band split, and numpy sign-bit matmul as the batch
+       ``embedding_near_dups`` LSH tier (one N×dim @ dim×planes matmul
+       per Arrow batch; a vector emits ``bands`` bucket keys).
+    2. **Stateful bucket index** — the shared
+       ``_make_bucket_index_fold`` state: sorted vec_id list per
+       bucket, (old × new) + (new × new) emission, state = the LSH
+       index itself (vectors × bands entries).
+    3. **Batch verification** — exact q6 cosine against the
+       (augmented) embeddings table (per-side norms, one dot fold per
+       pair — the ``cosine_topk`` discipline), ≥ ``threshold`` kept.
+
+    ``reingest_offset`` (the fixture's dup-injection harness): the
+    synthetic embedding table contains NO cosine ≥ 0.95 pairs (max
+    pairwise cosine ≈ 0.51), so a bare run of the gate would be a
+    0-row, trivially-green check. With the offset set, every arriving
+    vector ALSO ingests as a re-encoded duplicate under
+    ``vec_id + offset`` — the canonical front-door case (the same
+    content embedded twice yields the same vector), expressed as a
+    per-row stream projection. Duplicate copies carry BIT-IDENTICAL
+    embeddings, hence bit-identical band buckets, so recall of the
+    injected pairs is exactly 1.0 by construction — no probabilistic
+    band argument needed — while all cross-content pairs stay ≤ 0.51
+    and can never pass verification. Production callers pass ``None``
+    for the pure gate; near-miss (cosine ≈ 0.999) recall behavior is
+    pinned by the synthetic-vector pytest fixtures instead.
+
+    Oracle basis: brute-force cosine ≥ threshold over the augmented
+    table — the banded index adds no false positives (verification is
+    exact) and provably misses none of the injected pairs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduceindex_spark.functions.exact import q6
+    from mapreduceindex_spark.functions.vectors import dot_product, l2_norm
+    from mapreduceindex_spark.operators.similarity import _hyperplanes
+    from mapreduceindex_spark.session import ensure_session_confs, load_table
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", source_glob)
+        .parquet(source_dir or sf_dir)
+    ).select("vec_id", "embedding")
+
+    def _augment(df: DataFrame) -> DataFrame:
+        if reingest_offset is None:
+            return df
+        return df.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("vec_id").alias("vec_id"), F.col("embedding")
+                    ),
+                    F.struct(
+                        (F.col("vec_id") + F.lit(int(reingest_offset)))
+                        .alias("vec_id"),
+                        F.col("embedding"),
+                    ),
+                )
+            ).alias("_r")
+        ).select("_r.vec_id", "_r.embedding")
+
+    stream = _augment(stream)
+    r = n_planes // bands
+    planes_t = [list(col) for col in zip(*_hyperplanes(n_planes, dim))]
+
+    def _buckets(batches):
+        P = np.array(planes_t)  # dim × n_planes
+        weights = 1 << np.arange(r, dtype="int64")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            bits = (E @ P) >= 0
+            frames = []
+            for bi in range(bands):
+                h = bits[:, bi * r : (bi + 1) * r].astype("int64") @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "bucket": h + (bi << r),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    # one parquet file per micro-batch arrives as one partition —
+    # spread before the matmul stage (the lexical operator's measured
+    # finding; the shuffle moves (id, vector) rows once)
+    stacked = (
+        stream.select("vec_id", "embedding")
+        .repartition(F.col("vec_id"))
+        .mapInPandas(_buckets, "vec_id long, bucket long")
+    )
+    cand_stream = stacked.groupBy("bucket").applyInPandasWithState(
+        _make_bucket_index_fold("vec_id", "vec_a", "vec_b"),
+        outputStructType="vec_a bigint, vec_b bigint",
+        stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    cand = _run_to_table(cand_stream, "append", partitions=16).distinct()
+    emb = _augment(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("_ea"),
+        l2_norm("embedding").alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("_eb"),
+        l2_norm("embedding").alias("_nb"),
+    )
+    denom = F.col("_na") * F.col("_nb")
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            q6(
+                F.when(denom > 0, dot_product("_ea", "_eb") / denom)
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
     )
 
 

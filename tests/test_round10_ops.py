@@ -420,3 +420,95 @@ def test_pbshim_loses_to_real_protobuf_if_present():
     # test is the ordering logic, pinned by the module docstring and
     # the pbshim-path check in ensure_protobuf
     assert "pbshim" in gp.__file__ or _PBSHIM_DIR not in gp.__file__
+
+
+# ---------------------------------------------------------------------------
+# streaming semantic dedup (vector front-door gate)
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "label": pa.array([0] * len(rows), pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(table, str(path))
+
+
+def test_streaming_semantic_dedup_finds_cross_batch_near_miss(
+    spark, tmp_path
+):
+    """Near-miss duplicates (cosine ≈ 0.9999, NOT byte-identical) whose
+    members arrive in different micro-batches must be caught by the
+    bucket state; orthogonal vectors must not pair. Runs with the
+    dup-injection harness off (the pure production gate)."""
+    import math
+
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_semantic_dedup_pairs,
+    )
+
+    dim = 64
+
+    def unit(axis, eps=0.0):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 1) % dim] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [float(x / n) for x in v]
+
+    base = [
+        (1, unit(0)),
+        (2, unit(7)),
+        (3, unit(19)),
+    ]
+    late = [
+        (11, unit(0, 0.01)),   # cosine ≈ 0.99995 with vec 1
+        (12, unit(7, 0.012)),  # ≈ 0.99993 with vec 2
+        (13, unit(33)),        # orthogonal to everything
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_embeddings(src / "embeddings_0.parquet", base)
+    _write_embeddings(src / "embeddings_1.parquet", late)
+    # sf_dir supplies schema + the verification table: point BOTH at a
+    # combined fixture dir
+    allv = tmp_path / "all"
+    allv.mkdir()
+    _write_embeddings(allv / "embeddings.parquet", base + late)
+    got = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in streaming_semantic_dedup_pairs(
+            spark,
+            str(allv),
+            source_dir=str(src),
+            source_glob="embeddings_*.parquet",
+            max_files_per_trigger=1,
+            reingest_offset=None,
+        ).collect()
+    )
+    assert got == [(1, 11), (2, 12)]
+
+
+def test_streaming_semantic_dedup_matches_injected_oracle(spark):
+    """With the dup-injection harness on, the output is exactly one
+    (v, v + offset) pair per fixture vector at cosine 1.0."""
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_semantic_dedup_pairs,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = streaming_semantic_dedup_pairs(spark, SF_SMALL).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert r["vec_b"] == r["vec_a"] + 1_000_000
+        assert r["cosine"] == 1.0
