@@ -75,6 +75,8 @@ _VERIFY_FIRST = [
     "knn_classifier_ann",
     "semantic_dup_threshold_curve",
     "streaming_semantic_dedup_pairs",
+    "embedding_drift_report",
+    "quality_reliability_curve",
     "token_pagerank",
     "knn_classifier",
     "media_dhash",
@@ -232,6 +234,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "contamination_check": lambda s, d: C.contamination_check(
             _t(s, d, "documents"), n=3, benchmark_mod=97
+        ),
+        "quality_reliability_curve": lambda s, d: (
+            C.quality_reliability_curve(_t(s, d, "documents"))
         ),
         "boilerplate_score": lambda s, d: C.boilerplate_score(
             _t(s, d, "documents")
@@ -686,6 +691,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings"), k=8, max_iter=5
         ),
         # supervised counterpart: hash-held-out Rocchio confusion matrix
+        "embedding_drift_report": lambda s, d: CL.embedding_drift_report(
+            _t(s, d, "embeddings")
+        ),
         "label_compactness": lambda s, d: CL.label_compactness(
             _t(s, d, "embeddings")
         ),
@@ -4232,6 +4240,48 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             SELECT label, rank::BIGINT AS rank, vec_id, dist2_u
             FROM r WHERE rank <= 3 ORDER BY label, rank
         """,
+        "embedding_drift_report": """
+            -- first-vs-second-half centroid drift: the label_outliers
+            -- micro quantization + floored integer mean per (label,
+            -- half, dim); half boundary 2*vec_id < N; BIGINT end to end
+            WITH n AS (
+              SELECT count(*)::BIGINT AS nn FROM embeddings
+            ), dims AS (
+              SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+            ), e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     CASE WHEN vec_id * 2 < n.nn THEN 0 ELSE 1 END AS half,
+                     d.dim,
+                     CAST(floor(CAST(embedding[CAST(d.dim + 1 AS INT)]
+                          AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xm
+              FROM embeddings, dims d, n WHERE d.dim < len(embedding)
+            ), counts AS (
+              SELECT label,
+                     sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_first,
+                     sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_second
+              FROM (SELECT DISTINCT vec_id, label, half FROM e)
+              GROUP BY label
+            ), cent AS (
+              SELECT label, half, dim,
+                     ((sum(xm)::BIGINT
+                       - ((((sum(xm)::BIGINT) % (count(*))) + (count(*)))
+                          % (count(*))))
+                      // (count(*))) AS c
+              FROM e GROUP BY label, half, dim
+            ), drift AS (
+              SELECT a.label,
+                     sum((a.c - b.c) * (a.c - b.c))::BIGINT AS drift2_u
+              FROM cent a JOIN cent b
+                ON a.label = b.label AND a.dim = b.dim
+               AND a.half = 0 AND b.half = 1
+              GROUP BY a.label
+            )
+            SELECT d.label, c.n_first, c.n_second, d.drift2_u
+            FROM drift d JOIN counts c USING (label)
+            ORDER BY label
+        """,
         "label_compactness": """
             -- label_outliers' floored-mean integer centroid; distances
             -- BIGINT; mean = plain floor (non-negative); nearest other
@@ -7465,6 +7515,42 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
     # has protobuf; see _tws_runtime_available)
     if _tws_runtime_available():
         d["streaming_timeout_sessions_tws"] = d["streaming_timeout_sessions"]
+    # reliability curve composes the two already-verified per-doc
+    # signals; decile = the EXPLICIT standard-NTILE formula over the
+    # (quality, doc_id) row_number — shared verbatim with the engine,
+    # no reliance on either engine's ntile()
+    d["quality_reliability_curve"] = f"""
+        WITH q AS ({d["quality_score"]}),
+        b AS ({d["boilerplate_score"]}),
+        j AS (
+          SELECT q.doc_id, q.quality, b.boilerplate_pct
+          FROM q JOIN b USING (doc_id)
+        ), n AS (SELECT count(*)::BIGINT AS nn FROM j),
+        ranked AS (
+          SELECT quality, boilerplate_pct,
+                 row_number() OVER (ORDER BY quality ASC, doc_id ASC)
+                   AS r, n.nn
+          FROM j, n
+        ), dec AS (
+          SELECT quality, boilerplate_pct,
+                 CASE WHEN (nn // 10) = 0 THEN r
+                      WHEN r <= (nn % 10) * (nn // 10 + 1)
+                      THEN (r - 1) // (nn // 10 + 1) + 1
+                      ELSE (nn % 10)
+                           + (r - (nn % 10) * (nn // 10 + 1) - 1)
+                             // (nn // 10) + 1
+                 END AS decile
+          FROM ranked
+        )
+        SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN boilerplate_pct <= 0.2 THEN 1 ELSE 0
+                   END)::BIGINT AS n_clean,
+               (sum(CASE WHEN boilerplate_pct <= 0.2 THEN 1 ELSE 0 END)
+                * 1000000 // count(*))::BIGINT AS clean_ppm,
+               min(quality) AS min_quality,
+               max(quality) AS max_quality
+        FROM dec GROUP BY decile ORDER BY decile
+    """
     # wire-format round trips re-verify against the parquet path's truth
     d["jsonl_roundtrip_wordcount"] = d["word_counts"]
     d["csv_roundtrip_wordcount"] = d["word_counts"]

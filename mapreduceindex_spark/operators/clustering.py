@@ -874,6 +874,90 @@ def knn_classifier_ann(
     )
 
 
+def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
+    """Embedding-DISTRIBUTION drift between the first and second half
+    of the table (by vec_id rank — ingestion order in the fixture):
+    per label, both halves' populations and the integer squared
+    distance between their floored-mean centroids — the vector-space
+    counterpart of ``domain_divergence``/``streaming_event_mix_drift``
+    and the check a training pipeline runs before concatenating two
+    crawl snapshots (an encoder change or a topic shift moves the
+    centroids; stable data keeps drift2 near the sampling floor).
+
+    Exactness: the ``label_outliers`` micro-quantization and floored
+    integer mean (both halves' centroids and the gap are BIGINT end to
+    end). The half boundary is ``2·vec_id < N`` with N the table count
+    — carried as a broadcast scalar frame, so the plan stays fully
+    lazy. Labels present in only one half drop from the report
+    (an inner centroid join; their absence IS the drift signal, and
+    the populations of surviving labels still expose imbalance).
+
+    Scale shape: one exploded scan → (labels × 2 × dims)-bounded
+    centroid aggregate; the gap is a model-frame join. Output:
+    (label, n_first, n_second, drift2_u), ordered by label.
+    """
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    nfrm = embeddings.agg(F.count(F.lit(1)).alias("_n"))
+    base = embeddings.crossJoin(F.broadcast(nfrm)).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.when(F.col("vec_id") * 2 < F.col("_n"), 0)
+        .otherwise(1)
+        .alias("half"),
+        "embedding",
+    )
+    counts = (
+        base.groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_second"),
+        )
+    )
+    ex = base.select(
+        "label",
+        "half",
+        F.posexplode("embedding").alias("dim", "_x"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(_x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("_xm"),
+    )
+    cent = ex.groupBy("label", "half", "dim").agg(
+        F.expr(floor_div_sql("sum(_xm)", "count(1)", "DIV")).alias("_c")
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("_c").alias("_ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("_c").alias("_cb")
+    )
+    drift = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("_ca") - F.col("_cb"))
+                * (F.col("_ca") - F.col("_cb"))
+            )
+            .cast("long")
+            .alias("drift2_u")
+        )
+    )
+    return (
+        drift.join(counts, "label")
+        .select("label", "n_first", "n_second", "drift2_u")
+        .orderBy("label")
+    )
+
+
 def label_compactness(embeddings: DataFrame) -> DataFrame:
     """Cluster-quality readout over the labeled embedding table: per
     label, how TIGHT the class is (mean and max integer squared

@@ -898,6 +898,92 @@ def curation_funnel(
     )
 
 
+def quality_reliability_curve(
+    documents: DataFrame, n_bins: int = 10, clean_max_pct: float = 0.2
+) -> DataFrame:
+    """Calibration curve between the composite ``quality_score`` and an
+    INDEPENDENT cleanliness signal (``boilerplate_score``): documents
+    rank into ``n_bins`` quality deciles, and each decile reports how
+    many of its members are boilerplate-clean (``boilerplate_pct ≤
+    clean_max_pct``). A well-calibrated quality score shows clean_ppm
+    rising monotonically with the decile; a flat curve means the score
+    is not separating what the boilerplate signal measures — the
+    reliability-diagram check run before gating a corpus on either
+    signal alone.
+
+    Decile assignment is EXACT standard NTILE over the (quality ASC,
+    doc_id ASC) total order, but computed WITHOUT a global sort: the
+    4-dp quality values form a ≤ 10001-row histogram, whose cumulative
+    counts give each value's global rank offset; a window partitioned
+    BY VALUE (ordered by doc_id) adds the within-value position. The
+    NTILE remainder rule (first ``n MOD k`` buckets take the extra
+    row) is applied as an explicit integer formula shared verbatim
+    with the oracle — no reliance on either engine's ntile().
+
+    Output: (decile, n_docs, n_clean, clean_ppm, min_quality,
+    max_quality), ordered by decile.
+    """
+    from mapreduceindex_spark.operators.text_analysis import quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    b = boilerplate_score(documents).select("doc_id", "boilerplate_pct")
+    j = q.join(b, "doc_id")
+    hist = j.groupBy("quality").agg(F.count(F.lit(1)).alias("_c"))
+    wv = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "quality",
+        F.coalesce(F.sum("_c").over(wv), F.lit(0)).alias("_off"),
+    )
+    nfrm = j.agg(F.count(F.lit(1)).alias("_n"))
+    within = Window.partitionBy("quality").orderBy("doc_id")
+    k = int(n_bins)
+    # standard NTILE from the 1-based rank r over n rows: sizes are
+    # m = n DIV k (+1 for the first n MOD k buckets)
+    bucket = F.expr(
+        f"CASE WHEN (_n DIV {k}) = 0 THEN _r "
+        f"WHEN _r <= (_n % {k}) * (_n DIV {k} + 1) "
+        f"THEN (_r - 1) DIV (_n DIV {k} + 1) + 1 "
+        f"ELSE (_n % {k}) "
+        f"+ (_r - (_n % {k}) * (_n DIV {k} + 1) - 1) DIV (_n DIV {k}) "
+        f"+ 1 END"
+    )
+    ranked = (
+        j.join(offsets, "quality")
+        .withColumn("_r", F.col("_off") + F.row_number().over(within))
+        .crossJoin(F.broadcast(nfrm))
+        .select(
+            "quality",
+            "boilerplate_pct",
+            bucket.cast("long").alias("decile"),
+        )
+    )
+    clean = F.when(
+        F.col("boilerplate_pct") <= F.lit(float(clean_max_pct)), 1
+    ).otherwise(0)
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(clean).cast("long").alias("n_clean"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_clean",
+            F.expr("n_clean * 1000000 DIV n_docs")
+            .cast("long")
+            .alias("clean_ppm"),
+            "min_quality",
+            "max_quality",
+        )
+        .orderBy("decile")
+    )
+
+
 def _nearest_rank_values(
     documents: DataFrame, col: str, pcts: dict[str, int]
 ) -> DataFrame:

@@ -512,3 +512,61 @@ def test_streaming_semantic_dedup_matches_injected_oracle(spark):
     for r in rows:
         assert r["vec_b"] == r["vec_a"] + 1_000_000
         assert r["cosine"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# embedding drift + quality reliability
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_drift_zero_for_mirrored_halves(spark):
+    """Identical first/second halves must report drift2_u == 0 with
+    balanced populations."""
+    from mapreduceindex_spark.operators.clustering import (
+        embedding_drift_report,
+    )
+
+    half = [(i, i % 2, [float(i % 5), float(i % 3)]) for i in range(10)]
+    mirrored = half + [
+        (i + 10, lab, emb) for i, lab, emb in half
+    ]
+    emb = spark.createDataFrame(mirrored, ["vec_id", "label", "embedding"])
+    rows = embedding_drift_report(emb).collect()
+    assert rows and all(r["drift2_u"] == 0 for r in rows)
+    assert all(r["n_first"] == r["n_second"] for r in rows)
+
+
+def test_embedding_drift_detects_centroid_shift(spark):
+    from mapreduceindex_spark.operators.clustering import (
+        embedding_drift_report,
+    )
+
+    rows = [(i, 0, [1.0, 0.0]) for i in range(5)] + [
+        (i + 5, 0, [2.0, 0.0]) for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = embedding_drift_report(emb).collect()
+    # centroids (1e6, 0) vs (2e6, 0) -> drift2 = 1e12
+    assert [(r["label"], r["drift2_u"]) for r in out] == [(0, 10**12)]
+
+
+def test_quality_reliability_decile_assignment_is_exact_ntile(spark):
+    """The histogram-offset rank + explicit formula must reproduce
+    standard NTILE semantics: 23 docs over 10 bins -> first 3 deciles
+    hold 3 docs, the rest 2."""
+    from mapreduceindex_spark.operators.corpus import (
+        quality_reliability_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("word " * ((i % 7) + 1)).strip()) for i in range(23)],
+        ["doc_id", "text"],
+    )
+    out = quality_reliability_curve(docs).collect()
+    sizes = [r["n_docs"] for r in sorted(out, key=lambda r: r["decile"])]
+    assert sum(sizes) == 23
+    assert sizes == [3, 3, 3, 2, 2, 2, 2, 2, 2, 2]
+    # quality ranges must be non-overlapping and increasing
+    ordered = sorted(out, key=lambda r: r["decile"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_quality"] <= b["min_quality"]
