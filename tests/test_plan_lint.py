@@ -160,6 +160,9 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "domain_mixture",  # whole-frame total over source-cardinality agg
         "hybrid_search",  # rank frames over ≤ 2·k_each fused candidates
         "skyline_orders",  # exclusive cummax over ≤ n_buckets metadata rows
+        # cumulative offsets over the ≤ 10001-row 4-dp quality-VALUE
+        # histogram (the per-doc rank window partitions by value)
+        "quality_reliability_curve",
         "rfm_segments",  # three NTILEs over the per-customer (dim) agg
         "abc_analysis",  # cumsum over the per-part (dim) agg
         "spend_gini",  # rank over the per-customer (dim) agg
