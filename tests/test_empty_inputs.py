@@ -137,6 +137,14 @@ EMPTY_SAFE = [
     "customers_with_full_set",
     "label_compactness",
     "vocab_growth_curve",
+    # round 10: empty bounded query sample (the collect-side kernels'
+    # 0-row early returns), empty drift halves, empty quality
+    # histogram. The curve/sweep REPORT queries
+    # (semantic_dup_threshold_curve: config rows even when empty) get
+    # their own zero-report test below.
+    "knn_classifier_ann",
+    "embedding_drift_report",
+    "quality_reliability_curve",
 ]
 
 
@@ -243,3 +251,15 @@ def test_luma_histogram_empty_is_zero_report(spark, empty_tables):
     ).collect()
     assert len(rows) == 8
     assert all((r.n_pixels, r.n_images_modal) == (0, 0) for r in rows)
+
+
+def test_semantic_threshold_curve_empty_is_zero_report(spark, empty_tables):
+    """semantic_dup_threshold_curve reports every configured threshold
+    on an empty table, zero-filled."""
+    rows = entrymod._all_queries()["semantic_dup_threshold_curve"](
+        spark, SF_SMALL
+    ).collect()
+    assert [r.threshold_ppm for r in rows] == [
+        800000, 900000, 950000, 990000,
+    ]
+    assert all((r.n_pairs, r.n_vecs_affected) == (0, 0) for r in rows)
