@@ -123,6 +123,15 @@ NAMES = [
     "label_compactness",
     "scd2_priority_history",
     "media_luma_histogram",
+    # round-10 additions: the BLAS kernels' per-batch local top-k must
+    # merge identically at any batch split; the per-cell ANN scoring
+    # must not see cell-to-partition placement; the histogram-offset
+    # NTILE and the JPEG-wire dHash must be partition-count-blind
+    "knn_classifier_ann",
+    "media_dhash",
+    "quality_reliability_curve",
+    "embedding_drift_report",
+    "semantic_dup_threshold_curve",
 ]
 
 
