@@ -257,6 +257,13 @@ PYTHON_ALLOWED = {
     # per-batch partial outer products (numpy Vᵀ·V in the scan stage) —
     # the d²-bounded-shuffle alternative to an N·d² exploded self-join
     "embedding_covariance_topk",
+    # round 10: exact int64-BLAS k-NN kernels (the interpreted per-pair
+    # zip_with fold measured ~8× slower; results bit-identical), and
+    # the exact-tier block-BLAS pair search the semantic threshold
+    # sweep calibrates against
+    "knn_classifier",
+    "knn_classifier_ann",
+    "semantic_dup_threshold_curve",
 }
 
 _PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
