@@ -71,6 +71,8 @@ _VERIFY_FIRST = [
     # JPEG general-AC wire, the bounded k-NN query sample, the floored
     # histogram bucket, the true recall denominators, and the whole
     # dedup family now routed through the shared memoized front end.
+    "link_prediction",
+    "label_propagation",
     "streaming_timeout_sessions_tws",
     "knn_classifier_ann",
     "semantic_dup_threshold_curve",
@@ -586,6 +588,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             FMT.orc_roundtrip_doc_stats(_t(s, d, "documents"))
         ),
         "copurchase_kcore": lambda s, d: G.copurchase_kcore(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "link_prediction": lambda s, d: G.link_prediction(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        "label_propagation": lambda s, d: G.label_propagation(
             _t(s, d, "lineitem"), _t(s, d, "part")
         ),
         "copurchase_bfs_depth": lambda s, d: G.copurchase_bfs_depth(
@@ -5367,6 +5375,8 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
 
         "copurchase_bfs_depth": G.copurchase_bfs_oracle_sql(),
         "copurchase_kcore": G.copurchase_kcore_oracle_sql(),
+        "link_prediction": G.link_prediction_oracle_sql(),
+        "label_propagation": G.label_propagation_oracle_sql(),
         "copurchase_triangles": """
             -- canonical a<b<c enumeration over the oriented edge list:
             -- middle-vertex join + closing-edge semi probe

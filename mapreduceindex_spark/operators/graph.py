@@ -535,3 +535,228 @@ def copurchase_kcore_oracle_sql(
         FROM u{rounds} GROUP BY src HAVING count(*) >= {k}
         ORDER BY p_partkey"""
     )
+
+
+def link_prediction(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Link prediction over the co-purchase graph: for every NON-adjacent
+    part pair sharing at least one co-purchase neighbor, the
+    common-neighbor count and the Resource-Allocation index (Zhou, Lü &
+    Zhang 2009) — "which parts are likely to be bought together next",
+    the candidate-edge feed behind a recommendation backfill. RA beats
+    raw common-neighbor counts by discounting hub intermediaries: a
+    shared neighbor of degree 200 says almost nothing, one of degree 3
+    says a lot.
+
+    Exactness: RA is Σ_{z ∈ CN(a,b)} 1/deg(z) — kept as integer
+    micro-units (``SCALE DIV deg(z)``, floored), so no float sum can
+    disagree across engines. Ties in the top-k rank break by
+    common-neighbor count desc, then (p_a, p_b) asc.
+
+    Scale shape: the edge basis is the shared support-filtered
+    `_copurchase_edges` (dimension-scale after the HAVING); candidate
+    pairs come from the classic wedge enumeration — und ⋈ und on the
+    middle vertex with a < b (Σ deg(z)² wedges, never an all-pairs
+    product), then one left-anti probe drops existing edges. On a
+    skewed graph the wedge count is bounded by capping hub degrees
+    upstream (min_support already removes coincidence edges).
+    """
+    edges = _copurchase_edges(lineitem, part, min_support)
+    und = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    wa = und.select(F.col("src").alias("_z"), F.col("dst").alias("p_a"))
+    wb = und.select(F.col("src").alias("_z"), F.col("dst").alias("p_b"))
+    wedges = (
+        wa.join(wb, "_z")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .join(deg.withColumnRenamed("src", "_z"), "_z")
+    )
+    scored = (
+        wedges.groupBy("p_a", "p_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.expr(f"CAST({_SCALE} DIV _deg AS BIGINT)"))
+            .cast("long")
+            .alias("ra_score_u"),
+        )
+        .join(
+            edges.select(
+                F.col("doc_a").alias("p_a"), F.col("doc_b").alias("p_b")
+            ),
+            ["p_a", "p_b"],
+            "left_anti",
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("ra_score_u").desc(),
+            F.col("common_neighbors").desc(),
+            F.col("p_a").asc(),
+            F.col("p_b").asc(),
+        )
+        .limit(top_k)
+        .select(
+            F.col("p_a").cast("long"),
+            F.col("p_b").cast("long"),
+            "common_neighbors",
+            "ra_score_u",
+        )
+    )
+
+
+def link_prediction_oracle_sql(min_support: int = 2, top_k: int = 100) -> str:
+    """DuckDB twin of :func:`link_prediction` — identical edge basis,
+    wedge enumeration, integer RA micro-units, and tie-break."""
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part)
+), e0 AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY p_a, p_b HAVING count(*) >= {min_support}
+), und AS (
+  SELECT p_a AS src, p_b AS dst FROM e0
+  UNION ALL
+  SELECT p_b AS src, p_a AS dst FROM e0
+), deg AS (
+  SELECT src, count(*)::BIGINT AS d FROM und GROUP BY src
+), wedges AS (
+  SELECT wa.dst AS p_a, wb.dst AS p_b, deg.d
+  FROM und wa
+  JOIN und wb ON wa.src = wb.src AND wa.dst < wb.dst
+  JOIN deg ON deg.src = wa.src
+), scored AS (
+  SELECT p_a, p_b,
+         count(*)::BIGINT AS common_neighbors,
+         sum({_SCALE} // d)::BIGINT AS ra_score_u
+  FROM wedges
+  GROUP BY p_a, p_b
+)
+SELECT p_a::BIGINT AS p_a, p_b::BIGINT AS p_b,
+       common_neighbors, ra_score_u
+FROM scored
+WHERE NOT EXISTS (
+  SELECT 1 FROM e0 WHERE e0.p_a = scored.p_a AND e0.p_b = scored.p_b
+)
+ORDER BY ra_score_u DESC, common_neighbors DESC, p_a ASC, p_b ASC
+LIMIT {top_k}
+"""
+
+
+def label_propagation(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_support: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-purchase graph: every part starts as its own community; each of
+    the ``rounds`` iterations reassigns every node to the community
+    most frequent among its neighbors (ties to the SMALLEST community
+    label — the deterministic form of LPA's random tie-break). Where
+    ``copurchase_clusters`` finds connectivity (one bridge edge merges
+    two families), LPA finds density: communities stop at sparse cuts
+    even inside one connected component — the grouping a merchandiser
+    actually wants.
+
+    Fixed ``rounds``, the bounded-iteration discipline shared with
+    ``token_pagerank``/``copurchase_bfs_depth``/``copurchase_kcore``:
+    identical cost on both engines and an exactly replayable oracle
+    (synchronous LPA can oscillate on bipartite-ish graphs; a fixed
+    round count makes the readout deterministic by construction —
+    convergence behavior is the tuning table's job, not the oracle's).
+
+    Scale shape: each round is one edge⋈labels hash join, one
+    (node, label) count aggregate, and one per-node argmax window over
+    node-degree-bounded rows — never an all-pairs product. Output: one
+    row per graph node, (p_partkey, community), ordered by p_partkey.
+    """
+    from pyspark.sql.window import Window
+
+    edges = _copurchase_edges(lineitem, part, min_support)
+    und = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("_n").desc(), F.col("community").asc()
+    )
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "community")
+        counts = nbr.groupBy("node", "community").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "community")
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("p_partkey"),
+        F.col("community").cast("long").alias("community"),
+    ).orderBy("p_partkey")
+
+
+def label_propagation_oracle_sql(
+    min_support: int = 2, rounds: int = 4
+) -> str:
+    """DuckDB twin of :func:`label_propagation` — the same ``rounds``
+    frequency-argmax reassignments unrolled as chained CTEs."""
+    ctes = [
+        f"""op AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part)
+), e0 AS (
+  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY p_a, p_b HAVING count(*) >= {min_support}
+), und AS (
+  SELECT p_a AS src, p_b AS dst FROM e0
+  UNION ALL
+  SELECT p_b AS src, p_a AS dst FROM e0
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS community FROM und
+)"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT und.src AS node, l{i}.community, count(*) AS n
+  FROM und JOIN l{i} ON l{i}.node = und.dst
+  GROUP BY und.src, l{i}.community
+), l{i + 1} AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (
+             PARTITION BY node ORDER BY n DESC, community ASC
+           ) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node::BIGINT AS p_partkey, community::BIGINT AS community
+FROM l{rounds} ORDER BY p_partkey"""
+    )
