@@ -73,6 +73,9 @@ _VERIFY_FIRST = [
     # dedup family now routed through the shared memoized front end.
     "link_prediction",
     "label_propagation",
+    "events_stl_decompose",
+    "silhouette_simplified",
+    "streaming_zscore_anomaly",
     "streaming_timeout_sessions_tws",
     "knn_classifier_ann",
     "semantic_dup_threshold_curve",
@@ -551,6 +554,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": lambda s, d: E.events_ewma(_t(s, d, "events")),
         # level+trend smoothing: the second sequential-fold surface
         "events_holt": lambda s, d: E.events_holt(_t(s, d, "events")),
+        "events_stl_decompose": lambda s, d: E.events_stl_decompose(
+            _t(s, d, "events")
+        ),
         "pii_scrub_stats": lambda s, d: TA.pii_scrub_stats(
             _t(s, d, "documents")
         ),
@@ -703,6 +709,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "label_compactness": lambda s, d: CL.label_compactness(
+            _t(s, d, "embeddings")
+        ),
+        "silhouette_simplified": lambda s, d: CL.silhouette_simplified(
             _t(s, d, "embeddings")
         ),
         "knn_classifier": lambda s, d: CL.knn_classifier(
@@ -952,6 +961,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming state (commutative counts -> batching-independent)
         "streaming_value_histogram": lambda s, d: (
             STREAM.streaming_value_histogram(s, d)
+        ),
+        # online per-user value z-test with (n, Σx, Σx²) state
+        "streaming_zscore_anomaly": lambda s, d: (
+            STREAM.streaming_zscore_anomaly(s, d)
         ),
         # round 9: the distribution-shift alarm online — stateful
         # (day, type) counts + the shared batch-side drift fold
@@ -4290,6 +4303,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM drift d JOIN counts c USING (label)
             ORDER BY label
         """,
+        "silhouette_simplified": CL.silhouette_simplified_oracle_sql(),
         "label_compactness": """
             -- label_outliers' floored-mean integer centroid; distances
             -- BIGINT; mean = plain floor (non-negative); nearest other
@@ -5317,6 +5331,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             FROM g
         """,
         "events_holt": E.holt_oracle_sql(),
+        "events_stl_decompose": E.events_stl_decompose_oracle_sql(),
         "events_ewma": """
             -- the identical integer recursion (all operands >= 0, so
             -- truncating // == floor == Spark DIV), dense day grid
@@ -6323,6 +6338,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                     ELSE 0 END)::BIGINT AS loss_ppm
             FROM agg ORDER BY source, budget
         """,
+        "streaming_zscore_anomaly": (
+            STREAM.streaming_zscore_anomaly_oracle_sql()
+        ),
         "streaming_value_histogram": """
             -- the histogram state replayed batch-side: counting is
             -- commutative, so the final state equals the batch

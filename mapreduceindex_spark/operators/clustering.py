@@ -1061,3 +1061,176 @@ def label_compactness(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _sil_ppm_expr(a: str, b: str, div: str) -> str:
+    """The silhouette ppm ratio ``floor((b−a)·1e6 / max(a,b))`` with
+    int64 headroom, as one SQL fragment shared VERBATIM by the Spark
+    plan (div='DIV') and the DuckDB oracle (div='//').
+
+    ``(b−a)·1e6`` overflows int64 once distances pass ~9.2e12, which
+    real micro-quantized embeddings reach (a 1.0-magnitude component
+    gap contributes 1e12 per dimension). Deterministic scale-reduction:
+    when max(a,b) exceeds 4e12, BOTH the numerator difference and the
+    denominator shift down by 2^20 (floored) before the ppm division —
+    identical formula on both engines, so results stay bit-equal; the
+    shifted branch deviates from the unshifted ratio by < 1 ppm (the
+    ``jl_distortion_report`` shift discipline). |b−a| ≤ max(a,b), so
+    the shifted numerator·1e6 is bounded by the shifted denominator
+    magnitude, which the d² accumulator bound (|x| ≲ 9 at 1024 dims)
+    keeps under 2^63.
+    """
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    m = f"greatest({a}, {b})"
+    d = f"(CASE WHEN {m} > 4000000000000 THEN 1048576 ELSE 1 END)"
+    x2 = floor_div_sql(f"({b}) - ({a})", d, div)
+    m2 = f"({m} {div} {d})"
+    # b IS NULL = single-label table (no "other" centroid exists): the
+    # silhouette is undefined; score 0 explicitly — the engines'
+    # greatest() NULL conventions differ, so never let it decide
+    return (
+        f"CASE WHEN ({b}) IS NULL THEN 0 WHEN {m} = 0 THEN 0 ELSE "
+        + floor_div_sql(f"({x2}) * 1000000", m2, div)
+        + " END"
+    )
+
+
+def silhouette_simplified(embeddings: DataFrame) -> DataFrame:
+    """Per-label SIMPLIFIED silhouette over the labeled embedding table:
+    for every vector, a = squared distance to its OWN label centroid,
+    b = squared distance to the nearest OTHER centroid, and the
+    silhouette s = (b − a) / max(a, b) in integer ppm — the per-member
+    cluster-quality score that ``label_compactness`` (label-level
+    aggregates only) deliberately stops short of. A member with s < 0
+    sits closer to another label's centroid than to its own — the
+    mislabel candidate list a curation pass reviews first.
+
+    Simplified (centroid-based) silhouette is the standard O(N·L·d)
+    form of the O(N²·d) original — the only silhouette anyone can
+    compute at corpus scale; on well-separated clusters the two agree
+    closely (Hruschka et al. 2004).
+
+    Exactness: components micro-quantize with the ``label_outliers``
+    formula, centroids are FLOORED per-dim integer means, distances are
+    BIGINT, and the ppm ratio is the FLOORED integer division
+    (``exact.floor_div_sql`` — s goes negative for misassigned
+    members). The a = b = 0 degenerate point scores 0 by explicit
+    branch on both engines. The per-label mean is likewise floored.
+
+    Scale shape: one exploded scan fits the |labels|·d centroid frame;
+    scoring joins each member's exploded rows against ALL centroids by
+    dim (N·d·|labels| intermediate — labels-bounded, the declared
+    simplified-silhouette cost), then two bounded aggregates. Output:
+    |labels| rows.
+
+    Output: (label, n_vecs, mean_sil_ppm, min_sil_ppm, n_negative),
+    ordered by label.
+    """
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    ex = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("dim", "_x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(_x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("_xm"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.expr(floor_div_sql("sum(_xm)", "count(1)", "DIV")).alias("_c")
+    )
+    # every member × every centroid, joined on dim (centroid frame is
+    # |labels|·d — broadcast), then one aggregate to (vec, cent-label)
+    d2 = (
+        ex.join(
+            F.broadcast(
+                cent.select(
+                    F.col("label").alias("_cl"), "dim", F.col("_c")
+                )
+            ),
+            "dim",
+        )
+        .groupBy("vec_id", "label", "_cl")
+        .agg(
+            F.sum(
+                (F.col("_xm") - F.col("_c")) * (F.col("_xm") - F.col("_c"))
+            )
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    per_vec = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("_cl") == F.col("label"), F.col("_d2"))).alias(
+            "_a"
+        ),
+        F.min(F.when(F.col("_cl") != F.col("label"), F.col("_d2"))).alias(
+            "_b"
+        ),
+    )
+    sil = per_vec.select(
+        "vec_id",
+        "label",
+        F.expr(_sil_ppm_expr("_a", "_b", "DIV")).cast("long").alias("_s"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr(floor_div_sql("sum(_s)", "count(1)", "DIV"))
+            .cast("long")
+            .alias("mean_sil_ppm"),
+            F.min("_s").cast("long").alias("min_sil_ppm"),
+            F.sum(F.when(F.col("_s") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+        )
+        .orderBy("label")
+    )
+
+
+def silhouette_simplified_oracle_sql() -> str:
+    """DuckDB twin of :func:`silhouette_simplified` — identical
+    quantization, floored centroid means, distance algebra, and the
+    floored ppm ratio with the same degenerate-point branch."""
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    ratio = _sil_ppm_expr("a", "b", "//")
+    return f"""
+WITH dims AS (
+  SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+), ex AS (
+  SELECT vec_id, label::BIGINT AS label, d.dim,
+         CAST(floor(CAST(embedding[CAST(d.dim + 1 AS INT)]
+              AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xm
+  FROM embeddings, dims d WHERE d.dim < len(embedding)
+), cent AS (
+  SELECT label, dim,
+         {floor_div_sql("sum(xm)", "count(1)", "//")} AS c
+  FROM ex GROUP BY label, dim
+), d2 AS (
+  SELECT ex.vec_id, ex.label, cent.label AS cl,
+         sum((ex.xm - cent.c) * (ex.xm - cent.c))::BIGINT AS d2
+  FROM ex JOIN cent ON cent.dim = ex.dim
+  GROUP BY ex.vec_id, ex.label, cent.label
+), per_vec AS (
+  SELECT vec_id, label,
+         min(CASE WHEN cl = label THEN d2 END) AS a,
+         min(CASE WHEN cl <> label THEN d2 END) AS b
+  FROM d2 GROUP BY vec_id, label
+), sil AS (
+  SELECT vec_id, label, {ratio} AS s
+  FROM per_vec
+)
+SELECT label,
+       count(*)::BIGINT AS n_vecs,
+       CAST({floor_div_sql("sum(s)", "count(1)", "//")} AS BIGINT)
+         AS mean_sil_ppm,
+       min(s)::BIGINT AS min_sil_ppm,
+       sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative
+FROM sil GROUP BY label ORDER BY label
+"""

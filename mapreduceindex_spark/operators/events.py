@@ -1602,3 +1602,128 @@ def holt_oracle_sql(
         FROM hw LEFT JOIN daily d ON d.day = hw.day_num
         ORDER BY day_num
     """
+
+
+def events_stl_decompose(events: DataFrame, period: int = 7) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series into
+    trend + seasonal + remainder — the "is this dip a trend break or
+    just a weekend" readout behind every capacity forecast, done the
+    textbook way (moving-average trend, periodic-mean seasonal):
+
+    1. **trend** — centered ``period``-observation moving average over
+       the day-ordered series (rows-based frame; defined only where the
+       full window exists, so the series head/tail carry NULL trend).
+    2. **seasonal** — per day-of-week floored mean of the detrended
+       values (value − trend) across the rows where trend exists.
+    3. **remainder** — value − trend − seasonal.
+
+    Exactness: revenue is summed in 4-dp integer units (the
+    ``events_resample`` v4 formula); the trend mean and the seasonal
+    mean are FLOORED integer divisions (``exact.floor_div_sql`` — the
+    detrended values go negative below trend, where a truncating DIV
+    would round the engines apart). Day-of-week derives from the
+    epoch-day modulo (``floor_mod(day+3, 7)``, 0 = Monday), never an
+    engine ``dayofweek``. Everything BIGINT end to end.
+
+    Scale shape: one day-keyed fact aggregate is the only data-scale
+    exchange; the windows and the seasonal join run over the
+    day-cardinality series (thousands of rows for years of data), so
+    the unbounded ORDER BY window is paid by a frame that fits one
+    task. Output: one row per observed day, ordered by day.
+    """
+    p = int(period)
+    daily = (
+        events.select(
+            _epoch_day().alias("day_num"),
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("_v4"),
+        )
+        .groupBy("day_num")
+        .agg(F.sum("_v4").cast("long").alias("revenue_u4"))
+    )
+    w = Window.orderBy("day_num").rowsBetween(-(p // 2), p // 2)
+    trended = daily.select(
+        "day_num",
+        F.expr(floor_mod_sql("day_num + 3", 7)).alias("dow"),
+        "revenue_u4",
+        F.when(
+            F.count(F.lit(1)).over(w) == p,
+            F.expr(floor_div_sql(f"sum(revenue_u4) OVER (ORDER BY day_num ROWS BETWEEN {p // 2} PRECEDING AND {p // 2} FOLLOWING)", p, "DIV")),
+        ).alias("trend_u4"),
+    )
+    seasonal = (
+        trended.filter(F.col("trend_u4").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.expr(
+                floor_div_sql("sum(revenue_u4 - trend_u4)", "count(1)", "DIV")
+            )
+            .cast("long")
+            .alias("seasonal_u4")
+        )
+    )
+    return (
+        trended.join(F.broadcast(seasonal), "dow", "left")
+        .select(
+            F.col("day_num").cast("long"),
+            F.col("dow").cast("long"),
+            "revenue_u4",
+            F.col("trend_u4").cast("long").alias("trend_u4"),
+            F.when(F.col("trend_u4").isNotNull(), F.col("seasonal_u4"))
+            .cast("long")
+            .alias("seasonal_u4"),
+            F.when(
+                F.col("trend_u4").isNotNull(),
+                F.col("revenue_u4") - F.col("trend_u4") - F.col("seasonal_u4"),
+            )
+            .cast("long")
+            .alias("remainder_u4"),
+        )
+        .orderBy("day_num")
+    )
+
+
+def events_stl_decompose_oracle_sql(period: int = 7) -> str:
+    """DuckDB twin of :func:`events_stl_decompose` — identical frames,
+    floored divisions, and NULL-edge semantics."""
+    p = int(period)
+    h = p // 2
+    ed = floor_div_sql("CAST(FLOOR(epoch(ts)) AS BIGINT)", 86400, "//")
+    ma_sum = (
+        f"sum(revenue_u4) OVER (ORDER BY day_num "
+        f"ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)"
+    )
+    ma_n = (
+        f"count(*) OVER (ORDER BY day_num "
+        f"ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT {ed} AS day_num,
+         sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT
+           AS revenue_u4
+  FROM events GROUP BY 1
+), trended AS (
+  SELECT day_num,
+         {floor_mod_sql("day_num + 3", 7)} AS dow,
+         revenue_u4,
+         CASE WHEN {ma_n} = {p}
+              THEN {floor_div_sql(ma_sum, p, "//")} END AS trend_u4
+  FROM daily
+), seasonal AS (
+  SELECT dow,
+         {floor_div_sql("sum(revenue_u4 - trend_u4)", "count(1)", "//")}::BIGINT
+           AS seasonal_u4
+  FROM trended WHERE trend_u4 IS NOT NULL GROUP BY dow
+)
+SELECT t.day_num::BIGINT AS day_num,
+       t.dow::BIGINT AS dow,
+       t.revenue_u4,
+       t.trend_u4::BIGINT AS trend_u4,
+       CASE WHEN t.trend_u4 IS NOT NULL THEN s.seasonal_u4 END::BIGINT
+         AS seasonal_u4,
+       CASE WHEN t.trend_u4 IS NOT NULL
+            THEN t.revenue_u4 - t.trend_u4 - s.seasonal_u4 END::BIGINT
+         AS remainder_u4
+FROM trended t LEFT JOIN seasonal s USING (dow)
+ORDER BY day_num
+"""

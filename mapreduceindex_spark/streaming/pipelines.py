@@ -1984,3 +1984,152 @@ def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") * 500).cast("long").alias("bucket_lo_cents"),
         "n_le",
     ).orderBy("event_type", "p_ppm")
+
+
+def streaming_zscore_anomaly(
+    spark: SparkSession,
+    sf_dir: str,
+    min_prior: int = 5,
+    z2: int = 9,
+    source_dir: str | None = None,
+    source_glob: str = "events.parquet",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Online per-user value-anomaly detection over the live event
+    stream: each arriving event is tested against the user's OWN
+    running history — flag when its deviation from the running mean
+    exceeds z·sigma (z² = ``z2``) over at least ``min_prior`` prior
+    events. The per-entity outlier gate an ingestion pipeline runs at
+    the front door, complementing ``events_anomaly`` (volume bursts per
+    type) with a VALUE test per user; strictly-prior semantics make the
+    flag causal — an event never influences its own threshold.
+
+    State per user is three BIGINTs (n, Σx, Σx²) carried by
+    ``applyInPandasWithState`` — constant per user forever, the
+    smallest possible streaming-anomaly state. The z-test runs as pure
+    integer cross-multiplication in cents::
+
+        flag ⇔ (n·x − Σx)² > z² · (n·Σx² − (Σx)²)   [and n ≥ min_prior]
+
+    (both sides are the n²-scaled forms of (x−mean)² and z²·var_pop),
+    so no float epsilon can disagree with the batch oracle. Int64
+    headroom: |x| ≤ 1e7 cents and n·|x| ≤ 1.5e9 keep both squares under
+    2^63; the fold raises loudly beyond (the ``jl_distortion_report``
+    guard discipline).
+
+    Ordering contract (shared with ``streaming_markov_transitions``):
+    within a micro-batch events sort by (ts, event_id); across batches
+    the file source delivers in event-time order on the fixture. The
+    oracle is the batch replay — a strictly-prior cumulative window per
+    user.
+
+    Output: the flagged events with their evidence — (event_id,
+    user_id, value_c, n_prior, dev2, thr2), ordered by event_id.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    # source_dir/source_glob let tests stream a SPLIT fixture (one file
+    # per trigger) so cross-micro-batch state carry is exercised; the
+    # schema always comes from the canonical sf_dir table
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", source_glob)
+        .parquet(source_dir or sf_dir)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    events = stream.select("event_id", "user_id", "ts", "value").withColumn(
+        "value_c",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"),
+    )
+
+    mp, zz = int(min_prior), int(z2)
+
+    def _fold(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        out = []
+        for eid, x in zip(
+            pdf["event_id"].tolist(), pdf["value_c"].tolist()
+        ):
+            x = int(x)
+            if abs(x) > 10_000_000 or n * abs(x) > 1_500_000_000:
+                raise ValueError(
+                    "streaming_zscore_anomaly: value/count exceed the "
+                    "documented int64 z-test headroom"
+                )
+            if n >= mp:
+                dev = n * x - s
+                dev2 = dev * dev
+                thr2 = zz * (n * ss - s * s)
+                if dev2 > thr2:
+                    out.append((int(eid), x, n, dev2, thr2))
+            n += 1
+            s += x
+            ss += x * x
+        state.update((int(n), int(s), int(ss)))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_id", "value_c", "n_prior", "dev2", "thr2"],
+            ).assign(user_id=key[0])
+
+    flagged = events.groupBy("user_id").applyInPandasWithState(
+        _fold,
+        outputStructType=(
+            "event_id bigint, value_c bigint, n_prior bigint, "
+            "dev2 bigint, thr2 bigint, user_id bigint"
+        ),
+        stateStructType="n bigint, s bigint, ss bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = _run_to_table(flagged, "append", partitions=16)
+    return sunk.select(
+        "event_id", "user_id", "value_c", "n_prior", "dev2", "thr2"
+    ).orderBy("event_id")
+
+
+def streaming_zscore_anomaly_oracle_sql(
+    min_prior: int = 5, z2: int = 9
+) -> str:
+    """DuckDB twin of :func:`streaming_zscore_anomaly` — the batch
+    replay: a strictly-prior cumulative window per user over the same
+    (ts, event_id) order and the identical integer z-test."""
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events
+), w AS (
+  SELECT event_id, user_id, value_c,
+         count(*) OVER win AS n,
+         coalesce(sum(value_c) OVER win, 0) AS s,
+         coalesce(sum(value_c * value_c) OVER win, 0) AS ss
+  FROM e WINDOW win AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value_c,
+       n::BIGINT AS n_prior,
+       ((n*value_c - s) * (n*value_c - s))::BIGINT AS dev2,
+       ({z2} * (n*ss - s*s))::BIGINT AS thr2
+FROM w
+WHERE n >= {min_prior}
+  AND (n*value_c - s) * (n*value_c - s) > {z2} * (n*ss - s*s)
+ORDER BY event_id
+"""

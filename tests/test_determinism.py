@@ -132,6 +132,13 @@ NAMES = [
     "quality_reliability_curve",
     "embedding_drift_report",
     "semantic_dup_threshold_curve",
+    # round-10 third wave: RA tie-break in the top-k rank, LPA argmax
+    # ties, window frames over the day series, the silhouette's
+    # floored ppm ratio — all partition-count-blind
+    "link_prediction",
+    "label_propagation",
+    "events_stl_decompose",
+    "silhouette_simplified",
 ]
 
 

@@ -145,6 +145,13 @@ EMPTY_SAFE = [
     "knn_classifier_ann",
     "embedding_drift_report",
     "quality_reliability_curve",
+    # round-10 third wave: wedge enumeration and LPA argmax over an
+    # empty edge list, MA/seasonal windows over an empty day series,
+    # the silhouette's NULL-b branch on an empty centroid frame
+    "link_prediction",
+    "label_propagation",
+    "events_stl_decompose",
+    "silhouette_simplified",
 ]
 
 

@@ -122,3 +122,177 @@ def test_label_propagation_tie_breaks_to_smaller_label(spark):
     # round 1: hub 1 → min(2,3,4)=2; leaves → 1
     # round 2: hub sees leaves all labeled 1 → 1; leaves see hub's 2 → 2
     assert out == {1: 1, 2: 2, 3: 2, 4: 2}
+
+
+# ---------------------------------------------------------------------------
+# events_stl_decompose
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    """rows: (event_id, ts_epoch_sec, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long, event_type string, value double"
+    )
+    return df.select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def test_stl_decompose_additive_identity_and_null_edges(spark):
+    """14 consecutive days: trend is NULL on the first/last 3 rows and
+    revenue == trend + seasonal + remainder wherever trend exists."""
+    from mapreduceindex_spark.operators.events import events_stl_decompose
+
+    rows = [
+        (i, i * 86400 + 10, 1, "view", float(100 + (i % 7) * 10))
+        for i in range(14)
+    ]
+    out = events_stl_decompose(_events(spark, rows)).collect()
+    assert len(out) == 14
+    for i, r in enumerate(out):
+        if i < 3 or i >= 11:
+            assert r["trend_u4"] is None
+            assert r["seasonal_u4"] is None
+            assert r["remainder_u4"] is None
+        else:
+            assert (
+                r["trend_u4"] + r["seasonal_u4"] + r["remainder_u4"]
+                == r["revenue_u4"]
+            )
+
+
+def test_stl_decompose_flat_series_zero_seasonal_remainder(spark):
+    """A perfectly flat series decomposes to trend == value,
+    seasonal == 0, remainder == 0 on every full-window row."""
+    from mapreduceindex_spark.operators.events import events_stl_decompose
+
+    rows = [(i, i * 86400, 1, "view", 50.0) for i in range(10)]
+    out = events_stl_decompose(_events(spark, rows)).collect()
+    mid = [r for r in out if r["trend_u4"] is not None]
+    assert len(mid) == 4
+    for r in mid:
+        assert r["trend_u4"] == r["revenue_u4"] == 500000
+        assert r["seasonal_u4"] == 0
+        assert r["remainder_u4"] == 0
+
+
+# ---------------------------------------------------------------------------
+# silhouette_simplified
+# ---------------------------------------------------------------------------
+
+
+def test_silhouette_flags_the_misassigned_member(spark):
+    """Two tight clusters at x=0 and x=10; one label-0 vector sits at
+    x=9.6 (clearly inside cluster 1's territory) → its silhouette is
+    negative and label 0 reports exactly one negative member."""
+    from mapreduceindex_spark.operators.clustering import (
+        silhouette_simplified,
+    )
+
+    rows = (
+        [(i, 0, [0.0, 0.0]) for i in range(4)]
+        + [(10 + i, 1, [10.0, 0.0]) for i in range(4)]
+        + [(99, 0, [9.6, 0.0])]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["label"]: r for r in silhouette_simplified(df).collect()}
+    assert out[0]["n_vecs"] == 5
+    assert out[0]["n_negative"] == 1
+    assert out[1]["n_negative"] == 0
+    assert out[1]["min_sil_ppm"] > 0
+
+
+def test_silhouette_identical_point_scores_zero(spark):
+    """A vector equidistant-zero from both centroids (all clusters
+    collapse onto it) takes the explicit a == b == 0 branch → s = 0."""
+    from mapreduceindex_spark.operators.clustering import (
+        silhouette_simplified,
+    )
+
+    rows = [(1, 0, [1.0, 1.0]), (2, 1, [1.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["label"]: r for r in silhouette_simplified(df).collect()}
+    assert out[0]["mean_sil_ppm"] == 0
+    assert out[1]["mean_sil_ppm"] == 0
+    assert out[0]["n_negative"] == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming_zscore_anomaly
+# ---------------------------------------------------------------------------
+
+
+def _write_events_file(path, rows):
+    """One FLAT parquet file (the stream glob matches leaf files, not
+    Spark output directories); rows as in :func:`_events`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(table, str(path))
+
+
+def test_streaming_zscore_state_carries_across_micro_batches(
+    spark, tmp_path
+):
+    """History split across two files (one per trigger): the spike in
+    file 2 is judged against state accumulated from file 1 — a
+    fresh-state engine would flag nothing (file 2 alone has only one
+    prior event). Strictly-prior semantics: the spike's own value is
+    not in its threshold."""
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_zscore_anomaly,
+    )
+
+    base = [(i, 1000 + i, 7, "view", 10.0 + (i % 2)) for i in range(6)]
+    late = [(100, 2000, 7, "view", 10.0), (101, 2001, 7, "view", 500.0)]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events_file(src / "events_0.parquet", base)
+    _write_events_file(src / "events_1.parquet", late)
+    allv = tmp_path / "all"
+    allv.mkdir()
+    _write_events_file(allv / "events.parquet", base + late)
+    got = streaming_zscore_anomaly(
+        spark,
+        str(allv),
+        source_dir=str(src),
+        source_glob="events_*.parquet",
+        max_files_per_trigger=1,
+    ).collect()
+    assert [r["event_id"] for r in got] == [101]
+    assert got[0]["n_prior"] == 7
+    assert got[0]["user_id"] == 7
+
+
+def test_streaming_zscore_never_flags_constant_series(spark, tmp_path):
+    """Zero variance and zero deviation: a constant series never flags
+    (dev2 == thr2 == 0 is NOT an anomaly — strict inequality)."""
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_zscore_anomaly,
+    )
+
+    rows = [(i, 1000 + i, 3, "view", 25.0) for i in range(10)]
+    allv = tmp_path / "all"
+    allv.mkdir()
+    _write_events_file(allv / "events.parquet", rows)
+    assert streaming_zscore_anomaly(spark, str(allv)).count() == 0
