@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "label_propagation",
     "events_stl_decompose",
     "silhouette_simplified",
+    "pq_topk",
     "streaming_zscore_anomaly",
     "streaming_timeout_sessions_tws",
     "knn_classifier_ann",
@@ -837,6 +838,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": lambda s, d: S.quantized_topk(
             _t(s, d, "embeddings")
         ),
+        "pq_topk": lambda s, d: S.pq_topk(_t(s, d, "embeddings")),
         "embedding_dim_stats": lambda s, d: S.embedding_dim_stats(
             _t(s, d, "embeddings")
         ),
@@ -3279,6 +3281,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "incremental_dedup": _incremental_dedup_sql(16, 4),
         "hybrid_search": _hybrid_search_sql(),
         "quantized_topk": _quantized_topk_sql(),
+        "pq_topk": S.pq_topk_oracle_sql(),
         "skyline_orders": """
             -- 2D dominance collapses to group arithmetic: per price,
             -- only the max-recency group can survive, and it survives

@@ -1730,3 +1730,223 @@ def jl_distortion_report(
         .cast("long")
         .alias("n_within_30pct"),
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    k_cand: int = 20,
+    m: int = 8,
+    ks: int = 16,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scan and exact
+    rerank — the compressed-index tier of the family, next to the
+    hash (``ann_lsh_topk``), partition (``ivf_topk``), and scalar-
+    quantized (``quantized_topk``) tiers. PQ is what a billion-vector
+    serving index actually stores: each vector compresses to ``m``
+    byte-sized codes (one per subspace), and a query scans CODES with a
+    precomputed lookup table instead of touching raw floats — the
+    IVF+PQ layout of the standard inverted-multi-index literature
+    (Jégou, Douze & Schmid 2011).
+
+    Index build: the vector splits into ``m`` subspaces of dim/m
+    components; subspace ``j``'s codebook is the micro-quantized
+    subvectors of the first ``ks`` vectors (the ``ivf_topk``
+    deterministic-sample discipline — a real deployment k-means them;
+    only the codebook table changes, the plan does not). Every vector
+    encodes as its per-subspace nearest centroid (integer squared L2,
+    ties to the lower code).
+
+    Query (ADC — asymmetric distance): per query, one LUT of
+    ``m × ks`` integer squared sub-distances; a vector's approximate
+    distance is the sum of ``m`` LUT entries picked by its codes. The
+    top ``k_cand`` by ADC then rerank by EXACT integer squared L2 on
+    the micro-quantized originals; the final ``k`` come from the
+    rerank, so quantization error never survives into reported
+    distances.
+
+    Exactness: components micro-quantize with the family formula; all
+    distances are BIGINT; both argmins tie to the lower id. No floats
+    anywhere (PQ's native metric is L2, so the family's q6 cosine is
+    not needed).
+
+    Scale shape: the codebook is model-sized (m·ks·sub literals-worth);
+    encoding is one broadcast join + (N·m·ks)-bounded aggregate; the
+    ADC scan joins the CODES frame (m rows per vector) to a broadcast
+    query LUT — the full-precision table is touched only for the
+    k_cand·|Q| rerank rows. Output: (query_id, neighbor_id, adc_d2,
+    exact_d2, rank), ordered by (query_id, rank).
+    """
+    ex = embeddings.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "_x"),
+    ).select(
+        "vec_id",
+        F.col("dim"),
+        F.expr(
+            "CAST(floor(CAST(_x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("_xm"),
+    )
+    # subspace id and in-subspace position from the flat dim: sub(=dim/m)
+    # components per subspace, derived per row so ragged inputs fail
+    # loudly in the join rather than silently mis-bucketing
+    dmax = embeddings.select(
+        F.max(F.size("embedding")).alias("_d")
+    )
+    exj = ex.crossJoin(F.broadcast(dmax)).select(
+        "vec_id",
+        F.expr(f"dim DIV (_d DIV {m})").alias("_j"),
+        F.expr(f"dim % (_d DIV {m})").alias("_p"),
+        "_xm",
+    )
+    book = (
+        exj.filter(F.col("vec_id") < ks)
+        .select(
+            F.col("vec_id").alias("_c"),
+            "_j",
+            "_p",
+            F.col("_xm").alias("_cm"),
+        )
+    )
+    # encode: per (vector, subspace) nearest codebook entry
+    subdist = (
+        exj.join(F.broadcast(book), ["_j", "_p"])
+        .groupBy("vec_id", "_j", "_c")
+        .agg(
+            F.sum((F.col("_xm") - F.col("_cm")) * (F.col("_xm") - F.col("_cm")))
+            .cast("long")
+            .alias("_d2")
+        )
+    )
+    wenc = Window.partitionBy("vec_id", "_j").orderBy(
+        F.col("_d2").asc(), F.col("_c").asc()
+    )
+    codes = (
+        subdist.withColumn("_rn", F.row_number().over(wenc))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "_j", F.col("_c").alias("_code"))
+    )
+    # query LUT: the same subdist frame restricted to the query ids —
+    # d2_q[(query, j, c)] (|Q|·m·ks rows, broadcast)
+    lut = subdist.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        "_j",
+        F.col("_c").alias("_code"),
+        F.col("_d2").alias("_qd2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["_j", "_code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("_qd2").cast("long").alias("adc_d2"))
+    )
+    wadc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        adc.withColumn("_r1", F.row_number().over(wadc))
+        .filter(F.col("_r1") <= k_cand)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+    # exact rerank on the micro-quantized originals
+    qm = ex.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("_xm").alias("_qm")
+    )
+    exact = (
+        cands.join(
+            ex.select(
+                F.col("vec_id").alias("neighbor_id"), "dim", "_xm"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qm), ["query_id", "dim"])
+        .groupBy("query_id", "neighbor_id", "adc_d2")
+        .agg(
+            F.sum((F.col("_xm") - F.col("_qm")) * (F.col("_xm") - F.col("_qm")))
+            .cast("long")
+            .alias("exact_d2")
+        )
+    )
+    wfin = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wfin).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "exact_d2", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_topk_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    k_cand: int = 20,
+    m: int = 8,
+    ks: int = 16,
+) -> str:
+    """DuckDB twin of :func:`pq_topk` — identical quantization,
+    codebook, encode/LUT argmins, ADC sum, and exact rerank."""
+    return f"""
+WITH dims AS (
+  SELECT CAST(range AS BIGINT) AS dim FROM range(0, 1024)
+), dmax AS (
+  SELECT max(len(embedding))::BIGINT AS d FROM embeddings
+), ex AS (
+  SELECT vec_id, d.dim,
+         CAST(floor(CAST(embedding[CAST(d.dim + 1 AS INT)]
+              AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xm
+  FROM embeddings, dims d WHERE d.dim < len(embedding)
+), exj AS (
+  SELECT vec_id, ex.dim // (dmax.d // {m}) AS j,
+         ex.dim % (dmax.d // {m}) AS p, xm
+  FROM ex, dmax
+), book AS (
+  SELECT vec_id AS c, j, p, xm AS cm FROM exj WHERE vec_id < {ks}
+), subdist AS (
+  SELECT exj.vec_id, exj.j, book.c,
+         sum((exj.xm - book.cm) * (exj.xm - book.cm))::BIGINT AS d2
+  FROM exj JOIN book ON book.j = exj.j AND book.p = exj.p
+  GROUP BY exj.vec_id, exj.j, book.c
+), codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (
+             PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+    FROM subdist
+  ) WHERE rn = 1
+), lut AS (
+  SELECT vec_id AS query_id, j, c AS code, d2 AS qd2
+  FROM subdist WHERE vec_id < {n_queries}
+), adc AS (
+  SELECT lut.query_id, codes.vec_id AS neighbor_id,
+         sum(lut.qd2)::BIGINT AS adc_d2
+  FROM codes JOIN lut ON lut.j = codes.j AND lut.code = codes.code
+  WHERE codes.vec_id <> lut.query_id
+  GROUP BY lut.query_id, codes.vec_id
+), cands AS (
+  SELECT query_id, neighbor_id, adc_d2 FROM (
+    SELECT query_id, neighbor_id, adc_d2,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY adc_d2 ASC, neighbor_id ASC) AS r1
+    FROM adc
+  ) WHERE r1 <= {k_cand}
+), exact AS (
+  SELECT c.query_id, c.neighbor_id, c.adc_d2,
+         sum((nx.xm - qx.xm) * (nx.xm - qx.xm))::BIGINT AS exact_d2
+  FROM cands c
+  JOIN ex nx ON nx.vec_id = c.neighbor_id
+  JOIN ex qx ON qx.vec_id = c.query_id AND qx.dim = nx.dim
+  GROUP BY c.query_id, c.neighbor_id, c.adc_d2
+)
+SELECT query_id, neighbor_id, adc_d2, exact_d2, rank FROM (
+  SELECT query_id, neighbor_id, adc_d2, exact_d2,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY exact_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM exact
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -139,6 +139,7 @@ NAMES = [
     "label_propagation",
     "events_stl_decompose",
     "silhouette_simplified",
+    "pq_topk",
 ]
 
 

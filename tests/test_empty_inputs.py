@@ -152,6 +152,7 @@ EMPTY_SAFE = [
     "label_propagation",
     "events_stl_decompose",
     "silhouette_simplified",
+    "pq_topk",
 ]
 
 

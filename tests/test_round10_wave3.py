@@ -296,3 +296,45 @@ def test_streaming_zscore_never_flags_constant_series(spark, tmp_path):
     allv.mkdir()
     _write_events_file(allv / "events.parquet", rows)
     assert streaming_zscore_anomaly(spark, str(allv)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pq_topk
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_is_exact_when_codebook_covers_every_vector(spark):
+    """With ks ≥ N every vector IS a codebook entry, so its codes
+    reconstruct it exactly and ADC distance equals the exact distance
+    for every pair — the PQ zero-quantization-error identity."""
+    from mapreduceindex_spark.operators.similarity import pq_topk
+
+    rows = [
+        (i, 0, [float(i + j % 3) for j in range(8)]) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = pq_topk(df, n_queries=3, k=5, k_cand=6, m=4, ks=6).collect()
+    assert out
+    for r in out:
+        assert r["adc_d2"] == r["exact_d2"]
+
+
+def test_pq_final_ranking_matches_brute_force_when_cands_cover_all(spark):
+    """k_cand = N: the rerank sees every vector, so the final top-k is
+    the exact integer-L2 ranking regardless of codebook quality."""
+    from mapreduceindex_spark.operators.similarity import pq_topk
+
+    rows = [(i, 0, [float(i), float(-i)]) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = [
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_topk(
+            df, n_queries=1, k=3, k_cand=8, m=2, ks=4
+        ).collect()
+    ]
+    # query 0 at origin: nearest by |i| ascending, ties impossible
+    assert out == [(0, 1, 1), (0, 2, 2), (0, 3, 3)]
