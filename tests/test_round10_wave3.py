@@ -338,3 +338,28 @@ def test_pq_final_ranking_matches_brute_force_when_cands_cover_all(spark):
     ]
     # query 0 at origin: nearest by |i| ascending, ties impossible
     assert out == [(0, 1, 1), (0, 2, 2), (0, 3, 3)]
+
+
+# ---------------------------------------------------------------------------
+# manifest literal-map build (expr-string form)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_map_escapes_quoted_paths(spark, tmp_path):
+    """The single-expr literal map must survive paths containing single
+    quotes and backslash-ish names (SQL string escaping)."""
+    d = tmp_path / "it's a dir"
+    d.mkdir()
+    f1 = d / "o'brien.txt"
+    f1.write_text("alpha beta")
+    f2 = d / "plain.txt"
+    f2.write_text("gamma")
+    man = tmp_path / "man.txt"
+    man.write_text(f"2\n{f1}\n{f2}\n")
+    from mapreduceindex_spark.sources.manifest import corpus_from_manifest
+
+    rows = sorted(
+        (r["doc_id"], r["text"])
+        for r in corpus_from_manifest(spark, str(man)).collect()
+    )
+    assert rows == [(1, "alpha beta"), (2, "gamma")]
