@@ -62,28 +62,30 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def _bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-bit LSH bucket id: bit i = (v · plane_i) >= 0."""
-    bits = []
+    """Sign-bit LSH bucket id: bit i = (v · plane_i) >= 0.
+
+    Emitted as ONE parsed SQL expression: the column-API form
+    (``F.array`` over per-coefficient ``F.lit``) costs a py4j round
+    trip per literal — ~1-4 s of driver chatter per PLAN BUILD at
+    8 planes × 64 dims (×2 for pair queries), the dominant term of the
+    LSH family's wall time (the ``corpus_from_manifest`` finding).
+    ``repr(float)`` is the shortest round-trip decimal, and Spark's
+    double parser restores the identical IEEE value, so the constants
+    stay bit-equal to the oracle's.
+    """
+    terms = []
     for i, plane in enumerate(planes):
-        # dot(v, plane) with the plane as a literal array — JVM-side fold.
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(c) for c in plane]),
-                lambda x, c: x.cast("double") * c,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = ",".join(f"CAST({float(c)!r} AS DOUBLE)" for c in plane)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            "(x, c) -> CAST(x AS DOUBLE) * c), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        bits.append(
-            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+        terms.append(
+            f"(CASE WHEN {dot} >= CAST(0.0 AS DOUBLE) "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
-    b = bits[0]
-    for x in bits[1:]:
-        b = b + x
-    return b
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def cosine_topk(
