@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     "events_stl_decompose",
     "silhouette_simplified",
     "pq_topk",
+    "media_audio_autocorr",
     "streaming_zscore_anomaly",
     "streaming_timeout_sessions_tws",
     "knn_classifier_ann",
@@ -778,6 +779,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-width window per clip, exact int64 energies
         "media_audio_frame_windows": lambda s, d: (
             M.media_audio_frame_windows(_t(s, d, "documents"))
+        ),
+        "media_audio_autocorr": lambda s, d: (
+            M.media_audio_autocorr(_t(s, d, "documents"))
         ),
         # round 9: multi-frame container sampling — decode EVERY frame
         # of a synthetic animated GIF, pick the brightest
@@ -5786,6 +5790,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                    first_sum::BIGINT AS first_frame_px_sum
             FROM best WHERE rn = 1 ORDER BY doc_id
         """,
+        "media_audio_autocorr": M.media_audio_autocorr_oracle_sql(),
         "media_audio_frame_windows": """
             -- regenerate the wrapping-ramp PCM series, window it, and
             -- pick the max-energy window (ties -> lowest index), same

@@ -1166,3 +1166,128 @@ def media_luma_histogram(documents: DataFrame) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def media_audio_autocorr(
+    documents: DataFrame, max_lag: int = 80
+) -> DataFrame:
+    """Pitch/periodicity detection over the audio path: per doc,
+    decode the synthetic WAV and report the dominant LAG of the
+    LENGTH-NORMALIZED integer autocorrelation — argmax over
+    ``1 ≤ l ≤ max_lag`` of ``m(l) = floor(r(l)·1e6 / (n−l))`` with
+    ``r(l) = Σ_t s[t]·s[t+l]`` (ties to the LOWEST lag) — plus the
+    zero-lag energy and the raw sum at the winning lag. The
+    normalization is load-bearing, not cosmetic: the RAW sum favors
+    near-period small lags purely because they overlap more terms (on
+    the fixture sawtooth, lag 13 ≡ phase+1 beats the true period 64 on
+    length alone); the floored per-overlap mean is the integer-exact
+    form of the standard biased→unbiased estimator correction, and
+    both engines floor identically (r(l) goes negative at
+    anti-phase lags, so the floored — not truncating — division
+    matters).
+
+    Fixture contract: doc ``i`` carries ``n = 160 + i%96`` int16
+    samples ``s[t] = (k + 5t) % 64 − 32`` with ``k = i % 97`` — a
+    sawtooth of true period 64 (< max_lag, so the argmax genuinely
+    finds the pitch on full-length docs), run through the REAL
+    ``wav_encode → wav_decode`` round trip so a sample-width or
+    framing defect in the codec hash-mismatches (the
+    ``media_luma_histogram`` decode-fidelity discipline). The oracle
+    regenerates the series with a range unnest and replays every
+    product — docs × n × max_lag rows, bounded by the fixture's
+    ≤ 256-sample clips.
+
+    Scale shape: bytes never leave the ``mapInPandas`` stage; the
+    per-doc numpy fold is O(n·max_lag) on ≤ 256-sample clips; one
+    fixed-width row per doc flows onward. Output: (doc_id, n_samples,
+    energy_r0, best_lag, r_best), ordered by doc_id upstream of the
+    driver compare.
+    """
+    import numpy as np
+
+    def _autocorr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapreduceindex_spark.functions import codecs
+
+        L = int(max_lag)
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "energy_r0": [],
+                "best_lag": [], "r_best": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n, k = 160 + i % 96, i % 97
+                t = np.arange(n, dtype=np.int64)
+                samples = ((k + 5 * t) % 64 - 32).astype(np.int16)
+                dec = codecs.wav_decode(
+                    codecs.wav_encode(samples, sample_rate=16000)
+                )
+                s = dec["samples"].astype(np.int64).ravel()
+                r0 = int((s * s).sum())
+                best_lag, r_best, m_best = 0, None, None
+                for lag in range(1, min(L, len(s) - 1) + 1):
+                    r = int((s[:-lag] * s[lag:]).sum())
+                    m = (r * 1_000_000) // (len(s) - lag)  # Python // floors
+                    if m_best is None or m > m_best:
+                        best_lag, r_best, m_best = lag, r, m
+                out["doc_id"].append(i)
+                out["n_samples"].append(len(s))
+                out["energy_r0"].append(r0)
+                out["best_lag"].append(best_lag)
+                out["r_best"].append(int(r_best))
+            yield pd.DataFrame(out)
+
+    spread = documents.select("doc_id").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _autocorr,
+        schema=(
+            "doc_id bigint, n_samples bigint, energy_r0 bigint, "
+            "best_lag bigint, r_best bigint"
+        ),
+    )
+
+
+def media_audio_autocorr_oracle_sql(max_lag: int = 80) -> str:
+    """DuckDB twin of :func:`media_audio_autocorr` — the same series
+    regenerated by range unnest, every lag product replayed in SQL,
+    the identical FLOORED per-overlap mean as the argmax key, ties to
+    the lowest lag."""
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+
+    floor_div_sql_duck = floor_div_sql("r * 1000000", "n_ov", "//")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, 160 + doc_id % 96 AS n, doc_id % 97 AS k
+  FROM documents
+), samples AS (
+  SELECT d.doc_id, r.range AS t,
+         ((d.k + 5 * r.range) % 64 - 32)::BIGINT AS s
+  FROM docs d, range(0, 256) r WHERE r.range < d.n
+), r0 AS (
+  SELECT doc_id, count(*)::BIGINT AS n_samples,
+         sum(s * s)::BIGINT AS energy_r0
+  FROM samples GROUP BY doc_id
+), lags AS (
+  SELECT a.doc_id, l.range AS lag,
+         sum(a.s * b.s)::BIGINT AS r,
+         count(*)::BIGINT AS n_ov
+  FROM range(1, {int(max_lag) + 1}) l
+  JOIN samples a ON TRUE
+  JOIN samples b ON b.doc_id = a.doc_id AND b.t = a.t + l.range
+  GROUP BY a.doc_id, l.range
+), best AS (
+  SELECT doc_id, lag AS best_lag, r AS r_best FROM (
+    SELECT doc_id, lag, r,
+           row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY {floor_div_sql_duck} DESC, lag ASC) AS rn
+    FROM lags
+  ) WHERE rn = 1
+)
+SELECT r0.doc_id, r0.n_samples, r0.energy_r0,
+       best.best_lag, best.r_best
+FROM r0 JOIN best USING (doc_id)
+ORDER BY r0.doc_id
+"""

@@ -140,6 +140,7 @@ NAMES = [
     "events_stl_decompose",
     "silhouette_simplified",
     "pq_topk",
+    "media_audio_autocorr",
 ]
 
 

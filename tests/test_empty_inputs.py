@@ -153,6 +153,7 @@ EMPTY_SAFE = [
     "events_stl_decompose",
     "silhouette_simplified",
     "pq_topk",
+    "media_audio_autocorr",
 ]
 
 

@@ -245,6 +245,7 @@ PYTHON_ALLOWED = {
     "media_decode_jpeg",
     "media_decode_wav",
     "media_audio_frame_windows",
+    "media_audio_autocorr",
     "media_gif_frame_sample",
     "media_dhash",
     "media_luma_histogram",

@@ -363,3 +363,28 @@ def test_manifest_map_escapes_quoted_paths(spark, tmp_path):
         for r in corpus_from_manifest(spark, str(man)).collect()
     )
     assert rows == [(1, "alpha beta"), (2, "gamma")]
+
+
+# ---------------------------------------------------------------------------
+# media_audio_autocorr
+# ---------------------------------------------------------------------------
+
+
+def test_audio_autocorr_finds_the_sawtooth_period(spark):
+    """Docs long enough to cover two full cycles lock onto the true
+    period 64 (the fixture sawtooth); the zero-lag energy equals the
+    regenerated series' Σs² exactly."""
+    from mapreduceindex_spark.operators.multimodal import (
+        media_audio_autocorr,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(0, 40, 7)], "doc_id long"
+    )
+    rows = {r["doc_id"]: r for r in media_audio_autocorr(docs).collect()}
+    for i, r in rows.items():
+        n, k = 160 + i % 96, i % 97
+        s = [(k + 5 * t) % 64 - 32 for t in range(n)]
+        assert r["n_samples"] == n
+        assert r["energy_r0"] == sum(x * x for x in s)
+        assert r["best_lag"] == 64
