@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "silhouette_simplified",
     "pq_topk",
     "media_audio_autocorr",
+    "temperature_mixture",
     "streaming_zscore_anomaly",
     "streaming_timeout_sessions_tws",
     "knn_classifier_ann",
@@ -1078,6 +1079,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: probe-then-plan mixture construction to target
         # source proportions (scan-stage hash filter, zero data shuffle)
         "mixture_resample": lambda s, d: C.mixture_resample(
+            _t(s, d, "documents")
+        ),
+        "temperature_mixture": lambda s, d: C.temperature_mixture(
             _t(s, d, "documents")
         ),
         # round 6: the removal step contamination_check scores —
@@ -6534,6 +6538,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             WHERE d.n_chars BETWEEN b.lo AND b.hi
             ORDER BY d.doc_id
         """,
+        "temperature_mixture": C.temperature_mixture_oracle_sql(),
         "mixture_resample": f"""
             -- same BIGINT probe arithmetic the engine collects, inlined
             -- as CTEs; acceptance is the shared portable content hash

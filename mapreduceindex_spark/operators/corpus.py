@@ -1716,3 +1716,83 @@ def weighted_sample(documents: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def temperature_mixture(
+    documents: DataFrame, target_total: int = 100_000
+) -> DataFrame:
+    """Temperature-smoothed (α = 0.5) source-mixture PLANNING table —
+    the standard multilingual/multi-source LM reweighting: sampling
+    weights ∝ n_s^α flatten the source distribution so small sources
+    are not drowned (α=1 keeps natural proportions, α=0 is uniform;
+    0.5 is the square-root temperature of the multilingual-pretraining
+    literature). Where ``mixture_resample`` EXECUTES a given mixture
+    without upsampling, this operator COMPUTES the α-mixture and
+    reports per-source quota and effective epochs at a target budget —
+    epochs_ppm > 1e6 is the "this source will repeat" flag read before
+    anyone trains.
+
+    Exactness: n^0.5 is floor(sqrt(n)) — IEEE sqrt is correctly
+    rounded, so floor(sqrt(double)) equals the integer square root for
+    any count below ~2^40 on BOTH engines (the nearest-integer
+    boundary gap 1/(2√n) exceeds the ulp by many orders); shares,
+    quotas, and epochs are floored BIGINT divisions of BIGINT products.
+
+    Scale shape: ONE source-keyed aggregate (the only data-scale
+    exchange) + a broadcast weight-total join over |sources| rows.
+    Output: (source, n_docs, weight_u, share_ppm, quota, epochs_ppm),
+    ordered by source.
+    """
+    counts = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"
+        ).alias("weight_u"),
+    )
+    tot = weighted.agg(F.sum("weight_u").alias("_wt"))
+    t = int(target_total)
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "weight_u",
+            F.expr("weight_u * 1000000 DIV _wt").cast("long").alias(
+                "share_ppm"
+            ),
+            F.expr(f"weight_u * {t} DIV _wt").cast("long").alias("quota"),
+            F.expr(
+                f"(weight_u * {t} DIV _wt) * 1000000 DIV n_docs"
+            )
+            .cast("long")
+            .alias("epochs_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def temperature_mixture_oracle_sql(target_total: int = 100_000) -> str:
+    """DuckDB twin of :func:`temperature_mixture` — identical isqrt
+    weights and floored BIGINT shares/quotas/epochs."""
+    t = int(target_total)
+    return f"""
+WITH counts AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight_u
+  FROM counts
+), tot AS (
+  SELECT sum(weight_u)::BIGINT AS wt FROM weighted
+)
+SELECT source, n_docs, weight_u,
+       (weight_u * 1000000 // wt)::BIGINT AS share_ppm,
+       (weight_u * {t} // wt)::BIGINT AS quota,
+       ((weight_u * {t} // wt) * 1000000 // n_docs)::BIGINT AS epochs_ppm
+FROM weighted, tot
+ORDER BY source
+"""

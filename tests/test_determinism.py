@@ -141,6 +141,7 @@ NAMES = [
     "silhouette_simplified",
     "pq_topk",
     "media_audio_autocorr",
+    "temperature_mixture",
 ]
 
 

@@ -154,6 +154,7 @@ EMPTY_SAFE = [
     "silhouette_simplified",
     "pq_topk",
     "media_audio_autocorr",
+    "temperature_mixture",
 ]
 
 

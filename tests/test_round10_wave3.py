@@ -388,3 +388,34 @@ def test_audio_autocorr_finds_the_sawtooth_period(spark):
         assert r["n_samples"] == n
         assert r["energy_r0"] == sum(x * x for x in s)
         assert r["best_lag"] == 64
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_flattens_toward_small_sources(spark):
+    """400 vs 100 docs: natural shares 80/20 flatten to sqrt weights
+    20/10 → 666666/333333 ppm; quotas follow the weights and the small
+    source's epochs exceed the big one's."""
+    from mapreduceindex_spark.operators.corpus import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "x", "big") for i in range(400)]
+        + [(1000 + i, "x", "small") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in temperature_mixture(docs, target_total=300).collect()
+    }
+    assert out["big"]["weight_u"] == 20
+    assert out["small"]["weight_u"] == 10
+    assert out["big"]["share_ppm"] == 666666
+    assert out["small"]["share_ppm"] == 333333
+    assert out["big"]["quota"] == 200
+    assert out["small"]["quota"] == 100
+    # big: 200 of 400 docs -> 0.5 epochs; small: 100 of 100 -> 1.0
+    assert out["big"]["epochs_ppm"] == 500000
+    assert out["small"]["epochs_ppm"] == 1000000
