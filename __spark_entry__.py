@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "media_audio_autocorr",
     "temperature_mixture",
     "streaming_zscore_anomaly",
+    "streaming_bottomk_sample",
     "streaming_timeout_sessions_tws",
     "knn_classifier_ann",
     "semantic_dup_threshold_curve",
@@ -972,6 +973,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # online per-user value z-test with (n, Σx, Σx²) state
         "streaming_zscore_anomaly": lambda s, d: (
             STREAM.streaming_zscore_anomaly(s, d)
+        ),
+        # bottom-k-by-hash stream sampler (mergeable reservoir)
+        "streaming_bottomk_sample": lambda s, d: (
+            STREAM.streaming_bottomk_sample(s, d)
         ),
         # round 9: the distribution-shift alarm online — stateful
         # (day, type) counts + the shared batch-side drift fold
@@ -6352,6 +6357,9 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         """,
         "streaming_zscore_anomaly": (
             STREAM.streaming_zscore_anomaly_oracle_sql()
+        ),
+        "streaming_bottomk_sample": (
+            STREAM.streaming_bottomk_sample_oracle_sql()
         ),
         "streaming_value_histogram": """
             -- the histogram state replayed batch-side: counting is

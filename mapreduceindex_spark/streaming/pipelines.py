@@ -2133,3 +2133,113 @@ WHERE n >= {min_prior}
   AND (n*value_c - s) * (n*value_c - s) > {z2} * (n*ss - s*s)
 ORDER BY event_id
 """
+
+
+def streaming_bottomk_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 50,
+    n_shards: int = 16,
+    source_dir: str | None = None,
+    source_glob: str = "documents.parquet",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Deterministic uniform sample of a STREAM — the bottom-k sketch:
+    the sample is the ``k`` documents with the smallest portable
+    content hash seen so far, which equals the batch bottom-k over the
+    same corpus no matter how the stream was chunked (bottom-k is the
+    order-free, mergeable form of reservoir sampling; the hash is the
+    shared ``stable_hash64`` md5 bucket, so exact duplicates sample
+    together and the oracle replays it verbatim).
+
+    Streaming shape: per hash-shard, ``applyInPandasWithState`` keeps
+    the shard's current bottom-k (ids + the k-th threshold) and emits
+    ONLY rows that enter it — emission is append-safe because a row
+    once inside a shard's bottom-k may later be displaced, but the
+    batch-side finalize re-ranks over everything emitted, and any row
+    of the TRUE global bottom-k necessarily entered its shard's
+    bottom-k at arrival. At scale the state is shards × k rows forever, and
+    per-batch emission decays toward zero as thresholds tighten — the
+    property that makes bottom-k the production stream sampler.
+
+    Output: the k sampled docs, (doc_id, h), ordered by hash then id.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.text import stable_hash64
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", source_glob)
+        .parquet(source_dir or sf_dir)
+    )
+    hashed = stream.select(
+        "doc_id",
+        stable_hash64(F.col("text")).alias("h"),
+    ).withColumn("_shard", F.col("h") % n_shards)
+
+    kk = int(k)
+
+    def _fold(key, pdfs, state: GroupState):
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks)
+        cur = list(zip(*state.get)) if state.exists else []
+        # merge batch rows, keep the shard's bottom-k by (h, doc_id)
+        merged = sorted(
+            set(cur)
+            | set(
+                zip(
+                    (int(x) for x in pdf["h"].tolist()),
+                    (int(x) for x in pdf["doc_id"].tolist()),
+                )
+            )
+        )[:kk]
+        new = sorted(set(merged) - set(cur))
+        state.update(
+            (
+                [h for h, _ in merged],
+                [d for _, d in merged],
+            )
+        )
+        if new:
+            yield pd.DataFrame(
+                {"doc_id": [d for _, d in new], "h": [h for h, _ in new]}
+            )
+
+    entered = hashed.groupBy("_shard").applyInPandasWithState(
+        _fold,
+        outputStructType="doc_id bigint, h bigint",
+        stateStructType="hs array<bigint>, ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = _run_to_table(entered, "append", partitions=16)
+    w = Window.orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        sunk.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= kk)
+        .select("doc_id", "h")
+        .orderBy("h", "doc_id")
+    )
+
+
+def streaming_bottomk_sample_oracle_sql(k: int = 50) -> str:
+    """DuckDB twin of :func:`streaming_bottomk_sample` — the batch
+    bottom-k over the same portable hash (bottom-k is chunking-free,
+    so stream and batch agree exactly)."""
+    return f"""
+SELECT doc_id,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+FROM documents
+ORDER BY h ASC, doc_id ASC
+LIMIT {int(k)}
+"""
