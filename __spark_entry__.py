@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     "events_stl_decompose",
     "silhouette_simplified",
     "pq_topk",
+    "mmr_topk",
     "media_audio_autocorr",
     "temperature_mixture",
     "streaming_zscore_anomaly",
@@ -845,6 +846,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "pq_topk": lambda s, d: S.pq_topk(_t(s, d, "embeddings")),
+        "mmr_topk": lambda s, d: S.mmr_topk(_t(s, d, "embeddings")),
         "embedding_dim_stats": lambda s, d: S.embedding_dim_stats(
             _t(s, d, "embeddings")
         ),
@@ -1979,6 +1981,99 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def _mmr_topk_sql(
+    n_queries: int = 5,
+    k: int = 5,
+    n_cand: int = 20,
+    lambda_ppm: int = 700_000,
+) -> str:
+    """DuckDB twin of similarity.mmr_topk — the same greedy steps
+    unrolled as chained CTEs: candidates by ppm relevance, pairwise
+    candidate sims, then k rounds of argmax over the FLOORED integer
+    MMR score (ties to the lower neighbor id; pick 1 ranks by the same
+    floored score with pen = 0, matching the engine's strict-greater
+    sweep)."""
+    lam = int(lambda_ppm)
+    pair_cos = XQ.micro_sql(
+        "(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))))"
+    )
+    mmr0 = XQ.floor_div_sql(f"{lam} * rel", 1_000_000, "//")
+    mmr_t = XQ.floor_div_sql(
+        f"{lam} * rel - {1_000_000 - lam} * pen", 1_000_000, "//"
+    )
+    ctes = [
+        f"""q AS (
+  SELECT vec_id AS query_id, embedding AS emb
+  FROM embeddings WHERE vec_id < {n_queries}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS emb FROM embeddings
+), rel0 AS (
+  SELECT q.query_id, c.neighbor_id, {XQ.micro_sql(_COSINE_RAW)} AS rel
+  FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+), cand AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT query_id, neighbor_id, rel,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, neighbor_id ASC) AS rn
+    FROM rel0
+  ) WHERE rn <= {n_cand}
+), sims AS (
+  SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+         {pair_cos} AS sim
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id AND a.neighbor_id < b.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+), simsym AS (
+  SELECT query_id, na AS x, nb AS y, sim FROM sims
+  UNION ALL
+  SELECT query_id, nb AS x, na AS y, sim FROM sims
+), s1 AS (
+  SELECT query_id, 1::BIGINT AS pick, neighbor_id, mmr FROM (
+    SELECT query_id, neighbor_id, ({mmr0})::BIGINT AS mmr,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ({mmr0}) DESC, neighbor_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), sel1 AS (
+  SELECT query_id, pick, neighbor_id, mmr FROM s1
+)"""
+    ]
+    for t in range(2, int(k) + 1):
+        ctes.append(
+            f"""pen{t} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel, max(ss.sim) AS pen
+  FROM cand c
+  JOIN sel{t - 1} s ON s.query_id = c.query_id
+  JOIN simsym ss ON ss.query_id = c.query_id
+    AND ss.x = c.neighbor_id AND ss.y = s.neighbor_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel{t - 1} p
+    WHERE p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id)
+  GROUP BY c.query_id, c.neighbor_id, c.rel
+), s{t} AS (
+  SELECT query_id, {t}::BIGINT AS pick, neighbor_id, mmr FROM (
+    SELECT query_id, neighbor_id, ({mmr_t})::BIGINT AS mmr,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ({mmr_t}) DESC, neighbor_id ASC) AS rn
+    FROM pen{t}
+  ) WHERE rn = 1
+), sel{t} AS (
+  SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, pick, neighbor_id, mmr::BIGINT AS mmr_ppm
+FROM sel{int(k)}
+ORDER BY query_id, pick"""
+    )
 
 
 def _cosine_topk_sql(n_queries: int, k: int) -> str:
@@ -3295,6 +3390,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         "hybrid_search": _hybrid_search_sql(),
         "quantized_topk": _quantized_topk_sql(),
         "pq_topk": S.pq_topk_oracle_sql(),
+        "mmr_topk": _mmr_topk_sql(),
         "skyline_orders": """
             -- 2D dominance collapses to group arithmetic: per price,
             -- only the max-recency group can survive, and it survives

@@ -1952,3 +1952,111 @@ SELECT query_id, neighbor_id, adc_d2, exact_d2, rank FROM (
 ) WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cand: int = 20,
+    lambda_ppm: int = 700_000,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the retrieval shape every RAG/serving stack runs
+    after ANN: from each query's ``n_cand`` most-similar candidates,
+    greedily pick ``k`` results maximizing
+    ``λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s)`` — relevance traded
+    against redundancy, so near-duplicate hits cannot monopolize the
+    result list the way they do in every plain top-k of this family.
+
+    Exactness: relevance and pairwise similarity quantize to ppm with
+    the tie-free micro formula; the MMR score is the FLOORED integer
+    ``(λ·rel − (1e6−λ)·pen) DIV 1e6`` (pen = 0 for the first pick);
+    argmax ties break to the lower neighbor id. The oracle unrolls the
+    same ``k`` greedy steps as chained CTEs.
+
+    Scale shape: candidate generation and the candidate×candidate
+    similarity matrix are distributed (|Q|·n_cand and |Q|·n_cand²
+    bounded — the MMR working set is a few hundred rows per query BY
+    DESIGN; that is what makes greedy re-ranking servable); the greedy
+    fold itself runs driver-side over the collected bounded frames,
+    the ``token_pagerank``/``events_holt`` bounded-model-state
+    pattern. Output: (query_id, pick, neighbor_id, mmr_ppm), ordered.
+    """
+    from mapreduceindex_spark.functions.exact import micro
+
+    lam = int(lambda_ppm)
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_eq")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_ec")
+    )
+    rel = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            micro(cosine_similarity("_eq", "_ec")).alias("rel_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        rel.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cand)
+        .select("query_id", "neighbor_id", "rel_ppm")
+    )
+    ca = cand.select("query_id", F.col("neighbor_id").alias("_a")).join(
+        c.select(F.col("neighbor_id").alias("_a"), F.col("_ec").alias("_ea")),
+        "_a",
+    )
+    cb = cand.select("query_id", F.col("neighbor_id").alias("_b")).join(
+        c.select(F.col("neighbor_id").alias("_b"), F.col("_ec").alias("_eb")),
+        "_b",
+    )
+    sims = (
+        ca.join(cb, "query_id")
+        .filter(F.col("_a") < F.col("_b"))
+        .select(
+            "query_id",
+            "_a",
+            "_b",
+            micro(cosine_similarity("_ea", "_eb")).alias("sim_ppm"),
+        )
+    )
+    # bounded collect: |Q|·n_cand rel rows + |Q|·C(n_cand,2) sim rows
+    rel_rows = cand.collect()
+    sim_rows = sims.collect()
+    by_q: dict[int, list] = {}
+    for r in rel_rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["neighbor_id"]), int(r["rel_ppm"]))
+        )
+    sim_map: dict[tuple[int, int, int], int] = {}
+    for r in sim_rows:
+        qq, a, b = int(r["query_id"]), int(r["_a"]), int(r["_b"])
+        sim_map[(qq, a, b)] = int(r["sim_ppm"])
+
+    def _sim(qq: int, a: int, b: int) -> int:
+        return sim_map.get((qq, min(a, b), max(a, b)), 0)
+
+    out = []
+    for qq, cands in sorted(by_q.items()):
+        pool = dict(cands)
+        picked: list[int] = []
+        for pick in range(1, min(k, len(pool)) + 1):
+            best = None
+            for d, rp in sorted(pool.items()):
+                pen = max((_sim(qq, d, s) for s in picked), default=0)
+                score = (lam * rp - (1_000_000 - lam) * pen) // 1_000_000
+                if best is None or score > best[1]:
+                    best = (d, score)
+            picked.append(best[0])
+            pool.pop(best[0])
+            out.append((qq, pick, best[0], best[1]))
+    return embeddings.sparkSession.createDataFrame(
+        out, "query_id long, pick long, neighbor_id long, mmr_ppm long"
+    ).orderBy("query_id", "pick")

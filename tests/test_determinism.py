@@ -142,6 +142,7 @@ NAMES = [
     "pq_topk",
     "media_audio_autocorr",
     "temperature_mixture",
+    "mmr_topk",
 ]
 
 

@@ -155,6 +155,7 @@ EMPTY_SAFE = [
     "pq_topk",
     "media_audio_autocorr",
     "temperature_mixture",
+    "mmr_topk",
 ]
 
 

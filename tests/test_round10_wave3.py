@@ -486,3 +486,55 @@ def test_streaming_bottomk_equals_batch_bottomk_across_batches(
     # astronomically unlikely on this fixture)
     ids = {d for d, _ in got}
     assert ids & set(range(30)) and ids & set(range(100, 130))
+
+
+# ---------------------------------------------------------------------------
+# mmr_topk
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_demotes_the_near_duplicate_second_hit(spark):
+    """Query 0 has two near-identical top candidates (10, 11) and a
+    moderately-relevant diverse one (12). Plain top-2 takes the twins;
+    MMR's second pick penalizes 11 by its ~1.0 similarity to the
+    already-picked 10 and takes 12 instead."""
+    from mapreduceindex_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, 0, [1.0, 0.0]),        # query
+        (10, 0, [0.9, 0.42]),      # top hit
+        (11, 0, [0.9, 0.421]),     # its near-duplicate (sim ≈ 1.0)
+        (12, 0, [0.9, -0.42]),     # equally relevant, opposite side
+        (13, 0, [0.0, 1.0]),       # irrelevant
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = [
+        (r["pick"], r["neighbor_id"])
+        for r in mmr_topk(
+            df, n_queries=1, k=3, n_cand=4, lambda_ppm=500_000
+        ).collect()
+    ]
+    assert out[0] == (1, 10)
+    assert out[1] == (2, 12)   # NOT 11 — the near-dup is demoted
+    assert out[2] == (3, 11)
+
+
+def test_mmr_lambda_one_reduces_to_plain_topk(spark):
+    """λ = 1e6 disables the diversity penalty: picks are exactly the
+    relevance ranking."""
+    from mapreduceindex_spark.operators.similarity import mmr_topk
+
+    rows = [(i, 0, [1.0, float(i) / 10.0]) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = [
+        (r["pick"], r["neighbor_id"])
+        for r in mmr_topk(
+            df, n_queries=1, k=3, n_cand=5, lambda_ppm=1_000_000
+        ).collect()
+    ]
+    assert [p for p, _ in out] == [1, 2, 3]
+    assert [n for _, n in out] == [1, 2, 3]  # cosine falls with i
