@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "silhouette_simplified",
     "pq_topk",
     "mmr_topk",
+    "ranker_agreement",
     "media_audio_autocorr",
     "temperature_mixture",
     "streaming_zscore_anomaly",
@@ -193,6 +194,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_fingerprint": lambda s, d: TA.doc_fingerprint(_t(s, d, "documents")),
         "tf_idf": lambda s, d: TA.tf_idf(_t(s, d, "documents")),
+        "ranker_agreement": lambda s, d: TA.ranker_agreement(
+            _t(s, d, "documents")
+        ),
         "rare_token_ratio": lambda s, d: TA.rare_token_ratio(
             _t(s, d, "documents")
         ),
@@ -2788,6 +2792,7 @@ def oracle_sql() -> dict[str, str]:
                      AS fingerprint
             FROM documents
         """,
+        "ranker_agreement": TA.ranker_agreement_oracle_sql(_words_sql()),
         "tf_idf": f"""
             WITH toks AS (
               SELECT doc_id, u.word FROM documents, unnest({ws}) AS u(word)

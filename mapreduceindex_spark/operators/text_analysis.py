@@ -1550,3 +1550,117 @@ def readability_scores(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ranker_agreement(documents: DataFrame) -> DataFrame:
+    """Rank agreement (Spearman) between two independent document-
+    quality signals — lexical DIVERSITY (distinct-word ratio, ppm) vs
+    character CLEANLINESS (alpha-char ratio, ppm) — the calibration a
+    curation pipeline runs before stacking filters: two rankers that
+    agree are redundant; two that disagree gate different documents
+    and both earn their compute.
+
+    Exactness: signals are floored ppm integers; ranks are the exact
+    DOUBLED average ranks (``2·rank + ties − 1`` — the tie group's
+    min-rank plus its size keeps the tie-averaged rank integral at 2×
+    scale, no fractional rank anywhere); Σd² is over the doubled-rank
+    differences (4× the classic Σd²). rho_ppm applies the classic
+    ``1 − 6Σd²/(n(n²−1))`` form (documented no-ties approximation) in
+    floored BIGINT — the denominator pre-scales by 1e6 above n = 1000
+    so the product never overflows int64 up to ~50k docs (the
+    jl_distortion_report headroom discipline; both engines take the
+    same branch).
+
+    Scale shape: one token aggregate (the only data-scale exchange),
+    two rank windows over doc-cardinality rows, one scalar fold.
+    Output: ONE row (n_docs, sum_d2_x4, rho_ppm).
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.text import words
+
+    base = documents.select(
+        "doc_id",
+        F.length("text").alias("_nc"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("_na"),
+        words(F.col("text")).alias("_ws"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN _nc > 0 THEN _na * 1000000 DIV _nc ELSE 0 END"
+        ).alias("_clean"),
+        F.expr(
+            "CASE WHEN size(_ws) > 0 THEN "
+            "size(array_distinct(_ws)) * 1000000 DIV size(_ws) "
+            "ELSE 0 END"
+        ).alias("_div"),
+    )
+    ranked = base.select(
+        "doc_id",
+        (
+            2 * F.rank().over(Window.orderBy("_div"))
+            + F.count(F.lit(1)).over(Window.partitionBy("_div"))
+            - 1
+        ).alias("_ra"),
+        (
+            2 * F.rank().over(Window.orderBy("_clean"))
+            + F.count(F.lit(1)).over(Window.partitionBy("_clean"))
+            - 1
+        ).alias("_rb"),
+    )
+    d2 = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("_ra") - F.col("_rb")) * (F.col("_ra") - F.col("_rb")))
+        .cast("long")
+        .alias("sum_d2_x4"),
+    )
+    rho = (
+        "CASE WHEN n_docs < 2 THEN CAST(1000000 AS BIGINT) "
+        "WHEN n_docs < 1000 THEN CAST(1000000 - "
+        "(6 * sum_d2_x4 * 1000000) DIV (4 * n_docs * (n_docs * n_docs - 1)) "
+        "AS BIGINT) "
+        "ELSE CAST(1000000 - (6 * sum_d2_x4) DIV "
+        "((4 * n_docs * (n_docs * n_docs - 1)) DIV 1000000) AS BIGINT) END"
+    )
+    return d2.select("n_docs", "sum_d2_x4", F.expr(rho).alias("rho_ppm"))
+
+
+def ranker_agreement_oracle_sql(words_sql: str) -> str:
+    """DuckDB twin of :func:`ranker_agreement` — identical ppm
+    signals, doubled average ranks, and branch-identical rho."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS na,
+         {words_sql} AS ws
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CASE WHEN nc > 0 THEN na * 1000000 // nc ELSE 0 END AS clean,
+         CASE WHEN len(ws) > 0
+              THEN len(list_distinct(ws)) * 1000000 // len(ws)
+              ELSE 0 END AS div
+  FROM base
+), ranked AS (
+  SELECT doc_id,
+         2 * rank() OVER (ORDER BY div)
+           + count(*) OVER (PARTITION BY div) - 1 AS ra,
+         2 * rank() OVER (ORDER BY clean)
+           + count(*) OVER (PARTITION BY clean) - 1 AS rb
+  FROM sig
+), d2 AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum((ra - rb) * (ra - rb))::BIGINT AS sum_d2_x4
+  FROM ranked
+)
+SELECT n_docs, sum_d2_x4,
+       CASE WHEN n_docs < 2 THEN CAST(1000000 AS BIGINT)
+            WHEN n_docs < 1000 THEN CAST(1000000 -
+              (6 * sum_d2_x4 * 1000000)
+                // (4 * n_docs * (n_docs * n_docs - 1)) AS BIGINT)
+            ELSE CAST(1000000 - (6 * sum_d2_x4)
+              // ((4 * n_docs * (n_docs * n_docs - 1)) // 1000000)
+              AS BIGINT) END AS rho_ppm
+FROM d2
+"""

@@ -143,6 +143,7 @@ NAMES = [
     "media_audio_autocorr",
     "temperature_mixture",
     "mmr_topk",
+    "ranker_agreement",
 ]
 
 

@@ -274,3 +274,15 @@ def test_semantic_threshold_curve_empty_is_zero_report(spark, empty_tables):
         800000, 900000, 950000, 990000,
     ]
     assert all((r.n_pairs, r.n_vecs_affected) == (0, 0) for r in rows)
+
+
+def test_ranker_agreement_empty_is_degenerate_report(spark, empty_tables):
+    """ranker_agreement is a one-row REPORT query: on an empty corpus
+    it emits the degenerate (n_docs=0) row with rho pinned by the
+    n < 2 branch — never a division by zero."""
+    rows = entrymod._all_queries()["ranker_agreement"](
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 0
+    assert rows[0]["rho_ppm"] == 1_000_000

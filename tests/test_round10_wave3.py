@@ -538,3 +538,45 @@ def test_mmr_lambda_one_reduces_to_plain_topk(spark):
     ]
     assert [p for p, _ in out] == [1, 2, 3]
     assert [n for _, n in out] == [1, 2, 3]  # cosine falls with i
+
+
+# ---------------------------------------------------------------------------
+# ranker_agreement
+# ---------------------------------------------------------------------------
+
+
+def test_ranker_agreement_perfect_and_reversed(spark):
+    """Perfectly aligned signals → rho = 1e6; perfectly reversed (one
+    ranker inverts the other) → rho = −1e6 exactly (no ties, classic
+    formula)."""
+    from mapreduceindex_spark.operators.text_analysis import (
+        ranker_agreement,
+    )
+
+    # 6 two-LETTER words (the tokenizer strips digits), 1+i distinct →
+    # diversity (1+i)/6 rises with i; dots = 8−2i → alpha ratio
+    # 12/(25−2i) also rises with i
+    def _doc(i, dots):
+        letters = ["aa", "ab", "ac", "ad", "ae"]
+        ws = letters[: 1 + i] + ["aa"] * (4 - i)
+        return " ".join(ws + ["aa"]) + "." * dots
+
+    aligned = [(i, _doc(i, 8 - 2 * i), "s") for i in range(5)]
+    df = spark.createDataFrame(
+        aligned, "doc_id long, text string, source string"
+    )
+    r = ranker_agreement(df).collect()[0]
+    # both signals strictly increase with i -> identical ranks
+    assert r["sum_d2_x4"] == 0
+    assert r["rho_ppm"] == 1_000_000
+
+    # reversed: diversity still rises with i, cleanliness now falls
+    reversed_rows = [(i, _doc(i, 2 * i), "s") for i in range(5)]
+    df2 = spark.createDataFrame(
+        reversed_rows, "doc_id long, text string, source string"
+    )
+    r2 = ranker_agreement(df2).collect()[0]
+    # exact reversal of 5 untied ranks: doubled-rank Σd² = 160,
+    # classic Σd² = 40, rho = 1 − 6·40/(5·24) = −1
+    assert r2["sum_d2_x4"] == 160
+    assert r2["rho_ppm"] == -1_000_000
