@@ -63,6 +63,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the back; local pytest still oracle-checks all of them every run, so
 #: rotation costs no coverage.
 _VERIFY_FIRST = [
+    # round-10 fourth wave (newest first: these have never had a
+    # driver row)
+    "kmv_set_ops",
+    "log2_quantile_sketch",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -666,6 +670,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "hll_distinct_users": lambda s, d: SK.hll_distinct_users(
             _t(s, d, "events")
+        ),
+        "kmv_set_ops": lambda s, d: SK.kmv_set_ops(_t(s, d, "events")),
+        "log2_quantile_sketch": lambda s, d: SK.log2_quantile_sketch(
+            _t(s, d, "orders")
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
@@ -5086,6 +5094,129 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          4) AS est_users
             FROM mins WHERE rn <= 32
             GROUP BY event_type
+        """,
+        "kmv_set_ops": f"""
+            -- KMV set algebra (Beyer et al. SIGMOD'07): the k smallest
+            -- of the merged per-type sketches IS the union sketch;
+            -- intersection via the membership ratio over those k mins.
+            -- Identical estimator expression text as the Spark side, so
+            -- the only doubles are bit-equal.
+            WITH pairs AS (
+              SELECT DISTINCT event_type,
+                     {_hash60_sql("user_id::VARCHAR")} AS u
+              FROM events),
+            mins AS (
+              SELECT event_type, u FROM (
+                SELECT event_type, u,
+                       row_number() OVER (PARTITION BY event_type ORDER BY u)
+                         AS rn
+                FROM pairs) WHERE rn <= 64),
+            types AS (SELECT DISTINCT event_type FROM mins),
+            per AS (
+              SELECT event_type, count(*) AS n_t, max(u) AS kth_t
+              FROM mins GROUP BY 1),
+            merged AS (
+              SELECT type_a, type_b, u,
+                     max(in_a) AS in_a, max(in_b) AS in_b FROM (
+                SELECT m.event_type AS type_a, t.event_type AS type_b,
+                       m.u, 1 AS in_a, 0 AS in_b
+                FROM mins m JOIN types t ON m.event_type < t.event_type
+                UNION ALL
+                SELECT t.event_type, m.event_type, m.u, 0, 1
+                FROM mins m JOIN types t ON t.event_type < m.event_type)
+              GROUP BY 1, 2, 3),
+            usk AS (
+              SELECT type_a, type_b, count(*) AS n_mins, max(u) AS kth,
+                     sum(in_a * in_b)::BIGINT AS n_both
+              FROM (
+                SELECT *, row_number() OVER
+                       (PARTITION BY type_a, type_b ORDER BY u) AS rn
+                FROM merged) WHERE rn <= 64
+              GROUP BY 1, 2),
+            pu AS (SELECT DISTINCT event_type, user_id FROM events),
+            ex AS (SELECT event_type, count(*) AS n_exact FROM pu GROUP BY 1),
+            inter AS (
+              SELECT x.event_type AS type_a, y.event_type AS type_b,
+                     count(*) AS n_inter
+              FROM pu x JOIN pu y
+                ON x.user_id = y.user_id AND x.event_type < y.event_type
+              GROUP BY 1, 2)
+            SELECT u.type_a, u.type_b, 64::BIGINT AS k, u.n_mins, u.n_both,
+                   round(CASE WHEN pa.n_t < 64 THEN pa.n_t::DOUBLE
+                              ELSE 63.0 * pow(2.0, 60) / pa.kth_t::DOUBLE
+                         END, 4) AS est_a,
+                   round(CASE WHEN pb.n_t < 64 THEN pb.n_t::DOUBLE
+                              ELSE 63.0 * pow(2.0, 60) / pb.kth_t::DOUBLE
+                         END, 4) AS est_b,
+                   round(CASE WHEN u.n_mins < 64 THEN u.n_mins::DOUBLE
+                              ELSE 63.0 * pow(2.0, 60) / u.kth::DOUBLE
+                         END, 4) AS est_union,
+                   round((CASE WHEN u.n_mins < 64 THEN u.n_mins::DOUBLE
+                               ELSE 63.0 * pow(2.0, 60) / u.kth::DOUBLE END)
+                         * u.n_both / u.n_mins, 4) AS est_inter,
+                   ea.n_exact::BIGINT AS exact_a,
+                   eb.n_exact::BIGINT AS exact_b,
+                   (ea.n_exact + eb.n_exact - coalesce(i.n_inter, 0))::BIGINT
+                     AS exact_union,
+                   coalesce(i.n_inter, 0)::BIGINT AS exact_inter
+            FROM usk u
+            JOIN per pa ON pa.event_type = u.type_a
+            JOIN per pb ON pb.event_type = u.type_b
+            JOIN ex ea ON ea.event_type = u.type_a
+            JOIN ex eb ON eb.event_type = u.type_b
+            LEFT JOIN inter i
+              ON i.type_a = u.type_a AND i.type_b = u.type_b
+            ORDER BY u.type_a, u.type_b
+        """,
+        "log2_quantile_sketch": """
+            -- identical γ=2 DDSketch-style histogram: the bucket is the
+            -- integer length(bin(cents)) - 1 on both engines (no float
+            -- log anywhere); nearest-rank and midpoint arithmetic are
+            -- pure BIGINT
+            WITH base AS (
+              SELECT o_orderpriority AS priority,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                     o_orderkey
+              FROM orders),
+            hist AS (
+              SELECT priority,
+                     CASE WHEN cents <= 0 THEN -1
+                          ELSE length(bin(cents)) - 1 END AS bucket,
+                     count(*) AS cnt
+              FROM base GROUP BY 1, 2),
+            totals AS (
+              SELECT priority, sum(cnt)::BIGINT AS n FROM hist GROUP BY 1),
+            ranks AS (
+              SELECT priority, n, p, (p * n + 99) // 100 AS rank
+              FROM totals
+              CROSS JOIN (SELECT unnest([50, 90, 99])::BIGINT AS p)),
+            cum AS (
+              SELECT priority, bucket, cnt,
+                     sum(cnt) OVER (PARTITION BY priority ORDER BY bucket)
+                       AS cum
+              FROM hist),
+            pick AS (
+              SELECT r.priority, r.p, r.n, r.rank, c.bucket,
+                     CASE WHEN c.bucket < 0 THEN 0
+                          ELSE (1::BIGINT << c.bucket) * 3 // 2
+                     END AS est_cents
+              FROM ranks r JOIN cum c ON c.priority = r.priority
+              WHERE c.cum >= r.rank AND c.cum - c.cnt < r.rank),
+            exact AS (
+              SELECT priority,
+                     row_number() OVER (PARTITION BY priority
+                                        ORDER BY cents, o_orderkey) AS rank,
+                     cents AS exact_cents
+              FROM base)
+            SELECT k.priority, k.p, k.n, k.rank, k.bucket,
+                   k.est_cents::BIGINT AS est_cents,
+                   e.exact_cents,
+                   (abs(k.est_cents - e.exact_cents) * 1000000
+                    // e.exact_cents)::BIGINT AS err_ppm
+            FROM pick k
+            JOIN exact e ON e.priority = k.priority AND e.rank = k.rank
+            ORDER BY k.priority, k.p
         """,
         "hll_distinct_users": f"""
             -- identical HLL register vector (same md5 hash, same

@@ -498,3 +498,278 @@ def cms_hot_tokens(
         )
         .orderBy(F.col("n_exact").desc(), F.col("word").asc())
     )
+
+
+def kmv_set_ops(events: DataFrame, k: int = 64) -> DataFrame:
+    """KMV sketch **set algebra**: estimated distinct-user union and
+    intersection for every event-type pair, with the exact counts
+    joined alongside as calibration columns.
+
+    This is the operation the single-set sketches can't do: "how many
+    users do `view` and `purchase` share?" at 100 TB without a
+    per-pair distinct pass. KMV sketches are closed under union — the
+    k smallest of (A-sketch ∪ B-sketch) IS the k-minimum-values sketch
+    of A∪B — and the intersection follows from inclusion: with K = the
+    union sketch's k mins, ρ = |{h ∈ K : h ∈ A-sketch ∧ h ∈ B-sketch}|
+    estimates the Jaccard overlap, so est_inter = (ρ/|K|)·est_union
+    (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+    Multiset Operations", SIGMOD'07). When the union sketch holds fewer
+    than k hashes, both inputs were exhaustive and every readout is
+    exact — the estimator degrades to truth on small sets.
+
+    Plan shape: ONE dedup shuffle over (type, user-hash) — the same one
+    `kmv_distinct_users` pays — then everything downstream operates on
+    the types·k sketch rows: the pair merge is sketch×types (bounded by
+    types²·k), never data×data. The exact legs (per-pair distinct
+    intersection via a user-keyed self-join of the distinct frame) are
+    the CALIBRATION tier — at production scale you run the sketch legs
+    only, the `minhash_accuracy` discipline.
+
+    Determinism: hashes are `stable_hash64`; the only floats are the
+    KMV estimates, computed from exact BIGINTs by the same expression
+    text on both engines and rounded to 4dp (the `kmv_distinct_users`
+    precedent).
+
+    Columns: (type_a, type_b, k, n_mins, n_both, est_a, est_b,
+    est_union, est_inter, exact_a, exact_b, exact_union, exact_inter),
+    one row per unordered type pair a<b, ordered by (type_a, type_b).
+    """
+    pairs = (
+        events.select(
+            "event_type",
+            stable_hash64(F.col("user_id").cast("string")).alias("u"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    mins = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "u")
+    )
+    types = mins.select("event_type").distinct()
+
+    # single-set summaries (for est_a / est_b)
+    per = mins.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"), F.max("u").alias("kth_t")
+    )
+
+    # pair-merged sketch: each sketch row fans out to its pairs (a<b),
+    # shared hashes collapse with membership flags
+    b_side = types.withColumnRenamed("event_type", "type_b")
+    a_side = types.withColumnRenamed("event_type", "type_a")
+    merged = (
+        mins.join(b_side, F.col("event_type") < F.col("type_b"))
+        .select(
+            F.col("event_type").alias("type_a"),
+            "type_b",
+            "u",
+            F.lit(1).alias("in_a"),
+            F.lit(0).alias("in_b"),
+        )
+        .unionByName(
+            mins.join(a_side, F.col("type_a") < F.col("event_type")).select(
+                "type_a",
+                F.col("event_type").alias("type_b"),
+                "u",
+                F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("type_a", "type_b", "u")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w2 = Window.partitionBy("type_a", "type_b").orderBy("u")
+    usk = (
+        merged.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_mins"),
+            F.max("u").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        )
+    )
+
+    # exact calibration legs
+    pu = events.select("event_type", "user_id").distinct()
+    ex = pu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    inter = (
+        pu.alias("x")
+        .join(
+            pu.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+    def _est(n, kth):
+        return F.round(
+            F.when(n < k, n.cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth.cast("double")
+            ),
+            4,
+        )
+
+    est_union_raw = F.when(
+        F.col("n_mins") < k, F.col("n_mins").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("kth").cast("double")
+    )
+    return (
+        usk.join(
+            per.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_t").alias("n_a"),
+                F.col("kth_t").alias("kth_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            per.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_t").alias("n_b"),
+                F.col("kth_t").alias("kth_b"),
+            ),
+            "type_b",
+        )
+        .join(
+            ex.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n_exact").alias("exact_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            ex.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n_exact").alias("exact_b"),
+            ),
+            "type_b",
+        )
+        .join(inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.lit(k).cast("long").alias("k"),
+            "n_mins",
+            "n_both",
+            _est(F.col("n_a"), F.col("kth_a")).alias("est_a"),
+            _est(F.col("n_b"), F.col("kth_b")).alias("est_b"),
+            F.round(est_union_raw, 4).alias("est_union"),
+            F.round(
+                est_union_raw * F.col("n_both") / F.col("n_mins"), 4
+            ).alias("est_inter"),
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            (
+                F.col("exact_a")
+                + F.col("exact_b")
+                - F.coalesce(F.col("n_inter"), F.lit(0))
+            ).cast("long").alias("exact_union"),
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("long").alias(
+                "exact_inter"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def log2_quantile_sketch(orders: DataFrame, ps: tuple = (50, 90, 99)) -> DataFrame:
+    """Mergeable log2-bucket quantile sketch per order priority, with
+    the exact nearest-rank value joined alongside as the calibration
+    column — the DDSketch shape (Masson, Rim, Lee, "DDSketch: a fast
+    and fully-mergeable quantile sketch", VLDB'19) at γ=2, made
+    engine-portable: the bucket of a positive cents value is
+    ``length(bin(cents)) - 1`` = ⌊log2 cents⌋ — integer-exact string
+    length, no float log — so the DuckDB oracle rebuilds the identical
+    histogram.
+
+    Why this next to the exact two-phase ``price_quantiles``: the exact
+    algorithm needs a second targeted pass; the sketch is ONE map-side-
+    combined aggregate with O(groups · 64) state that merges across
+    partitions, days, and machines by plain addition — the only
+    quantile shape that survives pre-aggregated/rolled-up storage at
+    100 TB. The price: relative error ≤ 1/2 at the bucket's lower edge
+    (γ=2 is the coarsest grid; production picks γ=1.02 for 2% — the
+    mechanism is identical, the bucket count just grows to
+    log_γ(range)). The exact leg and ``err_ppm`` make the realized
+    error visible (the ``hll_distinct_users`` calibration discipline).
+
+    Estimate = the bucket's arithmetic midpoint ⌊3·2^b/2⌋; rank =
+    nearest-rank ⌈p·n/100⌉ computed in integers as (p·n + 99) DIV 100.
+
+    Columns: (priority, p, n, rank, bucket, est_cents, exact_cents,
+    err_ppm), ordered by (priority, p).
+    """
+    cents_expr = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(cents_expr).alias("cents"),
+        "o_orderkey",
+    )
+    hist = (
+        base.select(
+            "priority",
+            F.expr(
+                "CASE WHEN cents <= 0 THEN -1 "
+                "ELSE length(bin(cents)) - 1 END"
+            ).alias("bucket"),
+        )
+        .groupBy("priority", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = hist.groupBy("priority").agg(F.sum("cnt").alias("n"))
+    ranks = totals.select(
+        "priority",
+        "n",
+        F.explode(F.array(*[F.lit(p).cast("long") for p in ps])).alias("p"),
+    ).withColumn("rank", F.expr("(p * n + 99) DIV 100"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy("priority").orderBy("bucket")),
+    )
+    pick = (
+        ranks.join(cum, "priority")
+        .filter(
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("cnt") < F.col("rank"))
+        )
+        .select(
+            "priority",
+            "p",
+            "n",
+            "rank",
+            "bucket",
+            F.expr(
+                "CASE WHEN bucket < 0 THEN 0L "
+                "ELSE shiftleft(1L, CAST(bucket AS INT)) * 3L DIV 2 END"
+            ).alias("est_cents"),
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("cents", "o_orderkey")
+    exact = base.withColumn("rn", F.row_number().over(w)).select(
+        "priority", F.col("rn").alias("rank"), F.col("cents").alias("exact_cents")
+    )
+    return (
+        pick.join(exact, ["priority", "rank"])
+        .select(
+            "priority",
+            "p",
+            "n",
+            "rank",
+            "bucket",
+            "est_cents",
+            "exact_cents",
+            F.expr(
+                "CAST(abs(est_cents - exact_cents) * 1000000 DIV exact_cents"
+                " AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("priority", "p")
+    )

@@ -144,6 +144,10 @@ NAMES = [
     "temperature_mixture",
     "mmr_topk",
     "ranker_agreement",
+    # round-10 fourth wave: k-smallest windows, membership-flag maxes,
+    # and bucket-histogram cumsums must not leak partitioning
+    "kmv_set_ops",
+    "log2_quantile_sketch",
 ]
 
 

@@ -156,6 +156,10 @@ EMPTY_SAFE = [
     "media_audio_autocorr",
     "temperature_mixture",
     "mmr_topk",
+    # round-10 fourth wave: empty sketch pair universe, empty
+    # bucket histograms
+    "kmv_set_ops",
+    "log2_quantile_sketch",
 ]
 
 
