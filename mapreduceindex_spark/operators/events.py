@@ -1727,3 +1727,96 @@ SELECT t.day_num::BIGINT AS day_num,
 FROM trended t LEFT JOIN seasonal s USING (dow)
 ORDER BY day_num
 """
+
+
+def ks_drift_test(events: DataFrame) -> DataFrame:
+    """Exact-integer two-sample Kolmogorov–Smirnov drift test per event
+    type: did the value distribution shift between the corpus's early
+    and late halves? The snapshot-drift alarm for a continuously
+    ingested training stream, next to ``event_mix_drift`` (which
+    compares SHARES of types; this compares each type's value
+    DISTRIBUTION against itself over time).
+
+    The statistic is computed without a single float until the ppm
+    readout: with n1/n2 the half sizes and c1(v)/c2(v) the cumulative
+    counts at each observed cents value, D = max |F1−F2| =
+    max |c1·n2 − c2·n1| / (n1·n2) — the numerator is BIGINT-exact, so
+    ``d_ppm`` is a floored integer. The α=0.05 decision
+    D > 1.358·√((n1+n2)/(n1·n2)) is cross-multiplied into integers too:
+    reject ⟺ 10⁶·D_scaled² > 1 844 164·(n1+n2)·n1·n2 — both sides in
+    DECIMAL(38,0), no sqrt anywhere (the ``price_qty_regression``
+    HUGEINT-moment discipline). c² = 1.358² = 1.844164 exactly.
+
+    The early/late cut is the probe-free floored midpoint of the
+    event-time range (the ``rfm_migration`` pattern): a 1-row bounds
+    frame broadcast onto the scan, never a collected literal.
+
+    Plan shape: one aggregate to (type, cents, side counts) — map-side
+    combined, output bounded by distinct values per type — then a
+    window cumsum over that bounded frame and a per-type max. Two
+    shuffles, no data×data joins; the ECDF comparison never
+    materializes either sample. Types with an empty half are excluded
+    (the statistic is undefined).
+
+    Columns: (event_type, n_early, n_late, n_values, d_scaled, d_ppm,
+    reject_05), ordered by event_type.
+    """
+    mid = floor_div_sql("min(unix_micros(ts)) + max(unix_micros(ts))", 2, "DIV")
+    bounds = events.agg(F.expr(mid).alias("mid_us"))
+    sided = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+            F.expr(
+                "CASE WHEN unix_micros(ts) <= mid_us THEN 0 ELSE 1 END"
+            ).alias("side"),
+        )
+    )
+    per_value = sided.groupBy("event_type", "cents").agg(
+        F.sum(F.expr("CASE WHEN side = 0 THEN 1 ELSE 0 END")).alias("d1"),
+        F.sum(F.expr("CASE WHEN side = 1 THEN 1 ELSE 0 END")).alias("d2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_value.select(
+        "event_type",
+        "cents",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    totals = per_value.groupBy("event_type").agg(
+        F.sum("d1").cast("long").alias("n1"), F.sum("d2").cast("long").alias("n2")
+    )
+    return (
+        cum.join(totals, "event_type")
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n_early"),
+            F.max("n2").alias("n_late"),
+            F.count(F.lit(1)).alias("n_values"),
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).cast("long").alias("d_scaled"),
+        )
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            "n_values",
+            "d_scaled",
+            F.expr("d_scaled * 1000000L DIV (n_early * n_late)").alias("d_ppm"),
+            F.expr(
+                "CAST(CASE WHEN CAST(d_scaled AS DECIMAL(38,0))"
+                " * CAST(d_scaled AS DECIMAL(38,0)) * 1000000"
+                " > CAST(1844164 AS DECIMAL(38,0))"
+                " * (n_early + n_late) * n_early * n_late"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("reject_05"),
+        )
+        .orderBy("event_type")
+    )

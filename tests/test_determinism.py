@@ -148,6 +148,7 @@ NAMES = [
     # and bucket-histogram cumsums must not leak partitioning
     "kmv_set_ops",
     "log2_quantile_sketch",
+    "ks_drift_test",
 ]
 
 

@@ -160,6 +160,7 @@ EMPTY_SAFE = [
     # bucket histograms
     "kmv_set_ops",
     "log2_quantile_sketch",
+    "ks_drift_test",
 ]
 
 

@@ -144,3 +144,81 @@ def test_log2_sketch_merge_equals_whole(spark):
         _orders(spark, a).unionByName(_orders(spark, b))
     ).collect()
     assert sorted(map(tuple, whole)) == sorted(map(tuple, unioned))
+
+
+# ---------------------------------------------------------------------------
+# ks_drift_test
+# ---------------------------------------------------------------------------
+
+
+def _drift_events(spark, rows):
+    from datetime import datetime, timezone
+
+    return spark.createDataFrame(
+        [
+            (i, datetime.fromtimestamp(ts, tz=timezone.utc).replace(tzinfo=None), t, c / 100.0)
+            for i, (ts, t, c) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+
+
+def test_ks_drift_shifted_distribution_rejects(spark):
+    """Early half = cents 1..10, late half = cents 11..20: the ECDFs are
+    disjoint so D = 1 (d_ppm = 1e6) and the alpha=0.05 decision fires;
+    an identical-halves type has D = 0 and does not."""
+    from mapreduceindex_spark.operators.events import ks_drift_test
+
+    t0, t1 = 1_000_000, 2_000_000  # midpoint 1_500_000
+    rows = [(t0, "shift", c) for c in range(1, 11)]
+    rows += [(t1, "shift", c) for c in range(11, 21)]
+    rows += [(t0, "same", c) for c in (5, 7, 9)]
+    rows += [(t1, "same", c) for c in (5, 7, 9)]
+    out = {r["event_type"]: r for r in ks_drift_test(_drift_events(spark, rows)).collect()}
+
+    s = out["shift"]
+    assert (s["n_early"], s["n_late"], s["n_values"]) == (10, 10, 20)
+    assert s["d_scaled"] == 100  # at v=10: |10*10 - 0*10|
+    assert s["d_ppm"] == 1_000_000
+    assert s["reject_05"] == 1  # 1e6*100^2 = 1e10 > 1844164*20*100 = 3.69e9
+
+    e = out["same"]
+    assert e["d_scaled"] == 0 and e["d_ppm"] == 0 and e["reject_05"] == 0
+
+
+def test_ks_drift_excludes_types_with_an_empty_half(spark):
+    """A type entirely inside one half has an undefined statistic and
+    must be absent, not a divide-by-zero."""
+    from mapreduceindex_spark.operators.events import ks_drift_test
+
+    t0, t1 = 1_000_000, 2_000_000
+    rows = [(t0, "early_only", c) for c in (1, 2, 3)]
+    rows += [(t0, "both", 1), (t1, "both", 2)]
+    out = ks_drift_test(_drift_events(spark, rows)).collect()
+    assert [r["event_type"] for r in out] == ["both"]
+
+
+def test_ks_drift_statistic_matches_scipy_formula_replay(spark):
+    """Interleaved samples: D replayed independently in pure Python over
+    the two ECDFs (the scipy.stats.ks_2samp definition) matches the
+    engine's integer statistic."""
+    from mapreduceindex_spark.operators.events import ks_drift_test
+
+    t0, t1 = 1_000_000, 2_000_000
+    early = [3, 3, 5, 8, 13, 21, 21, 34]
+    late = [2, 5, 5, 9, 13, 30, 55]
+    rows = [(t0, "x", c) for c in early] + [(t1, "x", c) for c in late]
+    [r] = ks_drift_test(_drift_events(spark, rows)).collect()
+
+    n1, n2 = len(early), len(late)
+    values = sorted(set(early) | set(late))
+    d_scaled = max(
+        abs(
+            sum(1 for v in early if v <= x) * n2
+            - sum(1 for v in late if v <= x) * n1
+        )
+        for x in values
+    )
+    assert r["d_scaled"] == d_scaled
+    assert r["d_ppm"] == d_scaled * 1_000_000 // (n1 * n2)
+    assert r["n_values"] == len(values)
