@@ -68,6 +68,8 @@ _VERIFY_FIRST = [
     "kmv_set_ops",
     "log2_quantile_sketch",
     "ks_drift_test",
+    "winnowing_fingerprints",
+    "winnowing_overlap",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -677,6 +679,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders")
         ),
         "ks_drift_test": lambda s, d: E.ks_drift_test(_t(s, d, "events")),
+        "winnowing_fingerprints": lambda s, d: TA.winnowing_fingerprints(
+            _t(s, d, "documents")
+        ),
+        "winnowing_overlap": lambda s, d: TA.winnowing_overlap(
+            _t(s, d, "documents")
+        ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
         # round 6: tumbling series with empty buckets zero-filled from a
@@ -1227,6 +1235,39 @@ def _tws_runtime_available() -> bool:
 
 def _words_sql(t: str = "text") -> str:
     return _WORDS.format(t=t)
+
+
+def _winnow_sql(k: int = 3, w: int = 4) -> str:
+    """Shared CTE chain replaying ``text_analysis._winnow_fps`` (robust
+    winnowing, SIGMOD'03): full k-gram hashes → ×w window fan-out →
+    rightmost-min pick per window (row_number ORDER BY h ASC, pos DESC
+    ≡ the engine's min(struct(h, -pos))) → distinct fingerprint set.
+    Pure integers throughout."""
+    gram = " || ' ' || ".join(
+        f"w[CAST(t.i AS INT) + {j}]" if j else "w[CAST(t.i AS INT)]"
+        for j in range(k)
+    )
+    return f"""
+            base AS (SELECT doc_id, {_words_sql()} AS w FROM documents),
+            grams AS (
+              SELECT doc_id, CAST(len(w) - {k - 1} AS BIGINT) AS n_grams,
+                     CAST(t.i - 1 AS BIGINT) AS pos,
+                     {_hash60_sql(gram)} AS h
+              FROM base, range(1, 8193) t(i)
+              WHERE t.i <= len(w) - {k - 1}),
+            fan AS (
+              SELECT g.doc_id, g.n_grams, g.pos, g.h,
+                     g.pos - o.off AS win_start
+              FROM grams g, (SELECT unnest(range(0, {w})) AS off) o
+              WHERE g.pos - o.off >= 0
+                AND g.pos - o.off <= g.n_grams - {w}),
+            chosen AS (
+              SELECT doc_id, n_grams, win_start, h, pos FROM (
+                SELECT *, row_number() OVER (
+                         PARTITION BY doc_id, win_start
+                         ORDER BY h ASC, pos DESC) AS rn
+                FROM fan) WHERE rn = 1),
+            fps AS (SELECT DISTINCT doc_id, n_grams, h, pos FROM chosen)"""
 
 
 def _bpe_unrolled_sql(num_merges: int = 8) -> str:
@@ -6382,6 +6423,29 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                     // greatest(CAST(n_chars AS BIGINT), 1)) AS priority
             FROM documents
             ORDER BY priority ASC, doc_id ASC LIMIT 50
+        """,
+        "winnowing_fingerprints": f"""
+            WITH {_winnow_sql()}
+            SELECT doc_id, n_grams,
+                   (n_grams - 3)::BIGINT AS n_windows,
+                   count(*)::BIGINT AS n_fp,
+                   (count(*) * 1000000 // (n_grams - 3))::BIGINT
+                     AS density_ppm
+            FROM fps GROUP BY doc_id, n_grams ORDER BY doc_id
+        """,
+        "winnowing_overlap": f"""
+            WITH {_winnow_sql()},
+            fp2 AS (SELECT DISTINCT doc_id, h FROM fps),
+            keep AS (
+              SELECT h FROM (
+                SELECT h, count(*) AS dfh FROM fp2 GROUP BY 1)
+              WHERE dfh >= 2 AND dfh <= 50),
+            flt AS (SELECT f.doc_id, f.h FROM fp2 f JOIN keep USING (h))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM flt a JOIN flt b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY n_shared DESC, doc_a, doc_b
         """,
         "skipgram_cooccurrence": f"""
             -- oracle does the O(N·window) position range join; the

@@ -149,6 +149,7 @@ NAMES = [
     "kmv_set_ops",
     "log2_quantile_sketch",
     "ks_drift_test",
+    "winnowing_overlap",
 ]
 
 

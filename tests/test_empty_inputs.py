@@ -161,6 +161,8 @@ EMPTY_SAFE = [
     "kmv_set_ops",
     "log2_quantile_sketch",
     "ks_drift_test",
+    "winnowing_fingerprints",
+    "winnowing_overlap",
 ]
 
 

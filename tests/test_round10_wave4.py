@@ -222,3 +222,94 @@ def test_ks_drift_statistic_matches_scipy_formula_replay(spark):
     assert r["d_scaled"] == d_scaled
     assert r["d_ppm"] == d_scaled * 1_000_000 // (n1 * n2)
     assert r["n_values"] == len(values)
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints / winnowing_overlap
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(text, k=3, w=4):
+    """Independent pure-Python robust winnowing (SIGMOD'03): rightmost
+    minimal k-gram hash per window of w."""
+    toks = [
+        "".join(ch for ch in t if ch.isalpha()).lower() for t in text.split()
+    ]
+    toks = [t for t in toks if t]
+    grams = [
+        _h60(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)
+    ]
+    fps = set()
+    for s in range(len(grams) - w + 1):
+        window = grams[s : s + w]
+        m = min(window)
+        pos = max(i for i in range(s, s + w) if grams[i] == m)
+        fps.add((grams[pos], pos))
+    return len(grams), fps
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_winnowing_matches_pure_python_replay(spark):
+    """Fingerprint count and density per doc equal the independent
+    replay of the rightmost-min rule."""
+    from mapreduceindex_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three one two three one two three one two",
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in winnowing_fingerprints(_docs(spark, texts)).collect()
+    }
+    for i, t in enumerate(texts):
+        n_grams, fps = _winnow_py(t)
+        r = out[i]
+        assert r["n_grams"] == n_grams
+        assert r["n_windows"] == n_grams - 3
+        assert r["n_fp"] == len(fps)
+        assert r["density_ppm"] == len(fps) * 1_000_000 // (n_grams - 3)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing guarantee: documents sharing a token run of
+    >= w+k-1 = 6 words share at least one fingerprint, so the overlap
+    report must pair them."""
+    from mapreduceindex_spark.operators.text_analysis import (
+        winnowing_overlap,
+    )
+
+    shared = "lorem ipsum dolor sit amet consectetur"  # 6 words
+    texts = [
+        "unrelated preamble words here " + shared + " trailing tail one",
+        "totally different beginning text " + shared + " other suffix two",
+        "no overlap with anything else at all whatsoever in here",
+    ]
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnowing_overlap(
+            _docs(spark, texts), min_shared=1
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_winnowing_short_docs_excluded(spark):
+    """Documents without one full window (< w+k-1 words) emit no row."""
+    from mapreduceindex_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    texts = ["tiny doc here", "five words is not enough", 
+             "but six words is just enough yes"]
+    out = winnowing_fingerprints(_docs(spark, texts)).collect()
+    assert [r["doc_id"] for r in out] == [2]
