@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "ks_drift_test",
     "winnowing_fingerprints",
     "winnowing_overlap",
+    "dbscan_embeddings",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -684,6 +685,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "winnowing_overlap": lambda s, d: TA.winnowing_overlap(
             _t(s, d, "documents")
+        ),
+        "dbscan_embeddings": lambda s, d: CL.dbscan_embeddings(
+            _t(s, d, "embeddings")
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
@@ -6423,6 +6427,60 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                     // greatest(CAST(n_chars AS BIGINT), 1)) AS priority
             FROM documents
             ORDER BY priority ASC, doc_id ASC LIMIT 50
+        """,
+        "dbscan_embeddings": f"""
+            -- identical grid-bucketed DBSCAN: micro coords, floored
+            -- cell division, integer L∞ filter, recursive min-label
+            -- reach over the core-core graph, min-adjacent-core border
+            -- assignment — pure integers end to end
+            WITH RECURSIVE pc AS (
+              SELECT vec_id,
+                     {XQ.micro_sql("embedding[1]::DOUBLE")} AS x,
+                     {XQ.micro_sql("embedding[2]::DOUBLE")} AS y
+              FROM embeddings),
+            pcc AS (
+              SELECT vec_id, x, y,
+                     {XQ.floor_div_sql("x", 20000, "//")} AS cx,
+                     {XQ.floor_div_sql("y", 20000, "//")} AS cy
+              FROM pc),
+            nb AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM pcc a JOIN pcc b
+                ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+               AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+               AND greatest(abs(a.x - b.x), abs(a.y - b.y)) <= 20000),
+            nn AS (SELECT va, count(*) AS n_neighbors FROM nb GROUP BY 1),
+            core AS (SELECT va AS vec_id FROM nn WHERE n_neighbors >= 4),
+            ce AS (
+              SELECT n.va AS src, n.vb AS dst
+              FROM nb n
+              JOIN core c1 ON c1.vec_id = n.va
+              JOIN core c2 ON c2.vec_id = n.vb
+              WHERE n.va <> n.vb),
+            reach(v, lab) AS (
+              SELECT vec_id, vec_id FROM core
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN ce e ON e.src = r.v),
+            comp AS (
+              SELECT v AS vec_id, min(lab) AS cluster_rep
+              FROM reach GROUP BY 1),
+            border AS (
+              SELECT n.va AS vec_id, min(c.cluster_rep) AS border_rep
+              FROM nb n
+              JOIN core k ON k.vec_id = n.vb
+              JOIN comp c ON c.vec_id = n.vb
+              WHERE n.va <> n.vb GROUP BY 1)
+            SELECT nn.va AS vec_id,
+                   nn.n_neighbors::BIGINT AS n_neighbors,
+                   CASE WHEN comp.cluster_rep IS NOT NULL THEN 'core'
+                        WHEN border.border_rep IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   coalesce(comp.cluster_rep, border.border_rep)::BIGINT
+                     AS cluster_rep
+            FROM nn
+            LEFT JOIN comp ON comp.vec_id = nn.va
+            LEFT JOIN border ON border.vec_id = nn.va
+            ORDER BY vec_id
         """,
         "winnowing_fingerprints": f"""
             WITH {_winnow_sql()}

@@ -1234,3 +1234,132 @@ SELECT label,
        sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative
 FROM sil GROUP BY label ORDER BY label
 """
+
+
+def dbscan_embeddings(
+    embeddings: DataFrame, eps_micro: int = 20000, min_pts: int = 4
+) -> DataFrame:
+    """Grid-bucketed DBSCAN over the embedding table's first two
+    dimensions: (vec_id, n_neighbors, role, cluster_rep) per vector,
+    role ∈ {core, border, noise}, ordered by vec_id — the
+    density-based complement to ``kmeans_embeddings`` (no k, arbitrary
+    cluster shapes, an explicit noise class for outliers).
+
+    Semantics (Ester et al., KDD'96, on the L∞ metric): quantize dims
+    0–1 to integer micro units (tie-free ``exact.micro``), a point's
+    ε-neighborhood is all points within L∞ ``eps_micro`` (itself
+    included); core ⟺ |N(p)| ≥ ``min_pts``; clusters are the connected
+    components of the core-core proximity graph (shared
+    ``resolve_components`` tail — min-reachable-id labels); border
+    points (non-core with ≥ 1 core neighbor) take the MINIMUM adjacent
+    core's cluster label (a deterministic pick of DBSCAN's documented
+    border ambiguity); everything else is noise (NULL cluster).
+
+    Scale shape: the neighbor search is grid-bucketed — each point
+    probes only its 3×3 ε-cells (a bounded ×9 fan-out of the POINTS
+    frame joined on cell id), so the join cost is Σ|cell|·|3×3 nbhd|,
+    never n². That is the standard spatial-join plan at 100 TB: cell id
+    is the shuffle key, density bounds the per-task work, and a skewed
+    cell is exactly a dense region — real neighbors, not wasted
+    candidates. The L∞ metric makes the cell filter EXACT (a point's
+    ε-ball lies entirely within the 3×3 cells), so no candidate beyond
+    the guarantee is ever scored. 2-D projection keeps the
+    per-candidate filter 2 subtractions; the full-dimensional variant
+    swaps the distance expression, not the plan.
+
+    Everything is integer arithmetic end-to-end (micro coords, floored
+    cell division for negatives, integer L∞) — the DuckDB oracle
+    replays it bit-for-bit including the recursive min-label reach.
+    """
+    from mapreduceindex_spark.functions.exact import floor_div_sql, micro
+    from mapreduceindex_spark.operators.dedup import resolve_components
+
+    pts = embeddings.select(
+        "vec_id",
+        micro(F.col("embedding").getItem(0).cast("double")).alias("x"),
+        micro(F.col("embedding").getItem(1).cast("double")).alias("y"),
+    ).select(
+        "vec_id",
+        "x",
+        "y",
+        F.expr(floor_div_sql("x", eps_micro, "DIV")).alias("cx"),
+        F.expr(floor_div_sql("y", eps_micro, "DIV")).alias("cy"),
+    )
+    probe = pts.select(
+        F.col("vec_id").alias("va"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.expr("array(-1L, 0L, 1L)")).alias("dx"),
+        (F.col("cx")).alias("cx0"),
+        "cy",
+    ).select(
+        "va",
+        "xa",
+        "ya",
+        (F.col("cx0") + F.col("dx")).alias("ncx"),
+        F.explode(F.expr("array(-1L, 0L, 1L)")).alias("dy"),
+        "cy",
+    ).select(
+        "va", "xa", "ya", "ncx", (F.col("cy") + F.col("dy")).alias("ncy")
+    )
+    nb = (
+        probe.join(
+            pts.select(
+                F.col("vec_id").alias("vb"),
+                F.col("x").alias("xb"),
+                F.col("y").alias("yb"),
+                F.col("cx").alias("ncx"),
+                F.col("cy").alias("ncy"),
+            ),
+            ["ncx", "ncy"],
+        )
+        .filter(
+            F.greatest(
+                F.abs(F.col("xa") - F.col("xb")),
+                F.abs(F.col("ya") - F.col("yb")),
+            )
+            <= eps_micro
+        )
+        .select("va", "vb")
+    )
+    nn = nb.groupBy("va").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    core = nn.filter(F.col("n_neighbors") >= min_pts).select(
+        F.col("va").alias("vec_id")
+    )
+    core_pairs = (
+        nb.join(core.withColumnRenamed("vec_id", "va"), "va")
+        .join(core.withColumnRenamed("vec_id", "vb"), "vb")
+        .filter(F.col("va") < F.col("vb"))
+        .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
+        .distinct()
+    )
+    comp = resolve_components(
+        core_pairs, core.withColumnRenamed("vec_id", "doc_id")
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_rep")
+    border = (
+        nb.join(core.withColumnRenamed("vec_id", "vb"), "vb")
+        .filter(F.col("va") != F.col("vb"))
+        .join(
+            comp.select(
+                F.col("vec_id").alias("vb"), F.col("cluster_rep").alias("crep")
+            ),
+            "vb",
+        )
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.min("crep").alias("border_rep"))
+    )
+    return (
+        nn.select(F.col("va").alias("vec_id"), "n_neighbors")
+        .join(comp, "vec_id", "left")
+        .join(border, "vec_id", "left")
+        .select(
+            "vec_id",
+            "n_neighbors",
+            F.when(F.col("cluster_rep").isNotNull(), F.lit("core"))
+            .when(F.col("border_rep").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("cluster_rep", "border_rep").alias("cluster_rep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -150,6 +150,7 @@ NAMES = [
     "log2_quantile_sketch",
     "ks_drift_test",
     "winnowing_overlap",
+    "dbscan_embeddings",
 ]
 
 

@@ -163,6 +163,7 @@ EMPTY_SAFE = [
     "ks_drift_test",
     "winnowing_fingerprints",
     "winnowing_overlap",
+    "dbscan_embeddings",
 ]
 
 

@@ -313,3 +313,80 @@ def test_winnowing_short_docs_excluded(spark):
              "but six words is just enough yes"]
     out = winnowing_fingerprints(_docs(spark, texts)).collect()
     assert [r["doc_id"] for r in out] == [2]
+
+
+# ---------------------------------------------------------------------------
+# dbscan_embeddings
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, pts):
+    return spark.createDataFrame(
+        [(i, [float(x), float(y)]) for i, (x, y) in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_dbscan_core_border_noise_hand_fixture(spark):
+    """Five tight points spanning FOUR grid cells (the cross-cell
+    adjacency check) form one all-core cluster labeled by its min id;
+    a point within eps of exactly one core is border and inherits that
+    cluster; an isolated point is noise; a second 4-point blob is its
+    own cluster."""
+    from mapreduceindex_spark.operators.clustering import dbscan_embeddings
+
+    pts = [
+        (0.015, 0.015), (0.025, 0.015), (0.015, 0.025),  # cluster A
+        (0.025, 0.025), (0.020, 0.020),                  # (cells 0/1 x 0/1)
+        (0.045, 0.045),                                  # border of A
+        (0.5, 0.5),                                      # noise
+        (-0.300, -0.300), (-0.305, -0.300),              # cluster B
+        (-0.300, -0.305), (-0.305, -0.305),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in dbscan_embeddings(_emb(spark, pts)).collect()
+    }
+    assert len(out) == 11
+    for i in range(5):
+        assert (out[i]["role"], out[i]["cluster_rep"]) == ("core", 0), out[i]
+    # A's points see each other + the border point is NOT in their eps
+    # except vec 3 (0.025,0.025) which sees vec 5 at L-inf 0.02
+    assert out[0]["n_neighbors"] == 5
+    assert out[3]["n_neighbors"] == 6
+    b = out[5]
+    assert (b["role"], b["cluster_rep"], b["n_neighbors"]) == ("border", 0, 2)
+    n = out[6]
+    assert (n["role"], n["cluster_rep"], n["n_neighbors"]) == ("noise", None, 1)
+    for i in range(7, 11):
+        assert (out[i]["role"], out[i]["cluster_rep"]) == ("core", 7), out[i]
+        assert out[i]["n_neighbors"] == 4
+
+
+def test_dbscan_chain_links_through_shared_core(spark):
+    """Two dense blobs bridged by a chain of core points merge into ONE
+    cluster — density-reachability, the property k-means cannot
+    express."""
+    from mapreduceindex_spark.operators.clustering import dbscan_embeddings
+
+    blob_a = [(0.0, 0.0), (0.005, 0.0), (0.0, 0.005), (0.005, 0.005)]
+    chain = [(0.02, 0.0), (0.035, 0.0), (0.05, 0.0)]
+    blob_b = [(0.065, 0.0), (0.07, 0.0), (0.065, 0.005), (0.07, 0.005)]
+    pts = blob_a + chain + blob_b
+    # min_pts=3: each chain link sees (prev, self, next) — just dense
+    # enough to stay core; at the default 4 the middle link would be
+    # border, and border points do NOT extend reachability
+    out = dbscan_embeddings(_emb(spark, pts), min_pts=3).collect()
+    reps = {r["cluster_rep"] for r in out if r["role"] == "core"}
+    assert reps == {0}
+
+
+def test_dbscan_two_blobs_beyond_eps_stay_separate(spark):
+    """Without the bridge the same two blobs are distinct clusters."""
+    from mapreduceindex_spark.operators.clustering import dbscan_embeddings
+
+    blob_a = [(0.0, 0.0), (0.005, 0.0), (0.0, 0.005), (0.005, 0.005)]
+    blob_b = [(0.2, 0.0), (0.205, 0.0), (0.2, 0.005), (0.205, 0.005)]
+    out = dbscan_embeddings(_emb(spark, blob_a + blob_b)).collect()
+    reps = {r["cluster_rep"] for r in out if r["role"] == "core"}
+    assert reps == {0, 4}
