@@ -1571,9 +1571,15 @@ def ranker_agreement(documents: DataFrame) -> DataFrame:
     jl_distortion_report headroom discipline; both engines take the
     same branch).
 
-    Scale shape: one token aggregate (the only data-scale exchange),
-    two rank windows over doc-cardinality rows, one scalar fold.
-    Output: ONE row (n_docs, sum_d2_x4, rho_ppm).
+    Scale shape: one token aggregate (the only data-scale exchange);
+    the ranks are NOT a global sort of the corpus — each signal's
+    doubled average rank is derived from its VALUE HISTOGRAM
+    (2·c_below + cnt + 1 ≡ the tie-averaged 2·rank + ties − 1, since
+    the tie group's min rank is c_below + 1), so the only unbounded
+    window runs over the ≤ 1e6-row ppm-value histogram (the
+    ``quality_reliability_curve`` rank-offset discipline) and the
+    per-doc attachment is a broadcast value join, then one scalar
+    fold. Output: ONE row (n_docs, sum_d2_x4, rho_ppm).
     """
     from pyspark.sql.window import Window
 
@@ -1595,19 +1601,23 @@ def ranker_agreement(documents: DataFrame) -> DataFrame:
             "ELSE 0 END"
         ).alias("_div"),
     )
-    ranked = base.select(
-        "doc_id",
-        (
-            2 * F.rank().over(Window.orderBy("_div"))
-            + F.count(F.lit(1)).over(Window.partitionBy("_div"))
-            - 1
-        ).alias("_ra"),
-        (
-            2 * F.rank().over(Window.orderBy("_clean"))
-            + F.count(F.lit(1)).over(Window.partitionBy("_clean"))
-            - 1
-        ).alias("_rb"),
-    )
+    def _dbl_rank_map(col: str, out: str):
+        hist = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return hist.select(
+            col,
+            (
+                2 * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(out),
+        )
+
+    ranked = base.join(
+        F.broadcast(_dbl_rank_map("_div", "_ra")), "_div"
+    ).join(F.broadcast(_dbl_rank_map("_clean", "_rb")), "_clean")
     d2 = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum((F.col("_ra") - F.col("_rb")) * (F.col("_ra") - F.col("_rb")))

@@ -169,6 +169,10 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "token_zipf_fit",  # rank over the vocabulary agg
         "cumulative_unique_users",  # cumsum over the active-day frame
         "changepoint_scan",  # cumsum/ranks over the dense day grid
+        "events_stl_decompose",  # MA frame over the day series (date-
+        # bounded at any SF, the revenue_acf argument)
+        "ranker_agreement",  # cumsum over the ≤ 1e6-row ppm-value
+        # histograms (per-doc ranks attach via broadcast value join)
     }
     bad = {}
     for name, fn in entrymod.queries().items():
