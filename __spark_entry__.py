@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "winnowing_fingerprints",
     "winnowing_overlap",
     "dbscan_embeddings",
+    "isotonic_calibration",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -688,6 +689,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dbscan_embeddings": lambda s, d: CL.dbscan_embeddings(
             _t(s, d, "embeddings")
+        ),
+        "isotonic_calibration": lambda s, d: C.isotonic_calibration(
+            _t(s, d, "documents")
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
@@ -6481,6 +6485,49 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             LEFT JOIN comp ON comp.vec_id = nn.va
             LEFT JOIN border ON border.vec_id = nn.va
             ORDER BY vec_id
+        """,
+        "isotonic_calibration": f"""
+            -- identical exact PAVA via the minimax identity over the
+            -- log2-bucket frame; floored range averages off cumulative
+            -- sums (all positive, so // ≡ DIV) — pure integers
+            WITH y AS (
+              SELECT CASE WHEN n_chars <= 0 THEN -1
+                          ELSE length(bin(n_chars)) - 1 END AS bucket,
+                     CASE WHEN len({ws}) > 0 THEN
+                       len(list_distinct({ws})) * 1000000 // len({ws})
+                     ELSE 0 END AS ppm
+              FROM documents),
+            grp AS (
+              SELECT bucket, count(*) AS n_docs, sum(ppm)::BIGINT AS sy
+              FROM y GROUP BY 1),
+            cum AS (
+              SELECT bucket, n_docs, sy,
+                     sum(n_docs) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cn,
+                     sum(sy) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cs
+              FROM grp),
+            lo AS (
+              SELECT bucket AS j, cn - n_docs AS cn_jm1, cs - sy AS cs_jm1
+              FROM cum),
+            hi AS (SELECT bucket AS l, cn AS cn_l, cs AS cs_l FROM cum),
+            ranges AS (
+              SELECT j, l, (cs_l - cs_jm1) // (cn_l - cn_jm1) AS avg_jl
+              FROM lo JOIN hi ON j <= l),
+            inner_m AS (
+              SELECT c.bucket AS i, r.j, min(r.avg_jl) AS m_ij
+              FROM cum c JOIN ranges r ON r.j <= c.bucket AND r.l >= c.bucket
+              GROUP BY 1, 2),
+            iso AS (SELECT i, max(m_ij) AS iso_ppm FROM inner_m GROUP BY 1)
+            SELECT g.bucket, g.n_docs::BIGINT AS n_docs,
+                   (g.sy // g.n_docs)::BIGINT AS mean_ppm,
+                   iso.iso_ppm::BIGINT AS iso_ppm,
+                   (CASE WHEN iso.iso_ppm <> g.sy // g.n_docs
+                         THEN 1 ELSE 0 END)::BIGINT AS pooled
+            FROM grp g JOIN iso ON iso.i = g.bucket
+            ORDER BY g.bucket
         """,
         "winnowing_fingerprints": f"""
             WITH {_winnow_sql()}

@@ -1796,3 +1796,104 @@ SELECT source, n_docs, weight_u,
 FROM weighted, tot
 ORDER BY source
 """
+
+
+def isotonic_calibration(documents: DataFrame) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the lexical-
+    diversity signal against log2 length buckets — exact PAVA via the
+    minimax identity: iso_i = max_{j≤i} min_{l≥i} avg(y over buckets
+    j..l) (Barlow & Brunk's representation of the pool-adjacent-
+    violators solution). The reliability-diagram companion
+    (``quality_reliability_curve`` shows the empirical curve; this
+    produces the monotone-regularized one a pipeline would actually
+    threshold on — pooling tells you which buckets' raw means were
+    noise).
+
+    Exactness: y is the per-doc distinct-word ratio in floored ppm
+    (the ``ranker_agreement`` signal); every range average is ONE
+    floored integer division of range sums off a cumulative bucket
+    frame; the max-of-min runs over integers, so both engines agree
+    bit-for-bit. (With floored rather than rational range averages the
+    fit can sit 1 ppm under the true PAVA value — documented, and
+    irrelevant to the monotonicity guarantee.)
+
+    Scale shape: ONE data-scale aggregate (doc → bucket sums); the
+    minimax enumerates (i, j, l) bucket triples over the ~15-row log2
+    bucket frame — metadata-sized, broadcast everywhere, never a
+    data-dependent join. This is the point of the minimax form: the
+    sequential PAVA pooling loop becomes a closed-form expression a
+    declarative engine evaluates in one shot.
+
+    Columns: (bucket, n_docs, mean_ppm, iso_ppm, pooled), ordered by
+    bucket; ``pooled`` = 1 where the fit moved the raw mean.
+    """
+    y = documents.select(
+        "n_chars", words(F.col("text")).alias("_ws")
+    ).select(
+        F.expr(
+            "CASE WHEN n_chars <= 0 THEN -1 "
+            "ELSE length(bin(n_chars)) - 1 END"
+        ).alias("bucket"),
+        F.expr(
+            "CASE WHEN size(_ws) > 0 THEN "
+            "size(array_distinct(_ws)) * 1000000 DIV size(_ws) "
+            "ELSE 0 END"
+        ).alias("ppm"),
+    )
+    grp = y.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ppm").cast("long").alias("sy"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "bucket",
+        "n_docs",
+        "sy",
+        F.sum("n_docs").over(w).alias("cn"),
+        F.sum("sy").over(w).alias("cs"),
+    )
+    lo = cum.select(
+        F.col("bucket").alias("j"),
+        (F.col("cn") - F.col("n_docs")).alias("cn_jm1"),
+        (F.col("cs") - F.col("sy")).alias("cs_jm1"),
+    )
+    hi = cum.select(
+        F.col("bucket").alias("l"),
+        F.col("cn").alias("cn_l"),
+        F.col("cs").alias("cs_l"),
+    )
+    ranges = (
+        lo.join(hi, F.col("j") <= F.col("l"))
+        .select(
+            "j",
+            "l",
+            F.expr(
+                "(cs_l - cs_jm1) DIV (cn_l - cn_jm1)"
+            ).alias("avg_jl"),
+        )
+    )
+    idx = cum.select(F.col("bucket").alias("i"))
+    inner = (
+        idx.join(
+            ranges, (F.col("j") <= F.col("i")) & (F.col("l") >= F.col("i"))
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jl").alias("m_ij"))
+    )
+    iso = inner.groupBy("i").agg(F.max("m_ij").alias("iso_ppm"))
+    return (
+        grp.join(iso, grp.bucket == iso.i)
+        .select(
+            "bucket",
+            "n_docs",
+            F.expr("sy DIV n_docs").alias("mean_ppm"),
+            "iso_ppm",
+            F.expr(
+                "CAST(CASE WHEN iso_ppm <> sy DIV n_docs THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("pooled"),
+        )
+        .orderBy("bucket")
+    )

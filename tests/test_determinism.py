@@ -151,6 +151,7 @@ NAMES = [
     "ks_drift_test",
     "winnowing_overlap",
     "dbscan_embeddings",
+    "isotonic_calibration",
 ]
 
 

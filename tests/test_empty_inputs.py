@@ -164,6 +164,7 @@ EMPTY_SAFE = [
     "winnowing_fingerprints",
     "winnowing_overlap",
     "dbscan_embeddings",
+    "isotonic_calibration",
 ]
 
 

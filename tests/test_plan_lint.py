@@ -173,6 +173,7 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         # bounded at any SF, the revenue_acf argument)
         "ranker_agreement",  # cumsum over the ≤ 1e6-row ppm-value
         # histograms (per-doc ranks attach via broadcast value join)
+        "isotonic_calibration",  # cumsum over the ~15-row log2 buckets
     }
     bad = {}
     for name, fn in entrymod.queries().items():

@@ -390,3 +390,84 @@ def test_dbscan_two_blobs_beyond_eps_stay_separate(spark):
     out = dbscan_embeddings(_emb(spark, blob_a + blob_b)).collect()
     reps = {r["cluster_rep"] for r in out if r["role"] == "core"}
     assert reps == {0, 4}
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration
+# ---------------------------------------------------------------------------
+
+
+def _iso_docs(spark, spec):
+    """spec: list of (n_chars, text) — bucket comes from n_chars, the
+    diversity ppm from the text's tokens."""
+    return spark.createDataFrame(
+        [(i, t, nc) for i, (nc, t) in enumerate(spec)],
+        "doc_id long, text string, n_chars long",
+    )
+
+
+def test_isotonic_pools_the_violating_buckets(spark):
+    """Bucket means [500000, 1000000, 250000] (weights 2,1,1): PAVA
+    pools the last two into 625000; the fit is monotone and flags
+    exactly the pooled buckets."""
+    from mapreduceindex_spark.operators.corpus import isotonic_calibration
+
+    spec = [
+        (16, "a a b b"), (16, "c c d d"),     # bucket 4, ppm 500000 x2
+        (32, "a b c"),                        # bucket 5, ppm 1000000
+        (64, "a a a a"),                      # bucket 6, ppm 250000
+    ]
+    rows = isotonic_calibration(_iso_docs(spark, spec)).collect()
+    got = [(r["bucket"], r["n_docs"], r["mean_ppm"], r["iso_ppm"], r["pooled"]) for r in rows]
+    assert got == [
+        (4, 2, 500000, 500000, 0),
+        (5, 1, 1000000, 625000, 1),
+        (6, 1, 250000, 625000, 1),
+    ]
+
+
+def test_isotonic_identity_on_monotone_input(spark):
+    """Already-monotone bucket means are returned unchanged."""
+    from mapreduceindex_spark.operators.corpus import isotonic_calibration
+
+    spec = [
+        (16, "a a a a"),          # 250000
+        (32, "a a b b"),          # 500000
+        (64, "a b c"),            # 1000000
+    ]
+    rows = isotonic_calibration(_iso_docs(spark, spec)).collect()
+    assert all(r["pooled"] == 0 and r["iso_ppm"] == r["mean_ppm"] for r in rows)
+
+
+def test_isotonic_fit_is_monotone_and_matches_minimax_replay(spark):
+    """On a noisy multi-bucket fixture: the fit is non-decreasing and
+    equals an independent pure-Python replay of the minimax identity
+    with the same floored range averages."""
+    from mapreduceindex_spark.operators.corpus import isotonic_calibration
+
+    texts = {
+        250000: "a a a a", 500000: "a a b b", 750000: "a b c d d d d e",
+        1000000: "a b c d",
+    }
+    spec = []
+    for nc, ppms in [
+        (16, [500000, 500000]), (32, [250000]), (64, [1000000]),
+        (128, [750000, 250000]), (256, [1000000]),
+    ]:
+        spec += [(nc, texts[p]) for p in ppms]
+    rows = isotonic_calibration(_iso_docs(spark, spec)).collect()
+
+    ns = [r["n_docs"] for r in rows]
+    sys_ = [r["mean_ppm"] * r["n_docs"] for r in rows]  # sums are exact here
+    B = len(rows)
+
+    def avg(j, l):
+        return sum(sys_[j : l + 1]) // sum(ns[j : l + 1])
+
+    iso = [
+        max(min(avg(j, l) for l in range(i, B)) for j in range(0, i + 1))
+        for i in range(B)
+    ]
+    got = [r["iso_ppm"] for r in rows]
+    assert got == iso
+    assert all(a <= b for a, b in zip(got, got[1:]))
