@@ -72,6 +72,7 @@ _VERIFY_FIRST = [
     "winnowing_overlap",
     "dbscan_embeddings",
     "isotonic_calibration",
+    "kaplan_meier_retention",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -692,6 +693,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "isotonic_calibration": lambda s, d: C.isotonic_calibration(
             _t(s, d, "documents")
+        ),
+        "kaplan_meier_retention": lambda s, d: E.kaplan_meier_retention(
+            _t(s, d, "events")
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
@@ -6485,6 +6489,52 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             LEFT JOIN comp ON comp.vec_id = nn.va
             LEFT JOIN border ON border.vec_id = nn.va
             ORDER BY vec_id
+        """,
+        "kaplan_meier_retention": f"""
+            -- identical KM life table; the survival product is the
+            -- engine's driver fold here as a recursive CTE — same
+            -- floored ppm formula ((s · (n−d)) // n, d=0 rows are
+            -- exact no-ops), pure integers
+            WITH RECURSIVE life AS (
+              SELECT user_id,
+                     min({XQ.floor_div_sql(
+                         "CAST(FLOOR(epoch(ts)) AS BIGINT)", 86400, "//"
+                     )}) AS f,
+                     max({XQ.floor_div_sql(
+                         "CAST(FLOOR(epoch(ts)) AS BIGINT)", 86400, "//"
+                     )}) AS l
+              FROM events GROUP BY 1),
+            endd AS (SELECT max(l) AS e FROM life),
+            lt AS (
+              SELECT l - f AS t,
+                     CASE WHEN l <= e - 7 THEN 1 ELSE 0 END AS ev
+              FROM life, endd),
+            tab AS (
+              SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c
+              FROM lt GROUP BY 1),
+            ord AS (
+              SELECT t, d, c,
+                     row_number() OVER (ORDER BY t) AS k,
+                     sum(d + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_exit
+              FROM tab),
+            tot AS (SELECT sum(d + c) AS n FROM tab),
+            base AS (
+              SELECT o.k, o.t, o.d, o.c,
+                     (tot.n - (o.cum_exit - o.d - o.c))::BIGINT AS n_risk
+              FROM ord o, tot),
+            km(k, t, d, c, n_risk, s) AS (
+              SELECT k, t, d, c, n_risk,
+                     (1000000 * (n_risk - d)) // n_risk
+              FROM base WHERE k = 1
+              UNION ALL
+              SELECT b.k, b.t, b.d, b.c, b.n_risk,
+                     (km.s * (b.n_risk - b.d)) // b.n_risk
+              FROM km JOIN base b ON b.k = km.k + 1)
+            SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+                   s::BIGINT AS s_ppm
+            FROM km ORDER BY t_days
         """,
         "isotonic_calibration": f"""
             -- identical exact PAVA via the minimax identity over the

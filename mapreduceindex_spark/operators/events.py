@@ -1820,3 +1820,73 @@ def ks_drift_test(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def kaplan_meier_retention(events: DataFrame, censor_days: int = 7) -> DataFrame:
+    """Kaplan–Meier user-retention curve: the survival probability that
+    a user's active lifetime (days between first and last event)
+    exceeds t, with users still active near the corpus edge treated as
+    CENSORED rather than churned — the estimator that makes "average
+    lifetime" honest when the observation window cuts lives short
+    (Kaplan & Meier, JASA 1958). The time-to-event companion of
+    ``inactivity_churn``'s fixed-cutoff rate.
+
+    Semantics: lifetime t = last_day − first_day per user; a user whose
+    last event falls within ``censor_days`` of the corpus's last day is
+    censored at t (they exit the risk set but contribute no death).
+    S(t) = Π_{u ≤ t, d_u > 0} (n_u − d_u)/n_u over the ordered life
+    table, computed as a floored ppm integer fold — d = 0 rows multiply
+    by n/n and leave S exactly unchanged, so one uniform formula runs
+    on both engines.
+
+    Scale shape: ONE user-keyed aggregate (the only data-scale
+    exchange) folds the corpus to per-user (first, last); a second
+    bounded aggregate folds users to the life table — at most one row
+    per distinct lifetime, i.e. day-range-bounded at ANY scale
+    (the ``revenue_acf`` argument). The sequential survival product
+    then runs DRIVER-SIDE over that bounded table (the ``events_ewma``
+    probe-then-plan discipline and its measured WITH-RECURSIVE
+    trade-off); the DuckDB oracle replays it as a recursive CTE — same
+    formula, engine-appropriate shape on each side.
+
+    Columns: (t_days, n_risk, n_events, n_censored, s_ppm), one row
+    per distinct observed lifetime, ordered by t_days.
+    """
+    spark = events.sparkSession
+    ed = _epoch_day()
+    life = (
+        events.select(F.col("user_id"), ed.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("f"), F.max("d").alias("l"))
+    )
+    end = life.agg(F.max("l").alias("e"))
+    tab = (
+        life.crossJoin(F.broadcast(end))
+        .select(
+            (F.col("l") - F.col("f")).alias("t"),
+            F.expr(
+                f"CASE WHEN l <= e - {int(censor_days)} THEN 1 ELSE 0 END"
+            ).alias("ev"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("ev").cast("long").alias("d"),
+            F.sum(1 - F.col("ev")).cast("long").alias("c"),
+        )
+    )
+    rows = sorted(
+        ((int(r["t"]), int(r["d"]), int(r["c"])) for r in tab.collect())
+    )
+    out_schema = (
+        "t_days long, n_risk long, n_events long, n_censored long, s_ppm long"
+    )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    remaining = sum(d + c for _, d, c in rows)
+    s = 1_000_000
+    out = []
+    for t, d, c in rows:
+        s = s * (remaining - d) // remaining
+        out.append((t, remaining, d, c, s))
+        remaining -= d + c
+    return spark.createDataFrame(out, out_schema).orderBy("t_days")

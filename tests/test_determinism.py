@@ -152,6 +152,7 @@ NAMES = [
     "winnowing_overlap",
     "dbscan_embeddings",
     "isotonic_calibration",
+    "kaplan_meier_retention",
 ]
 
 

@@ -165,6 +165,7 @@ EMPTY_SAFE = [
     "winnowing_overlap",
     "dbscan_embeddings",
     "isotonic_calibration",
+    "kaplan_meier_retention",
 ]
 
 

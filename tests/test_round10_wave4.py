@@ -471,3 +471,93 @@ def test_isotonic_fit_is_monotone_and_matches_minimax_replay(spark):
     got = [r["iso_ppm"] for r in rows]
     assert got == iso
     assert all(a <= b for a, b in zip(got, got[1:]))
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_retention
+# ---------------------------------------------------------------------------
+
+
+def _km_events(spark, user_days):
+    from datetime import datetime, timezone
+
+    rows = []
+    for uid, days in user_days.items():
+        for d in days:
+            rows.append(
+                (
+                    len(rows),
+                    datetime.fromtimestamp(d * 86400, tz=timezone.utc).replace(tzinfo=None),
+                    uid,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+
+
+def test_km_hand_life_table(spark):
+    """Corpus end = day 20. Users: u1 lives 0..5 (t=5, churn), u2 lives
+    0..10 (t=10, churn), u3 lives 0..20 (t=20, censored at the edge),
+    u4 lives 18..20 (t=2, censored). Life table and floored ppm
+    survival by hand."""
+    from mapreduceindex_spark.operators.events import kaplan_meier_retention
+
+    out = kaplan_meier_retention(
+        _km_events(
+            spark,
+            {1: [0, 5], 2: [0, 10], 3: [0, 20], 4: [18, 20]},
+        )
+    ).collect()
+    got = [tuple(r) for r in out]
+    # t=2: censored exit (u4), S unchanged (d=0): s = 1e6*4//4 = 1e6
+    # t=5: death among 3 at risk: s = 1e6*2//3 = 666666
+    # t=10: death among 2 at risk: s = 666666*1//2 = 333333
+    # t=20: censored (u3), S unchanged
+    assert got == [
+        (2, 4, 0, 1, 1_000_000),
+        (5, 3, 1, 0, 666_666),
+        (10, 2, 1, 0, 333_333),
+        (20, 1, 0, 1, 333_333),
+    ]
+
+
+def test_km_all_censored_is_flat(spark):
+    """Everyone active at the corpus edge: no deaths, survival stays
+    at 1e6 ppm for every lifetime."""
+    from mapreduceindex_spark.operators.events import kaplan_meier_retention
+
+    out = kaplan_meier_retention(
+        _km_events(spark, {1: [0, 30], 2: [10, 30], 3: [25, 30]})
+    ).collect()
+    assert all(r["s_ppm"] == 1_000_000 and r["n_events"] == 0 for r in out)
+
+
+def test_km_matches_lifelines_formula_replay(spark):
+    """Mixed fixture: survival equals an independent pure-Python KM
+    replay (floored ppm) over the same (t, death/censor) exits."""
+    from mapreduceindex_spark.operators.events import kaplan_meier_retention
+
+    user_days = {
+        1: [0, 3], 2: [0, 3], 3: [1, 4], 4: [0, 9], 5: [2, 9],
+        6: [0, 50], 7: [45, 50], 8: [0, 20], 9: [5, 20],
+    }
+    out = kaplan_meier_retention(_km_events(spark, user_days)).collect()
+
+    end = max(max(d) for d in user_days.values())
+    exits = sorted(
+        (max(d) - min(d), 1 if max(d) <= end - 7 else 0)
+        for d in user_days.values()
+    )
+    from collections import defaultdict
+
+    table = defaultdict(lambda: [0, 0])
+    for t, ev in exits:
+        table[t][0 if ev else 1] += 1
+    remaining, s, expect = len(exits), 1_000_000, []
+    for t in sorted(table):
+        d, c = table[t]
+        s = s * (remaining - d) // remaining
+        expect.append((t, remaining, d, c, s))
+        remaining -= d + c
+    assert [tuple(r) for r in out] == expect
