@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "dbscan_embeddings",
     "isotonic_calibration",
     "kaplan_meier_retention",
+    "streaming_ks_drift",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -1010,6 +1011,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_zscore_anomaly": lambda s, d: (
             STREAM.streaming_zscore_anomaly(s, d)
         ),
+        # online two-sample KS vs the pinned early-half baseline —
+        # shares ks_stat_from_value_counts (and the oracle) with the
+        # batch ks_drift_test, so stream ≡ batch by construction
+        "streaming_ks_drift": lambda s, d: STREAM.streaming_ks_drift(s, d),
         # bottom-k-by-hash stream sampler (mergeable reservoir)
         "streaming_bottomk_sample": lambda s, d: (
             STREAM.streaming_bottomk_sample(s, d)
@@ -2752,6 +2757,63 @@ def _pii_total_sql() -> str:
     return " + ".join(
         f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
     )
+
+
+def _ks_drift_sql() -> str:
+    """Shared oracle for ks_drift_test AND streaming_ks_drift: the
+    streaming form accumulates the identical late-half histogram as
+    state, so one SQL text pins both (stream == batch)."""
+    return f"""
+            -- identical exact-integer KS statistic: the floored-midpoint
+            -- cut, the (type, cents, side) histogram, the cumulative
+            -- ECDF numerators, and the cross-multiplied α=0.05 decision
+            -- are all integer arithmetic (HUGEINT here, DECIMAL(38,0)
+            -- on the Spark side) — no float anywhere
+            WITH bounds AS (
+              SELECT {XQ.floor_div_sql(
+                  "min(epoch_us(ts)) + max(epoch_us(ts))", 2, "//"
+              )} AS mid_us FROM events),
+            sided AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                     CASE WHEN epoch_us(ts) <= b.mid_us THEN 0 ELSE 1 END
+                       AS side
+              FROM events, bounds b),
+            per_value AS (
+              SELECT event_type, cents,
+                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS d1,
+                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS d2
+              FROM sided GROUP BY 1, 2),
+            cum AS (
+              SELECT event_type, cents,
+                     sum(d1) OVER (PARTITION BY event_type ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS c1,
+                     sum(d2) OVER (PARTITION BY event_type ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS c2
+              FROM per_value),
+            totals AS (
+              SELECT event_type, sum(d1)::BIGINT AS n1, sum(d2)::BIGINT AS n2
+              FROM per_value GROUP BY 1),
+            stat AS (
+              SELECT c.event_type,
+                     t.n1 AS n_early, t.n2 AS n_late,
+                     count(*)::BIGINT AS n_values,
+                     max(abs(c.c1 * t.n2 - c.c2 * t.n1))::BIGINT AS d_scaled
+              FROM cum c JOIN totals t USING (event_type)
+              WHERE t.n1 > 0 AND t.n2 > 0
+              GROUP BY 1, 2, 3)
+            SELECT event_type, n_early, n_late, n_values, d_scaled,
+                   (d_scaled * 1000000 // (n_early * n_late))::BIGINT
+                     AS d_ppm,
+                   CASE WHEN d_scaled::HUGEINT * d_scaled * 1000000
+                             > 1844164::HUGEINT * (n_early + n_late)
+                               * n_early * n_late
+                        THEN 1 ELSE 0 END::BIGINT AS reject_05
+            FROM stat
+            ORDER BY event_type
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5223,57 +5285,8 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               ON i.type_a = u.type_a AND i.type_b = u.type_b
             ORDER BY u.type_a, u.type_b
         """,
-        "ks_drift_test": f"""
-            -- identical exact-integer KS statistic: the floored-midpoint
-            -- cut, the (type, cents, side) histogram, the cumulative
-            -- ECDF numerators, and the cross-multiplied α=0.05 decision
-            -- are all integer arithmetic (HUGEINT here, DECIMAL(38,0)
-            -- on the Spark side) — no float anywhere
-            WITH bounds AS (
-              SELECT {XQ.floor_div_sql(
-                  "min(epoch_us(ts)) + max(epoch_us(ts))", 2, "//"
-              )} AS mid_us FROM events),
-            sided AS (
-              SELECT event_type,
-                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-                     CASE WHEN epoch_us(ts) <= b.mid_us THEN 0 ELSE 1 END
-                       AS side
-              FROM events, bounds b),
-            per_value AS (
-              SELECT event_type, cents,
-                     sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS d1,
-                     sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS d2
-              FROM sided GROUP BY 1, 2),
-            cum AS (
-              SELECT event_type, cents,
-                     sum(d1) OVER (PARTITION BY event_type ORDER BY cents
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW) AS c1,
-                     sum(d2) OVER (PARTITION BY event_type ORDER BY cents
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW) AS c2
-              FROM per_value),
-            totals AS (
-              SELECT event_type, sum(d1)::BIGINT AS n1, sum(d2)::BIGINT AS n2
-              FROM per_value GROUP BY 1),
-            stat AS (
-              SELECT c.event_type,
-                     t.n1 AS n_early, t.n2 AS n_late,
-                     count(*)::BIGINT AS n_values,
-                     max(abs(c.c1 * t.n2 - c.c2 * t.n1))::BIGINT AS d_scaled
-              FROM cum c JOIN totals t USING (event_type)
-              WHERE t.n1 > 0 AND t.n2 > 0
-              GROUP BY 1, 2, 3)
-            SELECT event_type, n_early, n_late, n_values, d_scaled,
-                   (d_scaled * 1000000 // (n_early * n_late))::BIGINT
-                     AS d_ppm,
-                   CASE WHEN d_scaled::HUGEINT * d_scaled * 1000000
-                             > 1844164::HUGEINT * (n_early + n_late)
-                               * n_early * n_late
-                        THEN 1 ELSE 0 END::BIGINT AS reject_05
-            FROM stat
-            ORDER BY event_type
-        """,
+        "ks_drift_test": _ks_drift_sql(),
+        "streaming_ks_drift": _ks_drift_sql(),
         "log2_quantile_sketch": """
             -- identical γ=2 DDSketch-style histogram: the bucket is the
             -- integer length(bin(cents)) - 1 on both engines (no float

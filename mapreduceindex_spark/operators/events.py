@@ -1777,6 +1777,16 @@ def ks_drift_test(events: DataFrame) -> DataFrame:
         F.sum(F.expr("CASE WHEN side = 0 THEN 1 ELSE 0 END")).alias("d1"),
         F.sum(F.expr("CASE WHEN side = 1 THEN 1 ELSE 0 END")).alias("d2"),
     )
+    return ks_stat_from_value_counts(per_value)
+
+
+def ks_stat_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """Shared KS readout over a (event_type, cents, d1, d2) value-count
+    frame — the exact-integer statistic, ppm, and cross-multiplied
+    α=0.05 decision documented on :func:`ks_drift_test`. Shared with
+    ``streaming_ks_drift`` so the batch and streaming forms are
+    definitionally consistent (the ``events``/``streaming`` discipline
+    from the module docstring)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("cents")

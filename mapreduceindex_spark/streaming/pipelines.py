@@ -2243,3 +2243,79 @@ FROM documents
 ORDER BY h ASC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online distribution-drift alarm: the LATE half's per-(type,
+    cents) value histogram accumulates as streaming state (commutative
+    counts — micro-batching- and order-independent, bounded by the
+    value range, never by stream length), the EARLY half is the static
+    baseline, and the readout is the exact-integer two-sample KS
+    statistic via the SAME ``ks_stat_from_value_counts`` tail the batch
+    ``ks_drift_test`` uses — stream ≡ batch by construction, pinned by
+    the shared oracle.
+
+    This is the online complement of ``streaming_event_mix_drift``
+    (which watches type SHARES): here each type's value DISTRIBUTION is
+    tested against its own pinned baseline with a decision threshold,
+    the alarm a training-data intake pipeline keeps on continuously
+    ingested streams. The early/late cut is the floored midpoint of the
+    static table's event-time range (probe-then-plan: one bounds
+    aggregate on the batch side; at deployment the cut is simply "when
+    the baseline was frozen").
+    """
+    from mapreduceindex_spark.functions.exact import floor_div_sql
+    from mapreduceindex_spark.operators.events import (
+        ks_stat_from_value_counts,
+    )
+    from mapreduceindex_spark.session import ensure_session_confs, load_table
+
+    ensure_session_confs(spark)
+    static = load_table(spark, sf_dir, "events")
+    mid = static.agg(
+        F.expr(
+            floor_div_sql(
+                "min(unix_micros(ts)) + max(unix_micros(ts))", 2, "DIV"
+            )
+        ).alias("m")
+    ).collect()[0]["m"]
+    if mid is None:
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_early long, n_late long, n_values long,"
+            " d_scaled long, d_ppm long, reject_05 long",
+        )
+    cents = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+    late = (
+        _stream_events(spark, sf_dir)
+        .filter(F.expr(f"unix_micros(ts) > {mid}"))
+        .select("event_type", F.expr(cents).alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(late, "complete")
+    early = (
+        static.filter(F.expr(f"unix_micros(ts) <= {mid}"))
+        .select("event_type", F.expr(cents).alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_value = (
+        early.select(
+            "event_type",
+            "cents",
+            F.col("n").alias("d1"),
+            F.lit(0).cast("long").alias("d2"),
+        )
+        .unionByName(
+            out.select(
+                "event_type",
+                "cents",
+                F.lit(0).cast("long").alias("d1"),
+                F.col("n").alias("d2"),
+            )
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.sum("d1").alias("d1"), F.sum("d2").alias("d2"))
+    )
+    return ks_stat_from_value_counts(per_value)

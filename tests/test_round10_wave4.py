@@ -561,3 +561,24 @@ def test_km_matches_lifelines_formula_replay(spark):
         expect.append((t, remaining, d, c, s))
         remaining -= d + c
     assert [tuple(r) for r in out] == expect
+
+
+# ---------------------------------------------------------------------------
+# streaming_ks_drift
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_ks_drift_equals_batch(spark):
+    """Stream ≡ batch: accumulating the late-half histogram as
+    streaming state and folding it through the shared KS tail yields
+    exactly the batch ks_drift_test rows on the same fixture."""
+    from tests.conftest import SF_SMALL
+
+    from mapreduceindex_spark.operators.events import ks_drift_test
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming.pipelines import streaming_ks_drift
+
+    batch = ks_drift_test(load_table(spark, SF_SMALL, "events")).collect()
+    stream = streaming_ks_drift(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    assert len(batch) > 0
