@@ -74,6 +74,8 @@ _VERIFY_FIRST = [
     "isotonic_calibration",
     "kaplan_meier_retention",
     "streaming_ks_drift",
+    "sequential_patterns",
+    "theil_sen_trend",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -696,6 +698,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "kaplan_meier_retention": lambda s, d: E.kaplan_meier_retention(
+            _t(s, d, "events")
+        ),
+        "sequential_patterns": lambda s, d: E.sequential_patterns(
+            _t(s, d, "events")
+        ),
+        "theil_sen_trend": lambda s, d: E.theil_sen_trend(
             _t(s, d, "events")
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
@@ -6502,6 +6510,82 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             LEFT JOIN comp ON comp.vec_id = nn.va
             LEFT JOIN border ON border.vec_id = nn.va
             ORDER BY vec_id
+        """,
+        "sequential_patterns": """
+            -- identical first-occurrence reduction: u supports a->b iff
+            -- u has a b strictly after u's FIRST a; all counts/ratios
+            -- BIGINT (operands positive, so // ≡ DIV)
+            WITH per AS (
+              SELECT user_id, event_type,
+                     min(epoch_us(ts)) AS first_us,
+                     max(epoch_us(ts)) AS last_us
+              FROM events GROUP BY 1, 2),
+            nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+            sup AS (
+              SELECT event_type, count(*) AS n_sup FROM per GROUP BY 1),
+            ab AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_users_ab
+              FROM per a JOIN per b ON a.user_id = b.user_id
+              WHERE b.last_us > a.first_us
+              GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT ab.type_a, ab.type_b,
+                   ab.n_users_ab::BIGINT AS n_users_ab,
+                   sa.n_sup::BIGINT AS n_users_a,
+                   sb.n_sup::BIGINT AS n_users_b,
+                   (ab.n_users_ab * 1000000 // nu.n_users)::BIGINT
+                     AS support_ppm,
+                   (ab.n_users_ab * nu.n_users * 1000000
+                    // (sa.n_sup * sb.n_sup))::BIGINT AS lift_ppm
+            FROM ab
+            JOIN sup sa ON sa.event_type = ab.type_a
+            JOIN sup sb ON sb.event_type = ab.type_b
+            CROSS JOIN nu
+            ORDER BY n_users_ab DESC, ab.type_a, ab.type_b
+        """,
+        "theil_sen_trend": f"""
+            -- identical milli-quantized pairwise slopes over the
+            -- day-offset series, nearest-rank medians with the same
+            -- (slope, day-pair) / (level) tie orders — pure integers
+            WITH daily AS (
+              SELECT {XQ.floor_div_sql(
+                  "CAST(FLOOR(epoch(ts)) AS BIGINT)", 86400, "//"
+              )} AS day,
+                     sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT
+                       AS rev
+              FROM events GROUP BY 1),
+            b AS (
+              SELECT min(day) AS day0, count(*) AS n_days FROM daily),
+            d0 AS (
+              SELECT (daily.day - b.day0) AS day, daily.rev, b.n_days
+              FROM daily, b),
+            pairs AS (
+              SELECT i.day AS di, j.day AS dj,
+                     {XQ.floor_div_sql(
+                         "(j.rev - i.rev) * 1000", "(j.day - i.day)", "//"
+                     )} AS slope_milli
+              FROM d0 i JOIN d0 j ON j.day > i.day),
+            np AS (SELECT count(*) AS n_pairs FROM pairs),
+            med AS (
+              SELECT slope_milli, n_pairs FROM (
+                SELECT slope_milli,
+                       row_number() OVER (ORDER BY slope_milli, di, dj)
+                         AS rn
+                FROM pairs), np
+              WHERE rn = (n_pairs + 1) // 2),
+            resid AS (
+              SELECT (d.rev - {XQ.floor_div_sql(
+                  "m.slope_milli * d.day", 1000, "//"
+              )}) AS level,
+                     d.n_days, m.n_pairs, m.slope_milli
+              FROM d0 d, med m)
+            SELECT n_days::BIGINT AS n_days, n_pairs::BIGINT AS n_pairs,
+                   slope_milli::BIGINT AS slope_milli_per_day,
+                   level::BIGINT AS intercept_u4
+            FROM (
+              SELECT *, row_number() OVER (ORDER BY level) AS rn
+              FROM resid)
+            WHERE rn = (n_days + 1) // 2
         """,
         "kaplan_meier_retention": f"""
             -- identical KM life table; the survival product is the

@@ -1900,3 +1900,176 @@ def kaplan_meier_retention(events: DataFrame, censor_days: int = 7) -> DataFrame
         out.append((t, remaining, d, c, s))
         remaining -= d + c
     return spark.createDataFrame(out, out_schema).orderBy("t_days")
+
+
+def sequential_patterns(events: DataFrame, min_support: int = 5) -> DataFrame:
+    """GAPPED sequential-pattern support (the PrefixSpan/GSP counting
+    semantics, Pei et al. ICDE'01): for every ordered event-type pair
+    a→b, how many USERS ever did b strictly after their first a —
+    regardless of what happened in between. The complement of
+    ``top_event_paths`` (contiguous 3-step paths inside one session):
+    gapped patterns catch "viewed, then eventually purchased days
+    later", which contiguous path mining structurally cannot.
+
+    Support counting uses the first-occurrence reduction: user u
+    supports a→b ⟺ u has a b-event strictly after u's FIRST a-event
+    (if any b follows any a, one follows the first a). So the corpus
+    folds to per-(user, type) first/last timestamps — ONE user-keyed
+    aggregate, the only data-scale exchange — and the pattern test is
+    ``last_b > first_a`` over the per-user type summaries, a self-join
+    bounded by users × types², never events². ``lift_ppm`` compares
+    the support against independence (support_a · support_b / n_users)
+    in floored ppm.
+
+    Ties: an a and b at the SAME timestamp do not count as a→b
+    (strict >), so a→a requires two distinct a-timestamps.
+
+    int64 headroom: ``lift_ppm``'s numerator is n_users_ab · n_users ·
+    1e6, valid while n_users_ab · n_users < 9.2e12 (e.g. 3M users at
+    full support) — beyond that, rescale the ppm factor before the
+    product (the ``jl_distortion_report`` discipline).
+
+    Columns: (type_a, type_b, n_users_ab, n_users_a, n_users_b,
+    support_ppm, lift_ppm), support ≥ ``min_support``, ordered by
+    (n_users_ab desc, type_a, type_b).
+    """
+    per = events.groupBy("user_id", "event_type").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("first_us"),
+        F.max(F.expr("unix_micros(ts)")).alias("last_us"),
+    )
+    n_users = events.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    type_support = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sup")
+    )
+    ab = (
+        per.alias("a")
+        .join(per.alias("b"), F.col("a.user_id") == F.col("b.user_id"))
+        .filter(F.col("b.last_us") > F.col("a.first_us"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users_ab"))
+        .filter(F.col("n_users_ab") >= min_support)
+    )
+    return (
+        ab.join(
+            F.broadcast(
+                type_support.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_sup").alias("n_users_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                type_support.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_sup").alias("n_users_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_ab",
+            "n_users_a",
+            "n_users_b",
+            F.expr("n_users_ab * 1000000L DIV n_users").alias("support_ppm"),
+            F.expr(
+                "(n_users_ab * n_users * 1000000L)"
+                " DIV (n_users_a * n_users_b)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("n_users_ab").desc(), "type_a", "type_b")
+    )
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of the daily revenue series: the MEDIAN
+    of all pairwise slopes — up to ~29% of the days can be corrupted
+    (holiday spikes, outages, backfills) without moving the estimate,
+    where ``price_qty_regression``-style OLS follows every outlier.
+
+    Exactness: daily revenue in 4-dp integer units; each pair's slope
+    is quantized to a floored MILLI integer (sign-aware floored
+    division — ``exact.floor_div_sql`` with the always-positive day
+    gap); the reported slope is the percentile_disc-style nearest-rank
+    MEDIAN of those integer slopes (value at 1-based rank ⌈n/2⌉ under
+    (slope, day-pair) order), so both engines pick the identical
+    element. The intercept is the same nearest-rank median of the
+    per-day residual levels ``rev − (slope · (day − day₀)) DIV 1000``
+    under the chosen slope (day₀ = the series start) — the standard
+    Theil–Sen intercept, anchored at day₀. Milli (not micro) slope
+    units + day offsets keep every product under ~5e15, far inside
+    int64 (the ``jl_distortion_report`` headroom discipline).
+
+    Scale shape: ONE day-keyed fact aggregate (the only data-scale
+    exchange); the C(n,2) pair enumeration runs over the DAY series —
+    day-range-bounded at any data scale (the ``revenue_acf`` argument:
+    TPC-H spans ~7 years ⇒ ≤ ~3.3M pairs formed from ≤ ~2.6k rows),
+    and the median is a sort of that bounded pair frame, never of
+    data. Output: ONE row (n_days, n_pairs, slope_milli_per_day,
+    intercept_u4).
+    """
+    daily = (
+        events.select(
+            _epoch_day().alias("day"),
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v4"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v4").cast("long").alias("rev"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("day0"), F.count(F.lit(1)).alias("n_days")
+    )
+    d0 = daily.crossJoin(F.broadcast(bounds)).select(
+        (F.col("day") - F.col("day0")).alias("day"), "rev", "n_days"
+    )
+    pairs = (
+        d0.alias("i")
+        .join(d0.alias("j"), F.col("j.day") > F.col("i.day"))
+        .select(
+            F.col("i.day").alias("di"),
+            F.col("j.day").alias("dj"),
+            F.expr(
+                floor_div_sql(
+                    "(j.rev - i.rev) * 1000", "(j.day - i.day)", "DIV"
+                )
+            ).alias("slope_milli"),
+        )
+    )
+    w = Window.orderBy("slope_milli", "di", "dj")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+        )
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select("slope_milli", "n_pairs")
+    )
+    resid = d0.crossJoin(F.broadcast(med)).select(
+        (
+            F.col("rev")
+            - F.expr(floor_div_sql("slope_milli * day", 1000, "DIV"))
+        ).alias("level"),
+        "n_days",
+        "n_pairs",
+        "slope_milli",
+    )
+    w2 = Window.orderBy("level")
+    return (
+        resid.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == F.expr("(n_days + 1) DIV 2"))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.col("slope_milli").alias("slope_milli_per_day"),
+            F.col("level").alias("intercept_u4"),
+        )
+    )

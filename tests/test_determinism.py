@@ -153,6 +153,8 @@ NAMES = [
     "dbscan_embeddings",
     "isotonic_calibration",
     "kaplan_meier_retention",
+    "sequential_patterns",
+    "theil_sen_trend",
 ]
 
 

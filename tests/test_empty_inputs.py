@@ -166,6 +166,8 @@ EMPTY_SAFE = [
     "dbscan_embeddings",
     "isotonic_calibration",
     "kaplan_meier_retention",
+    "sequential_patterns",
+    "theil_sen_trend",
 ]
 
 

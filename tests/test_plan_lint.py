@@ -174,6 +174,8 @@ def test_registry_wide_no_cartesian_no_row_python(spark):
         "ranker_agreement",  # cumsum over the ≤ 1e6-row ppm-value
         # histograms (per-doc ranks attach via broadcast value join)
         "isotonic_calibration",  # cumsum over the ~15-row log2 buckets
+        "theil_sen_trend",  # medians over the day-range-bounded
+        # pair frame (<= ~3.3M rows at the 7-year TPC-H span)
     }
     bad = {}
     for name, fn in entrymod.queries().items():

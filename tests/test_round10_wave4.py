@@ -582,3 +582,108 @@ def test_streaming_ks_drift_equals_batch(spark):
     stream = streaming_ks_drift(spark, SF_SMALL).collect()
     assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
     assert len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# sequential_patterns
+# ---------------------------------------------------------------------------
+
+
+def test_sequential_patterns_gapped_support_hand_fixture(spark):
+    """u1 does a then b (supports a->b only), u2 does b then a, u3 does
+    a twice (a->a via two distinct timestamps), u4 does a once (supports
+    nothing) — supports, ppm shares, and lifts by hand."""
+    from datetime import datetime, timezone
+
+    from mapreduceindex_spark.operators.events import sequential_patterns
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    ev = spark.createDataFrame(
+        [
+            (0, ts(1), 1, "a"), (1, ts(2), 1, "b"),
+            (2, ts(1), 2, "b"), (3, ts(2), 2, "a"),
+            (4, ts(1), 3, "a"), (5, ts(5), 3, "a"),
+            (6, ts(3), 4, "a"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    rows = {
+        (r["type_a"], r["type_b"]): r
+        for r in sequential_patterns(ev, min_support=1).collect()
+    }
+    assert set(rows) == {("a", "b"), ("b", "a"), ("a", "a")}
+    ab = rows[("a", "b")]
+    assert (ab["n_users_ab"], ab["n_users_a"], ab["n_users_b"]) == (1, 4, 2)
+    assert ab["support_ppm"] == 250_000
+    assert ab["lift_ppm"] == 1 * 4 * 1_000_000 // (4 * 2)
+    assert rows[("a", "a")]["lift_ppm"] == 1 * 4 * 1_000_000 // (4 * 4)
+    assert rows[("b", "a")]["lift_ppm"] == 500_000
+
+
+def test_sequential_patterns_same_timestamp_not_sequential(spark):
+    """a and b at the same instant do not form a->b in either order."""
+    from datetime import datetime, timezone
+
+    from mapreduceindex_spark.operators.events import sequential_patterns
+
+    t = datetime.fromtimestamp(10, tz=timezone.utc).replace(tzinfo=None)
+    ev = spark.createDataFrame(
+        [(0, t, 1, "a"), (1, t, 1, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    assert sequential_patterns(ev, min_support=1).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_ignores_the_outlier_day(spark):
+    """Daily revenues [1,2,3,100,5] u4 over days 0..4: 6 of the 10
+    pairwise slopes equal 1000 milli, so the median slope is 1000
+    (1 u4/day) and the median residual level is 1 — the day-3 spike
+    moves nothing (OLS would follow it)."""
+    from datetime import datetime, timezone
+
+    from mapreduceindex_spark.operators.events import theil_sen_trend
+
+    def ts(day):
+        return datetime.fromtimestamp(day * 86400, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    ev = spark.createDataFrame(
+        [
+            (d, ts(d), 1, v / 10000.0)
+            for d, v in enumerate([1, 2, 3, 100, 5])
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    [r] = theil_sen_trend(ev).collect()
+    assert tuple(r) == (5, 10, 1000, 1)
+
+
+def test_theil_sen_exact_line_recovers_slope_and_intercept(spark):
+    """A perfectly linear series rev = 7 + 3*day gives slope 3000 milli
+    and intercept 7 with zero spread."""
+    from datetime import datetime, timezone
+
+    from mapreduceindex_spark.operators.events import theil_sen_trend
+
+    def ts(day):
+        return datetime.fromtimestamp(day * 86400, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    ev = spark.createDataFrame(
+        [
+            (d, ts(d), 1, (7 + 3 * d) / 10000.0)
+            for d in range(8)
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    [r] = theil_sen_trend(ev).collect()
+    assert (r["slope_milli_per_day"], r["intercept_u4"]) == (3000, 7)
