@@ -76,6 +76,7 @@ _VERIFY_FIRST = [
     "streaming_ks_drift",
     "sequential_patterns",
     "theil_sen_trend",
+    "coreset_sample",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -705,6 +706,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "theil_sen_trend": lambda s, d: E.theil_sen_trend(
             _t(s, d, "events")
+        ),
+        "coreset_sample": lambda s, d: CL.coreset_sample(
+            _t(s, d, "embeddings")
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
@@ -2765,6 +2769,65 @@ def _pii_total_sql() -> str:
     return " + ".join(
         f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
     )
+
+
+def _coreset_sql(k: int = 8) -> str:
+    """K-unrolled oracle for ``coreset_sample`` (the kmeans unrolled-
+    oracle discipline): p0 = the min-vec_id seed; each round r picks
+    the argmax of the running min-distance frame d_{r-1} under the
+    (md DESC, vec_id ASC) tie order, then d_r folds the new center in
+    via ``least``. Pure integers (micro quantization, squared L2)."""
+    m = _XQ_MICRO_X
+    dist = (
+        "list_sum(list_transform(range(1, len({a}.xm) + 1), "
+        "i -> ({a}.xm[i] - c.xm[i]) * ({a}.xm[i] - c.xm[i])))"
+    )
+    parts = [
+        f"""
+            v AS (
+              SELECT vec_id, list_transform(embedding, x -> {m}) AS xm
+              FROM embeddings),
+            p0 AS (
+              SELECT 0::BIGINT AS round, vec_id, NULL::BIGINT AS dist_sq, xm
+              FROM v WHERE vec_id = (SELECT min(vec_id) FROM v)),
+            d0 AS (
+              SELECT v.vec_id, v.xm,
+                     (SELECT {dist.format(a="v")} FROM p0 c) AS md
+              FROM v)"""
+    ]
+    for r in range(1, k):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{j}" for j in range(r)
+        )
+        parts.append(
+            f""",
+            p{r} AS (
+              SELECT {r}::BIGINT AS round, vec_id, md::BIGINT AS dist_sq, xm
+              FROM d{r - 1}
+              WHERE vec_id NOT IN ({prior})
+              ORDER BY md DESC, vec_id ASC LIMIT 1)"""
+        )
+        if r < k - 1:
+            parts.append(
+                f""",
+            d{r} AS (
+              SELECT d.vec_id, d.xm,
+                     least(d.md,
+                           (SELECT {dist.format(a="d")} FROM p{r} c)) AS md
+              FROM d{r - 1} d)"""
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT round, vec_id, dist_sq FROM p{j}" for j in range(k)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f" SELECT round, vec_id, dist_sq FROM ({sel}) ORDER BY round"
+    )
+
+
+#: elementwise micro quantization of an embedding float (oracle side)
+_XQ_MICRO_X = XQ.micro_sql("x::DOUBLE")
 
 
 def _ks_drift_sql() -> str:
@@ -5295,6 +5358,7 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
         """,
         "ks_drift_test": _ks_drift_sql(),
         "streaming_ks_drift": _ks_drift_sql(),
+        "coreset_sample": _coreset_sql(),
         "log2_quantile_sketch": """
             -- identical γ=2 DDSketch-style histogram: the bucket is the
             -- integer length(bin(cents)) - 1 on both engines (no float

@@ -1363,3 +1363,89 @@ def dbscan_embeddings(
         )
         .orderBy("vec_id")
     )
+
+
+def coreset_sample(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection over
+    the embedding table: pick the seed (min vec_id), then k−1 times the
+    point FARTHEST from every chosen center — Gonzalez's 2-approximation
+    to the k-center cover (Gonzalez, TCS 1985), the deterministic
+    diversity-sampling primitive behind "pick a small training subset
+    that still spans the space" (coreset/active-learning selection),
+    the opposite pull of ``weighted_sample``'s mass-proportional draw.
+
+    Exactness: vectors quantize once to int64 micro units (tie-free
+    ``exact.micro``); distances are exact integer squared L2
+    (≤ 64·(4e6)² ≈ 1e15 ≪ 2⁶³); the argmax tie-break is min vec_id
+    (``max(struct(dist, -vec_id))``). ``dist_sq`` at selection is the
+    point's distance to the ALREADY-chosen set — i.e. the k-center
+    covering radius before that round — so the column traces the
+    radius-vs-k curve; the seed row carries NULL.
+
+    Scale shape: the selection loop is k DRIVER-SIDE rounds (k is the
+    sample size — single digits to hundreds), each ONE scan computing
+    min-distance-to-centers as a literal-array expression (one parsed
+    SQL string — the manifest-map py4j discipline) and ONE max
+    reduction; no shuffle at all, and model state is k·dim integers.
+    The K-unrolled DuckDB oracle (the ``kmeans`` discipline) replays
+    every pick.
+
+    Columns: (round, vec_id, dist_sq), min(k, n) rows, ordered by
+    round.
+    """
+    from mapreduceindex_spark.functions.exact import micro
+
+    spark = embeddings.sparkSession
+    pts = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: micro(x.cast("double"))
+        ).alias("xm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out_schema = "round long, vec_id long, dist_sq long"
+    try:
+        seed = pts.agg(F.min("vec_id").alias("v")).collect()[0]["v"]
+        if seed is None:
+            return spark.createDataFrame([], out_schema)
+        chosen = [
+            (
+                0,
+                int(seed),
+                None,
+                [int(v) for v in pts.filter(F.col("vec_id") == seed)
+                 .collect()[0]["xm"]],
+            )
+        ]
+        for rnd in range(1, k):
+            dists = [
+                "aggregate(zip_with(xm, array("
+                + ", ".join(f"{v}L" for v in c[3])
+                + "), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+                for c in chosen
+            ]
+            mind = (
+                dists[0] if len(dists) == 1 else "least(" + ", ".join(dists) + ")"
+            )
+            excl = ", ".join(str(c[1]) for c in chosen)
+            picked = (
+                pts.filter(F.expr(f"vec_id NOT IN ({excl})"))
+                .agg(
+                    F.max(
+                        F.expr(
+                            f"struct({mind} AS d, -vec_id AS nv, xm AS xm)"
+                        )
+                    ).alias("m")
+                )
+                .collect()[0]["m"]
+            )
+            if picked is None:
+                break
+            chosen.append(
+                (rnd, int(-picked["nv"]), int(picked["d"]),
+                 [int(v) for v in picked["xm"]])
+            )
+        return spark.createDataFrame(
+            [(r, v, d) for r, v, d, _ in chosen], out_schema
+        ).orderBy("round")
+    finally:
+        pts.unpersist()

@@ -155,6 +155,7 @@ NAMES = [
     "kaplan_meier_retention",
     "sequential_patterns",
     "theil_sen_trend",
+    "coreset_sample",
 ]
 
 

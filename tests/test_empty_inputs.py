@@ -168,6 +168,7 @@ EMPTY_SAFE = [
     "kaplan_meier_retention",
     "sequential_patterns",
     "theil_sen_trend",
+    "coreset_sample",
 ]
 
 

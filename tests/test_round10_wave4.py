@@ -687,3 +687,61 @@ def test_theil_sen_exact_line_recovers_slope_and_intercept(spark):
     )
     [r] = theil_sen_trend(ev).collect()
     assert (r["slope_milli_per_day"], r["intercept_u4"]) == (3000, 7)
+
+
+# ---------------------------------------------------------------------------
+# coreset_sample
+# ---------------------------------------------------------------------------
+
+
+def test_coreset_farthest_point_hand_fixture(spark):
+    """1-D points at 0, 1, 10, 100 (micro 0, 1e6, 1e7, 1e8): seed is
+    vec 0; the farthest-first order is 100, 10, 1 with hand-computable
+    covering distances."""
+    from mapreduceindex_spark.operators.clustering import coreset_sample
+
+    pts = [(0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [100.0])]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = [tuple(r) for r in coreset_sample(emb, k=4).collect()]
+    m = 1_000_000
+    assert out == [
+        (0, 0, None),
+        (1, 3, (100 * m) ** 2),
+        (2, 2, (10 * m) ** 2),   # min(dist to 0, dist to 100) = 1e7^2
+        (3, 1, (1 * m) ** 2),
+    ]
+
+
+def test_coreset_tie_breaks_to_min_vec_id(spark):
+    """Two points equidistant from the seed: the smaller vec_id wins."""
+    from mapreduceindex_spark.operators.clustering import coreset_sample
+
+    pts = [(5, [0.0]), (7, [2.0]), (9, [-2.0])]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = [(r["round"], r["vec_id"]) for r in coreset_sample(emb, k=3).collect()]
+    assert out == [(0, 5), (1, 7), (2, 9)]
+
+
+def test_coreset_stops_at_n_points(spark):
+    """k larger than the table yields exactly n rows, no crash."""
+    from mapreduceindex_spark.operators.clustering import coreset_sample
+
+    pts = [(1, [0.0]), (2, [3.0])]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    assert coreset_sample(emb, k=8).count() == 2
+
+
+def test_coreset_radius_is_nonincreasing(spark):
+    """The k-center covering radius traced by dist_sq never increases
+    with k (greedy picks the current farthest point each round)."""
+    from mapreduceindex_spark.operators.clustering import coreset_sample
+
+    import random
+
+    rng = random.Random(7)
+    pts = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    d = [r["dist_sq"] for r in coreset_sample(emb, k=6).collect()][1:]
+    assert all(a >= b for a, b in zip(d, d[1:]))
