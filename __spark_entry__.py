@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "sequential_patterns",
     "theil_sen_trend",
     "coreset_sample",
+    "streaming_sequential_patterns",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -709,6 +710,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "coreset_sample": lambda s, d: CL.coreset_sample(
             _t(s, d, "embeddings")
+        ),
+        # min/max first-last state -> the shared pattern tail
+        "streaming_sequential_patterns": lambda s, d: (
+            STREAM.streaming_sequential_patterns(s, d)
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
@@ -6576,6 +6581,38 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
             ORDER BY vec_id
         """,
         "sequential_patterns": """
+            -- identical first-occurrence reduction: u supports a->b iff
+            -- u has a b strictly after u's FIRST a; all counts/ratios
+            -- BIGINT (operands positive, so // ≡ DIV)
+            WITH per AS (
+              SELECT user_id, event_type,
+                     min(epoch_us(ts)) AS first_us,
+                     max(epoch_us(ts)) AS last_us
+              FROM events GROUP BY 1, 2),
+            nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+            sup AS (
+              SELECT event_type, count(*) AS n_sup FROM per GROUP BY 1),
+            ab AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_users_ab
+              FROM per a JOIN per b ON a.user_id = b.user_id
+              WHERE b.last_us > a.first_us
+              GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT ab.type_a, ab.type_b,
+                   ab.n_users_ab::BIGINT AS n_users_ab,
+                   sa.n_sup::BIGINT AS n_users_a,
+                   sb.n_sup::BIGINT AS n_users_b,
+                   (ab.n_users_ab * 1000000 // nu.n_users)::BIGINT
+                     AS support_ppm,
+                   (ab.n_users_ab * nu.n_users * 1000000
+                    // (sa.n_sup * sb.n_sup))::BIGINT AS lift_ppm
+            FROM ab
+            JOIN sup sa ON sa.event_type = ab.type_a
+            JOIN sup sb ON sb.event_type = ab.type_b
+            CROSS JOIN nu
+            ORDER BY n_users_ab DESC, ab.type_a, ab.type_b
+        """,
+        "streaming_sequential_patterns": """
             -- identical first-occurrence reduction: u supports a->b iff
             -- u has a b strictly after u's FIRST a; all counts/ratios
             -- BIGINT (operands positive, so // ≡ DIV)

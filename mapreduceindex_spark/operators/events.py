@@ -1937,20 +1937,41 @@ def sequential_patterns(events: DataFrame, min_support: int = 5) -> DataFrame:
         F.min(F.expr("unix_micros(ts)")).alias("first_us"),
         F.max(F.expr("unix_micros(ts)")).alias("last_us"),
     )
-    n_users = events.select("user_id").distinct().agg(
+    return patterns_from_first_last(per, min_support)
+
+
+def patterns_from_first_last(
+    per: DataFrame, min_support: int = 5
+) -> DataFrame:
+    """Shared pattern-support tail over a (user_id, event_type,
+    first_us, last_us) summary frame — used by the batch
+    :func:`sequential_patterns` and the streaming twin (where min/max
+    timestamps ARE the streaming state: both are commutative and
+    idempotent, so the summary — and therefore every pattern count —
+    is micro-batching- and order-independent)."""
+    n_users = per.select("user_id").distinct().agg(
         F.count(F.lit(1)).alias("n_users")
     )
     type_support = per.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sup")
     )
+    # renamed projections, not alias+col: the streaming twin feeds a
+    # memory-sink frame whose self-join would otherwise trip Spark's
+    # ambiguous-self-join column resolution
+    a_side = per.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("type_a"),
+        F.col("first_us").alias("first_a"),
+    )
+    b_side = per.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("type_b"),
+        F.col("last_us").alias("last_b"),
+    )
     ab = (
-        per.alias("a")
-        .join(per.alias("b"), F.col("a.user_id") == F.col("b.user_id"))
-        .filter(F.col("b.last_us") > F.col("a.first_us"))
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        a_side.join(b_side, "uid")
+        .filter(F.col("last_b") > F.col("first_a"))
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_users_ab"))
         .filter(F.col("n_users_ab") >= min_support)
     )

@@ -2319,3 +2319,37 @@ def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d1").alias("d1"), F.sum("d2").alias("d2"))
     )
     return ks_stat_from_value_counts(per_value)
+
+
+def streaming_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped sequential-pattern mining ONLINE: the per-(user, type)
+    first/last event timestamps accumulate as streaming state — min
+    and max are commutative AND idempotent, so the summary is
+    micro-batching- and order-independent and state is users×types
+    rows regardless of stream length (the ``streaming_hll_distinct``
+    state-shape argument). The batch-side readout runs the SAME
+    ``patterns_from_first_last`` tail as the batch
+    ``sequential_patterns`` — stream ≡ batch by construction, one
+    shared oracle text.
+
+    Why this state shape matters: the first-occurrence reduction means
+    pattern support NEVER needs event history — two timestamps per
+    (user, type) carry everything a→b counting requires, which is what
+    makes gapped-pattern mining viable on an unbounded stream.
+    """
+    from mapreduceindex_spark.operators.events import (
+        patterns_from_first_last,
+    )
+    from mapreduceindex_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    per = (
+        _stream_events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.expr("unix_micros(ts)")).alias("first_us"),
+            F.max(F.expr("unix_micros(ts)")).alias("last_us"),
+        )
+    )
+    out = _run_to_table(per, "complete")
+    return patterns_from_first_last(out)

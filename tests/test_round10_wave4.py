@@ -745,3 +745,22 @@ def test_coreset_radius_is_nonincreasing(spark):
     emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
     d = [r["dist_sq"] for r in coreset_sample(emb, k=6).collect()][1:]
     assert all(a >= b for a, b in zip(d, d[1:]))
+
+
+def test_streaming_sequential_patterns_equals_batch(spark):
+    """Stream ≡ batch: min/max first-last state folded through the
+    shared tail equals the batch sequential_patterns on the fixture."""
+    from tests.conftest import SF_SMALL
+
+    from mapreduceindex_spark.operators.events import sequential_patterns
+    from mapreduceindex_spark.session import load_table
+    from mapreduceindex_spark.streaming.pipelines import (
+        streaming_sequential_patterns,
+    )
+
+    batch = sequential_patterns(
+        load_table(spark, SF_SMALL, "events")
+    ).collect()
+    stream = streaming_sequential_patterns(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+    assert len(batch) > 0
