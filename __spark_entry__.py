@@ -78,6 +78,7 @@ _VERIFY_FIRST = [
     "theil_sen_trend",
     "coreset_sample",
     "streaming_sequential_patterns",
+    "kneser_ney_bigram",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -714,6 +715,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min/max first-last state -> the shared pattern tail
         "streaming_sequential_patterns": lambda s, d: (
             STREAM.streaming_sequential_patterns(s, d)
+        ),
+        "kneser_ney_bigram": lambda s, d: TA.kneser_ney_bigram(
+            _t(s, d, "documents")
         ),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
@@ -6776,6 +6780,39 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
                          THEN 1 ELSE 0 END)::BIGINT AS pooled
             FROM grp g JOIN iso ON iso.i = g.bucket
             ORDER BY g.bucket
+        """,
+        "kneser_ney_bigram": f"""
+            -- identical interpolated KN collapsed to ONE floored
+            -- division; numerator products in HUGEINT (Spark side:
+            -- DECIMAL(38,0)) — int64 would overflow near c12·Ntot≈9e12
+            WITH base AS (SELECT doc_id, {ws} AS w FROM documents),
+            e AS (
+              SELECT doc_id, w[CAST(t.i AS INT)] AS w1,
+                     w[CAST(t.i AS INT) + 1] AS w2
+              FROM base, range(1, 8193) t(i) WHERE t.i <= len(w) - 1),
+            big AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY 1, 2),
+            lc AS (
+              SELECT w1, sum(c12)::BIGINT AS c1, count(*) AS n1_w1
+              FROM big GROUP BY 1),
+            cont AS (SELECT w2, count(*) AS ncont_w2 FROM big GROUP BY 1),
+            nt AS (SELECT count(*) AS ntot FROM big),
+            top AS (
+              SELECT w1, w2, c12 FROM big
+              ORDER BY c12 DESC, w1, w2 LIMIT 50)
+            SELECT t.w1, t.w2, t.c12::BIGINT AS c12, l.c1,
+                   l.n1_w1::BIGINT AS n1_w1,
+                   c.ncont_w2::BIGINT AS ncont_w2,
+                   nt.ntot::BIGINT AS ntot,
+                   ((1000000::HUGEINT
+                     * (greatest(4 * t.c12 - 3, 0)::HUGEINT * nt.ntot
+                        + 3::HUGEINT * l.n1_w1 * c.ncont_w2))
+                    // (4::HUGEINT * l.c1 * nt.ntot))::BIGINT
+                     AS p_kn_micro
+            FROM top t
+            JOIN lc l ON l.w1 = t.w1
+            JOIN cont c ON c.w2 = t.w2
+            CROSS JOIN nt
+            ORDER BY c12 DESC, t.w1, t.w2
         """,
         "winnowing_fingerprints": f"""
             WITH {_winnow_sql()}

@@ -1807,3 +1807,94 @@ def winnowing_overlap(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs.orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+
+
+def kneser_ney_bigram(documents: DataFrame, top_k: int = 50) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities for the corpus's
+    most frequent bigrams — the language-model smoothing that actually
+    ships (Kneser & Ney, ICASSP'95; Chen & Goodman '99 empirical
+    study): absolute discount D = 3/4 on the bigram count, with the
+    stolen mass backed off to the CONTINUATION unigram (in how many
+    distinct left contexts does w2 appear?) instead of the raw
+    frequency — the fix that stops "francisco" (frequent but only ever
+    after "san") from stealing probability in new contexts. The
+    smoothing layer ``lm_doc_scores``'s add-one model lacks.
+
+    Exactness: with D = 3/4 everything is rational over known
+    denominators, so the whole interpolated probability collapses to
+    ONE floored division both engines share:
+
+        p_kn = [max(4·c12 − 3, 0) · Ntot + 3 · N1(w1) · Ncont(w2)]
+               / (4 · c1 · Ntot)          (micro = ·1e6, floored)
+
+    where c1 = Σ_w2 c(w1 w2), N1(w1) = |{w2 : c(w1 w2) > 0}|,
+    Ncont(w2) = |{w1 : c(w1 w2) > 0}|, Ntot = |distinct bigram types|.
+    The numerator product runs in DECIMAL(38,0)/HUGEINT (the
+    ``price_qty_regression`` discipline) — int64 would overflow near
+    c12 · Ntot ≈ 9e12.
+
+    Plan: ONE posexplode+lead token pass builds the bigram count frame
+    (the ``bigram_lift`` plan); left/continuation/type censuses are
+    three aggregates OVER THAT FRAME (vocabulary-bounded, never a
+    second corpus scan); top-k by (c12 desc, w1, w2) cuts to ``top_k``
+    rows before the broadcast joins.
+
+    Columns: (w1, w2, c12, c1, n1_w1, ncont_w2, ntot, p_kn_micro),
+    ordered by (c12 desc, w1, w2).
+    """
+    from pyspark.sql.window import Window
+
+    from mapreduceindex_spark.functions.text import words
+
+    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    toks = base.select(
+        "doc_id",
+        F.size("ws").alias("nw"),
+        F.posexplode("ws").alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "nw",
+            "pos",
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(win).alias("w2"),
+        )
+        .filter(F.col("pos") <= F.col("nw") - 2)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    from mapreduceindex_spark.functions import caching
+
+    caching.release("kneser_ney_bigram")
+    big = caching.track(big.persist(), "kneser_ney_bigram")
+    left = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("n1_w1"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont_w2"))
+    ntot = big.agg(F.count(F.lit(1)).alias("ntot"))
+    top = big.orderBy(
+        F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+    return (
+        top.join(F.broadcast(left), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            "c1",
+            F.col("n1_w1").cast("long").alias("n1_w1"),
+            F.col("ncont_w2").cast("long").alias("ncont_w2"),
+            F.col("ntot").cast("long").alias("ntot"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (greatest(4 * c12 - 3, 0) * CAST(ntot AS DECIMAL(38,0))"
+                "    + 3 * CAST(n1_w1 AS DECIMAL(38,0)) * ncont_w2))"
+                " DIV (CAST(4 AS DECIMAL(38,0)) * c1 * ntot) AS BIGINT)"
+            ).alias("p_kn_micro"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+    )

@@ -156,6 +156,7 @@ NAMES = [
     "sequential_patterns",
     "theil_sen_trend",
     "coreset_sample",
+    "kneser_ney_bigram",
 ]
 
 

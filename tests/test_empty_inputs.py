@@ -169,6 +169,7 @@ EMPTY_SAFE = [
     "sequential_patterns",
     "theil_sen_trend",
     "coreset_sample",
+    "kneser_ney_bigram",
 ]
 
 

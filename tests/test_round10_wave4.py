@@ -764,3 +764,80 @@ def test_streaming_sequential_patterns_equals_batch(spark):
     stream = streaming_sequential_patterns(spark, SF_SMALL).collect()
     assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
     assert len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# kneser_ney_bigram
+# ---------------------------------------------------------------------------
+
+
+def _kn_replay(texts, top_k=50):
+    """Independent pure-Python interpolated KN (D=3/4) replay."""
+    from collections import Counter
+
+    def toks(t):
+        out = []
+        for w in t.split():
+            w = "".join(ch for ch in w if ch.isalpha()).lower()
+            if w:
+                out.append(w)
+        return out
+
+    big = Counter()
+    for t in texts:
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    c1 = Counter()
+    n1 = Counter()
+    ncont = Counter()
+    for (a, b), c in big.items():
+        c1[a] += c
+        n1[a] += 1
+        ncont[b] += 1
+    ntot = len(big)
+    rows = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    out = {}
+    for (a, b), c in rows:
+        num = 1_000_000 * (max(4 * c - 3, 0) * ntot + 3 * n1[a] * ncont[b])
+        out[(a, b)] = num // (4 * c1[a] * ntot)
+    return out
+
+
+def test_kneser_ney_matches_pure_python_replay(spark):
+    from mapreduceindex_spark.operators.text_analysis import kneser_ney_bigram
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "a cat and a dog met in san francisco",
+        "san francisco fog rolls over san francisco bay",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        (r["w1"], r["w2"]): r["p_kn_micro"]
+        for r in kneser_ney_bigram(docs, top_k=1000).collect()
+    }
+    assert got == _kn_replay(texts, top_k=1000)
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    """The KN property: 'francisco' appears 3 times but ONLY after
+    'san' (continuation count 1), while 'cat' appears 3 times after 3
+    different words — after an arbitrary context word, the model backs
+    off to continuation counts, so p(cat | unseen-ish context) uses
+    ncont=3 vs francisco's 1."""
+    from mapreduceindex_spark.operators.text_analysis import kneser_ney_bigram
+
+    texts = [
+        "san francisco san francisco san francisco",
+        "big cat small cat happy cat",
+        "zebra cat",  # gives 'zebra' a single bigram: zebra->cat
+    ]
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in kneser_ney_bigram(_docs(spark, texts), top_k=1000).collect()
+    }
+    assert rows[("zebra", "cat")]["ncont_w2"] == 4
+    fran = next(r for (a, b), r in rows.items() if b == "francisco")
+    assert fran["ncont_w2"] == 1
