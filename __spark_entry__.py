@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "coreset_sample",
     "streaming_sequential_patterns",
     "kneser_ney_bigram",
+    "mad_outliers",
     # ROUND-10 rotation (enacting the r09 VERDICT plan at
     # __spark_entry__.py:136-143 of that revision): (a) queries whose
     # CODE or ORACLE changed this round — re-verify first: the two new
@@ -719,6 +720,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_bigram": lambda s, d: TA.kneser_ney_bigram(
             _t(s, d, "documents")
         ),
+        "mad_outliers": lambda s, d: E.mad_outliers(_t(s, d, "events")),
         "price_quantiles": lambda s, d: SK.price_quantiles(_t(s, d, "orders")),
         # event-time operators
         # round 6: tumbling series with empty buckets zero-filled from a
@@ -6691,6 +6693,44 @@ GROUP BY b.cluster_rep, b.n_members, b.best_quality
               SELECT *, row_number() OVER (ORDER BY level) AS rn
               FROM resid)
             WHERE rn = (n_days + 1) // 2
+        """,
+        "mad_outliers": """
+            -- identical nearest-rank medians under the same
+            -- (value, event_id) tie orders and the 4448/1000 integer
+            -- cross-multiplied flag — pure integers
+            WITH base AS (
+              SELECT event_type, event_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            med AS (
+              SELECT event_type, cents AS med_cents, n FROM (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM base) WHERE rn = (n + 1) // 2),
+            devs AS (
+              SELECT b.event_type, b.event_id, m.n, m.med_cents,
+                     abs(b.cents - m.med_cents) AS dev
+              FROM base b JOIN med m USING (event_type)),
+            mad AS (
+              SELECT event_type, dev AS mad_cents FROM (
+                SELECT event_type, dev, n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev, event_id) AS rn
+                FROM devs) WHERE rn = (n + 1) // 2)
+            SELECT d.event_type,
+                   max(d.n)::BIGINT AS n,
+                   max(d.med_cents)::BIGINT AS med_cents,
+                   max(a.mad_cents)::BIGINT AS mad_cents,
+                   sum(CASE WHEN 1000 * d.dev > 4448 * a.mad_cents
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                   (sum(CASE WHEN 1000 * d.dev > 4448 * a.mad_cents
+                             THEN 1 ELSE 0 END) * 1000000
+                    // max(d.n))::BIGINT AS outlier_ppm
+            FROM devs d JOIN mad a USING (event_type)
+            GROUP BY d.event_type
+            ORDER BY d.event_type
         """,
         "kaplan_meier_retention": f"""
             -- identical KM life table; the survival product is the

@@ -2094,3 +2094,88 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
             F.col("level").alias("intercept_u4"),
         )
     )
+
+
+def mad_outliers(events: DataFrame) -> DataFrame:
+    """Robust per-type outlier census via median/MAD — the
+    median-absolute-deviation rule (|x − med| > 3·1.4826·MAD, the
+    normal-consistency constant) that ``events_anomaly``-style
+    mean/stddev flags cannot give: one 1000× spike inflates a stddev
+    enough to hide every other anomaly, while the median and MAD are
+    50%-breakdown robust (Hampel; Leys et al. 2013).
+
+    Exactness: values in integer cents; both medians are nearest-rank
+    picks at 1-based rank ⌈n/2⌉ under (value, event_id) order — exact
+    elements, not interpolations — and the flag is the pure-integer
+    cross-multiplication ``1000·|x − med| > 4448·MAD`` (3·1.4826 =
+    4.4478 → the exact rational 4448/1000, biased 0.005% conservative;
+    both engines share the literal). MAD = 0 (over half the group at
+    the median) flags every value off the median — the documented
+    degenerate MAD case, deliberately not special-cased.
+
+    Scale shape: two per-group nearest-rank windows (partitioned by
+    event_type — spillable, skew-bounded, never global) and two
+    aggregates; at extreme group sizes the same readout rides the
+    ``nearest_rank_pick`` bucket-histogram two-phase — the expression
+    is what's pinned here. Columns: (event_type, n, med_cents,
+    mad_cents, n_outliers, outlier_ppm), ordered by event_type.
+    """
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    wn = Window.partitionBy("event_type")
+    w1 = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    med = (
+        base.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w1).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("cents").alias("med_cents"), "n")
+    )
+    devs = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        devs.select(
+            "event_type",
+            "dev",
+            "n",
+            F.row_number().over(w2).alias("rn"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("dev").alias("mad_cents"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN 1000 * dev > 4448 * mad_cents"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "med_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr("n_outliers * 1000000L DIV n").alias("outlier_ppm"),
+        )
+        .orderBy("event_type")
+    )

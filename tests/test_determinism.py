@@ -157,6 +157,7 @@ NAMES = [
     "theil_sen_trend",
     "coreset_sample",
     "kneser_ney_bigram",
+    "mad_outliers",
 ]
 
 

@@ -170,6 +170,7 @@ EMPTY_SAFE = [
     "theil_sen_trend",
     "coreset_sample",
     "kneser_ney_bigram",
+    "mad_outliers",
 ]
 
 

@@ -841,3 +841,38 @@ def test_kneser_ney_continuation_beats_raw_frequency(spark):
     assert rows[("zebra", "cat")]["ncont_w2"] == 4
     fran = next(r for (a, b), r in rows.items() if b == "francisco")
     assert fran["ncont_w2"] == 1
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_flags_the_spike_stddev_would_hide_behind(spark):
+    """[10x 100-cents values around the median, one 100000 spike]: the
+    median/MAD flag catches exactly the spike; med and MAD by hand."""
+    from mapreduceindex_spark.operators.events import mad_outliers
+
+    cents = [100, 101, 99, 100, 102, 98, 100, 101, 99, 100, 100000]
+    ev = spark.createDataFrame(
+        [(i, "t", c / 100.0) for i, c in enumerate(cents)],
+        "event_id long, event_type string, value double",
+    )
+    [r] = mad_outliers(ev).collect()
+    assert (r["n"], r["med_cents"], r["mad_cents"]) == (11, 100, 1)
+    # flag: 1000*dev > 4448*1 -> dev > 4.448 -> only the spike
+    assert (r["n_outliers"], r["outlier_ppm"]) == (1, 1_000_000 // 11)
+
+
+def test_mad_zero_mad_flags_everything_off_median(spark):
+    """Over half the group at one value gives MAD = 0: every value off
+    the median is flagged (the documented degenerate case)."""
+    from mapreduceindex_spark.operators.events import mad_outliers
+
+    cents = [50, 50, 50, 50, 51, 49]
+    ev = spark.createDataFrame(
+        [(i, "t", c / 100.0) for i, c in enumerate(cents)],
+        "event_id long, event_type string, value double",
+    )
+    [r] = mad_outliers(ev).collect()
+    assert r["mad_cents"] == 0 and r["n_outliers"] == 2
