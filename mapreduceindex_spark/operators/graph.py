@@ -84,22 +84,43 @@ def token_pagerank(
     out_w = edges.groupBy("a").agg(F.sum("n_ab").alias("out_w"))
     edges2 = edges.join(out_w, "a").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = toks.select("w").distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    ncnt = nodes.agg(F.count(F.lit(1)).alias("_n"))
     # dangling nodes: tokens that never PRECEDE another token (no
     # out-edge) — their rank mass redistributes uniformly each round
     # (floored integer share), matching standard PageRank semantics
     # instead of dropping the mass (r09 VERDICT "what's missing" #4)
     no_out = nodes.join(
         out_w.select(F.col("a").alias("w")), "w", "left_anti"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # N and the per-round dangling sum are SCALARS over persisted
+    # vocab-sized frames; inlining them as literals (identical positive-
+    # integer floor arithmetic to the former `DIV _n` / broadcast-dsum
+    # expressions) and persisting each round's ranks keeps the lineage
+    # LINEAR. The former shape re-derived the previous round's ranks in
+    # both the dsum branch and the contrib branch — a plan tree that
+    # doubled per iteration (measured: 5.8-8.4 s builder time at sf0.1;
+    # guide §2.4 duplicated-subtree removal + §5 persist-on-reuse).
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        edges2.unpersist()
+        nodes.unpersist()
+        no_out.unpersist()
+        return documents.sparkSession.createDataFrame(
+            [], "token string, rank_micro bigint"
+        )
 
     d = int(damping_pct)
-    ranks = nodes.join(F.broadcast(ncnt)).select(
-        "w", F.expr(f"CAST({_SCALE} DIV _n AS BIGINT)").alias("r")
+    ranks = nodes.select(
+        "w", F.lit(_SCALE // n_nodes).cast("long").alias("r")
     )
+    live: list[DataFrame] = []
     for _ in range(iters):
-        dsum = ranks.join(no_out, "w", "left_semi").agg(
-            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_ds")
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        live.append(ranks)
+        ds = (
+            ranks.join(no_out, "w", "left_semi")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_ds"))
+            .collect()[0]["_ds"]
         )
         contrib = (
             edges2.join(ranks, edges2["a"] == ranks["w"])
@@ -110,18 +131,15 @@ def token_pagerank(
             .groupBy("b")
             .agg(F.sum("c").alias("cs"))
         )
-        ranks = (
-            nodes.join(F.broadcast(ncnt))
-            .join(contrib, nodes["w"] == contrib["b"], "left")
-            .crossJoin(F.broadcast(dsum))
-            .select(
-                "w",
-                F.expr(
-                    f"CAST({(100 - d) * _SCALE // 100} DIV _n "
-                    f"+ {d} * (coalesce(cs, 0) + _ds DIV _n) DIV 100 "
-                    "AS BIGINT)"
-                ).alias("r"),
-            )
+        ranks = nodes.join(
+            contrib, nodes["w"] == contrib["b"], "left"
+        ).select(
+            "w",
+            F.expr(
+                f"CAST({(100 - d) * _SCALE // 100 // n_nodes} "
+                f"+ {d} * (coalesce(cs, 0) + {int(ds) // n_nodes}) DIV 100 "
+                "AS BIGINT)"
+            ).alias("r"),
         )
     top = (
         ranks.orderBy(F.col("r").desc(), F.col("w").asc())
@@ -130,6 +148,9 @@ def token_pagerank(
     )
     edges2.unpersist()
     nodes.unpersist()
+    no_out.unpersist()
+    for df in live:
+        df.unpersist()
     return documents.sparkSession.createDataFrame(
         [(row["w"], int(row["r"])) for row in top],
         "token string, rank_micro bigint",
