@@ -235,7 +235,40 @@ def _copurchase_edges(
     to nodes outside the output domain — and could even become a
     component's min label — diverging from the part-seeded oracles.
     Orphans are fk_integrity_audit's job to report, not ours to graph.
+
+    Memoized via ``caching.memo`` keyed on both input plans' semantic
+    hashes + ``min_support`` (the dedup-family ``dedup_front``
+    discipline): the whole copurchase family (clusters, BFS, k-core,
+    link prediction, label propagation, triangles) starts from exactly
+    this frame, and the C(lines-per-order, 2) self-join fanout + pair
+    aggregate behind it is the family's dominant shared cost. One live
+    cache set; a changed input or support releases and rebuilds.
     """
+    from mapreduceindex_spark.functions import caching
+
+    fingerprint = "|".join(
+        [
+            str(lineitem._jdf.queryExecution().analyzed().semanticHash()),
+            str(part._jdf.queryExecution().analyzed().semanticHash()),
+            str(int(min_support)),
+        ]
+    )
+
+    def _build() -> list[DataFrame]:
+        return [
+            _copurchase_edges_plan(lineitem, part, min_support).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        ]
+
+    return caching.memo("copurchase_edges", fingerprint, _build)[0]
+
+
+def _copurchase_edges_plan(
+    lineitem: DataFrame, part: DataFrame, min_support: int
+) -> DataFrame:
+    """The raw (unmemoized) edge-list plan behind
+    :func:`_copurchase_edges`."""
     op = (
         lineitem.select("l_orderkey", "l_partkey")
         .distinct()
