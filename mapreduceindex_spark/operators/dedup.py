@@ -208,7 +208,8 @@ def ngram_jaccard_pairs(
     from mapreduceindex_spark.functions import caching
 
     caching.release("ngram_jaccard_pairs")
-    groups, sh, stats = _pair_front_end(documents, n)
+    front = _pair_front_end(documents, n)
+    groups, sh, stats = front
     return _clone_collapsed_pairs(
         documents,
         n,
@@ -221,6 +222,8 @@ def ngram_jaccard_pairs(
             direct_join_max_df2,
             sh=sh,
             track_key="ngram_jaccard_pairs",
+            sdf=front.sdf,
+            front_fp=front.fingerprint,
         ),
         groups=groups,
         clone_stats=stats,
@@ -246,6 +249,30 @@ def _md5_clone_groups(documents: DataFrame) -> DataFrame:
 #: fingerprint — a pure function of the input plan, so it stays valid
 #: even when an external clearCache forces the FRAMES to rebuild.
 _FRONT_STATS: dict[str, tuple[int, int]] = {}
+
+#: Σdf² tier-probe scalars keyed ``fingerprint|max_shingle_df`` — the
+#: same pure-function-of-the-input argument as ``_FRONT_STATS``; entries
+#: for stale fingerprints are pruned on access so the dict stays bounded
+#: to the one live front end.
+_FRONT_PRESSURE: dict[str, int] = {}
+
+
+class _FrontEnd(tuple):
+    """The 3-tuple ``(groups, sh, stats)`` every existing caller
+    unpacks, extended with the round-10 shared members: ``sdf`` (the
+    memoized shingle-df frame over ``sh``) and ``fingerprint`` (the
+    memo key — callers thread it to :func:`_jaccard_rep_pairs` so the
+    Σdf² tier probe is computed once per front end, not once per
+    query)."""
+
+    sdf: DataFrame
+    fingerprint: str
+
+    def __new__(cls, groups, sh, stats, sdf, fingerprint):
+        obj = super().__new__(cls, (groups, sh, stats))
+        obj.sdf = sdf
+        obj.fingerprint = fingerprint
+        return obj
 
 
 def _pair_front_end(
@@ -290,9 +317,18 @@ def _pair_front_end(
             "left_semi",
         )
         sh_ = _shingle_hashes(reps, n).persist(StorageLevel.MEMORY_AND_DISK)
-        return [groups_, sh_]
+        # the shingle-df frame is the third family-shared member: every
+        # exact-tier pair search starts from it (cap filter + Σdf² tier
+        # probe), so rebuilding it per query re-paid one shuffle + one
+        # probe job each time
+        sdf_ = (
+            sh_.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return [groups_, sh_, sdf_]
 
-    groups, sh = caching.memo("dedup_front", fingerprint, _build)
+    groups, sh, sdf = caching.memo("dedup_front", fingerprint, _build)
     stats = _FRONT_STATS.get(fingerprint)
     if stats is None:
         row = groups.agg(
@@ -302,7 +338,7 @@ def _pair_front_end(
         stats = (row["_g"], row["_d"] or 0)
         _FRONT_STATS.clear()  # single slot, same bound as the memo
         _FRONT_STATS[fingerprint] = stats
-    return groups, sh, stats
+    return _FrontEnd(groups, sh, stats, sdf, fingerprint)
 
 
 def _clone_collapsed_pairs(
@@ -406,6 +442,8 @@ def _jaccard_rep_pairs(
     direct_join_max_df2: int,
     sh: DataFrame | None = None,
     track_key: str | None = None,
+    sdf: DataFrame | None = None,
+    front_fp: str | None = None,
 ) -> DataFrame:
     """Pairwise jaccard over an already-exact-deduped corpus — the two-tier
     core described in ``ngram_jaccard_pairs``. A composing caller
@@ -426,22 +464,33 @@ def _jaccard_rep_pairs(
                 StorageLevel.MEMORY_AND_DISK
             )
         )
-    sdf = _t(
-        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf")).persist(
-            StorageLevel.MEMORY_AND_DISK
+    if sdf is None:
+        sdf = _t(
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
-    )
     capped = sh.join(sdf.filter(F.col("sdf") <= max_shingle_df), "sh")
     # Adaptive tier switch, same shape as near_dup_clusters: Σ df² is the
     # exact row count of the direct self-join. While it is modest, the
     # direct join wins (no extra window/shuffle); past the budget, prefix
     # filtering's candidate collapse is what keeps the query feasible.
-    pressure = (
-        sdf.filter(F.col("sdf") <= max_shingle_df)
-        .agg(F.sum(F.col("sdf") * F.col("sdf")))
-        .collect()[0][0]
-        or 0
-    )
+    # The probe is a pure function of (front end, cap) — callers that
+    # thread the memoized front end's fingerprint pay it once per front
+    # end instead of once per query (_FRONT_PRESSURE).
+    pkey = f"{front_fp}|{max_shingle_df}" if front_fp else None
+    pressure = _FRONT_PRESSURE.get(pkey) if pkey else None
+    if pressure is None:
+        pressure = (
+            sdf.filter(F.col("sdf") <= max_shingle_df)
+            .agg(F.sum(F.col("sdf") * F.col("sdf")))
+            .collect()[0][0]
+            or 0
+        )
+        if pkey:
+            for k in [k for k in _FRONT_PRESSURE if not k.startswith(f"{front_fp}|")]:
+                del _FRONT_PRESSURE[k]
+            _FRONT_PRESSURE[pkey] = int(pressure)
     if pressure <= direct_join_max_df2:
         # direct tier: count-based intersection — the groupBy-count of the
         # self-join rows beats collect_set + array_intersect while the
@@ -760,7 +809,8 @@ def near_dup_clusters(
     from mapreduceindex_spark.functions import caching
 
     caching.release("near_dup_clusters")
-    groups, sh, gstats = _pair_front_end(documents, n)
+    front = _pair_front_end(documents, n)
+    groups, sh, gstats = front
     if candidates == "auto":
         # the clone census already carries the corpus size (Σ|members|) —
         # no separate count() scan for the tier probe
@@ -794,6 +844,7 @@ def near_dup_clusters(
             rep_docs, n, threshold, max_shingle_df=1000,
             direct_join_max_df2=50_000_000, sh=sh,
             track_key="near_dup_clusters",
+            sdf=front.sdf, front_fp=front.fingerprint,
         )
     else:
         # rep_docs is already exact-deduped — run the banded core
@@ -1825,7 +1876,8 @@ def lsh_recall(
     # holds the legs' per-call persists (sdf/ranked), released per call
     # like any other operator's
     caching.release("lsh_recall_pairs")
-    groups, sh, clone_stats = _pair_front_end(documents, n)
+    front = _pair_front_end(documents, n)
+    groups, sh, clone_stats = front
     truth = _clone_collapsed_pairs(
         documents,
         n,
@@ -1833,6 +1885,7 @@ def lsh_recall(
         lambda r: _jaccard_rep_pairs(
             r, n, threshold, 1000, 50_000_000, sh=sh,
             track_key="lsh_recall_pairs",
+            sdf=front.sdf, front_fp=front.fingerprint,
         ),
         groups=groups,
         clone_stats=clone_stats,
@@ -2180,7 +2233,8 @@ def lsh_band_sweep(
     caching.release("lsh_band_sweep")
     for b in bands_list:
         assert num_hashes % b == 0, (b, num_hashes)
-    groups, sh_reps, clone_stats = _pair_front_end(documents, n)
+    front = _pair_front_end(documents, n)
+    groups, sh_reps, clone_stats = front
     sig_reps = caching.track(
         _signatures_from_hashes(sh_reps, num_hashes).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -2194,6 +2248,7 @@ def lsh_band_sweep(
         lambda r: _jaccard_rep_pairs(
             r, n, threshold, 1000, 50_000_000, sh=sh_reps,
             track_key="lsh_band_sweep",
+            sdf=front.sdf, front_fp=front.fingerprint,
         ),
         groups=groups,
         clone_stats=clone_stats,
