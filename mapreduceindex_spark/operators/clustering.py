@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+#: single-slot memo of the fitted k-means model keyed
+#: ``semanticHash|k|max_iter`` — see fit_kmeans_micro
+_KMEANS_MEMO: dict = {}
+
 
 def _halfdiv(s: int, n: int) -> int:
     """BIGINT round-half-away-from-zero division — the Python twin of
@@ -64,6 +68,20 @@ def fit_kmeans_micro(
     import pandas as pd
 
     from mapreduceindex_spark.functions.exact import micro
+
+    # single-slot memo of the fitted model keyed on the input plan's
+    # semantic hash + hyperparameters (the _FRONT_STATS discipline: a
+    # pure function of the input, k·dim ints of state):
+    # kmeans_embeddings and ivf_topk_trained fit the SAME model over
+    # the same table — the second fit re-paid max_iter collect jobs.
+    fp = (
+        f"{embeddings._jdf.queryExecution().analyzed().semanticHash()}"
+        f"|{k}|{max_iter}"
+    )
+    hit = _KMEANS_MEMO.get(fp)
+    if hit is not None:
+        cids_, cents_, counts_ = hit
+        return cids_.copy(), cents_.copy(), dict(counts_)
 
     qvecs = (
         embeddings.select(
@@ -159,6 +177,8 @@ def fit_kmeans_micro(
             .collect()
         }
     qvecs.unpersist()
+    _KMEANS_MEMO.clear()  # single slot, bounded like the front-end memos
+    _KMEANS_MEMO[fp] = (cids.copy(), centroids.copy(), dict(counts))
     return cids, centroids, counts
 
 

@@ -407,15 +407,34 @@ def ivf_topk(
     deployment would k-means them; only the centroid table changes, the
     plan does not.
     """
+    # per-side norms once per vector (the cosine_topk discipline): the
+    # assignment scan and the probe scan each pay ONE interpreted HOF
+    # fold per pair (the dot) instead of three. Bit-identical doubles.
+    from mapreduceindex_spark.functions.vectors import dot_product, l2_norm
+
     cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        l2_norm("embedding").alias("_cen"),
     )
 
     def _nearest_cells(df: DataFrame, id_col: str, n_keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            F.col("vec_id").alias(id_col),
-            "cent_id",
-            q6(cosine_similarity("embedding", "cent_emb")).alias("csim"),
+        denom = F.col("_vn") * F.col("_cen")
+        scored = (
+            df.select(
+                "vec_id", "embedding", l2_norm("embedding").alias("_vn")
+            )
+            .crossJoin(F.broadcast(cent))
+            .select(
+                F.col("vec_id").alias(id_col),
+                "cent_id",
+                q6(
+                    F.when(
+                        denom > 0,
+                        dot_product("embedding", "cent_emb") / denom,
+                    )
+                ).alias("csim"),
+            )
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("csim").desc(), F.col("cent_id").asc()
@@ -429,15 +448,20 @@ def ivf_topk(
     cells = _nearest_cells(embeddings, "member_id", 1)
     members = cells.join(
         embeddings.select(
-            F.col("vec_id").alias("member_id"), F.col("embedding").alias("c_emb")
+            F.col("vec_id").alias("member_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("_mn"),
         ),
         "member_id",
     )
     queries = embeddings.filter(F.col("vec_id") < n_queries)
     probes = _nearest_cells(queries, "query_id", n_probe)
     q_emb = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("_qn"),
     )
+    pair_denom = F.col("_qn") * F.col("_mn")
     scored = (
         members.join(F.broadcast(probes), "cent_id")
         .filter(F.col("member_id") != F.col("query_id"))
@@ -445,7 +469,12 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("member_id").alias("neighbor_id"),
-            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
+            q6(
+                F.when(
+                    pair_denom > 0,
+                    dot_product("q_emb", "c_emb") / pair_denom,
+                )
+            ).alias("cosine"),
         )
         # no dedup needed: a member lives in exactly one cell, so each
         # (query, member) pair survives the probe join at most once
@@ -794,18 +823,27 @@ def ivf_topk_trained(
             .select(id_col, "cent_id")
         )
 
+    # per-side norms once per vector (the cosine_topk discipline) — one
+    # interpreted HOF fold per candidate pair instead of three;
+    # bit-identical doubles
+    from mapreduceindex_spark.functions.vectors import dot_product, l2_norm
+
     members = _nearest_cells(qv, "member_id", 1).join(
         embeddings.select(
             F.col("vec_id").alias("member_id"),
             F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("_mn"),
         ),
         "member_id",
     )
     queries = qv.filter(F.col("vec_id") < n_queries)
     probes = _nearest_cells(queries, "query_id", n_probe)
     q_emb = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("_qn"),
     )
+    pair_denom = F.col("_qn") * F.col("_mn")
     scored = (
         members.join(F.broadcast(probes), "cent_id")
         .filter(F.col("member_id") != F.col("query_id"))
@@ -813,7 +851,12 @@ def ivf_topk_trained(
         .select(
             "query_id",
             F.col("member_id").alias("neighbor_id"),
-            q6(cosine_similarity("q_emb", "c_emb")).alias("cosine"),
+            q6(
+                F.when(
+                    pair_denom > 0,
+                    dot_product("q_emb", "c_emb") / pair_denom,
+                )
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1323,27 +1366,46 @@ def matryoshka_recall(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
-    qx = q.crossJoin(F.broadcast(ddf)).select(
-        "query_id",
-        "d",
-        F.expr("slice(q_emb, 1, CAST(d AS INT))").alias("q_sl"),
+    # Slice AND norm each side once per (vector, d) — |Q|·|dims| and
+    # |N|·|dims| rows — instead of re-slicing and re-norming inside the
+    # |N|·|Q|·|dims| pair projection: the per-pair cosine then costs ONE
+    # interpreted HOF fold (the dot), the cosine_topk discipline.
+    # Bit-identical: same slice, same l2_norm fold, and
+    # _qn·_cn > 0 ⟺ l2_norm(q_sl)·l2_norm(c_sl) > 0.
+    from mapreduceindex_spark.functions.vectors import dot_product, l2_norm
+
+    qx = (
+        q.crossJoin(F.broadcast(ddf))
+        .select(
+            "query_id",
+            "d",
+            F.expr("slice(q_emb, 1, CAST(d AS INT))").alias("q_sl"),
+        )
+        .withColumn("_qn", l2_norm("q_sl"))
     )
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
     )
+    cx = (
+        c.crossJoin(F.broadcast(ddf))
+        .select(
+            "neighbor_id",
+            "d",
+            F.expr("slice(c_emb, 1, CAST(d AS INT))").alias("c_sl"),
+        )
+        .withColumn("_cn", l2_norm("c_sl"))
+    )
+    denom = F.col("_qn") * F.col("_cn")
     scored = (
-        c.crossJoin(F.broadcast(qx))
+        cx.join(F.broadcast(qx), "d")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "d",
             "query_id",
             "neighbor_id",
             q6(
-                cosine_similarity(
-                    F.col("q_sl"),
-                    F.expr("slice(c_emb, 1, CAST(d AS INT))"),
-                )
+                F.when(denom > 0, dot_product("q_sl", "c_sl") / denom)
             ).alias("cosine"),
         )
     )
