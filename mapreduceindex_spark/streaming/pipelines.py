@@ -872,7 +872,6 @@ def streaming_lsh_dedup_pairs(
     from mapreduceindex_spark.operators.dedup import (
         MINHASH_PRIME,
         _affine_coeffs,
-        _shingle_hashes,
     )
     from mapreduceindex_spark.session import ensure_session_confs, load_table
 
@@ -947,14 +946,38 @@ def streaming_lsh_dedup_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    cand = _run_to_table(cand_stream, "append", partitions=16).distinct()
+    cand = _run_to_table(
+        cand_stream,
+        "append",
+        # scale with the session's core count (the Python group
+        # loop over state buckets is the bottleneck; 16 was tuned
+        # for local[32] — defaultParallelism keeps the driver's
+        # lower-core bench runs and cluster runs sized to the box)
+        partitions=max(spark.sparkContext.defaultParallelism, 8),
+    ).distinct()
 
-    # batch verification — byte-for-byte the batch verifier's formula
+    # batch verification — byte-for-byte the batch verifier's formula.
+    # Shingle sets come from the memoized dedup front end (one rep per
+    # distinct content, cached): clones carry identical shingle sets,
+    # so routing each candidate doc through the (doc → rep) map yields
+    # the same jaccard as re-shingling the whole corpus did — without
+    # paying the full shingle pass per invocation.
+    from mapreduceindex_spark.operators.dedup import _pair_front_end
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(docs, n)
-    shsets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("hs"))
-    sa = shsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
-    sb = shsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    groups, sh_reps, _stats = _pair_front_end(docs, n)
+    docmap = groups.select(
+        F.explode("members").alias("doc_id"), F.col("rep")
+    )
+    shsets = sh_reps.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("hs")
+    ).withColumnRenamed("doc_id", "rep")
+    sa = docmap.join(shsets, "rep").select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")
+    )
+    sb = docmap.join(shsets, "rep").select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")
+    )
     inter = F.size(F.array_intersect("ha", "hb"))
     return (
         cand.join(sa, "doc_a")
@@ -1101,7 +1124,15 @@ def streaming_semantic_dedup_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    cand = _run_to_table(cand_stream, "append", partitions=16).distinct()
+    cand = _run_to_table(
+        cand_stream,
+        "append",
+        # scale with the session's core count (the Python group
+        # loop over state buckets is the bottleneck; 16 was tuned
+        # for local[32] — defaultParallelism keeps the driver's
+        # lower-core bench runs and cluster runs sized to the box)
+        partitions=max(spark.sparkContext.defaultParallelism, 8),
+    ).distinct()
     emb = _augment(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
