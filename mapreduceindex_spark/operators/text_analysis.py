@@ -1692,7 +1692,34 @@ def _winnow_fps(documents: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     aggregate — min(struct(h, -pos)) selects the min hash with the
     rightmost position, no second window pass. Adjacent windows that
     pick the same (h, pos) collapse in the final distinct.
+
+    Memoized via ``caching.memo`` keyed on the input plan's semantic
+    hash + (k, w) — the census (``winnowing_fingerprints``) and the
+    overlap scan (``winnowing_overlap``) both start from exactly this
+    frame, and the gram window + ×w fanout behind it dominated each
+    separately. One live cache set.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from mapreduceindex_spark.functions import caching
+
+    fingerprint = (
+        f"{documents._jdf.queryExecution().analyzed().semanticHash()}"
+        f"|{k}|{w}"
+    )
+
+    def _build() -> list:
+        return [
+            _winnow_fps_plan(documents, k, w).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        ]
+
+    return caching.memo("winnow_fps", fingerprint, _build)[0]
+
+
+def _winnow_fps_plan(documents: DataFrame, k: int, w: int) -> DataFrame:
+    """The raw (unmemoized) plan behind :func:`_winnow_fps`."""
     from pyspark.sql.window import Window
 
     from mapreduceindex_spark.functions.text import stable_hash64, words
