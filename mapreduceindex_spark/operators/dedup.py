@@ -1670,44 +1670,31 @@ def containment_pairs(
 
     caching.release("containment_pairs")
 
-    def _core(docs, dup_members):
-        sh = caching.track(
-            _shingle_hashes(docs, n).persist(StorageLevel.MEMORY_AND_DISK),
-            "containment_pairs",
-        )
+    # Family-shared memoized front end (the lsh_recall discipline):
+    # groups, the rep-level shingle frame, and the shingle-df frame are
+    # reused instead of re-scanning md5 groups + re-shingling per call.
+    # The df basis is front.sdf VERBATIM for both tiers: the former
+    # direct-tier anti-join (drop non-representative clone members,
+    # then count) left exactly one vote per content — which is exactly
+    # what the rep-only shingle frame counts.
+    front = _pair_front_end(documents, n)
+    groups, sh_reps, fstats = front
+    docmap = groups.select(
+        F.explode("members").alias("doc_id"), F.col("rep")
+    )
+    df_votes = front.sdf.withColumnRenamed("sdf", "_df")
+
+    def _core(sh):
+        # ``sh``: the tier's (doc_id, sh) frame — rep-only (collapsed
+        # tier) or expanded to every member through the (doc → rep) map
+        # (direct tier; clone members carry identical shingle sets, so
+        # the expansion equals re-shingling the full corpus).
         sizes = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("_n_sh")
         )
-        # df over UNIQUE CONTENTS: clone copies of a document must not
-        # inflate a shingle's df past the cap in one tier but not the
-        # other — both tiers count one vote per clone group, so the cap
-        # decision is tier-independent. The COLLAPSED tier's input is
-        # already one-per-content, so its plain per-shingle count IS
-        # that basis (dup_members=None — the r07 rep_map join was a
-        # no-op there and a 1.56× regression). The DIRECT tier uses the
-        # identical-shingle-set invariant the expansion already relies
-        # on: dropping every NON-REPRESENTATIVE clone member's rows
-        # before the count leaves exactly one vote per content — ONE
-        # anti-join against the duplicate-mass-sized member list
-        # (AQE broadcasts it at the ≤5% duplicate share that selects
-        # this tier) feeding the same single aggregate the collapsed tier
-        # runs, not the corpus-wide (sh ⋈ rep_map → distinct) →
-        # vocabulary re-aggregate this computed through round 7. With
-        # this, the unified df basis costs what the r06 uncorrected
-        # count did; the remaining delta vs r06's wall time is the
-        # adaptive probe's md5 group scan — the price of exact
-        # tier-independence, paid once per call.
         # persisted: the collapsed tier consumes this frame through BOTH
         # union branches (cross via the pair join, intra via live_sizes)
         # and union branches re-execute unpersisted shared subtrees
-        votes_src = (
-            sh
-            if dup_members is None
-            else sh.join(dup_members, "doc_id", "left_anti")
-        )
-        df_votes = votes_src.groupBy("sh").agg(
-            F.count(F.lit(1)).alias("_df")
-        )
         live = caching.track(
             sh.join(
                 df_votes.filter(F.col("_df") <= max_shingle_df)
@@ -1745,36 +1732,22 @@ def containment_pairs(
         )
         return pairs, sizes, live_sizes
 
-    groups = caching.track(
-        _md5_clone_groups(documents).persist(StorageLevel.MEMORY_AND_DISK),
-        "containment_pairs",
-    )
-    # the NON-REPRESENTATIVE clone members (duplicate-mass-sized —
-    # tiny in the direct tier by its own selection rule): the direct
-    # tier's df computation drops their rows so each content votes once
-    dup_members = (
-        groups.filter(F.size("members") > 1)
-        .select(F.explode("members").alias("doc_id"), "rep")
-        .filter(F.col("doc_id") != F.col("rep"))
-        .select("doc_id")
-    )
-    stats = groups.agg(
-        F.count(F.lit(1)).alias("_g"), F.sum(F.size("members")).alias("_d")
-    ).collect()[0]
-    # adaptive tier (same probe the Jaccard family pays): the direct
-    # core is exact WITH dupes present — clones share every shingle and
-    # pair from their shared live set naturally — so collapse+expand
-    # machinery (an extra aggregate, two explodes, a union) only pays
-    # once duplicate mass is material; measured at sf0.1 (8 dupes/5000):
-    # direct 2.4 s vs collapsed 4.9 s, while at 10x clones the collapse
-    # is the difference between Σdf²·100 and output-proportional (4.6 s).
-    if stats["_d"] - stats["_g"] <= stats["_g"] // 20:
-        pairs, _, _ = _core(documents, dup_members)
+    # adaptive tier (same probe the Jaccard family pays, now off the
+    # memoized clone census): the direct core is exact WITH dupes
+    # present — clones share every shingle and pair from their shared
+    # live set naturally — so collapse+expand machinery (an extra
+    # aggregate, two explodes, a union) only pays once duplicate mass
+    # is material; measured at sf0.1 (8 dupes/5000): direct 2.4 s vs
+    # collapsed 4.9 s, while at 10x clones the collapse is the
+    # difference between Σdf²·100 and output-proportional (4.6 s).
+    n_groups, n_docs = fstats
+    if n_docs - n_groups <= n_groups // 20:
+        sh_all = docmap.join(
+            sh_reps.withColumnRenamed("doc_id", "rep"), "rep"
+        ).select("doc_id", "sh")
+        pairs, _, _ = _core(sh_all)
         return pairs.orderBy("doc_a", "doc_b")
-    rep_docs = documents.join(
-        groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
-    )
-    pairs, sizes, live_sizes = _core(rep_docs, None)
+    pairs, sizes, live_sizes = _core(sh_reps)
     # intra-group: every ordered member pair shares the identical set —
     # n_common is the rep's LIVE (cap-surviving) shingle count and ppm
     # is live/total, exactly what the direct tier's hash-join would
