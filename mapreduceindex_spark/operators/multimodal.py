@@ -734,7 +734,31 @@ def _dhash_frame_coarse(documents: DataFrame) -> DataFrame:
     JPEG general-AC wire for ids ≡ 2 with the coarse block-independent
     4-term pattern (small parameter space — lcm(11,3,5,7)-periodic —
     so JPEG-wire near-dup clusters still form; see
-    ``_jpeg_ac_thumb``)."""
+    ``_jpeg_ac_thumb``).
+
+    Memoized via ``caching.memo`` keyed on the input plan's semantic
+    hash (the dedup_front discipline): the near-dup pair scan and the
+    cluster resolution both start from exactly this frame, and the
+    Python codec round trip behind it dominated each separately. The
+    persisted cache is 3 bigints per document; one live set."""
+    from mapreduceindex_spark.functions import caching
+
+    fingerprint = str(
+        documents._jdf.queryExecution().analyzed().semanticHash()
+    )
+
+    def _build() -> list:
+        return [
+            _dhash_frame_coarse_plan(documents).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        ]
+
+    return caching.memo("dhash_coarse", fingerprint, _build)[0]
+
+
+def _dhash_frame_coarse_plan(documents: DataFrame) -> DataFrame:
+    """The raw (unmemoized) plan behind :func:`_dhash_frame_coarse`."""
     import numpy as np
 
     def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -825,20 +849,9 @@ def media_dhash_near_dups(
         # both sides of the band self-join scan this frame and Catalyst
         # does not reuse the exchange across the differently-aliased
         # sides (verified: MapInPandas appears twice in the executed
-        # plan), so persist to run the codec stage once. Bounded cache:
-        # 3 bigints per document. Tracked (caching.track) because the
-        # consumer is the returned lazy plan — the next tracked-cache
-        # operator call or caching.release() frees it, so repeated
-        # invocations in one session no longer accumulate blocks.
-        from mapreduceindex_spark.functions import caching
-
-        caching.release("media_dhash_near_dups")
-        hashes = caching.track(
-            _dhash_frame_coarse(documents).persist(
-                StorageLevel.MEMORY_AND_DISK
-            ),
-            key="media_dhash_near_dups",
-        )
+        # plan); the frame arrives persisted from the memoized front
+        # end, so the codec stage runs once per corpus, not per call.
+        hashes = _dhash_frame_coarse(documents)
     # 8 bands × 8 bits: bands 0-3 from the lo half, 4-7 from the hi half
     banded = hashes.select(
         "doc_id",
@@ -912,15 +925,12 @@ def media_dup_clusters(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
     """
     from mapreduceindex_spark.operators.dedup import resolve_components
 
-    # one codec pass: the persisted hash frame feeds the group collapse,
-    # the star edges, and the rep-level band join; resolve_components
-    # materializes the pair graph eagerly (its edge-count tier probe), so
-    # the cache can be dropped before returning — the resolved plan no
-    # longer reads it (driver tier: collected LUT; propagation tier:
-    # persisted labels).
-    hashes = _dhash_frame_coarse(documents).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # one codec pass: the memoized persisted hash frame feeds the group
+    # collapse, the star edges, and the rep-level band join;
+    # resolve_components materializes the pair graph eagerly (its
+    # edge-count tier probe). The frame stays alive in the memo for the
+    # rest of the dHash family.
+    hashes = _dhash_frame_coarse(documents)
     groups = hashes.groupBy("dhash_lo", "dhash_hi").agg(
         F.min("doc_id").alias("rep"),
         F.collect_set("doc_id").alias("members"),
@@ -937,9 +947,7 @@ def media_dup_clusters(documents: DataFrame, max_hamming: int = 6) -> DataFrame:
     rep_pairs = media_dhash_near_dups(
         documents, max_hamming=max_hamming, _hashes=rep_hashes, ordered=False
     ).select("doc_a", "doc_b")
-    out = resolve_components(rep_pairs.union(star), documents)
-    hashes.unpersist()
-    return out
+    return resolve_components(rep_pairs.union(star), documents)
 
 
 def media_audio_frame_windows(
