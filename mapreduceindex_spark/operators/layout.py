@@ -24,6 +24,10 @@ from pyspark.storagelevel import StorageLevel
 
 from mapreduceindex_spark.functions import caching
 
+#: single-slot memo of the layout bounds probe keyed on the base
+#: plan's semantic hash — see _bounds_probe
+_BOUNDS_MEMO: dict = {}
+
 
 def _interleave(xn, yn, bits: int):
     """Morton code: bit i of x lands at 2i, bit i of y at 2i+1.
@@ -88,7 +92,13 @@ def _bounds_probe(base: DataFrame) -> dict:
     decision needs (dimension mins/maxes, orderkey span, row count) —
     bounded model state, the same probe-then-plan move as the dedup
     tier probes. Embedding the scalars as literals keeps the heavy
-    plan from re-deriving the bounds once per referencing branch."""
+    plan from re-deriving the bounds once per referencing branch.
+    Memoized per input fingerprint (the _FRONT_STATS discipline):
+    zorder_layout and zorder_skipping probe the same base."""
+    fp = str(base._jdf.queryExecution().analyzed().semanticHash())
+    hit = _BOUNDS_MEMO.get(fp)
+    if hit is not None:
+        return dict(hit)
     row = base.agg(
         F.min("x").alias("xlo"),
         F.max("x").alias("xhi"),
@@ -98,7 +108,10 @@ def _bounds_probe(base: DataFrame) -> dict:
         F.max("l_orderkey").alias("ohi"),
         F.count(F.lit(1)).alias("nrows"),
     ).collect()[0]
-    return {k: (0 if row[k] is None else int(row[k])) for k in row.asDict()}
+    out = {k: (0 if row[k] is None else int(row[k])) for k in row.asDict()}
+    _BOUNDS_MEMO.clear()  # single slot, bounded like the front-end memos
+    _BOUNDS_MEMO[fp] = dict(out)
+    return out
 
 
 def _zorder_boxes(
@@ -106,26 +119,37 @@ def _zorder_boxes(
     cache_key: str = "zorder_layout",
 ) -> DataFrame:
     M = (1 << bits) - 1
-    keyed = caching.track(
-        base.select(
-            "l_orderkey",
-            "l_linenumber",
-            "x",
-            "y",
-            _interleave(
-                F.expr(
-                    f"(x - {b['xlo']}) * {M} "
-                    f"DIV greatest({b['xhi'] - b['xlo']}, 1)"
-                ),
-                F.expr(
-                    f"(y - {b['ylo']}) * {M} "
-                    f"DIV greatest({b['yhi'] - b['ylo']}, 1)"
-                ),
-                bits,
-            ).cast("long").alias("zkey"),
-        ).persist(StorageLevel.MEMORY_AND_DISK),
-        key=cache_key,
+
+    # the Morton-keyed frame depends only on (base, bounds, bits) —
+    # zorder_layout and zorder_skipping differ only in rows_per_file,
+    # so the keyed frame is family-shared through the memo
+    fingerprint = (
+        f"{base._jdf.queryExecution().analyzed().semanticHash()}|{bits}"
+        f"|{sorted(b.items())}"
     )
+
+    def _build() -> list:
+        return [
+            base.select(
+                "l_orderkey",
+                "l_linenumber",
+                "x",
+                "y",
+                _interleave(
+                    F.expr(
+                        f"(x - {b['xlo']}) * {M} "
+                        f"DIV greatest({b['xhi'] - b['xlo']}, 1)"
+                    ),
+                    F.expr(
+                        f"(y - {b['ylo']}) * {M} "
+                        f"DIV greatest({b['yhi'] - b['ylo']}, 1)"
+                    ),
+                    bits,
+                ).cast("long").alias("zkey"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        ]
+
+    keyed = caching.memo("zorder_keyed", fingerprint, _build)[0]
     wz = Window.orderBy("zkey").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         keyed.groupBy("zkey")
