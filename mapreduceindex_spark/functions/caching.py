@@ -60,11 +60,17 @@ def memo(
         # does this between runs) silently unpersists tracked frames;
         # handing them out uncached would re-execute the shared front
         # end once PER CONSUMING BRANCH — verify liveness, else rebuild.
-        # The probe itself can raise on frames bound to a STOPPED
-        # SparkSession (same case release() guards): treat as not-live.
+        # Two probes: storage level, AND the owning SparkContext still
+        # running — a session-recycling harness (bench.py recycles
+        # every N queries) stops the context under the cached frames,
+        # and a stopped context's frames still REPORT their storage
+        # level, then throw "Cannot call methods on a stopped
+        # SparkContext" at first real use. Either probe raising is
+        # treated as not-live.
         try:
             live = all(
-                f.storageLevel.useMemory or f.storageLevel.useDisk
+                (f.storageLevel.useMemory or f.storageLevel.useDisk)
+                and not f.sparkSession.sparkContext._jsc.sc().isStopped()
                 for f in frames
             )
         except Exception:

@@ -570,3 +570,45 @@ def test_quality_reliability_decile_assignment_is_exact_ntile(spark):
     ordered = sorted(out, key=lambda r: r["decile"])
     for a, b in zip(ordered, ordered[1:]):
         assert a["max_quality"] <= b["min_quality"]
+
+
+def test_memo_rebuilds_when_owning_context_is_stopped():
+    """A session-recycling harness (bench.py stops and recreates the
+    SparkSession every N queries) leaves memoized frames bound to a
+    STOPPED SparkContext; such frames still report their storage level,
+    then throw at first use. The liveness probe must treat them as dead
+    and rebuild instead of handing them out."""
+    from types import SimpleNamespace
+
+    from mapreduceindex_spark.functions import caching
+
+    def fake_frame(state):
+        return SimpleNamespace(
+            storageLevel=SimpleNamespace(useMemory=True, useDisk=False),
+            sparkSession=SimpleNamespace(
+                sparkContext=SimpleNamespace(
+                    _jsc=SimpleNamespace(
+                        sc=lambda: SimpleNamespace(
+                            isStopped=lambda: state["stopped"]
+                        )
+                    )
+                )
+            ),
+            unpersist=lambda: None,
+        )
+
+    state = {"stopped": False}
+    builds = []
+
+    def build():
+        builds.append(1)
+        return [fake_frame(state)]
+
+    caching.release("t_stopped_ctx")
+    f1 = caching.memo("t_stopped_ctx", "fp", build)[0]
+    f2 = caching.memo("t_stopped_ctx", "fp", build)[0]
+    assert f1 is f2 and len(builds) == 1  # live frames reused
+    state["stopped"] = True  # simulate the harness recycling the session
+    f3 = caching.memo("t_stopped_ctx", "fp", build)[0]
+    assert len(builds) == 2 and f3 is not f1  # stale frames rebuilt
+    caching.release("t_stopped_ctx")
