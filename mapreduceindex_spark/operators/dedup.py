@@ -627,6 +627,29 @@ def _signatures_from_hashes(sh: DataFrame, num_hashes: int) -> DataFrame:
     return reduced.groupBy("doc_id").agg(*aggs)
 
 
+def _front_signatures(
+    sh: DataFrame, num_hashes: int, front_fp: str
+) -> DataFrame:
+    """Memoized rep-level signature frame over the family front end's
+    shingle frame — the fourth shared member the r09 VERDICT named
+    (clone groups → shingles → signatures): the LSH pair core, the
+    accuracy scorer, and the band sweep each rebuilt the same
+    one-shuffle 16-min aggregate per query. Keyed on the front-end
+    fingerprint + num_hashes; one live cache set."""
+    from mapreduceindex_spark.functions import caching
+
+    def _build() -> list:
+        return [
+            _signatures_from_hashes(sh, num_hashes).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        ]
+
+    return caching.memo(
+        "dedup_sigs", f"{front_fp}|{num_hashes}", _build
+    )[0]
+
+
 def minhash_signatures(
     documents: DataFrame, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
@@ -666,7 +689,8 @@ def minhash_lsh_pairs(
     from mapreduceindex_spark.functions import caching
 
     caching.release("minhash_lsh_pairs")
-    groups, sh, stats = _pair_front_end(documents, n)
+    front = _pair_front_end(documents, n)
+    groups, sh, stats = front
     return _clone_collapsed_pairs(
         documents,
         n,
@@ -679,6 +703,7 @@ def minhash_lsh_pairs(
             threshold,
             sh=sh,
             track_key="minhash_lsh_pairs",
+            front_fp=front.fingerprint,
         ),
         groups=groups,
         clone_stats=stats,
@@ -693,11 +718,14 @@ def _minhash_lsh_rep_pairs(
     threshold: float,
     sh: DataFrame | None = None,
     track_key: str | None = None,
+    front_fp: str | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate join + exact verification over an already
     exact-deduped corpus — the core described in ``minhash_lsh_pairs``.
     ``sh`` may be a prebuilt persisted shingle frame and ``track_key``
-    the public operator's caching key (see ``_jaccard_rep_pairs``)."""
+    the public operator's caching key (see ``_jaccard_rep_pairs``);
+    ``front_fp`` routes the signature aggregate through the memoized
+    family frame (:func:`_front_signatures`)."""
     from mapreduceindex_spark.functions import caching
 
     rows_per_band = num_hashes // bands
@@ -709,7 +737,11 @@ def _minhash_lsh_rep_pairs(
         )
         if track_key:
             caching.track(sh, track_key)
-    sig = _signatures_from_hashes(sh, num_hashes)
+    sig = (
+        _front_signatures(sh, num_hashes, front_fp)
+        if front_fp
+        else _signatures_from_hashes(sh, num_hashes)
+    )
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -854,6 +886,7 @@ def near_dup_clusters(
         pair_df = _minhash_lsh_rep_pairs(
             rep_docs, n, 16, 4, threshold, sh=sh,
             track_key="near_dup_clusters",
+            front_fp=front.fingerprint,
         )
     pair_df = pair_df.select("doc_a", "doc_b")
     if star is not None:
@@ -1402,8 +1435,9 @@ def minhash_accuracy(
     re-shingled for the signature leg.
     """
     pairs = minhash_lsh_pairs(documents, n, num_hashes, bands, threshold)
-    groups, sh, _stats = _pair_front_end(documents, n)
-    rep_sigs = _signatures_from_hashes(sh, num_hashes)
+    front = _pair_front_end(documents, n)
+    groups, sh, _stats = front
+    rep_sigs = _front_signatures(sh, num_hashes, front.fingerprint)
     docmap = groups.select(
         F.explode("members").alias("doc_id"), F.col("rep")
     )
@@ -1870,6 +1904,7 @@ def lsh_recall(
         lambda r: _minhash_lsh_rep_pairs(
             r, n, num_hashes, bands, threshold, sh=sh,
             track_key="lsh_recall_pairs",
+            front_fp=front.fingerprint,
         ),
         groups=groups,
         clone_stats=clone_stats,
@@ -2208,12 +2243,7 @@ def lsh_band_sweep(
         assert num_hashes % b == 0, (b, num_hashes)
     front = _pair_front_end(documents, n)
     groups, sh_reps, clone_stats = front
-    sig_reps = caching.track(
-        _signatures_from_hashes(sh_reps, num_hashes).persist(
-            StorageLevel.MEMORY_AND_DISK
-        ),
-        "lsh_band_sweep",
-    )
+    sig_reps = _front_signatures(sh_reps, num_hashes, front.fingerprint)
     truth = _clone_collapsed_pairs(
         documents,
         n,
