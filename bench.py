@@ -180,7 +180,17 @@ def main() -> None:
             # time, so the median is over post-warm-up runs only. It is also
             # the query's COLD number (memoized front ends not yet built for
             # this query's input) — recorded so warm-vs-cold of the shared-
-            # front-end compositions is visible instead of hidden.
+            # front-end compositions is visible instead of hidden. The
+            # driver-side SCALAR memos (clone census, tier probes, fitted
+            # k-means model, layout bounds) are cleared before the cold run
+            # so their first-build cost lands in THIS query's cold number —
+            # previously a scalar built by an earlier query was invisible to
+            # every cold column (r10 VERDICT "what's wrong" #1/#3). Warm
+            # medians are unaffected: run 0 rebuilds the scalars, runs 1..n
+            # reuse them exactly as before.
+            from mapreduceindex_spark.functions import caching as _caching
+
+            _caching.release_scalar_memos()
             all_runs = [_run_once(fn) for _ in range(n_runs + 1)]
             runs = all_runs[1:]
             cold[name] = round(all_runs[0], 3)

@@ -33,9 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from mapreduceindex_spark.functions import caching as _caching
+
 #: single-slot memo of the fitted k-means model keyed
-#: ``semanticHash|k|max_iter`` — see fit_kmeans_micro
-_KMEANS_MEMO: dict = {}
+#: ``plan_fingerprint|k|max_iter`` — see fit_kmeans_micro
+_KMEANS_MEMO: dict = _caching.scalar_memo({})
 
 
 def _halfdiv(s: int, n: int) -> int:
@@ -74,10 +76,7 @@ def fit_kmeans_micro(
     # pure function of the input, k·dim ints of state):
     # kmeans_embeddings and ivf_topk_trained fit the SAME model over
     # the same table — the second fit re-paid max_iter collect jobs.
-    fp = (
-        f"{embeddings._jdf.queryExecution().analyzed().semanticHash()}"
-        f"|{k}|{max_iter}"
-    )
+    fp = f"{_caching.plan_fingerprint(embeddings)}|{k}|{max_iter}"
     hit = _KMEANS_MEMO.get(fp)
     if hit is not None:
         cids_, cents_, counts_ = hit

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from mapreduceindex_spark.functions import caching
 from mapreduceindex_spark.functions.text import (
     shingles,  # noqa: F401 — array form kept as the reference semantics
     stable_hash64,
@@ -248,13 +249,13 @@ def _md5_clone_groups(documents: DataFrame) -> DataFrame:
 #: single-slot cache of the front-end clone census keyed by the memo
 #: fingerprint — a pure function of the input plan, so it stays valid
 #: even when an external clearCache forces the FRAMES to rebuild.
-_FRONT_STATS: dict[str, tuple[int, int]] = {}
+_FRONT_STATS: dict[str, tuple[int, int]] = caching.scalar_memo({})
 
 #: Σdf² tier-probe scalars keyed ``fingerprint|max_shingle_df`` — the
 #: same pure-function-of-the-input argument as ``_FRONT_STATS``; entries
 #: for stale fingerprints are pruned on access so the dict stays bounded
 #: to the one live front end.
-_FRONT_PRESSURE: dict[str, int] = {}
+_FRONT_PRESSURE: dict[str, int] = caching.scalar_memo({})
 
 
 class _FrontEnd(tuple):
@@ -303,15 +304,19 @@ def _pair_front_end(
     """
     from mapreduceindex_spark.functions import caching
 
-    fingerprint = (
-        f"{documents._jdf.queryExecution().analyzed().semanticHash()}|{n}"
-    )
+    fingerprint = f"{caching.plan_fingerprint(documents)}|{n}"
 
     def _build():
-        groups_ = _md5_clone_groups(documents).persist(
+        from mapreduceindex_spark.functions.spread import spread_rows
+
+        # single-file fixture scans plan ONE partition; spread once so
+        # the md5 clone scan and the shingle window run at session
+        # parallelism (no-op at scale — see functions/spread.py)
+        docs_w = spread_rows(documents, "doc_id")
+        groups_ = _md5_clone_groups(docs_w).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        reps = documents.join(
+        reps = docs_w.join(
             groups_.select(F.col("rep").alias("doc_id")),
             "doc_id",
             "left_semi",
@@ -1536,51 +1541,43 @@ def incremental_dedup(
     status; ``match_id`` is −1 and ``jaccard_micro`` 0 for novel docs
     (1e6 for exact dups).
     """
-    from mapreduceindex_spark.functions.caching import release, track
+    # The whole verdict is a pure function of the clone-group structure
+    # plus rep-level shingles/signatures — exactly the memoized dedup
+    # front end (r10 VERDICT next-round #7): clones carry identical
+    # shingle sets, hence identical signatures and band buckets, so
+    # every per-DOC decision in the original formulation (own base md5
+    # aggregate + union-side shingle pass + per-doc banding) collapses
+    # to a per-GROUP decision expanded through the members array. No
+    # corpus scan remains outside the shared memo.
+    front = _pair_front_end(documents, n)
+    groups, sh_reps, _stats = front
 
-    is_delta = F.col("doc_id") % delta_mod == delta_mod - 1
-    delta = documents.filter(is_delta)
-    base = documents.filter(~is_delta)
+    is_delta_m = lambda m: m % delta_mod == delta_mod - 1  # noqa: E731
+    gsplit = groups.select(
+        "rep",
+        F.filter("members", is_delta_m).alias("_dm"),
+        F.array_min(
+            F.filter("members", lambda m: ~is_delta_m(m))
+        ).alias("_bmin"),
+    )
+    # exact tier: a delta member of a group that also has base members
+    # is byte-identical to a base doc; the match is the min base member
+    # (the original bmap's min base doc_id per distinct content)
+    exact = gsplit.filter(
+        F.col("_bmin").isNotNull() & (F.size("_dm") > 0)
+    ).select(F.explode("_dm").alias("doc_id"), F.col("_bmin").alias("_ex_id"))
+    # live groups: delta-only content — their rep (a delta doc) carries
+    # the group's signature; base map: every distinct base content,
+    # keyed by its group rep (whose shingle set is identical) with the
+    # min base member as the reported match id
+    live = gsplit.filter(
+        F.col("_bmin").isNull() & (F.size("_dm") > 0)
+    ).select("rep", "_dm")
+    basemap = gsplit.filter(F.col("_bmin").isNotNull()).select(
+        F.col("rep").alias("doc_id"), F.col("_bmin").alias("_b")
+    )
 
-    # bmap feeds the exact tier AND the rep filter, exact feeds the
-    # live-delta filter AND the final verdict join — persist both
-    # (tracked, released on the next call) or each plan branch re-runs
-    # the base corpus' md5 aggregate: a second full base pass at scale
-    release("incremental_dedup")
-    bmap = track(
-        base.groupBy(F.md5("text").alias("_m"))
-        .agg(F.min("doc_id").alias("_base_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK),
-        key="incremental_dedup",
-    )
-    exact = track(
-        delta.select("doc_id", F.md5("text").alias("_m"))
-        .join(bmap, "_m")
-        .select("doc_id", F.col("_base_id").alias("_ex_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK),
-        key="incremental_dedup",
-    )
-
-    # the shingle/signature front end runs ONLY over docs that can
-    # still matter: delta docs not already decided by the exact tier,
-    # plus one base representative per distinct content — on a
-    # clone-heavy corpus that's a small fraction of the rows (banding
-    # non-reps would also only multiply candidates without ever
-    # changing a verdict, and their signatures would be discarded)
-    live_delta = delta.join(exact.select("doc_id"), "doc_id", "left_anti")
-    rep_base = base.join(
-        bmap.select(F.col("_base_id").alias("doc_id")), "doc_id"
-    )
-    sh = track(
-        _shingle_hashes(
-            live_delta.select("doc_id", "text").unionAll(
-                rep_base.select("doc_id", "text")
-            ),
-            n,
-        ).persist(StorageLevel.MEMORY_AND_DISK),
-        key="incremental_dedup",
-    )
-    sig = _signatures_from_hashes(sh, num_hashes)
+    sig = _front_signatures(sh_reps, num_hashes, front.fingerprint)
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -1592,60 +1589,59 @@ def incremental_dedup(
                     for r in range(rows_per_band)
                 ],
             )
-        ).alias(f"band_{bi}")
+        )
         for bi in range(bands)
     ]
-    stacked = sig.select("doc_id", *band_cols).select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.col(f"band_{bi}") for bi in range(bands)])
-        ).alias("bucket"),
+    stacked = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
     )
-    # every sig row is already a live delta doc or a base rep — split
-    # the banded frame by side, nothing to discard
-    d_stack = stacked.filter(is_delta).select(
-        F.col("doc_id").alias("_d"), "bucket"
+    d_stack = live.select(F.col("rep").alias("doc_id")).join(
+        stacked, "doc_id"
+    ).select(F.col("doc_id").alias("_dr"), "bucket")
+    b_stack = basemap.join(stacked, "doc_id").select("_b", "bucket")
+    cand = d_stack.join(b_stack, "bucket").select("_dr", "_b").distinct()
+    shsets = sh_reps.groupBy("doc_id").agg(F.collect_set("sh").alias("hs"))
+    da = shsets.select(F.col("doc_id").alias("_dr"), F.col("hs").alias("ha"))
+    db = basemap.join(shsets, "doc_id").select(
+        "_b", F.col("hs").alias("hb")
     )
-    b_stack = stacked.filter(~is_delta).select(
-        F.col("doc_id").alias("_b"), "bucket"
-    )
-    cand = (
-        d_stack.join(b_stack, "bucket")
-        .select("_d", "_b")
-        .distinct()
-    )
-    shsets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("hs"))
-    da = shsets.select(F.col("doc_id").alias("_d"), F.col("hs").alias("ha"))
-    db = shsets.select(F.col("doc_id").alias("_b"), F.col("hs").alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb")).cast("long")
     union = (F.size("ha") + F.size("hb")).cast("long") - inter
     scored = (
-        cand.join(da, "_d")
+        cand.join(da, "_dr")
         .join(db, "_b")
         .select(
-            "_d",
+            "_dr",
             "_b",
             inter.alias("_i"),
             union.alias("_u"),
         )
         .filter(F.col("_i") * 1_000_000 >= F.lit(threshold_ppm) * F.col("_u"))
         .select(
-            "_d",
+            "_dr",
             "_b",
             F.expr("CAST(_i * 1000000 DIV _u AS BIGINT)").alias("_j"),
         )
     )
-    best = scored.groupBy("_d").agg(
+    best = scored.groupBy("_dr").agg(
         F.max(F.struct(F.col("_j"), (-F.col("_b")).alias("_nb"))).alias("_t")
     ).select(
-        F.col("_d").alias("doc_id"),
+        "_dr",
         F.col("_t._j").alias("_near_j"),
         (-F.col("_t._nb")).alias("_near_id"),
     )
+    # expand the per-group near verdict to every live delta member; the
+    # full delta id set likewise explodes from the memoized groups frame
+    # (no corpus re-scan for the spine)
+    near = (
+        live.select(F.col("rep").alias("_dr"), F.explode("_dm").alias("doc_id"))
+        .join(best, "_dr", "left")
+        .select("doc_id", "_near_j", "_near_id")
+    )
     return (
-        delta.select("doc_id")
+        gsplit.select(F.explode("_dm").alias("doc_id"))
         .join(exact, "doc_id", "left")
-        .join(best, "doc_id", "left")
+        .join(near, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("_ex_id").isNotNull(), F.lit("exact_dup"))
@@ -2009,74 +2005,43 @@ def cdc_chunk_dedup(
     needs no per-partition carry-over.
 
     Exactness: the boundary hash and the chunk-content hash are both
-    the portable 60-bit md5 (``stable_hash64``) — identical formula in
-    the oracle; the boundary rule uses the floored modulo
-    (``exact.floor_mod_sql``); chunk content is the pos-ordered
-    space-joined token run (DuckDB ``string_agg(... ORDER BY pos)``).
+    the portable 60-bit md5 (``stable_hash64``'s formula) — identical
+    in the oracle; the boundary modulo runs on the non-negative 60-bit
+    hash, where floored/truncating/pmod all agree; chunk content is
+    the pos-ordered space-joined token run (DuckDB
+    ``string_agg(... ORDER BY pos)``).
 
-    Scale shape: one posexplode + per-doc window pass emits cut flags
-    and running chunk ids; one (doc, chunk) aggregate builds
-    chunk-content hashes; chunk-hash occurrence counts are one more
-    hash aggregate joined back on the 8-byte hash. Every exchange
-    carries hashes/positions, never text (the ``dup_spans``
-    discipline). Per-doc window state is the doc's own tokens.
+    Scale shape: the chunker is the row-local ``cdc_chunk_rows``
+    expression tree — cut flags, chunk ids, token counts and content
+    hashes all inside one projection per document, no token-stream
+    posexplode and no per-doc window sort (r11: the former
+    three-window formulation cost three exchanges+sorts over the full
+    token stream; the HOF form is pinned bit-equal by
+    ``test_cdc_chunk_rows_hof_equals_window_chunker``). Chunk-hash occurrence
+    counts are one hash aggregate joined back on the 8-byte hash, so
+    every exchange carries hashes/counts, never text (the
+    ``dup_spans`` discipline).
 
     Output: (doc_id, n_chunks, n_tokens, n_dup_chunks, dup_tokens),
     ordered by doc_id — ``dup_tokens`` is the per-doc token mass in
     chunks whose content occurs ≥ 2 times corpus-wide (the storage /
     training-redundancy saving a chunk-store would realize).
     """
-    from pyspark.sql.window import Window
+    # Row-local chunker (the ``cdc_chunk_rows`` HOF form, pinned
+    # bit-equal to the former window formulation by
+    # test_cdc_chunk_rows_hof_equals_window_chunker): the cut decision, chunk ids,
+    # token counts and content hashes all compute inside one Catalyst
+    # expression tree per document — no posexplode of the token stream,
+    # no doc-partitioned sort, no three window passes, no
+    # collect_list/array_sort re-assembly of chunk text (guide §2.4:
+    # the per-doc windows were three removable exchanges+sorts over the
+    # full token stream; measured 4.6 s → ~1 s at sf0.1). Only the
+    # chunk-level rows (≈ positions/divisor) ever shuffle.
+    from mapreduceindex_spark.functions.spread import spread_rows
 
-    from mapreduceindex_spark.functions.exact import floor_mod_sql
-
-    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
-    toks = base.select("doc_id", F.posexplode("ws").alias("pos", "w"))
-    by_pos = Window.partitionBy("doc_id").orderBy("pos")
-    lags = [F.lag("w", j).over(by_pos) for j in range(window - 1, 0, -1)]
-    win_ng = F.concat_ws(" ", *lags, F.col("w"))
-    cut = F.when(
-        (F.col("pos") >= window - 1)
-        & (
-            F.expr(
-                floor_mod_sql(
-                    # inline the window hash so the modulo sees a BIGINT
-                    "_wh",
-                    divisor,
-                )
-            )
-            == 0
-        ),
-        1,
-    ).otherwise(0)
-    flagged = toks.select(
-        "doc_id", "pos", "w", stable_hash64(win_ng).alias("_wh")
-    ).select("doc_id", "pos", "w", cut.alias("_cut"))
-    chunked = flagged.select(
-        "doc_id",
-        "pos",
-        "w",
-        F.lag("_cut", 1, 0).over(by_pos).alias("_prev_cut"),
-    ).select(
-        "doc_id",
-        "pos",
-        "w",
-        F.sum("_prev_cut")
-        .over(by_pos.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("chunk_id"),
-    )
-    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_toks"),
-        stable_hash64(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            )
-        ).alias("ch"),
-    )
+    chunks = cdc_chunk_rows(
+        spread_rows(documents, "doc_id"), divisor, window
+    ).select("doc_id", "chunk_id", "n_toks", "ch")
     occ = chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("_occ"))
     return (
         chunks.join(occ, "ch")
@@ -2096,7 +2061,7 @@ def cdc_chunk_dedup(
 
 
 def cdc_chunk_rows(
-    documents: DataFrame, divisor: int = 8
+    documents: DataFrame, divisor: int = 8, window: int = 3
 ) -> DataFrame:
     """Row-local (HOF) form of the ``cdc_chunk_dedup`` chunker:
     (doc_id, chunk_id, n_toks, ch) computed entirely inside one
@@ -2127,15 +2092,16 @@ def cdc_chunk_rows(
     def chunks_of(wsv):
         bp = F.filter(
             F.sequence(F.lit(0), F.size(wsv) - 1),
-            lambda i: (i >= 2)
+            lambda i: (i >= window - 1)
             & (
                 F.pmod(
                     h60(
                         F.concat_ws(
                             " ",
-                            F.element_at(wsv, i - 1),
-                            F.element_at(wsv, i),
-                            F.element_at(wsv, i + 1),
+                            *[
+                                F.element_at(wsv, i - window + 2 + j)
+                                for j in range(window)
+                            ],
                         )
                     ),
                     F.lit(int(divisor)),

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from mapreduceindex_spark.functions.text import words
@@ -63,27 +62,36 @@ def token_pagerank(
     ``top_k``) so no cached lineage escapes, the same bounded-model-state
     pattern as the k-means centroids.
     """
-    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
-    toks = base.select(
-        "doc_id",
-        F.size("ws").alias("nw"),
-        F.posexplode("ws").alias("pos", "w"),
+    # Bigram edges as a ROW-LOCAL zip of each word list with its own
+    # tail (r11, guide §2.4): the former posexplode + lead-window
+    # formulation paid a full token-stream exchange + per-doc sort just
+    # to look one row ahead; zip_with(ws[0:n-1], ws[1:n]) emits the
+    # identical adjacent pairs inside the scan projection, so the only
+    # corpus-wide shuffle left is the (a, b) count aggregate.
+    from mapreduceindex_spark.functions.spread import spread_rows
+
+    base = spread_rows(documents, "doc_id").select(
+        words(F.col("text")).alias("ws")
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
+    npairs = F.greatest(F.size("ws") - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice("ws", 1, npairs),
+        F.slice("ws", 2, npairs),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
     edges = (
-        toks.select(
-            "nw",
-            "pos",
-            F.col("w").alias("a"),
-            F.lead("w", 1).over(win).alias("b"),
-        )
-        .filter(F.col("pos") <= F.col("nw") - 2)
+        base.select(F.explode(bg).alias("_p"))
+        .select("_p.a", "_p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
     out_w = edges.groupBy("a").agg(F.sum("n_ab").alias("out_w"))
     edges2 = edges.join(out_w, "a").persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = toks.select("w").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        base.select(F.explode("ws").alias("w"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # dangling nodes: tokens that never PRECEDE another token (no
     # out-edge) — their rank mass redistributes uniformly each round
     # (floored integer share), matching standard PageRank semantics
@@ -100,7 +108,17 @@ def token_pagerank(
     # both the dsum branch and the contrib branch — a plan tree that
     # doubled per iteration (measured: 5.8-8.4 s builder time at sf0.1;
     # guide §2.4 duplicated-subtree removal + §5 persist-on-reuse).
-    n_nodes = nodes.count()
+    # r11 (VERDICT #5): N and the dangling-node count collect in ONE
+    # probe job, and round 0's dangling sum needs no job at all — all
+    # ranks are the uniform literal, so ds_0 = (SCALE DIV N) · |dangling|
+    # exactly. Job count per invocation: 1 probe + (iters−1) ds
+    # collects + 1 top-k collect (was 1 + iters + 1).
+    probe = (
+        nodes.agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(no_out.agg(F.count(F.lit(1)).alias("_nd")))
+        .collect()[0]
+    )
+    n_nodes, n_dangling = int(probe["_n"]), int(probe["_nd"])
     if n_nodes == 0:
         edges2.unpersist()
         nodes.unpersist()
@@ -113,15 +131,24 @@ def token_pagerank(
     ranks = nodes.select(
         "w", F.lit(_SCALE // n_nodes).cast("long").alias("r")
     )
+    # closed-form dangling sum for the uniform round-0 ranks
+    ds0: int | None = (_SCALE // n_nodes) * n_dangling
     live: list[DataFrame] = []
     for _ in range(iters):
         ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         live.append(ranks)
-        ds = (
-            ranks.join(no_out, "w", "left_semi")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_ds"))
-            .collect()[0]["_ds"]
-        )
+        if ds0 is not None:
+            ds, ds0 = ds0, None
+        else:
+            ds = (
+                ranks.join(no_out, "w", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0))
+                    .cast("long")
+                    .alias("_ds")
+                )
+                .collect()[0]["_ds"]
+            )
         contrib = (
             edges2.join(ranks, edges2["a"] == ranks["w"])
             .select(
@@ -248,8 +275,8 @@ def _copurchase_edges(
 
     fingerprint = "|".join(
         [
-            str(lineitem._jdf.queryExecution().analyzed().semanticHash()),
-            str(part._jdf.queryExecution().analyzed().semanticHash()),
+            caching.plan_fingerprint(lineitem),
+            caching.plan_fingerprint(part),
             str(int(min_support)),
         ]
     )

@@ -26,7 +26,7 @@ from mapreduceindex_spark.functions import caching
 
 #: single-slot memo of the layout bounds probe keyed on the base
 #: plan's semantic hash — see _bounds_probe
-_BOUNDS_MEMO: dict = {}
+_BOUNDS_MEMO: dict = caching.scalar_memo({})
 
 
 def _interleave(xn, yn, bits: int):
@@ -95,7 +95,7 @@ def _bounds_probe(base: DataFrame) -> dict:
     plan from re-deriving the bounds once per referencing branch.
     Memoized per input fingerprint (the _FRONT_STATS discipline):
     zorder_layout and zorder_skipping probe the same base."""
-    fp = str(base._jdf.queryExecution().analyzed().semanticHash())
+    fp = caching.plan_fingerprint(base)
     hit = _BOUNDS_MEMO.get(fp)
     if hit is not None:
         return dict(hit)
@@ -115,8 +115,7 @@ def _bounds_probe(base: DataFrame) -> dict:
 
 
 def _zorder_boxes(
-    base: DataFrame, b: dict, bits: int, rows_per_file: int,
-    cache_key: str = "zorder_layout",
+    base: DataFrame, b: dict, bits: int, rows_per_file: int
 ) -> DataFrame:
     M = (1 << bits) - 1
 
@@ -124,7 +123,7 @@ def _zorder_boxes(
     # zorder_layout and zorder_skipping differ only in rows_per_file,
     # so the keyed frame is family-shared through the memo
     fingerprint = (
-        f"{base._jdf.queryExecution().analyzed().semanticHash()}|{bits}"
+        f"{caching.plan_fingerprint(base)}|{bits}"
         f"|{sorted(b.items())}"
     )
 
@@ -244,9 +243,7 @@ def zorder_skipping(
     caching.release("zorder_skipping")
     base = _zorder_base(lineitem)
     b = _bounds_probe(base)
-    zboxes = _zorder_boxes(
-        base, b, bits, rows_per_file, cache_key="zorder_skipping"
-    )
+    zboxes = _zorder_boxes(base, b, bits, rows_per_file)
     # one probe feeds the layout AND the predicate/step arithmetic:
     # Python // on non-negative ints == Spark DIV == DuckDB //
     empty = b["nrows"] == 0

@@ -743,9 +743,7 @@ def _dhash_frame_coarse(documents: DataFrame) -> DataFrame:
     persisted cache is 3 bigints per document; one live set."""
     from mapreduceindex_spark.functions import caching
 
-    fingerprint = str(
-        documents._jdf.queryExecution().analyzed().semanticHash()
-    )
+    fingerprint = caching.plan_fingerprint(documents)
 
     def _build() -> list:
         return [

@@ -110,7 +110,9 @@ def profile_table(df: DataFrame, exact: bool = False) -> DataFrame:
         plain = agg_frame.select(
             "__n_rows",
             *[
-                F.col(f"__{p}_{f.name}")
+                # backtick-quote: a raw column name containing a dot would
+                # otherwise parse as a struct-field reference (ADVICE r10)
+                F.col(f"`__{p}_{f.name}`")
                 for f in df.schema.fields
                 for p in ("nn", "lo", "hi")
             ],

@@ -1703,10 +1703,7 @@ def _winnow_fps(documents: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
 
     from mapreduceindex_spark.functions import caching
 
-    fingerprint = (
-        f"{documents._jdf.queryExecution().analyzed().semanticHash()}"
-        f"|{k}|{w}"
-    )
+    fingerprint = f"{caching.plan_fingerprint(documents)}|{k}|{w}"
 
     def _build() -> list:
         return [
@@ -1722,9 +1719,12 @@ def _winnow_fps_plan(documents: DataFrame, k: int, w: int) -> DataFrame:
     """The raw (unmemoized) plan behind :func:`_winnow_fps`."""
     from pyspark.sql.window import Window
 
+    from mapreduceindex_spark.functions.spread import spread_rows
     from mapreduceindex_spark.functions.text import stable_hash64, words
 
-    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    base = spread_rows(documents, "doc_id").select(
+        "doc_id", words(F.col("text")).alias("ws")
+    )
     toks = base.select(
         "doc_id",
         F.size("ws").alias("nw"),

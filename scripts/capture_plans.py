@@ -1,5 +1,5 @@
 """Capture .explain("formatted") output for selected queries into
-plans/r10/<query>_<tag>.txt — the optimization round's before/after
+plans/<round>/<query>_<tag>.txt (PLANS_OUT env, default plans/r11) — the optimization round's before/after
 plan evidence (guide §1: measure first; §7.2: read the plan).
 
 Usage:
@@ -20,7 +20,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/root/repo/plans/r10"
+OUT = os.environ.get("PLANS_OUT", "/root/repo/plans/r11")
 
 
 def main() -> None:
