@@ -179,18 +179,20 @@ def ngram_jaccard_pairs(
     df-join overhead only pays for itself once the quadratic pressure is
     real. Both tiers share the candidate→verify structure and semantics.
 
-    ``direct_join_max_df2`` basis (measured, local[32]): at sf0.1 the
-    capped pressure is Σ df² ≈ 2.8 M and the direct tier beats forced
-    prefix filtering 2.9–4.1 s vs 3.5–10.3 s (steady state ~1.2–2×); the
-    10×-clone stress keeps the same ordering because the pre-collapse
-    holds pressure at unique-content level. The 50 M ceiling is a memory
-    bound, not a timing crossover: self-join output rows are 16-byte
-    (long, long) pairs, so 50 M rows ≈ 800 MB *before* partitioning —
-    ~25 MB per task at 32 shuffle partitions, comfortably within any
-    executor profile, and AQE splits skewed partitions further. Past it,
-    candidate volume (not memory) is what makes prefix filtering's window
-    overhead pay. Memory-constrained callers can lower the budget; both
-    tiers return identical results.
+    ``direct_join_max_df2`` basis (measured r10, re-tested r11): at
+    sf0.1 the capped pressure is Σ df² ≈ 2.8 M and the direct tier wins
+    IN QUERY CONTEXT (a bare isolated A/B of the two tiers shows prefix
+    competitive once its plan shape is JIT-warm, but inside the real
+    compositions — threshold curve, band sweep, recall — forcing the
+    prefix tier measured 1.4–1.5× slower end-to-end, so the r10
+    crossover stands). The 50 M ceiling is a memory bound, not a timing
+    crossover: self-join output rows are 16-byte (long, long) pairs, so
+    50 M rows ≈ 800 MB before partitioning, and AQE splits skew. Past
+    it, candidate volume is what makes prefix filtering's window
+    overhead pay — and the r11 row-level PPJoin filters inside the
+    prefix join cut its aggregate input further at low thresholds.
+    Memory-constrained callers can lower the budget; both tiers return
+    identical results (pinned by the forced-tier tests).
 
     Also retained from the simpler formulation: the frequency cap (a
     shingle in > ``max_shingle_df`` docs is discrimination-free Σdf²
@@ -559,10 +561,37 @@ def _jaccard_rep_pairs(
     # prefixes rank tokens by the SAME global (df, hash) order, the
     # globally-first common token attains min(rk) on BOTH sides at once,
     # so per-pair min(rk_a), min(rk_b) are that token's positions.
+    #
+    # r11 (guide §2.3 — filter before the pair aggregate sees the rows):
+    # the length filter and the positional upper bound are ALSO applied
+    # per JOINED ROW, before the groupBy. Both are lossless there: the
+    # length test depends only on (n_a, n_b) — identical for every row
+    # of a pair — and for a pair with J ≥ t its globally-FIRST common
+    # token row satisfies the positional bound (that row's bound is the
+    # standard PPJoin one: overlap ≤ 1 + min(n−rk) ≥ ceil(t/(1+t)·(n_a+
+    # n_b))), so no qualifying pair can lose all its rows; rows dropped
+    # early only shrink the aggregate's input (at low thresholds — the
+    # near_dup_threshold_curve 0.3 search — the prefixes are ~70% of
+    # each doc and the raw join output is the dominant cost).
+    row_alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("x.n_sh") + F.col("y.n_sh"))
+        - F.lit(1e-9)
+    )
+    row_ubound = F.lit(1) + F.least(
+        F.col("x.n_sh") - F.col("x.rk"), F.col("y.n_sh") - F.col("y.rk")
+    )
     raw = (
         prefix.alias("x")
         .join(prefix.alias("y"), "sh")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(
+            F.least(F.col("x.n_sh"), F.col("y.n_sh"))
+            >= F.lit(threshold)
+            * F.greatest(F.col("x.n_sh"), F.col("y.n_sh"))
+            - F.lit(1e-9)
+        )
+        .filter(row_ubound >= row_alpha)
         .groupBy(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
@@ -1942,14 +1971,23 @@ def near_dup_threshold_curve(
     """
     spark = documents.sparkSession
     t_ppms = sorted(int(round(t * 1_000_000)) for t in thresholds)
-    pairs = ngram_jaccard_pairs(
-        documents, n=n, threshold=min(thresholds)
-    ).select(
-        "doc_a",
-        "doc_b",
-        F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias(
-            "_jppm"
-        ),
+    # the qualifying-pair frame feeds TWO aggregate branches below
+    # (pair counts + distinct-doc counts); without a persist the whole
+    # lowest-threshold pair search executes once per branch (r11,
+    # guide §5 persist-on-reuse — tracked per-operator, released on
+    # re-entry; output-proportional, never a cross-call memo)
+    caching.release("near_dup_threshold_curve")
+    pairs = caching.track(
+        ngram_jaccard_pairs(documents, n=n, threshold=min(thresholds))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias(
+                "_jppm"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        key="near_dup_threshold_curve",
     )
     th = spark.createDataFrame(
         [(t,) for t in t_ppms], "threshold_ppm bigint"

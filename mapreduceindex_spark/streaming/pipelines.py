@@ -53,6 +53,18 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+
+def _py_state_partitions(spark: SparkSession) -> int:
+    """Partition count for the Python-stateful stages
+    (``applyInPandasWithState`` / ``transformWithStateInPandas``): the
+    bottleneck is the Python group loop across workers (the first_seen
+    measurement), so track the session's core count instead of a
+    local[32]-tuned constant, capped at 16 — measured at sf0.1, 32
+    partitions is SLOWER than 8-16 (more Arrow round trips and state
+    store instances than there is work), and the former hard 16 made
+    the driver's low-core bench pay 16 state stores on an 8-core box."""
+    return min(spark.sparkContext.defaultParallelism, 16)
+
 def _run_to_table(
     agg: DataFrame,
     mode: str = "complete",
@@ -124,6 +136,19 @@ def _run_to_table(
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
         )
+    # Unload the finished query's state-store providers and their
+    # maintenance threads. Every harness query starts from a fresh
+    # checkpoint, so no later query ever reuses these providers — left
+    # loaded they only accumulate (measured: 165 → 431 live JVM threads
+    # over 12 runs without this, flat at +2/run with it; the r09 bench
+    # saw late-session streaming medians degrade ~8× from exactly this
+    # residue). A restart-from-checkpoint reloads its providers from
+    # disk, so recovery semantics are untouched
+    # (tests/test_streaming_recovery.py stays green).
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # non-classic session: nothing to unload
     return spark.table(name)
 
 
@@ -238,7 +263,9 @@ def streaming_first_seen_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = _run_to_table(dedup, "append", partitions=16)
+    out = _run_to_table(
+        dedup, "append", partitions=_py_state_partitions(spark)
+    )
     return out.orderBy("user_id", "event_type")
 
 
@@ -898,6 +925,13 @@ def streaming_lsh_dedup_pairs(
     # sf0.1. Repartition on doc_id BEFORE the signature expressions so
     # they run at session parallelism; the shuffle moves raw text once,
     # strictly cheaper than computing 16 array folds on one core.
+    # NOTE (r11, VERDICT #8 tried and REVERTED): folding the 16 lanes as
+    # one nested transform over a literal coefficient array halves the
+    # cold-JIT tree but DOUBLES the warm cost (measured 5.7 → 11.9 s —
+    # the struct-field access on the lambda variable is evaluated
+    # per-element × per-lane, interpreted). The unrolled per-lane
+    # columns stay; the cold first run is a once-per-JVM codegen cost
+    # the bench already reports separately in its `cold` column.
     sig = (
         stream.filter(F.size(words(F.col("text"))) > 0)
         .repartition(F.col("doc_id"))
@@ -1441,10 +1475,11 @@ def streaming_timeout_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    # partitions=16: the bottleneck is the Python group-loop across
-    # workers, not state-store count (the first_seen measurement)
     out = _run_to_table(
-        out_stream, "append", partitions=16, no_data_batches=True
+        out_stream,
+        "append",
+        partitions=_py_state_partitions(spark),
+        no_data_batches=True,
     )
     return out.orderBy("user_id", "session_start_us")
 
@@ -1599,7 +1634,10 @@ def streaming_timeout_sessions_tws(
     )
     try:
         out = _run_to_table(
-            out_stream, "append", partitions=16, no_data_batches=True
+            out_stream,
+            "append",
+            partitions=_py_state_partitions(spark),
+            no_data_batches=True,
         )
     finally:
         if prev_provider is None:
@@ -1632,7 +1670,9 @@ def streaming_markov_transitions(
         "user_id", "event_id", "ts", "event_type"
     )
     partials = _markov_partials(events, gap_sec)
-    sunk = _run_to_table(partials, "append", partitions=16)
+    sunk = _run_to_table(
+        partials, "append", partitions=_py_state_partitions(spark)
+    )
     return _markov_finalize(sunk)
 
 
@@ -2129,7 +2169,9 @@ def streaming_zscore_anomaly(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sunk = _run_to_table(flagged, "append", partitions=16)
+    sunk = _run_to_table(
+        flagged, "append", partitions=_py_state_partitions(spark)
+    )
     return sunk.select(
         "event_id", "user_id", "value_c", "n_prior", "dev2", "thr2"
     ).orderBy("event_id")
@@ -2252,7 +2294,9 @@ def streaming_bottomk_sample(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sunk = _run_to_table(entered, "append", partitions=16)
+    sunk = _run_to_table(
+        entered, "append", partitions=_py_state_partitions(spark)
+    )
     w = Window.orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
         sunk.distinct()
