@@ -41,24 +41,17 @@ from mapreduceindex_spark.streaming import pipelines as STREAM
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE (r11, tried and REVERTED): a blanket spread_rows on the
+    # documents loader parallelized every text query's single-file scan
+    # but cost each of the ~60 CHEAP doc queries an extra exchange
+    # (+0.1-0.4 s apiece — measured A/B over a 24-query sweep slice:
+    # 26.2 s spread vs 22.9 s plain), a net loss. The spread lives
+    # INSIDE the operators whose per-row work was measured to dominate
+    # (dedup front end, CDC chunker, winnowing, span family, simhash,
+    # token_pagerank — see functions/spread.py).
     from mapreduceindex_spark.session import load_table
 
-    df = load_table(spark, sf_dir, name)
-    if name == "documents":
-        # The fixture corpus is ONE parquet file with one row group, so
-        # every text query's scan stage — the tokenizer regexes and
-        # per-shingle hashing, the registry's dominant per-row work —
-        # plans a single input partition and runs on one core at any
-        # local[N] (measured: the tokenize pass alone is ~0.9 s
-        # single-core vs ~0.15 s spread, sf0.1). spread_rows moves the
-        # raw rows once IFF planned parallelism is below the session's
-        # core count; at real scale a corpus scan already has ≥ one
-        # split per 128 MB and this is a structural no-op
-        # (guide §2.5 input skew; see functions/spread.py).
-        from mapreduceindex_spark.functions.spread import spread_rows
-
-        df = spread_rows(df, "doc_id")
-    return df
+    return load_table(spark, sf_dir, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:

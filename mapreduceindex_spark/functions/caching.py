@@ -110,13 +110,24 @@ def memo(
         # SparkContext" at first real use. Either probe raising is
         # treated as not-live.
         def _ctx_stopped(f: DataFrame) -> bool:
-            # classic-only probe: under Spark Connect (or a pyspark that
-            # drops _jsc) treat the context as RUNNING rather than
-            # letting the raised AttributeError read as "not live" and
-            # silently rebuild the front end on every call (ADVICE r10)
-            jsc = getattr(f.sparkSession.sparkContext, "_jsc", None)
+            # Distinguish three cases (ADVICE r10 + the r11 bench crash):
+            # - Spark Connect: accessing .sparkContext itself raises —
+            #   there is no classic context to probe; fall back to the
+            #   storage-level probe alone instead of rebuilding the
+            #   front end on every call.
+            # - classic, STOPPED: SparkContext.stop() nulls _jsc, so
+            #   `_jsc is None` on a session that HAS a sparkContext
+            #   means stopped (the session-recycling harness case; such
+            #   frames still report a storage level, then throw at
+            #   first use).
+            # - classic, running: ask the JVM.
+            try:
+                sc = f.sparkSession.sparkContext
+            except Exception:
+                return False  # Connect: no classic context API
+            jsc = getattr(sc, "_jsc", None)
             if jsc is None:
-                return False
+                return True  # classic context stopped
             return jsc.sc().isStopped()
 
         try:

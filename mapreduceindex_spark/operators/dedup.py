@@ -1067,10 +1067,11 @@ def simhash64(documents: DataFrame, n_bits: int = 24) -> DataFrame:
     as 0 (left-join zero-fill), so corpus bookkeeping joins never lose
     rows.
     """
+    from mapreduceindex_spark.functions.spread import spread_rows
     from mapreduceindex_spark.functions.text import token_rows
 
     word_hashes = (
-        token_rows(documents)
+        token_rows(spread_rows(documents, "doc_id"))
         .filter(F.length("word") > 0)
         .dropDuplicates(["doc_id", "word"])
         .select("doc_id", stable_hash64("word").alias("h"))
@@ -1256,8 +1257,12 @@ def dup_spans(
 
     from mapreduceindex_spark.functions import caching
 
+    from mapreduceindex_spark.functions.spread import spread_rows
+
     caching.release("dup_spans")  # free this operator's previous cache
-    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    base = spread_rows(documents, "doc_id").select(
+        "doc_id", words(F.col("text")).alias("ws")
+    )
     toks = base.select(
         "doc_id",
         F.size("ws").alias("nw"),
@@ -1361,8 +1366,12 @@ def span_scrub(
 
     from mapreduceindex_spark.functions import caching
 
+    from mapreduceindex_spark.functions.spread import spread_rows
+
     caching.release("span_scrub")
-    base = documents.select("doc_id", words(F.col("text")).alias("ws"))
+    base = spread_rows(documents, "doc_id").select(
+        "doc_id", words(F.col("text")).alias("ws")
+    )
     toks = caching.track(
         base.select(
             "doc_id",

@@ -161,3 +161,59 @@ def test_token_pagerank_probe_job_shape(spark):
             r1[t] = 37500 + 85 * (contrib.get(t, 0) + ds // 4) // 100
         r0 = r1
     assert rows == r0
+
+
+def test_memo_rebuilds_when_jsc_is_nulled_by_stop():
+    """SparkContext.stop() nulls ``_jsc`` — the real post-recycle state
+    (the r10 fake only modeled ``isStopped()``; the r11 full bench
+    crashed on exactly this gap). Frames whose owning context has
+    ``_jsc is None`` must rebuild; a session WITHOUT a classic context
+    at all (Spark Connect — ``.sparkContext`` raises) must be treated
+    as live, not rebuilt every call."""
+    from types import SimpleNamespace
+
+    from mapreduceindex_spark.functions import caching
+
+    def frame(ctx):
+        return SimpleNamespace(
+            storageLevel=SimpleNamespace(useMemory=True, useDisk=False),
+            sparkSession=ctx,
+            unpersist=lambda: None,
+        )
+
+    builds = []
+
+    class _StoppedSession(SimpleNamespace):
+        pass
+
+    stopped_ctx = _StoppedSession(
+        sparkContext=SimpleNamespace(_jsc=None)
+    )
+
+    class _ConnectSession:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("sparkContext is not supported in Connect")
+
+    def build_stopped():
+        builds.append("s")
+        return [frame(stopped_ctx)]
+
+    caching.release("t_jsc_none")
+    caching.memo("t_jsc_none", "fp", build_stopped)
+    caching.memo("t_jsc_none", "fp", build_stopped)
+    assert builds == ["s", "s"]  # _jsc=None => stale, rebuilt
+    caching.release("t_jsc_none")
+
+    builds.clear()
+    connect = _ConnectSession()
+
+    def build_connect():
+        builds.append("c")
+        return [frame(connect)]
+
+    caching.release("t_connect")
+    f1 = caching.memo("t_connect", "fp", build_connect)[0]
+    f2 = caching.memo("t_connect", "fp", build_connect)[0]
+    assert builds == ["c"] and f1 is f2  # Connect: storage probe only
+    caching.release("t_connect")
